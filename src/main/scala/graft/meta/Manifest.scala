@@ -1,0 +1,173 @@
+package graft.meta
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Governance manifest sidecar — the engine's dataset-stats surface.
+  *
+  * Mirrors the reference's three-section manifest (CoreInfo /
+  * DatasetInfo / SchemaStats dataclasses, app/utils/metadata.py:52-81,
+  * assembled by write_metadata_from_df at :85-150), re-designed for
+  * Spark: the row count and ALL per-column null counts are computed in
+  * ONE aggregate job (partial + final hash agg; a single pass over the
+  * table regardless of column count), not N jobs — this is what keeps
+  * manifest generation viable at 100 TB.
+  */
+final case class CoreInfo(
+    fileName: String,
+    directory: String,
+    sizeBytes: Long,
+    md5: String,
+    generatedAt: String)
+
+final case class DatasetInfo(
+    datasetId: String,
+    origin: String,
+    delimiter: String,
+    encoding: String,
+    partitionKey: String,
+    partitionValue: String,
+    runId: String,
+    producer: String)
+
+final case class SchemaStats(
+    columns: Seq[String],
+    dtypes: Map[String, String],
+    rows: Long,
+    nullCounts: Map[String, Long],
+    preview: Seq[String])
+
+final case class Manifest(
+    core: CoreInfo,
+    dataset: DatasetInfo,
+    schemaStats: SchemaStats,
+    extra: Map[String, String] = Map.empty)
+
+object Manifest {
+
+  /** Row count + per-column null counts in a single job
+    * (reference computes these separately: len(df) at
+    * app/utils/metadata.py:122, isna().sum() per column at :32-33).
+    */
+  def tableStats(df: DataFrame): (Long, Map[String, Long]) = {
+    val nullAggs = df.columns.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+    val row = df.agg(count(lit(1)).as("__rows"), nullAggs.toIndexedSeq: _*).head()
+    val rows = row.getAs[Long]("__rows")
+    val nulls = df.columns.map(c => c -> row.getAs[Long](s"__nulls_$c")).toMap
+    (rows, nulls)
+  }
+
+  /** Dtype capture is metadata-only — no job
+    * (reference app/utils/metadata.py:27-29). */
+  def dtypes(df: DataFrame): Map[String, String] =
+    df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+
+  /** Head-N preview as JSON records (reference app/utils/metadata.py:36-38). */
+  def preview(df: DataFrame, n: Int = 3): Seq[String] =
+    df.limit(n).toJSON.collect().toIndexedSeq
+
+  /** Streaming MD5 over a file's bytes, 1 MiB chunks — constant memory
+    * (reference _md5, app/utils/metadata.py:15-20) — via Hadoop FS so it
+    * works against any supported filesystem, not just local disk.
+    */
+  def md5OfFile(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](1024 * 1024)
+      var read = in.read(buf)
+      while (read > 0) { digest.update(buf, 0, read); read = in.read(buf) }
+    } finally in.close()
+    digest.digest().map("%02x".format(_)).mkString
+  }
+
+  def nowIso(clock: java.time.Clock = java.time.Clock.systemDefaultZone()): String =
+    java.time.LocalDateTime.now(clock).truncatedTo(java.time.temporal.ChronoUnit.SECONDS)
+      .format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+
+  /** Assemble the full manifest for a written file + its DataFrame. */
+  def forWrittenFile(
+      spark: SparkSession,
+      df: DataFrame,
+      filePath: String,
+      dataset: DatasetInfo,
+      withPreview: Boolean = true,
+      extra: Map[String, String] = Map.empty,
+      clock: java.time.Clock = java.time.Clock.systemDefaultZone()): Manifest = {
+    val p = new Path(filePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) throw new java.io.FileNotFoundException(filePath)
+    val status = fs.getFileStatus(p)
+    val (rows, nulls) = tableStats(df)
+    Manifest(
+      core = CoreInfo(
+        fileName = p.getName,
+        directory = p.getParent.toString,
+        sizeBytes = status.getLen,
+        md5 = md5OfFile(spark, filePath),
+        generatedAt = nowIso(clock)),
+      dataset = dataset,
+      schemaStats = SchemaStats(
+        columns = df.columns.toIndexedSeq,
+        dtypes = dtypes(df),
+        rows = rows,
+        nullCounts = nulls,
+        preview = if (withPreview) preview(df) else Nil),
+      extra = extra)
+  }
+
+  /** Serialize and write `<filePath>.manifest.json` next to the data
+    * (reference app/utils/metadata.py:147-150).
+    */
+  def write(spark: SparkSession, m: Manifest, filePath: String): String = {
+    val target = new Path(filePath + ".manifest.json")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(target, true)
+    try out.write(toJson(m).getBytes("UTF-8")) finally out.close()
+    target.toString
+  }
+
+  def toJson(m: Manifest): String = {
+    val sb = new StringBuilder
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def js(s: String) = "\"" + esc(s) + "\""
+    def obj(pairs: Seq[(String, String)]): String =
+      pairs.map { case (k, v) => s"${js(k)}: $v" }.mkString("{", ", ", "}")
+    sb.append(obj(Seq(
+      "core" -> obj(Seq(
+        "file_name" -> js(m.core.fileName),
+        "directory" -> js(m.core.directory),
+        "size_bytes" -> m.core.sizeBytes.toString,
+        "hash_md5" -> js(m.core.md5),
+        "generated_at" -> js(m.core.generatedAt))),
+      "dataset" -> obj(Seq(
+        "dataset_id" -> js(m.dataset.datasetId),
+        "origin" -> js(m.dataset.origin),
+        "delimiter" -> js(m.dataset.delimiter),
+        "encoding" -> js(m.dataset.encoding),
+        "partition_key" -> js(m.dataset.partitionKey),
+        "partition_value" -> js(m.dataset.partitionValue),
+        "run_id" -> js(m.dataset.runId),
+        "producer" -> js(m.dataset.producer))),
+      "schema_stats" -> obj(Seq(
+        "columns" -> m.schemaStats.columns.map(js).mkString("[", ", ", "]"),
+        "dtypes" -> obj(m.schemaStats.columns.map(c => c -> js(m.schemaStats.dtypes(c)))),
+        "rows" -> m.schemaStats.rows.toString,
+        "null_counts" -> obj(m.schemaStats.columns.map(c => c -> m.schemaStats.nullCounts(c).toString)),
+        "preview" -> m.schemaStats.preview.mkString("[", ", ", "]"))),
+    ) ++ (if (m.extra.nonEmpty) Seq("extra" -> obj(m.extra.toSeq.sortBy(_._1).map { case (k, v) => k -> js(v) })) else Nil)))
+    sb.toString
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for corpus-scale pipelines.
+  *
+  * Scale design notes (the part that matters at 100 TB):
+  *  - Exact dedup never compares documents pairwise: it hashes every
+  *    document to a 128-bit fingerprint ONCE (map-side, codegen'd),
+  *    then resolves keepers with a single hash aggregation — one
+  *    shuffle on the fingerprint, partial aggregation upstream.
+  *  - MinHash signatures are computed per-row with array expressions
+  *    (no explode → no pre-shuffle blowup); only the tiny
+  *    (doc_id, band, signature) tuples shuffle for the LSH bucket
+  *    join, never the document text.
+  *  - Candidate pairs come from equi-joins on (band, signature) —
+  *    hash-join-able and AQE-skew-splittable — never from a cross
+  *    join.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content fingerprint: one row per
+    * distinct fingerprint with the keeper (min id) and multiplicity.
+    */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), TextStats.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup: keep one row per fingerprint (the min-id row),
+    * implemented as the standard window-rank dedup so the choice of
+    * survivor is deterministic (dropDuplicates keeps an arbitrary row).
+    */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word-shingles of size n as an array column (distinct). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    // sliding n-grams via transform over index range; sequences shorter
+    // than n fall back to the whole text as one shingle
+    val ngrams = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    array_distinct(ngrams)
+  }
+
+  /** One MinHash value: min over the token set of md5(seed || ":" || token).
+    * md5 is deliberate — engine-portable (identical in any SQL engine,
+    * so signatures are verifiable cross-system), deterministic, and
+    * uniform. The min is taken lexicographically over the hex digest.
+    */
+  def minhash(tokensCol: Column, seed: Int): Column =
+    array_min(transform(tokensCol, t => md5(concat(lit(s"$seed:"), t))))
+
+  /** k-hash MinHash signature columns over a token/shingle array. */
+  def minhashSignature(tokensCol: Column, k: Int): Seq[Column] = {
+    val toks = array_distinct(tokensCol)
+    (0 until k).map(i => minhash(toks, i).as(s"mh$i"))
+  }
+
+  /** LSH banding: docs × bands frame with band signature = md5 of the
+    * concatenated minhashes in the band. rowsPerBand minhashes per band.
+    */
+  def lshBands(docs: DataFrame, idCol: String, tokensCol: Column,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val sig = docs.select((col(idCol) +: minhashSignature(tokensCol, numHashes)): _*)
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      val parts = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
+      struct(lit(b).as("band"), md5(concat(parts: _*)).as("sig"))
+    }
+    sig
+      .select(col(idCol), explode(array(bands: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Candidate near-duplicate pairs: documents sharing any LSH band
+    * signature. Equi-join on (band, sig); output pairs id1 < id2,
+    * deduplicated across bands.
+    */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, tokensCol: Column,
+      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bands = lshBands(docs, idCol, tokensCol, numHashes, rowsPerBand)
+    val a = bands.select(col(idCol).as("id1"), col("band"), col("sig"))
+    val b = bands.select(col(idCol).as("id2"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity between two token-array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    val uni = size(array_union(a, b)).cast(DoubleType)
+    round(inter / greatest(uni, lit(1.0)), 4)
+  }
+}

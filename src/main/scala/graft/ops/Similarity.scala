@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Vector-similarity operators over `array<float>` embedding columns.
+  *
+  * All math is done in DOUBLE with a sequential left-to-right fold
+  * (`aggregate` over `zip_with`) so results are bit-reproducible across
+  * engines and partitionings.
+  *
+  * Scale design: brute-force top-k is the correctness baseline — a
+  * broadcast of the query vector against a full scan (embarrassingly
+  * parallel, no shuffle; `TakeOrderedAndProject` keeps only k rows per
+  * partition). The sign-LSH bucket variant is the scale path: a
+  * deterministic hyperplane-sign bucket key turns ANN into an equi-join
+  * / partition-pruned scan touching 1/2^bits of the corpus.
+  */
+object Similarity {
+
+  /** Cast array<float> → array<double> for stable math. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
+
+  /** Dot product via zip_with + sequential fold (codegen'd built-ins). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double precision; null on zero-norm input. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
+
+  /** Brute-force cosine top-k against one query vector.
+    * The single-row query frame is broadcast; Catalyst plans
+    * BroadcastNestedLoopJoin + TakeOrderedAndProject — one scan, no
+    * shuffle of the corpus.
+    */
+  def bruteForceTopK(
+      embeddings: DataFrame,
+      queryVecId: Long,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = embeddings.filter(col(idCol) === queryVecId)
+      .select(asDouble(col(vecCol)).as("__qv"))
+    embeddings
+      .filter(col(idCol) =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), round(cosine(asDouble(col(vecCol)), col("__qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic sign-LSH bucket key: one bit per leading dimension
+    * (random-hyperplane LSH with axis-aligned planes — deterministic so
+    * any engine reproduces the same buckets). 2^bits buckets.
+    */
+  def signBucket(vec: Column, bits: Int): Column =
+    concat_ws("", (1 to bits).map(i =>
+      when(element_at(vec, i) > 0f, "1").otherwise("0")): _*)
+
+  /** ANN via LSH bucket: search only the query vector's bucket —
+    * the IVF-style scale path (probes 1/2^bits of the corpus; recall
+    * traded for a 2^bits scan reduction; multi-probe = relax the
+    * bucket equality to Hamming-adjacent keys).
+    */
+  def annTopKInBucket(
+      embeddings: DataFrame,
+      queryVecId: Long,
+      k: Int,
+      bits: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val withBucket = embeddings.withColumn("__bucket", signBucket(col(vecCol), bits))
+    val q = withBucket.filter(col(idCol) === queryVecId)
+      .select(col("__bucket"), asDouble(col(vecCol)).as("__qv"))
+    withBucket
+      .filter(col(idCol) =!= queryVecId)
+      .join(broadcast(q), "__bucket")
+      .select(col(idCol), round(cosine(asDouble(col(vecCol)), col("__qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** All-pairs near-duplicate detection above a cosine threshold,
+    * blocked by an id-range bucket so the join stays an equi-join
+    * (at full scale the blocking key is the LSH bucket; the id-range
+    * block here keeps the oracle SQL-expressible).
+    */
+  def nearDupPairsBlocked(
+      embeddings: DataFrame,
+      threshold: Double,
+      blockSize: Long = 100L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val withBlock = embeddings.select(
+      col(idCol), asDouble(col(vecCol)).as("__v"),
+      floor(col(idCol) / blockSize).as("__blk"))
+    val a = withBlock.select(col("__blk"), col(idCol).as("id1"), col("__v").as("v1"))
+    val b = withBlock.select(col("__blk"), col(idCol).as("id2"), col("__v").as("v2"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), round(cosine(col("v1"), col("v2")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,33 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named query: the Spark plan builder plus (when SQL-expressible)
+  * an equivalent ANSI SQL text for the DuckDB oracle. Column names and
+  * row order must agree between the two (the driver's compare hashes
+  * values after sorting columns by name).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  /** Shorthand parquet table loader for the testdata star schema.
+    *
+    * `events.ts` is physically TIMESTAMP(NANOS) parquet, which Spark
+    * cannot read as a timestamp; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` so it scans as LONG
+    * nanos, and the loader converts to TIMESTAMP_NTZ here via integer
+    * division (`div 1000` — a double-precision divide would lose
+    * microseconds at ~1.7e18 ns epoch values).
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+          .cast(org.apache.spark.sql.types.TimestampNTZType))
+    else df
+  }
+}

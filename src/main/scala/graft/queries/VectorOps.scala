@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.{Multimodal, Similarity}
+import QueryDef.table
+
+/** Similarity search + multimodal suite over `embeddings` (and binary
+  * payloads synthesized from `documents` — the testdata carries no real
+  * media bytes).
+  */
+object VectorOps {
+
+  /** Oracle fragment: sign-LSH bucket key (DuckDB). */
+  private def bucketSql(bits: Int): String =
+    (1 to bits).map(i => s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // brute-force cosine top-k — the ANN correctness baseline
+    QueryDef("q40_embed_topk",
+      (s, d) => Similarity.bruteForceTopK(table(s, d, "embeddings"), queryVecId = 0L, k = 10),
+      Some("""SELECT b.vec_id,
+                ROUND(list_cosine_similarity(
+                  list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                  (SELECT list_transform(a.embedding, x -> CAST(x AS DOUBLE))
+                   FROM embeddings a WHERE a.vec_id = 0)), 4) AS cos
+              FROM embeddings b WHERE b.vec_id <> 0
+              ORDER BY cos DESC, vec_id LIMIT 10""")),
+
+    // embedding-cosine near-duplicate pairs, id-range blocked equi-join
+    QueryDef("q41_embed_neardup",
+      (s, d) => Similarity.nearDupPairsBlocked(table(s, d, "embeddings"),
+          threshold = 0.3, blockSize = 100L)
+        .orderBy("id1", "id2"),
+      Some("""SELECT * FROM (
+                SELECT a.vec_id AS id1, b.vec_id AS id2,
+                  ROUND(list_cosine_similarity(
+                    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                    list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cos
+                FROM embeddings a JOIN embeddings b
+                  ON CAST(FLOOR(a.vec_id / 100) AS BIGINT) = CAST(FLOOR(b.vec_id / 100) AS BIGINT)
+                 AND a.vec_id < b.vec_id) t
+              WHERE cos >= 0.3 ORDER BY id1, id2""")),
+
+    // deterministic sign-LSH bucket histogram (the IVF coarse quantizer)
+    QueryDef("q42_lsh_buckets",
+      (s, d) => table(s, d, "embeddings")
+        .groupBy(Similarity.signBucket(col("embedding"), 8).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      Some(s"""SELECT ${bucketSql(8)} AS bucket, COUNT(*) AS n
+              FROM embeddings GROUP BY 1 ORDER BY bucket""")),
+
+    // ANN probe: search only the query vector's bucket (the scale path)
+    QueryDef("q43_ann_bucket",
+      (s, d) => Similarity.annTopKInBucket(table(s, d, "embeddings"),
+        queryVecId = 0L, k = 5, bits = 4),
+      Some(s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql(4)} AS bucket FROM embeddings)
+              SELECT x.vec_id,
+                ROUND(list_cosine_similarity(
+                  list_transform(x.embedding, v -> CAST(v AS DOUBLE)), q.emb), 4) AS cos
+              FROM b x JOIN
+                (SELECT bucket, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+                 FROM b WHERE vec_id = 0) q
+                ON x.bucket = q.bucket
+              WHERE x.vec_id <> 0
+              ORDER BY cos DESC, vec_id LIMIT 5""")),
+
+    // multimodal metadata pass over binary payloads (scan-speed, no decode)
+    QueryDef("q44_multimodal_meta",
+      (s, d) => table(s, d, "documents")
+        .select(col("doc_id"),
+          Multimodal.byteLength(col("text").cast(BinaryType)).as("n_bytes"),
+          md5(col("text")).as("content_md5"),
+          lower(hex(substring(col("text"), 1, 4).cast(BinaryType))).as("magic"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                md5(text) AS content_md5,
+                lower(hex(encode(substring(text, 1, 4)))) AS magic
+              FROM documents ORDER BY doc_id""")),
+
+    // stubbed decode/feature-extract pass (mapPartitions) — rows-only check
+    QueryDef("q45_media_decode",
+      (s, d) => {
+        val media = table(s, d, "documents").select(
+          col("doc_id").as("media_id"),
+          col("text").cast(BinaryType).as("content"),
+          lit("application/octet-stream").as("mime"))
+        Multimodal.decodeFeatures(media)
+          .toDF()
+          .select("media_id", "n_bytes", "mime", "width", "height", "n_frames")
+          .orderBy("media_id")
+      },
+      None)
+  )
+}

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fingerprint collapses case and whitespace variants") {
+    val docs = Seq(
+      (1L, "Hello  World"),
+      (2L, "hello world"),
+      (3L, "entirely different")).toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.length === 2)
+    val dup = groups.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("dedupKeepFirst keeps the min-order row per key deterministically") {
+    val df = Seq((1L, "a", 30L), (1L, "a", 10L), (1L, "a", 20L), (2L, "b", 5L))
+      .toDF("k1", "k2", "ord")
+    val out = Dedup.dedupKeepFirst(df, Seq("k1", "k2"), "ord")
+      .orderBy("k1").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq === Seq((1L, 10L), (2L, 5L)))
+  }
+
+  test("shingles builds distinct word n-grams; short docs fall back to whole text") {
+    val df = Seq(("a b c d", 1)).toDF("text", "id")
+    val sh = df.select(Dedup.shingles(col("text"), 3).as("s")).head().getSeq[String](0)
+    assert(sh.toSet === Set("a b c", "b c d"))
+    val short = Seq(("a b", 1)).toDF("text", "id")
+      .select(Dedup.shingles(col("text"), 3).as("s")).head().getSeq[String](0)
+    assert(short === Seq("a b"))
+  }
+
+  test("minhash is deterministic and order-insensitive over the token set") {
+    val df = Seq(("x y z", "z y x")).toDF("t1", "t2")
+    val r = df.select(
+      Dedup.minhash(array_distinct(split(col("t1"), " ")), 0).as("m1"),
+      Dedup.minhash(array_distinct(split(col("t2"), " ")), 0).as("m2")).head()
+    assert(r.getString(0) === r.getString(1))
+  }
+
+  test("lshCandidatePairs surfaces identical docs and orders pairs id1<id2") {
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again"),
+      (5L, "completely unrelated content with nothing shared at all here now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", Dedup.shingles(col("text"), 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((3L, 10L)))
+  }
+
+  test("jaccard of identical sets is 1, disjoint is 0") {
+    val df = Seq(("a b c", "a b c", "x y")).toDF("t1", "t2", "t3")
+    val r = df.select(
+      Dedup.jaccard(split(col("t1"), " "), split(col("t2"), " ")).as("same"),
+      Dedup.jaccard(split(col("t1"), " "), split(col("t3"), " ")).as("disjoint")).head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 0.0)
+  }
+}

@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sniffMime recognizes magic numbers") {
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 0, 0, 0, 0)
+    val wav = "RIFF1234WAVE".getBytes
+    val other = "hello world!".getBytes
+    val df = Seq((png, jpg, wav, other)).toDF("png", "jpg", "wav", "other")
+    val r = df.select(
+      Multimodal.sniffMime(col("png")), Multimodal.sniffMime(col("jpg")),
+      Multimodal.sniffMime(col("wav")), Multimodal.sniffMime(col("other"))).head()
+    assert(r.getString(0) === "image/png")
+    assert(r.getString(1) === "image/jpeg")
+    assert(r.getString(2) === "audio/wav")
+    assert(r.getString(3) === "application/octet-stream")
+  }
+
+  test("decodeFeatures runs distributed and is deterministic per content") {
+    val media = Seq(
+      (1L, "some bytes".getBytes, "application/octet-stream"),
+      (2L, "some bytes".getBytes, "application/octet-stream"),
+      (3L, Array.empty[Byte], null.asInstanceOf[String]))
+      .toDF("media_id", "content", "mime")
+    val out = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+    assert(out.length === 3)
+    assert(out(0).width === out(1).width && out(0).height === out(1).height)
+    assert(out(0).n_bytes === 10L)
+    assert(out(2).n_bytes === 0L && out(2).mime === "application/octet-stream")
+    assert(out(0).feature.length === 8)
+  }
+}

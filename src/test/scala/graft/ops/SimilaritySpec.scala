@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of parallel vectors is 1, orthogonal 0, antiparallel -1") {
+    val df = Seq((
+      Array(1.0f, 0.0f), Array(2.0f, 0.0f), Array(0.0f, 3.0f), Array(-1.0f, 0.0f)))
+      .toDF("a", "b", "c", "d")
+    def cos(x: String, y: String) =
+      Similarity.cosine(Similarity.asDouble(col(x)), Similarity.asDouble(col(y)))
+    val r = df.select(cos("a", "b"), cos("a", "c"), cos("a", "d")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+    assert(math.abs(r.getDouble(2) + 1.0) < 1e-12)
+  }
+
+  test("cosine with a zero-norm vector is null, not NaN") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("z", "v")
+    val r = df.select(
+      Similarity.cosine(Similarity.asDouble(col("z")), Similarity.asDouble(col("v")))).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("bruteForceTopK returns the k nearest, ties broken by id") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, queryVecId = 0L, k = 2).collect()
+    assert(top.map(_.getLong(0)).toSeq === Seq(3L, 1L)) // exact match first
+  }
+
+  test("signBucket maps sign pattern of leading dims") {
+    val df = Seq(Tuple1(Array(0.5f, -0.2f, 0.1f))).toDF("v")
+    val b = df.select(Similarity.signBucket(col("v"), 3)).head().getString(0)
+    assert(b === "101")
+  }
+
+  test("annTopKInBucket only searches the query's bucket") {
+    val emb = Seq(
+      (0L, Array(1.0f, 1.0f)),  // bucket 11
+      (1L, Array(0.9f, 0.9f)),  // bucket 11 — candidate
+      (2L, Array(-1.0f, 1.0f)) // bucket 01 — not scanned
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.annTopKInBucket(emb, queryVecId = 0L, k = 5, bits = 2).collect()
+    assert(res.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+}
