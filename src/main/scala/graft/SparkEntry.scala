@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{QueryDef, Relational, TextOps, VectorOps}
+import graft.queries.{Extended, QueryDef, Relational, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,8 @@ import graft.queries.{QueryDef, Relational, TextOps, VectorOps}
   */
 object SparkEntry {
 
-  private val defs: Seq[QueryDef] = Relational.all ++ TextOps.all ++ VectorOps.all
+  private val defs: Seq[QueryDef] =
+    Relational.all ++ TextOps.all ++ VectorOps.all ++ Extended.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

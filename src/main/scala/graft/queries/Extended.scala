@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import QueryDef.table
+
+/** Second operator batch: SQL-surface queries (subqueries, grouping
+  * sets), exact moment statistics, range/as-of joins, deterministic
+  * sampling, and corpus/vector aggregates.
+  *
+  * Determinism contract is the same as Relational: decimal-space sums,
+  * no double-space rounds, total ORDER BY.
+  */
+object Extended {
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+  private def DSUM(expr: String): String = s"CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS DOUBLE)"
+  /** Higher-scale decimal sum for squared/product terms. */
+  private def dsum8(c: Column): Column = sum(c.cast(DecimalType(30, 8))).cast(DoubleType)
+  private def DSUM8(expr: String): String = s"CAST(SUM(CAST($expr AS DECIMAL(30,8))) AS DOUBLE)"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // BPE-ish subword pre-tokenization: letter runs / digit runs /
+    // single symbols via regexp_extract_all (RE2-safe → oracle-able)
+    QueryDef("q39_subword_count",
+      (s, d) => table(s, d, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .cast(LongType).as("n_subwords"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subwords
+              FROM documents ORDER BY doc_id""")),
+
+    // cube (full grouping-sets lattice)
+    QueryDef("q46_cube",
+      (s, d) => table(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                ${DSUM("l_quantity")} AS sum_qty
+              FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+              ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // explicit grouping sets through the SQL surface (Spark SQL parser)
+    QueryDef("q47_grouping_sets",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("v47_orders")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+                 FROM v47_orders
+                 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+                 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+              FROM orders
+              GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // moment statistics, exact: stddev from decimal sums (engine-portable
+    // IEEE arithmetic on identical inputs — no stddev_samp builtin, whose
+    // merge order varies)
+    QueryDef("q48_stats_agg",
+      (s, d) => {
+        val li = table(s, d, "lineitem")
+        val n = count(lit(1))
+        val sx = dsum(col("l_quantity"))
+        val sxx = dsum8(col("l_quantity") * col("l_quantity"))
+        li.groupBy("l_returnflag")
+          .agg(
+            n.as("n"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"),
+            countDistinct(col("l_quantity")).as("n_distinct_qty"),
+            sqrt((sxx - sx * sx / n) / (n - lit(1))).as("stddev_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+                MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+                CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct_qty,
+                SQRT((${DSUM8("l_quantity * l_quantity")} - ${DSUM("l_quantity")} * ${DSUM("l_quantity")} / COUNT(*))
+                     / (COUNT(*) - 1)) AS stddev_qty
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Pearson correlation, exact, from decimal co-moments
+    QueryDef("q49_corr",
+      (s, d) => {
+        val li = table(s, d, "lineitem")
+        val n = count(lit(1))
+        val sx = dsum(col("l_quantity"))
+        val sy = dsum(col("l_extendedprice"))
+        val sxy = dsum8(col("l_quantity") * col("l_extendedprice"))
+        val sxx = dsum8(col("l_quantity") * col("l_quantity"))
+        val syy = dsum8(col("l_extendedprice") * col("l_extendedprice"))
+        li.groupBy("l_returnflag")
+          .agg(n.as("n"),
+            ((sxy - sx * sy / n) /
+              (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))).as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+                (${DSUM8("l_quantity * l_extendedprice")} - ${DSUM("l_quantity")} * ${DSUM("l_extendedprice")} / COUNT(*))
+                / (SQRT(${DSUM8("l_quantity * l_quantity")} - ${DSUM("l_quantity")} * ${DSUM("l_quantity")} / COUNT(*))
+                   * SQRT(${DSUM8("l_extendedprice * l_extendedprice")} - ${DSUM("l_extendedprice")} * ${DSUM("l_extendedprice")} / COUNT(*)))
+                  AS corr_qty_price
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // correlated EXISTS + uncorrelated IN + scalar subquery, via SQL
+    QueryDef("q50_subqueries",
+      (s, d) => {
+        table(s, d, "customer").createOrReplaceTempView("v50_customer")
+        table(s, d, "orders").createOrReplaceTempView("v50_orders")
+        s.sql("""SELECT c_custkey, c_name,
+                   (SELECT COUNT(*) FROM v50_orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+                 FROM v50_customer c
+                 WHERE EXISTS (SELECT 1 FROM v50_orders o
+                               WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+                   AND c.c_nationkey IN (SELECT c_nationkey FROM v50_customer
+                                         GROUP BY c_nationkey HAVING COUNT(*) >= 3)
+                 ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_name,
+                (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+              FROM customer c
+              WHERE EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+                AND c.c_nationkey IN (SELECT c_nationkey FROM customer
+                                      GROUP BY c_nationkey HAVING COUNT(*) >= 3)
+              ORDER BY c_custkey""")),
+
+    // the classic distributed word count (explode → partial-agg → top-k)
+    QueryDef("q51_word_count",
+      (s, d) => table(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w"))
+        .limit(20),
+      Some("""SELECT w, COUNT(*) AS n
+              FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+              GROUP BY w ORDER BY n DESC, w LIMIT 20""")),
+
+    // JSON path extraction (get_json_object ↔ json_extract_string)
+    QueryDef("q52_json_extract",
+      (s, d) => table(s, d, "events")
+        .select(get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k"),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
+              FROM events GROUP BY k ORDER BY k""")),
+
+    // range join: views within 5 minutes after a click by the same user
+    QueryDef("q53_range_join",
+      (s, d) => {
+        val ev = table(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("view_ts"))
+        clicks.join(views, Seq("user_id"))
+          .filter(col("view_ts") > col("click_ts") &&
+            col("view_ts") <= col("click_ts") + expr("INTERVAL '5' MINUTE"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_followups"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT c.user_id, COUNT(*) AS n_followups
+              FROM (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click') c
+              JOIN (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view') v
+                ON c.user_id = v.user_id
+               AND v.view_ts > c.click_ts
+               AND v.view_ts <= c.click_ts + INTERVAL '5 minutes'
+              GROUP BY c.user_id ORDER BY c.user_id""")),
+
+    // as-of join via the union-sort trick: for each purchase, the most
+    // recent click of the same user at or before it. One shuffle on
+    // (user_id), no per-pair blowup — the scalable as-of pattern.
+    QueryDef("q54_asof_join",
+      (s, d) => {
+        val ev = table(s, d, "events")
+        val tagged = ev
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("event_id"), col("ts"),
+            when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+        // clicks sort before purchases at equal ts → "at or before"
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tagged
+          .withColumn("last_click_ts",
+            last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .select(col("user_id"), col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+            date_format(col("last_click_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_click_ts"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT p.user_id, p.event_id,
+                STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+                STRFTIME((SELECT MAX(c.ts) FROM events c
+                          WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                            AND c.ts <= p.ts), '%Y-%m-%d %H:%M:%S') AS asof_click_ts
+              FROM events p WHERE p.event_type = 'purchase'
+              ORDER BY p.user_id, p.event_id""")),
+
+    // deterministic hash sampling — engine-portable (md5, not rand())
+    QueryDef("q56_hash_sample",
+      (s, d) => table(s, d, "orders")
+        .filter(substring(md5(col("o_orderkey").cast(StringType)), 1, 1) === "0")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price")),
+      Some(s"""SELECT COUNT(*) AS n, ${DSUM("o_totalprice")} AS sum_price
+              FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'""")),
+
+    // corpus document frequency (distinct-word explode → df counts)
+    QueryDef("q58_doc_frequency",
+      (s, d) => table(s, d, "documents")
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+        .groupBy("w")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("df").desc, col("w"))
+        .limit(25),
+      Some("""SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+              GROUP BY w ORDER BY df DESC, w LIMIT 25""")),
+
+    // per-label embedding centroids (posexplode → decimal mean per dim);
+    // only the first 4 dims in the output to keep the result compact
+    QueryDef("q59_embed_centroids",
+      (s, d) => table(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
+        .filter(col("p") < 4)
+        .select(col("label"), col("p").cast(LongType).as("pos"), col("v"))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"),
+          (dsum8(col("v").cast(DoubleType)) / count(lit(1))).as("centroid"))
+        .orderBy("label", "pos"),
+      Some(s"""SELECT label, i AS pos, COUNT(*) AS n,
+                ${DSUM8("CAST(embedding[i + 1] AS DOUBLE)")} / COUNT(*) AS centroid
+              FROM (SELECT label, embedding, unnest(range(len(embedding))) AS i
+                    FROM embeddings) t
+              WHERE i < 4
+              GROUP BY label, i ORDER BY label, pos"""))
+  )
+}

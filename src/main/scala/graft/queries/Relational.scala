@@ -39,9 +39,11 @@ object Relational {
     QueryDef("q01_scan_project",
       (s, d) => table(s, d, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber"),
+        // (l_orderkey, l_linenumber) is not unique in the synthetic data;
+        // order by every output column for a total, engine-portable order
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+              FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""")),
 
     // P3 — rename map (unmatched keys are no-ops)
     QueryDef("q02_rename",
@@ -69,11 +71,11 @@ object Relational {
           && col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz")
           && col("l_discount").between(0.05, 0.07))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
               WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
                 AND l_discount BETWEEN 0.05 AND 0.07
-              ORDER BY l_orderkey, l_linenumber""")),
+              ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""")),
 
     // F1 — lenient int cast ("12.0" → 12, garbage → NULL)
     QueryDef("q05_cast_int",
@@ -304,13 +306,15 @@ object Relational {
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
             sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
               .cast(DecimalType(18, 4))).over(w).cast(DoubleType).as("running_rev"))
-          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+          // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+          // data — running_rev totalizes the output order
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_rev")
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
                 CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
                   OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
-              FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
+              FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, running_rev""")),
 
     // window: top-k per group
     QueryDef("q23_topk_per_group",

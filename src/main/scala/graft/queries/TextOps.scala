@@ -182,6 +182,34 @@ object TextOps {
             coalesce(lag(col("simhash"), 1).over(w), col("simhash"))))
           .orderBy("doc_id")
       },
+      None),
+
+    // SimHash near-dup candidate pairs via Hamming banding (Manku et
+    // al., WWW 2007): split the 64-bit fingerprint into 4×16-bit bands;
+    // any pair within Hamming distance 3 must share at least one band
+    // (pigeonhole), so candidate generation is an equi-join on
+    // (band, key) — never a pairwise scan. Rows-only check (custom
+    // expression is not oracle-expressible).
+    QueryDef("q57_simhash_neardup",
+      (s, d) => {
+        import graft.functions.functions.{simhash64, hamming64}
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), simhash64(split(col("text"), " ")).as("h"))
+        val bandCols = (0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("h"), b * 16).bitwiseAND(lit(0xffffL)).as("key")))
+        val bands = docs
+          .select(col("doc_id"), col("h"), explode(array(bandCols: _*)).as("bk"))
+          .select(col("doc_id"), col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
+        val a = bands.select(col("doc_id").as("id1"), col("h").as("h1"), col("band"), col("key"))
+        val b = bands.select(col("doc_id").as("id2"), col("h").as("h2"), col("band"), col("key"))
+        a.join(b, Seq("band", "key"))
+          .filter(col("id1") < col("id2"))
+          .select(col("id1"), col("id2"), hamming64(col("h1"), col("h2")).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 8)
+          .orderBy("id1", "id2")
+      },
       None)
   )
 }

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming variants of the batch event analytics: the
+  * same logical computations as q25 (tumbling window) and q27
+  * (sessionization), expressed over an unbounded source.
+  *
+  * The reference engine is strictly batch (both mains run once and
+  * exit — reference app/ingestao_api.py:133, app/ingestao_csv.py:24);
+  * these extend the engine to continuous ingestion, the missing
+  * category flagged in SURVEY.md §2.8.
+  *
+  * Scale notes: watermarks bound the state store (old windows are
+  * evicted); the session operator keys state by user_id so it
+  * partitions across executors; append output only emits finalized
+  * windows — the pattern that holds at 1000 executors.
+  */
+object StreamingOps {
+
+  /** Schema of the events file source (matches events.parquet with ts
+    * already converted to TIMESTAMP_NTZ-compatible micros).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Unbounded file-source scan of a landing directory (new files are
+    * discovered per micro-batch — the streaming analog of the bronze
+    * ingestion pattern).
+    */
+  def readEventStream(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame =
+    spark.readStream
+      .format(format)
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "16")
+      .load(dir)
+
+  /** Tumbling 1-hour window aggregation with a watermark: counts and
+    * exact decimal sums per (window, event_type). Streaming analog of
+    * q25_events_hourly.
+    */
+  def hourlyAgg(events: DataFrame, watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .select(
+        col("window.start").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  final case class SessionEvent(user_id: Long, event_id: Long, tsMicros: Long)
+  final case class SessionState(sessionStartMicros: Long, lastTsMicros: Long, nEvents: Long)
+  final case class SessionOut(
+      user_id: Long, session_start_micros: Long, session_end_micros: Long, n_events: Long)
+
+  /** Stateful sessionization with a 30-minute inactivity gap via
+    * flatMapGroupsWithState: a session row is emitted when a later
+    * event closes it, or (with `timeoutFlush`) when the processing
+    * timeout fires after the gap. Streaming analog of q27_sessionize.
+    *
+    * `timeoutFlush = false` disables the timer (sessions then close
+    * only on a subsequent event) — used by tests, where a pending
+    * processing-time timer would keep `processAllAvailable` spinning.
+    */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapMinutes: Long = 30,
+      timeoutFlush: Boolean = true): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val timeoutConf =
+      if (timeoutFlush) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), timeoutConf) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.sessionStartMicros, s.lastTsMicros, s.nEvents))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+            var current = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              current match {
+                case Some(s) if e.tsMicros - s.lastTsMicros > gapMicros =>
+                  closed += SessionOut(userId, s.sessionStartMicros, s.lastTsMicros, s.nEvents)
+                  current = Some(SessionState(e.tsMicros, e.tsMicros, 1L))
+                case Some(s) =>
+                  current = Some(s.copy(lastTsMicros = e.tsMicros, nEvents = s.nEvents + 1))
+                case None =>
+                  current = Some(SessionState(e.tsMicros, e.tsMicros, 1L))
+              }
+            }
+            current.foreach { s =>
+              state.update(s)
+              if (timeoutFlush) state.setTimeoutDuration(gapMinutes * 60L * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hourlyAgg over a file stream matches the batch aggregation") {
+    val tmp = Files.createTempDirectory("graft-stream")
+    val dataDir = tmp.resolve("in").toString
+    val ckpt = tmp.resolve("ckpt").toString
+
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00"), 10L, "click", 1.5, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 00:40:00"), 11L, "click", 2.5, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 01:05:00"), 10L, "view", 4.0, "{}"),
+      (4L, Timestamp.valueOf("2024-01-01 01:50:00"), 12L, "click", 8.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.coalesce(1).write.parquet(dataDir)
+
+    val stream = StreamingOps.readEventStream(spark, dataDir)
+    assert(stream.isStreaming)
+    val q = StreamingOps.hourlyAgg(stream)
+      .writeStream
+      .format("memory")
+      .queryName("hourly_out")
+      .outputMode("complete") // memory sink: complete shows all windows
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("hourly_out")
+      .orderBy("hour_start", "event_type")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01 00:00:00.0", "click", 2L, 4.0),
+      ("2024-01-01 01:00:00.0", "click", 1L, 8.0),
+      ("2024-01-01 01:00:00.0", "view", 1L, 4.0)))
+  }
+
+  test("stateful sessionize splits on the inactivity gap") {
+    val tmp = Files.createTempDirectory("graft-stream-sess")
+    val dataDir = tmp.resolve("in").toString
+    val ckpt = tmp.resolve("ckpt").toString
+
+    def micros(s: String): Long = Timestamp.valueOf(s).getTime * 1000L
+    // user 1: two bursts separated by > 30 min; user 2: one burst
+    val rows = Seq(
+      StreamingOps.SessionEvent(1L, 1L, micros("2024-01-01 00:00:00")),
+      StreamingOps.SessionEvent(1L, 2L, micros("2024-01-01 00:10:00")),
+      StreamingOps.SessionEvent(1L, 3L, micros("2024-01-01 01:00:00")),
+      StreamingOps.SessionEvent(2L, 4L, micros("2024-01-01 00:05:00")))
+    rows.toDS().write.parquet(dataDir)
+
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[StreamingOps.SessionEvent]].schema)
+      .parquet(dataDir)
+      .as[StreamingOps.SessionEvent]
+
+    val q = StreamingOps.sessionize(stream, timeoutFlush = false)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // only the session closed by a later in-batch event is emitted in
+    // append mode without waiting for the processing-time timeout:
+    // user 1's first burst (2 events, closed by the 01:00 event)
+    val got = spark.table("sess_out").orderBy("user_id", "session_start_micros").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, micros("2024-01-01 00:00:00"), micros("2024-01-01 00:10:00"), 2L)))
+  }
+}
