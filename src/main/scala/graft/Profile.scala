@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scratch profiling harness (dev only). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val split = if (args.length > 1) args(1) else "1m"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes", split)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+    def dsum8(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(30, 8))).cast(DoubleType)
+
+    time("warmup")(li.count())
+    println(s"[profile] lineitem partitions: ${li.rdd.getNumPartitions}")
+    time("plain double sums x5")(noop(li.groupBy("l_returnflag").agg(
+      count(lit(1)), sum("l_quantity"), sum("l_extendedprice"),
+      sum(col("l_quantity") * col("l_extendedprice")),
+      sum(col("l_quantity") * col("l_quantity")),
+      sum(col("l_extendedprice") * col("l_extendedprice")))))
+    time("decimal(18,4) sums x2")(noop(li.groupBy("l_returnflag").agg(
+      count(lit(1)), dsum(col("l_quantity")), dsum(col("l_extendedprice")))))
+    time("decimal(30,8) sums x3")(noop(li.groupBy("l_returnflag").agg(
+      count(lit(1)),
+      dsum8(col("l_quantity") * col("l_extendedprice")),
+      dsum8(col("l_quantity") * col("l_quantity")),
+      dsum8(col("l_extendedprice") * col("l_extendedprice")))))
+    Seq("q40_embed_topk", "q41_embed_neardup", "q43_ann_bucket", "q42_lsh_buckets").foreach { q =>
+      time(s"$q cold")(noop(SparkEntry.queries(q)(spark, sfDir)))
+      time(s"$q warm")(noop(SparkEntry.queries(q)(spark, sfDir)))
+    }
+    time("q49 exact shape")({
+      val n = count(lit(1))
+      val sx = dsum(col("l_quantity")); val sy = dsum(col("l_extendedprice"))
+      val sxy = dsum8(col("l_quantity") * col("l_extendedprice"))
+      val sxx = dsum8(col("l_quantity") * col("l_quantity"))
+      val syy = dsum8(col("l_extendedprice") * col("l_extendedprice"))
+      noop(li.groupBy("l_returnflag").agg(n.as("n"),
+        ((sxy - sx * sy / n) /
+          (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))).as("corr")))
+    })
+    spark.stop()
+  }
+}

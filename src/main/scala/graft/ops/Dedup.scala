@@ -55,14 +55,33 @@ object Dedup {
     * md5 is deliberate — engine-portable (identical in any SQL engine,
     * so signatures are verifiable cross-system), deterministic, and
     * uniform. The min is taken lexicographically over the hex digest.
+    *
+    * Array-expression form; prefer `minhashSignatures` in pipelines —
+    * Spark evaluates higher-order-function lambdas interpreted (no
+    * codegen), measured ~6000× slower than the exploded form per hash.
     */
   def minhash(tokensCol: Column, seed: Int): Column =
     array_min(transform(tokensCol, t => md5(concat(lit(s"$seed:"), t))))
 
-  /** k-hash MinHash signature columns over a token/shingle array. */
-  def minhashSignature(tokensCol: Column, k: Int): Seq[Column] = {
-    val toks = array_distinct(tokensCol)
-    (0 until k).map(i => minhash(toks, i).as(s"mh$i"))
+  /** k-hash MinHash signature frame: one row per doc with columns
+    * mh0..mh(k-1).
+    *
+    * Shape: explode the distinct token set, compute the k seeded md5s
+    * on flat rows (whole-stage codegen), and take k `min`s in one hash
+    * aggregation. Map-side partial agg collapses to one row per doc
+    * BEFORE the shuffle, so the shuffle volume is docs × k hashes — the
+    * token explosion never crosses the network. This is the shape that
+    * holds at corpus scale; the lambda-based alternative
+    * (`transform`+`array_min`) is interpreted per element and was the
+    * whole-suite bottleneck at sf0.1.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, tokensCol: Column, k: Int): DataFrame = {
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("__tok")))).as(s"mh$i"))
+    docs
+      .select(col(idCol), explode(array_distinct(tokensCol)).as("__tok"))
+      .groupBy(idCol)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: docs × bands frame with band signature = md5 of the
@@ -70,7 +89,7 @@ object Dedup {
     */
   def lshBands(docs: DataFrame, idCol: String, tokensCol: Column,
       numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val sig = docs.select((col(idCol) +: minhashSignature(tokensCol, numHashes)): _*)
+    val sig = minhashSignatures(docs, idCol, tokensCol, numHashes)
     val bands = (0 until numHashes / rowsPerBand).map { b =>
       val parts = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
       struct(lit(b).as("band"), md5(concat(parts: _*)).as("sig"))

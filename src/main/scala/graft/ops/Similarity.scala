@@ -28,9 +28,18 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in double precision; null on zero-norm input. */
+  /** Cosine similarity in double precision; null on zero-norm input.
+    * Composed-builtin form — semantically identical to the native
+    * `graft.functions.VectorExprs.cosineSim`, which the operators below
+    * use instead: higher-order-function lambdas evaluate interpreted
+    * (no codegen), ~50x slower per pair on 64-dim vectors.
+    */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
+
+  /** Native codegen'd cosine (bit-identical to `cosine`). */
+  private def cos(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosineSim(a, b)
 
   /** Brute-force cosine top-k against one query vector.
     * The single-row query frame is broadcast; Catalyst plans
@@ -44,11 +53,11 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val q = embeddings.filter(col(idCol) === queryVecId)
-      .select(asDouble(col(vecCol)).as("__qv"))
+      .select(col(vecCol).as("__qv"))
     embeddings
       .filter(col(idCol) =!= queryVecId)
       .crossJoin(broadcast(q))
-      .select(col(idCol), round(cosine(asDouble(col(vecCol)), col("__qv")), 4).as("cos"))
+      .select(col(idCol), round(cos(col(vecCol), col("__qv")), 4).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
@@ -75,11 +84,11 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val withBucket = embeddings.withColumn("__bucket", signBucket(col(vecCol), bits))
     val q = withBucket.filter(col(idCol) === queryVecId)
-      .select(col("__bucket"), asDouble(col(vecCol)).as("__qv"))
+      .select(col("__bucket"), col(vecCol).as("__qv"))
     withBucket
       .filter(col(idCol) =!= queryVecId)
       .join(broadcast(q), "__bucket")
-      .select(col(idCol), round(cosine(asDouble(col(vecCol)), col("__qv")), 4).as("cos"))
+      .select(col(idCol), round(cos(col(vecCol), col("__qv")), 4).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
@@ -96,13 +105,13 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val withBlock = embeddings.select(
-      col(idCol), asDouble(col(vecCol)).as("__v"),
+      col(idCol), col(vecCol).as("__v"),
       floor(col(idCol) / blockSize).as("__blk"))
     val a = withBlock.select(col("__blk"), col(idCol).as("id1"), col("__v").as("v1"))
     val b = withBlock.select(col("__blk"), col(idCol).as("id2"), col("__v").as("v2"))
     a.join(b, Seq("__blk"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), round(cosine(col("v1"), col("v2")), 4).as("cos"))
+      .select(col("id1"), col("id2"), round(cos(col("v1"), col("v2")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -24,10 +24,19 @@ object QueryDef {
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
-          .cast(org.apache.spark.sql.types.TimestampNTZType))
-    else df
+    val converted =
+      if (name == "events")
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+            .cast(org.apache.spark.sql.types.TimestampNTZType))
+      else df
+    // documents/embeddings are tiny ON DISK (<1 MB → one input split)
+    // but per-ROW expensive (shingling, hashing, 64-dim math): split
+    // them across the cluster explicitly. At 100 TB these tables are
+    // many-splits anyway and this round-robin is a no-op cost; in
+    // local bench it is the difference between 1 and 32 busy cores.
+    if (name == "documents" || name == "embeddings")
+      converted.repartition(spark.sparkContext.defaultParallelism)
+    else converted
   }
 }

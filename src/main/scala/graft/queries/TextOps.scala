@@ -107,8 +107,8 @@ object TextOps {
 
     // 4-hash MinHash signatures over word sets (md5-min, engine-portable)
     QueryDef("q35_minhash_sig",
-      (s, d) => table(s, d, "documents")
-        .select(col("doc_id") +: Dedup.minhashSignature(split(col("text"), " "), 4): _*)
+      (s, d) => Dedup.minhashSignatures(table(s, d, "documents"),
+          "doc_id", split(col("text"), " "), 4)
         .orderBy("doc_id"),
       Some(s"""WITH dw AS ($DistinctWords)
               SELECT doc_id,

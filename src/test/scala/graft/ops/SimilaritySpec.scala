@@ -35,6 +35,22 @@ class SimilaritySpec extends SparkSpec {
     assert(top.map(_.getLong(0)).toSeq === Seq(3L, 1L)) // exact match first
   }
 
+  test("native cosine_sim is bit-identical to the composed-builtin cosine") {
+    val vecs = Seq(
+      (Array(0.3f, -1.2f, 0.8f, 0.05f), Array(0.31f, -1.1f, 0.75f, 0.0f)),
+      (Array(1e-8f, 2e-8f, 0f, 0f), Array(5f, -3f, 2f, 1f)),
+      (Array(0f, 0f, 0f, 0f), Array(1f, 1f, 1f, 1f))).toDF("a", "b")
+    val r = vecs.select(
+      graft.functions.VectorExprs.cosineSim(col("a"), col("b")).as("native"),
+      Similarity.cosine(Similarity.asDouble(col("a")), Similarity.asDouble(col("b"))).as("composed"))
+      .collect()
+    r.foreach { row =>
+      if (row.isNullAt(0) || row.isNullAt(1)) assert(row.isNullAt(0) === row.isNullAt(1))
+      else assert(java.lang.Double.doubleToLongBits(row.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(row.getDouble(1)))
+    }
+  }
+
   test("signBucket maps sign pattern of leading dims") {
     val df = Seq(Tuple1(Array(0.5f, -0.2f, 0.1f))).toDF("v")
     val b = df.select(Similarity.signBucket(col("v"), 3)).head().getString(0)
