@@ -120,6 +120,51 @@ object Manifest {
       extra = extra)
   }
 
+  /** File-only manifest: no DataFrame — columns come from the header
+    * line split by the delimiter, row count = line count − header
+    * (reference write_manifest_from_file, app/utils/metadata.py:153-232;
+    * unused by the reference pipelines but part of its API surface).
+    * Dtypes and null counts are unknown in this mode and left empty.
+    */
+  def forFileOnly(
+      spark: SparkSession,
+      filePath: String,
+      dataset: DatasetInfo,
+      delimiter: String = ";",
+      hasHeader: Boolean = true,
+      clock: java.time.Clock = java.time.Clock.systemDefaultZone()): Manifest = {
+    val p = new Path(filePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) throw new java.io.FileNotFoundException(filePath)
+    val status = fs.getFileStatus(p)
+    val in = fs.open(p)
+    val (header, lines) = try {
+      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+      val first = Option(reader.readLine()).getOrElse("")
+      var n = if (first.isEmpty) 0L else 1L
+      while (reader.readLine() != null) n += 1
+      (first.stripPrefix("﻿"), n)
+    } finally in.close()
+    val columns =
+      if (hasHeader && header.nonEmpty) header.split(java.util.regex.Pattern.quote(delimiter), -1).toSeq
+      else Nil
+    val rows = if (hasHeader && lines > 0) lines - 1 else lines
+    Manifest(
+      core = CoreInfo(
+        fileName = p.getName,
+        directory = p.getParent.toString,
+        sizeBytes = status.getLen,
+        md5 = md5OfFile(spark, filePath),
+        generatedAt = nowIso(clock)),
+      dataset = dataset,
+      schemaStats = SchemaStats(
+        columns = columns,
+        dtypes = columns.map(_ -> "unknown").toMap,
+        rows = rows,
+        nullCounts = columns.map(_ -> -1L).toMap,
+        preview = Nil))
+  }
+
   /** Serialize and write `<filePath>.manifest.json` next to the data
     * (reference app/utils/metadata.py:147-150).
     */
