@@ -226,6 +226,35 @@ object Extended {
               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
               GROUP BY w ORDER BY df DESC, w LIMIT 25""")),
 
+    // salted two-stage aggregation: identical result to the plain
+    // group-by (the oracle IS the plain group-by), with hot-key
+    // pressure spread over 16 pre-aggregation buckets — the skew
+    // remedy for aggregations with known-hot keys
+    QueryDef("q60_salted_agg",
+      (s, d) => graft.ops.Skew.saltedSumCount(
+          table(s, d, "lineitem"), Seq("l_returnflag"), "l_quantity",
+          saltCol = col("l_orderkey"), saltBuckets = 16)
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${DSUM("l_quantity")} AS sum_value
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // typed Dataset API: custom Aggregator[IN, BUF, OUT] with an exact
+    // integer-cents buffer (merge-order independent)
+    QueryDef("q61_typed_agg",
+      (s, d) => {
+        import s.implicits._
+        val orders = table(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_totalprice"))
+          .as[(String, Double)]
+        orders.groupByKey(_._1)
+          .agg(graft.ops.TypedAgg.exactMean[(String, Double)](_._2, "avg_price"))
+          .toDF("o_orderpriority", "avg_price")
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+              FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // per-label embedding centroids (posexplode → decimal mean per dim);
     // only the first 4 dims in the output to keep the result compact
     QueryDef("q59_embed_centroids",

@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SkewAndBucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedSumCount equals the direct aggregation") {
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i.toDouble))
+      .toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy("k").collect()
+    val salted = Skew.saltedSumCount(df, Seq("k"), "v",
+        saltCol = col("v"), saltBuckets = 8)
+      .orderBy("k").collect()
+    assert(salted.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      direct.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
+
+  test("salt is deterministic and spreads keys across buckets") {
+    val df = (1L to 100L).toDF("id")
+    val buckets = df.select(Skew.salt(col("id"), 8).as("b"))
+      .groupBy("b").count().collect()
+    assert(buckets.map(_.getLong(0)).forall(b => b >= 0 && b < 8))
+    assert(buckets.length >= 6) // 100 ids hit most of 8 buckets
+    val twice = df.select(Skew.salt(col("id"), 8).as("b1"), Skew.salt(col("id"), 8).as("b2"))
+      .filter(col("b1") =!= col("b2")).count()
+    assert(twice === 0)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle in the plan") {
+    val spark2 = spark
+    import spark2.implicits._
+    (1 to 500).map(i => (i.toLong, s"name$i")).toDF("id", "name")
+      .write.mode("overwrite").bucketBy(8, "id").sortBy("id")
+      .saveAsTable("graft_bucket_left")
+    (1 to 500).map(i => (i.toLong, i * 2.0)).toDF("id", "score")
+      .write.mode("overwrite").bucketBy(8, "id").sortBy("id")
+      .saveAsTable("graft_bucket_right")
+
+    // tables this small would broadcast (which disables bucketing);
+    // force the sort-merge path to observe the co-located join shape
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_bucket_left")
+        .join(spark.table("graft_bucket_right"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located bucketed join: SortMergeJoin with NO shuffle exchange
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(joined.count() === 500)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
