@@ -21,6 +21,15 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getString(3) === "application/octet-stream")
   }
 
+  test("sampleFrameIndexes strides deterministically and handles empty media") {
+    val df = Seq((10, 100)).toDF("short", "long")
+    val r = df.select(
+      Multimodal.sampleFrameIndexes(col("short"), 3).as("s"),
+      Multimodal.sampleFrameIndexes(lit(0), 3).as("empty")).head()
+    assert(r.getSeq[Int](0) === Seq(0, 3, 6, 9))
+    assert(r.getSeq[Int](1) === Seq(0))
+  }
+
   test("decodeFeatures runs distributed and is deterministic per content") {
     val media = Seq(
       (1L, "some bytes".getBytes, "application/octet-stream"),
