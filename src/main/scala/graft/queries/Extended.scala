@@ -255,6 +255,58 @@ object Extended {
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
               FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // character-shingle MinHash fingerprint (the rolling-hash document
+    // fingerprint, SQL-expressible form): hash every k-char window,
+    // keep the lexicographic min — robust to word-boundary edits
+    QueryDef("q62_charshingle_fp",
+      (s, d) => {
+        val k = 8
+        table(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))))
+              .as("i"))
+          .select(col("doc_id"), md5(col("text").substr(col("i"), lit(k))).as("h"))
+          .groupBy("doc_id")
+          .agg(min(col("h")).as("fp_min"), count(lit(1)).as("n_windows"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, MIN(md5(substring(text, i, 8))) AS fp_min,
+                COUNT(*) AS n_windows
+              FROM (SELECT doc_id, text,
+                      unnest(range(1, GREATEST(length(text) - 7, 1) + 1)) AS i
+                    FROM documents) t
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    // TF-IDF-style most-distinctive term per doc, float-free ranking:
+    // highest in-doc tf, then LOWEST corpus df, then lexicographic —
+    // integer ordering is engine-portable (ln-based idf is not: libm
+    // vs Math.log can differ in the last ulp)
+    QueryDef("q63_top_term",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val tf = terms.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val df_ = terms.select("doc_id", "w").distinct()
+          .groupBy("w").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("tf").desc, col("df").asc, col("w").asc)
+        tf.join(df_, "w")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("w").as("top_term"), col("tf"), col("df"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+              tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM terms GROUP BY doc_id, w),
+              df AS (SELECT w, COUNT(*) AS df
+                     FROM (SELECT DISTINCT doc_id, w FROM terms) x GROUP BY w)
+              SELECT doc_id, w AS top_term, tf, df FROM (
+                SELECT tf.doc_id, tf.w, tf.tf, df.df,
+                  ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                    ORDER BY tf.tf DESC, df.df ASC, tf.w ASC) AS rn
+                FROM tf JOIN df ON tf.w = df.w) ranked
+              WHERE rn = 1 ORDER BY doc_id""")),
+
     // per-label embedding centroids (posexplode → decimal mean per dim);
     // only the first 4 dims in the output to keep the result compact
     QueryDef("q59_embed_centroids",

@@ -171,13 +171,15 @@ object TextOps {
 
     // SimHash fingerprints via the custom Catalyst expression
     // (not SQL-expressible in the oracle → rows-only check) plus the
-    // Hamming distance to the previous doc's fingerprint.
+    // Hamming distance to the previous doc's fingerprint within the
+    // same source (keyed window — never a global single-partition sort)
     QueryDef("q38_simhash",
       (s, d) => {
         import graft.functions.functions.{simhash64, hamming64}
-        val w = Window.orderBy("doc_id")
+        val w = Window.partitionBy("source").orderBy("doc_id")
         table(s, d, "documents")
-          .select(col("doc_id"), simhash64(split(col("text"), " ")).as("simhash"))
+          .select(col("doc_id"), col("source"),
+            simhash64(split(col("text"), " ")).as("simhash"))
           .withColumn("hamming_prev", hamming64(col("simhash"),
             coalesce(lag(col("simhash"), 1).over(w), col("simhash"))))
           .orderBy("doc_id")
