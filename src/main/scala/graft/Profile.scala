@@ -45,7 +45,8 @@ object Profile {
       dsum8(col("l_quantity") * col("l_extendedprice")),
       dsum8(col("l_quantity") * col("l_quantity")),
       dsum8(col("l_extendedprice") * col("l_extendedprice")))))
-    Seq("q40_embed_topk", "q41_embed_neardup", "q43_ann_bucket", "q42_lsh_buckets").foreach { q =>
+    Seq("q46_cube", "q49_corr", "q60_salted_agg", "q61_typed_agg", "q62_charshingle_fp",
+      "q18_q1_agg", "q24_rollup", "q30_text_stats", "q44_multimodal_meta").foreach { q =>
       time(s"$q cold")(noop(SparkEntry.queries(q)(spark, sfDir)))
       time(s"$q warm")(noop(SparkEntry.queries(q)(spark, sfDir)))
     }

@@ -307,6 +307,67 @@ object Extended {
                 FROM tf JOIN df ON tf.w = df.w) ranked
               WHERE rn = 1 ORDER BY doc_id""")),
 
+    // TPC-H Q5 shape: local-supplier revenue per nation within a
+    // region — exercises region/nation/supplier plus the
+    // customer-and-supplier-same-nation join predicate
+    QueryDef("q64_regional_revenue",
+      (s, d) => {
+        val region = broadcast(table(s, d, "region").filter(col("r_name") === "ASIA"))
+        val nation = broadcast(table(s, d, "nation"))
+        val supplier = broadcast(table(s, d, "supplier"))
+        table(s, d, "lineitem")
+          .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(supplier, col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+          .join(nation, col("s_nationkey") === col("n_nationkey"))
+          .join(region, col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy("n_name")
+      },
+      Some(s"""SELECT n_name, COUNT(*) AS n,
+                ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS revenue
+              FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+              GROUP BY n_name ORDER BY n_name""")),
+
+    // window-function variety: rank / dense_rank / lead / first_value /
+    // percent_rank over one keyed window (integer ranks + one exact
+    // quotient — engine-portable)
+    QueryDef("q65_window_misc",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        table(s, d, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            lead(col("o_orderkey"), 1, -1L).over(w).as("next_key"),
+            first_value(col("o_orderkey")).over(w).as("top_key"),
+            percent_rank().over(w).as("pct"))
+          .filter(col("rnk") <= 5)
+          .orderBy("o_orderpriority", "rnk")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, rnk, drnk, next_key, top_key, pct
+              FROM (SELECT o_orderpriority, o_orderkey,
+                      RANK() OVER w AS rnk,
+                      DENSE_RANK() OVER w AS drnk,
+                      COALESCE(LEAD(o_orderkey, 1) OVER w, -1) AS next_key,
+                      FIRST_VALUE(o_orderkey) OVER w AS top_key,
+                      PERCENT_RANK() OVER w AS pct
+                    FROM orders WHERE o_orderstatus = 'F'
+                    WINDOW w AS (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice DESC, o_orderkey)) t
+              WHERE rnk <= 5 ORDER BY o_orderpriority, rnk""")),
+
     // per-label embedding centroids (posexplode → decimal mean per dim);
     // only the first 4 dims in the output to keep the result compact
     QueryDef("q59_embed_centroids",
