@@ -58,6 +58,23 @@ object StreamingOps {
         col("window.start").as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup by content fingerprint: drops any row whose
+    * fingerprint was already seen within the watermark horizon. The
+    * dedup state is keyed by the fingerprint hash and bounded by the
+    * watermark (old keys are evicted), so state size is proportional
+    * to the arrival rate × horizon, not the corpus — the only shape
+    * that survives unbounded ingestion.
+    */
+  def dedupStream(
+      events: DataFrame,
+      fingerprintCol: org.apache.spark.sql.Column,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withColumn("__fp", fingerprintCol)
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   final case class SessionEvent(user_id: Long, event_id: Long, tsMicros: Long)
   final case class SessionState(sessionStartMicros: Long, lastTsMicros: Long, nEvents: Long)
   final case class SessionOut(

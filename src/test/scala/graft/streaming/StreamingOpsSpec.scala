@@ -43,6 +43,33 @@ class StreamingOpsSpec extends SparkSpec {
       ("2024-01-01 01:00:00.0", "view", 1L, 4.0)))
   }
 
+  test("dedupStream drops repeated fingerprints within the watermark") {
+    val tmp = Files.createTempDirectory("graft-stream-dedup")
+    val dataDir = tmp.resolve("in").toString
+    val ckpt = tmp.resolve("ckpt").toString
+
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "doc", 0.0, "same content"),
+      (2L, Timestamp.valueOf("2024-01-01 00:05:00"), 2L, "doc", 0.0, "same content"),
+      (3L, Timestamp.valueOf("2024-01-01 00:06:00"), 3L, "doc", 0.0, "different content"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.coalesce(1).write.parquet(dataDir)
+
+    val q = StreamingOps.dedupStream(
+        StreamingOps.readEventStream(spark, dataDir),
+        graft.ops.TextStats.fingerprint(col("props")))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val kept = spark.table("dedup_out").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(kept.length === 2)
+    assert(kept.contains(3L)) // distinct content survives
+    assert(kept.count(id => id == 1L || id == 2L) === 1) // one of the dups
+  }
+
   test("stateful sessionize splits on the inactivity gap") {
     val tmp = Files.createTempDirectory("graft-stream-sess")
     val dataDir = tmp.resolve("in").toString
