@@ -368,6 +368,28 @@ object Extended {
                                  ORDER BY o_totalprice DESC, o_orderkey)) t
               WHERE rnk <= 5 ORDER BY o_orderpriority, rnk""")),
 
+    // sketch aggregates — the 100 TB cardinality/quantile tools.
+    // Estimates are engine-specific (Spark HLL++/KLL vs DuckDB's HLL),
+    // so these are rows-only entries; exact counterparts are
+    // oracle-checked in q14/q48. The spec asserts estimate accuracy
+    // bounds against the exact values.
+    QueryDef("q66_sketch_distinct",
+      (s, d) => table(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .orderBy("l_returnflag"),
+      None),
+
+    QueryDef("q67_sketch_quantiles",
+      (s, d) => table(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_median"),
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+        .orderBy("o_orderpriority"),
+      None),
+
     // per-label embedding centroids (posexplode → decimal mean per dim);
     // only the first 4 dims in the output to keep the result compact
     QueryDef("q59_embed_centroids",
