@@ -390,6 +390,52 @@ object Extended {
         .orderBy("o_orderpriority"),
       None),
 
+    // outer-join family: per-customer order stats keeping order-less
+    // customers (LEFT OUTER), null-aware aggregation on the outer side
+    QueryDef("q68_outer_join",
+      (s, d) => table(s, d, "customer")
+        .join(table(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spend"))
+        .orderBy("c_custkey"),
+      Some(s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+                COALESCE(${DSUM("o_totalprice")}, 0.0) AS total_spend
+              FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // edit distance between each doc's opening and the next doc's
+    // (Levenshtein — the char-level near-dup verifier; integer output)
+    QueryDef("q69_edit_distance",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 30).as("head30"))
+        val next = docs.select((col("doc_id") - 1).as("doc_id"), col("head30").as("next_head"))
+        docs.join(next, "doc_id")
+          .select(col("doc_id"), levenshtein(col("head30"), col("next_head")).as("edit_dist"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT a.doc_id, levenshtein(substring(a.text, 1, 30), substring(b.text, 1, 30)) AS edit_dist
+              FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+              ORDER BY a.doc_id""")),
+
+    // temporal extraction: orders per (year, quarter) with weekend share
+    QueryDef("q70_date_parts",
+      (s, d) => table(s, d, "orders")
+        .select(
+          year(col("o_orderdate")).cast(LongType).as("y"), // DuckDB EXTRACT → BIGINT
+          quarter(col("o_orderdate")).cast(LongType).as("q"),
+          when(dayofweek(col("o_orderdate")).isin(1, 7), 1L).otherwise(0L).as("is_weekend"))
+        .groupBy("y", "q")
+        .agg(count(lit(1)).as("n"), sum(col("is_weekend")).as("n_weekend"))
+        .orderBy("y", "q"),
+      Some("""SELECT EXTRACT(YEAR FROM o_orderdate) AS y,
+                EXTRACT(QUARTER FROM o_orderdate) AS q,
+                COUNT(*) AS n,
+                CAST(SUM(CASE WHEN EXTRACT(DOW FROM o_orderdate) IN (0, 6)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend
+              FROM orders GROUP BY y, q ORDER BY y, q""")),
+
     // per-label embedding centroids (posexplode → decimal mean per dim);
     // only the first 4 dims in the output to keep the result compact
     QueryDef("q59_embed_centroids",
