@@ -95,4 +95,30 @@ object Multimodal {
     */
   def sampleFrameIndexes(nFrames: Column, stride: Int): Column =
     sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride))
+
+  final case class ResizedMedia(media_id: Long, width: Int, height: Int, content: Array[Byte])
+
+  /** Resize stub: computes the real target geometry (aspect-preserving
+    * fit into maxDim) and fakes the pixel work with a deterministic
+    * byte slice — a real codec replaces only the `resized` line. Runs
+    * in mapPartitions like decode, so scaler state would amortize.
+    */
+  def resizeFit(media: DataFrame, maxDim: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content", "mime").as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes, mime) =>
+          val meta = fakeDecode(id, bytes, mime)
+          val scale = math.min(1.0, maxDim.toDouble / math.max(meta.width, meta.height))
+          val (w, h) = (math.max(1, (meta.width * scale).toInt),
+            math.max(1, (meta.height * scale).toInt))
+          val n = if (bytes == null) 0 else bytes.length
+          val resized = java.util.Arrays.copyOf(
+            if (bytes == null) Array.emptyByteArray else bytes,
+            math.max(1, (n * scale * scale).toInt))
+          ResizedMedia(id, w, h, resized)
+        }
+      }
+  }
 }

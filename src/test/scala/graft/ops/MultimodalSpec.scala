@@ -30,6 +30,18 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getSeq[Int](1) === Seq(0))
   }
 
+  test("resizeFit preserves aspect ratio and caps the long edge") {
+    val media = Seq((1L, Array.fill[Byte](4096)(7), "image/png"))
+      .toDF("media_id", "content", "mime")
+    val out = Multimodal.resizeFit(media, maxDim = 64).collect().head
+    assert(math.max(out.width, out.height) <= 64)
+    assert(out.width >= 1 && out.height >= 1)
+    assert(out.content.length <= 4096)
+    // deterministic: same input → same geometry
+    val again = Multimodal.resizeFit(media, maxDim = 64).collect().head
+    assert((again.width, again.height) === (out.width, out.height))
+  }
+
   test("decodeFeatures runs distributed and is deterministic per content") {
     val media = Seq(
       (1L, "some bytes".getBytes, "application/octet-stream"),
