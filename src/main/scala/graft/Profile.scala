@@ -31,6 +31,7 @@ object Profile {
     def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
     def dsum8(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(30, 8))).cast(DoubleType)
 
+    println(s"[profile] entry() rows: ${SparkEntry.entry(spark).count()}")
     time("warmup")(li.count())
     println(s"[profile] lineitem partitions: ${li.rdd.getNumPartitions}")
     time("plain double sums x5")(noop(li.groupBy("l_returnflag").agg(
