@@ -75,6 +75,31 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Stream-stream interval join: purchases matched to the clicks of
+    * the same user in the preceding `horizon`. Both sides carry
+    * watermarks so the join state is bounded — Spark can discard a
+    * buffered click once no purchase within the interval can still
+    * arrive. The batch analog is q53_range_join.
+    */
+  def clickToPurchaseJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      horizon: String = "5 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = purchases
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL '$horizon'"))
+      .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+  }
+
   final case class SessionEvent(user_id: Long, event_id: Long, tsMicros: Long)
   final case class SessionState(sessionStartMicros: Long, lastTsMicros: Long, nEvents: Long)
   final case class SessionOut(

@@ -43,6 +43,40 @@ class StreamingOpsSpec extends SparkSpec {
       ("2024-01-01 01:00:00.0", "view", 1L, 4.0)))
   }
 
+  test("stream-stream interval join matches purchases to recent clicks") {
+    val tmp = Files.createTempDirectory("graft-stream-join")
+    val clickDir = tmp.resolve("clicks").toString
+    val purchaseDir = tmp.resolve("purchases").toString
+    val ckpt = tmp.resolve("ckpt").toString
+
+    Seq(
+      (10L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 0.0, "{}"),
+      (11L, Timestamp.valueOf("2024-01-01 00:20:00"), 1L, "click", 0.0, "{}"),
+      (12L, Timestamp.valueOf("2024-01-01 00:00:00"), 2L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(clickDir)
+    Seq(
+      (20L, Timestamp.valueOf("2024-01-01 00:03:00"), 1L, "purchase", 9.0, "{}"), // joins click 10
+      (21L, Timestamp.valueOf("2024-01-01 00:30:00"), 1L, "purchase", 9.0, "{}"), // outside 5min of 11? 00:20+5=00:25 < 00:30 → no match
+      (22L, Timestamp.valueOf("2024-01-01 00:04:00"), 3L, "purchase", 9.0, "{}")) // no click user
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(purchaseDir)
+
+    val q = StreamingOps.clickToPurchaseJoin(
+        StreamingOps.readEventStream(spark, clickDir),
+        StreamingOps.readEventStream(spark, purchaseDir))
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("ssjoin_out")
+      .select("user_id", "click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 10L, 20L)))
+  }
+
   test("dedupStream drops repeated fingerprints within the watermark") {
     val tmp = Files.createTempDirectory("graft-stream-dedup")
     val dataDir = tmp.resolve("in").toString
