@@ -17,16 +17,22 @@ import org.apache.spark.sql.types._
   */
 object Casts {
 
-  /** String → nullable BIGINT, accepting float-shaped strings.
+  /** String → nullable BIGINT, accepting integral float-shaped strings.
     *
     * Reference `to_int` (app/utils/casting.py:5-6) uses
     * `pd.to_numeric(errors="coerce").astype("Int64")`, which accepts
     * "12.0" → 12 and coerces garbage to NULL. A single
     * `try_cast(x AS BIGINT)` would reject "12.0", so we go through
-    * DOUBLE first, then truncate to BIGINT.
+    * DOUBLE first. Non-integral values ("12.7") yield NULL — pandas
+    * raises on the unsafe float→Int64 cast there, and silently
+    * truncating would mangle malformed integer fields; NULL is the
+    * per-value analogue of that error under coerce semantics. Values
+    * outside the BIGINT range also yield NULL (try_cast).
     */
-  def toLongLenient(c: Column): Column =
-    c.cast(StringType).try_cast(DoubleType).try_cast(LongType)
+  def toLongLenient(c: Column): Column = {
+    val d = c.cast(StringType).try_cast(DoubleType)
+    when(floor(d) === d, d.try_cast(LongType))
+  }
 
   /** Trim + strip one layer of surrounding double quotes.
     * Reference `to_str` (app/utils/casting.py:9-10). NULL stays NULL

@@ -29,7 +29,8 @@ final case class DatasetInfo(
     partitionKey: String,
     partitionValue: String,
     runId: String,
-    producer: String)
+    producer: String,
+    endpoint: Option[String] = None)
 
 final case class SchemaStats(
     columns: Seq[String],
@@ -176,8 +177,26 @@ object Manifest {
     target.toString
   }
 
+  /** Spark dtype → the pandas dtype name the reference records
+    * (reference _pandas_dtypes, app/utils/metadata.py:27-29; its
+    * three-type system is Int64 / object / float64 — SURVEY.md §1.2).
+    * Types outside the reference's system keep Spark's simpleString.
+    */
+  def pandasDtypeName(sparkType: String): String = sparkType match {
+    case "bigint" | "int" | "smallint" | "tinyint" => "Int64"
+    case "string" => "object"
+    case "double" | "float" => "float64"
+    case other => other
+  }
+
+  /** Serialize with the reference's own manifest schema so sidecars are
+    * drop-in readable by consumers of the reference format: Portuguese
+    * key names (arquivo, tamanho_bytes, colunas, linhas, nulos, origem,
+    * delimitador — reference dataclasses app/utils/metadata.py:52-81),
+    * the `endpoint` field, JSON `null` for absent optionals, and
+    * 2-space-indent layout (json.dump(indent=2), metadata.py:147-150).
+    */
   def toJson(m: Manifest): String = {
-    val sb = new StringBuilder
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -188,31 +207,46 @@ object Manifest {
       case c => c.toString
     }
     def js(s: String) = "\"" + esc(s) + "\""
-    def obj(pairs: Seq[(String, String)]): String =
-      pairs.map { case (k, v) => s"${js(k)}: $v" }.mkString("{", ", ", "}")
-    sb.append(obj(Seq(
+    def jsOpt(s: Option[String]) = s.map(js).getOrElse("null")
+    // nested values are rendered with their own absolute pad, so they
+    // compose directly (json.dump(indent=2) layout)
+    def obj(pairs: Seq[(String, String)], pad: String): String =
+      if (pairs.isEmpty) "{}"
+      else pairs.map { case (k, v) => s"""$pad  ${js(k)}: $v""" }
+        .mkString("{\n", ",\n", s"\n$pad}")
+    def arr(items: Seq[String], pad: String): String =
+      if (items.isEmpty) "[]"
+      else items.map(v => s"$pad  $v").mkString("[\n", ",\n", s"\n$pad]")
+
+    obj(Seq(
       "core" -> obj(Seq(
-        "file_name" -> js(m.core.fileName),
-        "directory" -> js(m.core.directory),
-        "size_bytes" -> m.core.sizeBytes.toString,
+        "arquivo" -> js(m.core.fileName),
+        "diretorio" -> js(m.core.directory),
+        "tamanho_bytes" -> m.core.sizeBytes.toString,
         "hash_md5" -> js(m.core.md5),
-        "generated_at" -> js(m.core.generatedAt))),
+        "gerado_em" -> js(m.core.generatedAt)), "  "),
       "dataset" -> obj(Seq(
-        "dataset_id" -> js(m.dataset.datasetId),
-        "origin" -> js(m.dataset.origin),
-        "delimiter" -> js(m.dataset.delimiter),
+        "dataset" -> js(m.dataset.datasetId),
+        "origem" -> js(m.dataset.origin),
+        "endpoint" -> jsOpt(m.dataset.endpoint),
+        "delimitador" -> js(m.dataset.delimiter),
         "encoding" -> js(m.dataset.encoding),
         "partition_key" -> js(m.dataset.partitionKey),
         "partition_value" -> js(m.dataset.partitionValue),
         "run_id" -> js(m.dataset.runId),
-        "producer" -> js(m.dataset.producer))),
+        "producer" -> js(m.dataset.producer)), "  "),
       "schema_stats" -> obj(Seq(
-        "columns" -> m.schemaStats.columns.map(js).mkString("[", ", ", "]"),
-        "dtypes" -> obj(m.schemaStats.columns.map(c => c -> js(m.schemaStats.dtypes(c)))),
-        "rows" -> m.schemaStats.rows.toString,
-        "null_counts" -> obj(m.schemaStats.columns.map(c => c -> m.schemaStats.nullCounts(c).toString)),
-        "preview" -> m.schemaStats.preview.mkString("[", ", ", "]"))),
-    ) ++ (if (m.extra.nonEmpty) Seq("extra" -> obj(m.extra.toSeq.sortBy(_._1).map { case (k, v) => k -> js(v) })) else Nil)))
-    sb.toString
+        "colunas" -> arr(m.schemaStats.columns.map(js), "    "),
+        "dtypes" -> obj(m.schemaStats.columns.map(c =>
+          c -> js(pandasDtypeName(m.schemaStats.dtypes(c)))), "    "),
+        "linhas" -> m.schemaStats.rows.toString,
+        "nulos" -> obj(m.schemaStats.columns.map(c =>
+          c -> m.schemaStats.nullCounts(c).toString), "    "),
+        "preview" ->
+          (if (m.schemaStats.preview.isEmpty) "null"
+           else arr(m.schemaStats.preview, "    "))), "  "),
+    ) ++ (if (m.extra.nonEmpty)
+            Seq("extra" -> obj(m.extra.toSeq.sortBy(_._1).map { case (k, v) => k -> js(v) }, "  "))
+          else Nil), "")
   }
 }

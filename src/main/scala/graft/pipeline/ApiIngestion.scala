@@ -109,8 +109,12 @@ object ApiIngestion {
     }
 
     val partValue = Casts.todayYyyymmdd(clock)
-    def land(df: DataFrame, cfg: PipelineConfig, extra: Map[String, String]): IngestionResult = {
+    def land(df: DataFrame, cfg: PipelineConfig, endpointKey: String,
+        extra: Map[String, String]): IngestionResult = {
       val dataFile = BronzeWriter.write(spark, df, cfg.sink, partValue)
+      // manifest records the full source URL (reference passes
+      // endpoint=url into write_metadata_from_df, app/ingestao_api.py:205-215)
+      val endpoint = cfg.api.map(a => a.baseUrl + a.endpoints.getOrElse(endpointKey, endpointKey))
       val info = DatasetInfo(
         datasetId = cfg.datasetId,
         origin = cfg.origin,
@@ -119,12 +123,13 @@ object ApiIngestion {
         partitionKey = cfg.sink.partitionKey,
         partitionValue = partValue,
         runId = runId,
-        producer = "graft")
+        producer = "graft",
+        endpoint = endpoint)
       val m = Manifest.forWrittenFile(spark, df, dataFile, info, extra = extra, clock = clock)
       IngestionResult(dataFile, Manifest.write(spark, m, dataFile), m.schemaStats.rows, Nil)
     }
-    val usersRes = land(users, usersCfg, Map.empty)
-    val postsRes = land(posts, postsCfg, Map("user_id" -> userId.toString))
+    val usersRes = land(users, usersCfg, "users", Map.empty)
+    val postsRes = land(posts, postsCfg, "posts", Map("user_id" -> userId.toString))
     ApiIngestionResult(usersRes, postsRes, userId)
   }
 }

@@ -77,15 +77,25 @@ object Relational {
                 AND l_discount BETWEEN 0.05 AND 0.07
               ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""")),
 
-    // F1 — lenient int cast ("12.0" → 12, garbage → NULL)
+    // F1 — lenient int cast ("12.0" → 12, garbage → NULL, non-integral
+    // "x.7" → NULL: pandas raises on the unsafe float→Int64 cast, the
+    // per-value coerce analogue is NULL — never a silent truncation)
     QueryDef("q05_cast_int",
       (s, d) => table(s, d, "documents")
         .select(col("doc_id"),
           Casts.toLongLenient(concat(col("n_chars").cast(StringType), lit(".0"))).as("as_int"),
+          Casts.toLongLenient(concat(col("n_chars").cast(StringType), lit(".7"))).as("frac_int"),
           Casts.toLongLenient(lit("not-a-number")).as("bad_int"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
-                TRY_CAST(TRY_CAST(CAST(n_chars AS VARCHAR) || '.0' AS DOUBLE) AS BIGINT) AS as_int,
+                CASE WHEN FLOOR(TRY_CAST(CAST(n_chars AS VARCHAR) || '.0' AS DOUBLE))
+                          = TRY_CAST(CAST(n_chars AS VARCHAR) || '.0' AS DOUBLE)
+                     THEN TRY_CAST(TRY_CAST(CAST(n_chars AS VARCHAR) || '.0' AS DOUBLE) AS BIGINT)
+                END AS as_int,
+                CASE WHEN FLOOR(TRY_CAST(CAST(n_chars AS VARCHAR) || '.7' AS DOUBLE))
+                          = TRY_CAST(CAST(n_chars AS VARCHAR) || '.7' AS DOUBLE)
+                     THEN TRY_CAST(TRY_CAST(CAST(n_chars AS VARCHAR) || '.7' AS DOUBLE) AS BIGINT)
+                END AS frac_int,
                 TRY_CAST(TRY_CAST('not-a-number' AS DOUBLE) AS BIGINT) AS bad_int
               FROM documents ORDER BY doc_id""")),
 

@@ -122,9 +122,12 @@ object TextOps {
           "doc_id", Dedup.shingles(col("text"), 3), numHashes = 8, rowsPerBand = 2)
         .orderBy("id1", "id2"),
       Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              -- GREATEST bound + clamped slice mirror Dedup.shingles'
+              -- fallback: docs with fewer than 3 tokens produce ONE
+              -- shingle (the whole text) instead of dropping out
               sh AS (SELECT DISTINCT doc_id, s FROM
-                (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM
-                  (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM ws) t1) t2),
+                (SELECT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s FROM
+                  (SELECT doc_id, w, unnest(range(1, GREATEST(len(w) - 1, 2))) AS i FROM ws) t1) t2),
               sig AS (SELECT doc_id,
                   MIN(md5('0:' || s)) AS mh0, MIN(md5('1:' || s)) AS mh1,
                   MIN(md5('2:' || s)) AS mh2, MIN(md5('3:' || s)) AS mh3,

@@ -26,6 +26,15 @@ class CastsSpec extends SparkSpec {
     assert(one(Casts.toLongLenient(lit(""))) === null)
   }
 
+  test("toLongLenient nulls non-integral values instead of truncating") {
+    // pandas to_int raises on the unsafe 12.7 → Int64 cast; per-value
+    // coerce semantics make that NULL, never a silent 12
+    assert(one(Casts.toLongLenient(lit("12.7"))) === null)
+    assert(one(Casts.toLongLenient(lit("-0.5"))) === null)
+    // out-of-range integrals are NULL too (try_cast), not wrapped
+    assert(one(Casts.toLongLenient(lit("1e30"))) === null)
+  }
+
   test("toCleanString trims and strips surrounding quotes") {
     assert(one(Casts.toCleanString(lit("  \"hello\"  "))) === "hello")
     assert(one(Casts.toCleanString(lit("no quotes"))) === "no quotes")

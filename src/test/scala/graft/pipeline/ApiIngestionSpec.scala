@@ -74,6 +74,13 @@ class ApiIngestionSpec extends SparkSpec {
     val postsManifest = new String(Files.readAllBytes(
       java.nio.file.Paths.get(res.posts.dataFile + ".manifest.json")), "UTF-8")
     assert(postsManifest.contains("\"user_id\": \"7\"")) // extra section
+    // reference-format sidecar: PT key names + endpoint + pandas dtypes
+    // (reference app/utils/metadata.py:52-81)
+    assert(postsManifest.contains("\"endpoint\": \"https://api.test/posts\""))
+    assert(postsManifest.contains("\"linhas\": 2"))
+    assert(postsManifest.contains("\"origem\""))
+    assert(postsManifest.contains("\"delimitador\""))
+    assert(postsManifest.contains("\"Int64\"")) // user_id dtype, pandas name
   }
 
   test("missing target user raises TargetUserNotFound") {

@@ -75,7 +75,7 @@ class CsvIngestionSpec extends SparkSpec {
 
     val manifestJson = new String(Files.readAllBytes(
       java.nio.file.Paths.get(res.dataFile + ".manifest.json")), "UTF-8")
-    assert(manifestJson.contains("\"rows\": 4"))
+    assert(manifestJson.contains("\"linhas\": 4"))
     assert(manifestJson.contains("\"codigo_municipio\": 1")) // null count
     assert(manifestJson.contains("\"partition_value\": \"20251020\""))
     assert(manifestJson.contains("\"hash_md5\""))
