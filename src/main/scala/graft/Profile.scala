@@ -31,6 +31,18 @@ object Profile {
     def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
     def dsum8(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(30, 8))).cast(DoubleType)
 
+    // `all` mode: cold+warm sweep of every query (ground truth for the
+    // bench, minus the VM's intermittent noise windows — compare the two
+    // runs: a big cold/warm gap on a re-run is noise, not plan cost)
+    if (args.length > 2 && args(2) == "all") {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        time(s"$name cold")(noop(fn(spark, sfDir)))
+        time(s"$name warm")(noop(fn(spark, sfDir)))
+      }
+      spark.stop()
+      return
+    }
+
     println(s"[profile] entry() rows: ${SparkEntry.entry(spark).count()}")
     time("warmup")(li.count())
     println(s"[profile] lineitem partitions: ${li.rdd.getNumPartitions}")
