@@ -15,6 +15,7 @@ object Profile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.maxPartitionBytes", split)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is TIMESTAMP(NANOS)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -38,6 +39,15 @@ object Profile {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         time(s"$name cold")(noop(fn(spark, sfDir)))
         time(s"$name warm")(noop(fn(spark, sfDir)))
+      }
+      spark.stop()
+      return
+    }
+    // focused mode: args(2) = comma-separated query names, 3 reps each
+    if (args.length > 2) {
+      args(2).split(',').foreach { name =>
+        val fn = SparkEntry.queries(name)
+        (1 to 3).foreach(r => time(s"$name rep$r")(noop(fn(spark, sfDir))))
       }
       spark.stop()
       return

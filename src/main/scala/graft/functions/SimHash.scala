@@ -6,7 +6,6 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SimHash-64 over a token array — a native Catalyst expression.
@@ -19,9 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * corpus scale that is a band-join on rotated fingerprint prefixes,
   * never a pairwise scan.
   *
-  * Token hash = two 32-bit Murmur3 runs (seeds 0x9747b28c / 0x85ebca6b)
-  * packed into 64 bits — Murmur3_x86_32 is Spark's own codegen'd hash
-  * primitive, operating directly on UTF8String bytes (zero copy).
+  * Token hash = first 8 bytes of md5(token), big-endian — md5 is
+  * deliberately chosen over Spark-internal Murmur3 for the same reason
+  * the MinHash family uses it (see [[graft.ops.Dedup.minhash]]):
+  * engine-portable, so fingerprints are verifiable bit-for-bit in any
+  * SQL engine (the DuckDB oracle reconstructs the same 64 bits from
+  * `md5()` hex nibbles).
   *
   * Implemented as a UnaryExpression with a hand-written doGenCode (not
   * a UDF): no boxing, participates in whole-stage codegen.
@@ -49,14 +51,20 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object SimHash64 {
-  private final val SeedLo = 0x9747b28c
-  private final val SeedHi = 0x85ebca6b.toInt
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 
-  /** 64-bit token hash from two seeded Murmur3 32-bit runs. */
+  /** 64-bit token hash: first 8 bytes of md5(token), big-endian. */
   def tokenHash64(t: UTF8String): Long = {
-    val lo = Murmur3_x86_32.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), SeedLo)
-    val hi = Murmur3_x86_32.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), SeedHi)
-    (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(t.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i).toLong & 0xffL); i += 1 }
+    h
   }
 
   /** Shared by interpreted eval and generated code. */

@@ -8,9 +8,10 @@ import graft.ops.{Dedup, TextStats}
 import QueryDef.table
 
 /** Text-analysis + deduplication suite over the `documents` corpus.
-  * MinHash values use md5 (engine-portable) so every stage up to and
-  * including LSH candidate pairs is verifiable against the DuckDB
-  * oracle; only SimHash (custom Catalyst expression) is rows-only.
+  * Both hash families are md5-based (engine-portable), so every stage —
+  * MinHash signatures, LSH candidate pairs, SimHash fingerprints and
+  * Hamming-band near-dups — is verifiable bit-for-bit against the
+  * DuckDB oracle, custom Catalyst expressions included.
   */
 object TextOps {
 
@@ -18,6 +19,33 @@ object TextOps {
   private val DistinctWords =
     """SELECT DISTINCT doc_id, w FROM
          (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) raw"""
+
+  /** Shared oracle fragment: per-doc SimHash-64 fingerprint, bit-exact
+    * with [[graft.functions.SimHash64]]. The 64-bit token hash is the
+    * first 8 bytes of md5 (big-endian), reconstructed here nibble by
+    * nibble from the md5 hex string: bit b lives in hex char
+    * 16-(b/4) (1-based from the left), at in-nibble position b%4.
+    * The sign bit (63) is folded in as Java two's-complement so the
+    * final value equals Spark's LongType exactly.
+    */
+  private val SimhashFp =
+    """toks AS (
+         SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents),
+       hx AS (
+         SELECT doc_id, source, substr(md5(tok), 1, 16) AS hx FROM toks),
+       bits AS (
+         SELECT doc_id, source, b AS bit,
+           ((strpos('0123456789abcdef', substr(hx, 16 - (b // 4), 1)) - 1) >> (b % 4)) & 1 AS v
+         FROM hx CROSS JOIN (SELECT unnest(range(64)) AS b)),
+       votes AS (
+         SELECT doc_id, source, bit, SUM(CASE WHEN v = 1 THEN 1 ELSE -1 END) AS vote
+         FROM bits GROUP BY 1, 2, 3),
+       fp AS (
+         SELECT doc_id, source,
+           CAST(SUM(CASE WHEN vote > 0 AND bit < 63 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+             + CASE WHEN MAX(CASE WHEN bit = 63 AND vote > 0 THEN 1 ELSE 0 END) = 1
+                    THEN -9223372036854775807 - 1 ELSE 0 END AS BIGINT) AS simhash
+         FROM votes GROUP BY 1, 2)"""
 
   val all: Seq[QueryDef] = Seq(
 
@@ -172,10 +200,12 @@ object TextOps {
                 JOIN sz sb ON sb.doc_id = p.id2
               ORDER BY p.id1""")),
 
-    // SimHash fingerprints via the custom Catalyst expression
-    // (not SQL-expressible in the oracle → rows-only check) plus the
+    // SimHash fingerprints via the custom Catalyst expression plus the
     // Hamming distance to the previous doc's fingerprint within the
-    // same source (keyed window — never a global single-partition sort)
+    // same source (keyed window — never a global single-partition sort).
+    // The md5-derived token hash makes the fingerprint engine-portable,
+    // so this IS oracle-checkable: DuckDB rebuilds the identical 64
+    // bits from md5 hex nibbles (see SimhashFp).
     QueryDef("q38_simhash",
       (s, d) => {
         import graft.functions.functions.{simhash64, hamming64}
@@ -187,14 +217,19 @@ object TextOps {
             coalesce(lag(col("simhash"), 1).over(w), col("simhash"))))
           .orderBy("doc_id")
       },
-      None),
+      Some(s"""WITH $SimhashFp
+              SELECT doc_id, source, simhash,
+                CAST(bit_count(xor(simhash,
+                  COALESCE(lag(simhash) OVER (PARTITION BY source ORDER BY doc_id), simhash))) AS INT)
+                  AS hamming_prev
+              FROM fp ORDER BY doc_id""")),
 
     // SimHash near-dup candidate pairs via Hamming banding (Manku et
     // al., WWW 2007): split the 64-bit fingerprint into 4×16-bit bands;
     // any pair within Hamming distance 3 must share at least one band
     // (pigeonhole), so candidate generation is an equi-join on
-    // (band, key) — never a pairwise scan. Rows-only check (custom
-    // expression is not oracle-expressible).
+    // (band, key) — never a pairwise scan. Oracle-checked via the
+    // md5-nibble SimHash reconstruction (SimhashFp).
     QueryDef("q57_simhash_neardup",
       (s, d) => {
         import graft.functions.functions.{simhash64, hamming64}
@@ -215,6 +250,15 @@ object TextOps {
           .filter(col("hamming") <= 8)
           .orderBy("id1", "id2")
       },
-      None)
+      Some(s"""WITH $SimhashFp,
+              bands AS (
+                SELECT doc_id, simhash AS h, b AS band, (simhash >> (b * 16)) & 65535 AS key
+                FROM fp CROSS JOIN (SELECT unnest(range(4)) AS b)),
+              pairs AS (
+                SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                  CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+              SELECT id1, id2, hamming FROM pairs WHERE hamming <= 8 ORDER BY id1, id2"""))
   )
 }

@@ -32,6 +32,12 @@ class SimHashSpec extends SparkSpec {
     assert(r.getInt(2) === 0)
   }
 
+  test("fingerprint is engine-portable (pinned value, matches md5-nibble reconstruction in DuckDB/python)") {
+    val h = Seq(Tuple1("the quick brown fox jumps over the lazy dog")).toDF("t")
+      .select(simhash64(split(col("t"), " "))).head().getLong(0)
+    assert(h === 1140603644929599182L)
+  }
+
   test("interpreted eval matches codegen path") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
