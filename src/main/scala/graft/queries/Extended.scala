@@ -373,12 +373,21 @@ object Extended {
     // so these are rows-only entries; exact counterparts are
     // oracle-checked in q14/q48. The spec asserts estimate accuracy
     // bounds against the exact values.
+    // Dedup-first shape, deliberately NOT
+    // `agg(approx_count_distinct, countDistinct)`: mixing a distinct
+    // agg with HLL makes Spark's rewrite key the HLL partial by
+    // (flag, orderkey) — one 408-long sketch buffer PER DISTINCT KEY
+    // shuffled across the wire (~500 MB at sf0.1, unbounded at 100 TB).
+    // Deduping the pair first keeps sketch state per final group only,
+    // and HLL is duplicate-insensitive so the estimate is identical;
+    // count over the deduped set IS the exact distinct count.
     QueryDef("q66_sketch_distinct",
       (s, d) => table(s, d, "lineitem")
+        .select("l_returnflag", "l_orderkey").distinct()
         .groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))
+          count(lit(1)).as("exact_orders"))
         .orderBy("l_returnflag"),
       None),
 
