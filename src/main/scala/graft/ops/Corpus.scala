@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-preparation operators for LLM training-data pipelines:
+  * chunking, decontamination, stratified sampling, duplicate-cluster
+  * resolution, deterministic shuffling, and sequence packing.
+  *
+  * Scale design (the 100 TB contract):
+  *  - Chunking is a per-row generator (sequence → explode → slice),
+  *    fully codegen'd, no shuffle: output partitioning follows the
+  *    scan.
+  *  - Decontamination joins the corpus' n-gram set against the
+  *    benchmark's — the benchmark side is tiny by construction
+  *    (eval sets are thousands of docs), so it is broadcast and the
+  *    corpus is never shuffled.
+  *  - Sampling and shard assignment are pure map-side filters on a
+  *    portable hash (md5) — deterministic under any partitioning, no
+  *    sort, no shuffle, reproducible across engines and runs.
+  *  - Duplicate-cluster resolution is iterative min-label
+  *    propagation — O(component diameter) rounds; near-dup clusters
+  *    from LSH have tiny diameters, so 3-5 rounds converge at any
+  *    scale. Each round is one equi-join + one partial-agg'd groupBy;
+  *    lineage is cut per round (localCheckpoint) so plans stay flat.
+  *  - Packing and shuffling use per-key windows / range-partitioned
+  *    sort — never a single-partition global window.
+  */
+object Corpus {
+
+  /** Fixed-size token-window chunks with stride (overlap = size-stride):
+    * the standard context-window preparation step. Emits one row per
+    * chunk with its token count and content hash.
+    *
+    * Per-row generator: `sequence` builds the chunk-start list,
+    * `explode` fans out, `slice` takes the window — all codegen'd
+    * built-ins, no lambda HOFs, no shuffle.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkTokens >= stride, s"bad chunk geometry $chunkTokens/$stride")
+    val toks = split(col(textCol), " ")
+    docs
+      .select(col(idCol), toks.as("__toks"))
+      .select(col(idCol),
+        explode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)), lit(stride)))
+          .as("__start"),
+        col("__toks"))
+      .select(
+        col(idCol),
+        (col("__start") / stride).cast(LongType).as("chunk_id"),
+        least(lit(chunkTokens), size(col("__toks")) - col("__start"))
+          .cast(LongType).as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(chunkTokens))))
+          .as("chunk_md5"))
+  }
+
+  /** Benchmark decontamination (the n-gram overlap check run before
+    * training): flags every corpus document sharing at least one
+    * word n-gram with the benchmark set, with the overlap count and
+    * the smallest matching benchmark doc id as evidence.
+    *
+    * The benchmark n-gram set is broadcast — eval sets are orders of
+    * magnitude smaller than the corpus, so the corpus side never
+    * shuffles for the join; the per-doc rollup groups on the already
+    * doc-partitioned stream.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val corpusGrams = corpus.select(col(idCol),
+      explode(Dedup.shingles(col(textCol), n)).as("gram"))
+    val benchGrams = benchmark.select(col(idCol).as("bench_id"),
+      explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .distinct()
+    corpusGrams
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+        min(col("bench_id")).as("first_bench_id"))
+  }
+
+  /** Deterministic stratified sampling: keep a per-stratum fraction
+    * decided by the first hex nibble of md5(stratum:id) — a pure
+    * map-side filter, reproducible across engines, runs, and
+    * partitionings (no RNG state, no sort). `nibbleCeil` maps a
+    * stratum to the exclusive upper nibble: 8 → 50%, 4 → 25%, ...
+    */
+  def sampleFlag(stratum: Column, id: Column, nibbleCeil: Column): Column =
+    substring(md5(concat(stratum, lit(":"), id.cast(StringType))), 1, 1) < nibbleCeil
+
+  /** Duplicate-cluster resolution: connected components over a
+    * candidate-pair edge list, labels = min doc id per component
+    * (the canonical representative every group member dedups to).
+    *
+    * Iterative min-label propagation: each round joins labels to the
+    * (bidirected) edge list, takes the min neighbor label per node,
+    * and stops at fixpoint. Rounds = component diameter; LSH dup
+    * clusters are near-cliques, so this converges in a handful of
+    * rounds no matter the corpus size. Lineage is cut every round so
+    * the plan does not grow with iterations.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label"))
+        .union(viaNeighbors)
+        .groupBy("id")
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** Deterministic global shuffle (training-order randomization):
+    * total order by md5 of the id — reproducible "randomness" with no
+    * RNG. The sort is range-partitioned (scales out); positions come
+    * from zipWithIndex, which computes per-partition offsets with one
+    * lightweight count pass instead of a single-partition window.
+    */
+  def deterministicShuffle(docs: DataFrame, idCol: String): DataFrame = {
+    val sorted = docs
+      .select(col(idCol), md5(col(idCol).cast(StringType)).as("__h"))
+      .repartitionByRange(docs.sparkSession.sparkContext.defaultParallelism, col("__h"))
+      .sortWithinPartitions("__h")
+    val schema = StructType(Seq(
+      StructField("pos", LongType, nullable = false),
+      StructField(idCol, LongType, nullable = true)))
+    docs.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i, r.getLong(0))
+      }, schema)
+  }
+
+  /** Sequence packing (contiguous fill): walk each stratum in id
+    * order, accumulate token counts, and open a new bin whenever the
+    * running total crosses the capacity — bin = floor(preceding
+    * cumulative / capacity). Per-stratum windows parallelize across
+    * the cluster; no global state.
+    */
+  def packSequences(docs: DataFrame, stratumCol: String, idCol: String,
+      tokensCol: Column, capacity: Int): DataFrame = {
+    val w = Window.partitionBy(stratumCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(stratumCol), col(idCol), tokensCol.as("__tok"))
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .select(col(stratumCol), col(idCol),
+        ((col("__cum") - col("__tok")) / capacity).cast(LongType).as("bin"),
+        col("__tok"))
+  }
+}

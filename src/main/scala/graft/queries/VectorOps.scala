@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.ops.{Multimodal, Similarity}
@@ -81,6 +82,81 @@ object VectorOps {
                 md5(text) AS content_md5,
                 lower(hex(encode(substring(text, 1, 4)))) AS magic
               FROM documents ORDER BY doc_id""")),
+
+    // IVF-style ANN (the other scale path, complementing sign-LSH q43):
+    // label-mean centroids are the coarse quantizer; every vector is
+    // assigned to its nearest centroid (map-side: the centroid table is
+    // tiny and broadcast), and a query probes only the top-nprobe
+    // centroid lists — at corpus scale the inverted lists are
+    // hash-partitioned by centroid so a probe touches nprobe/k of the
+    // data. Centroid means use decimal sums (order-independent →
+    // engine-identical doubles); ranking compares RAW doubles (both
+    // engines fold dims left-to-right) and only the output is rounded.
+    QueryDef("q80_ivf_ann",
+      (s, d) => {
+        import graft.functions.VectorExprs.cosineSim
+        val emb = table(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+        val centroids = emb
+          .select(col("label"), posexplode(col("v")).as(Seq("p", "x")))
+          .groupBy("label", "p")
+          .agg((sum(col("x").cast(DecimalType(30, 8))).cast(DoubleType) /
+            count(lit(1))).as("m"))
+          .groupBy("label")
+          .agg(sort_array(collect_list(struct(col("p"), col("m"))))
+            .getField("m").as("cv"))
+          .select(col("label").as("c_label"), col("cv"))
+        val scored = emb.crossJoin(broadcast(centroids))
+          .select(col("vec_id"), col("v"), col("c_label"),
+            cosineSim(col("v"), col("cv")).as("cc"))
+        val byCos = Window.partitionBy("vec_id")
+          .orderBy(col("cc").desc, col("c_label"))
+        val assigned = scored
+          .withColumn("rn", row_number().over(byCos)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("c_label").as("list_label"))
+        val probes = scored.filter(col("vec_id") === 0)
+          .withColumn("rn", row_number().over(byCos)).filter(col("rn") <= 2)
+          .select(col("c_label").as("probe_label"))
+        val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        assigned.filter(col("vec_id") =!= 0)
+          .join(broadcast(probes), col("list_label") === col("probe_label"))
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"), round(cosineSim(col("v"), col("qv")), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+          .limit(5)
+      },
+      Some("""WITH e AS (
+                SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+              dims AS (
+                SELECT label, i,
+                  CAST(SUM(CAST(v[i + 1] AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS m
+                FROM (SELECT label, v, unnest(range(len(v))) AS i FROM e) t
+                GROUP BY label, i),
+              cent AS (SELECT label AS c_label, list(m ORDER BY i) AS cv
+                       FROM dims GROUP BY label),
+              scored AS (
+                SELECT e.vec_id, e.v, c.c_label,
+                  list_cosine_similarity(e.v, c.cv) AS cc
+                FROM e CROSS JOIN cent c),
+              assigned AS (
+                SELECT vec_id, v, c_label AS list_label FROM
+                  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY cc DESC, c_label) AS rn FROM scored) t
+                WHERE rn = 1),
+              probes AS (
+                SELECT c_label AS probe_label FROM
+                  (SELECT c_label, ROW_NUMBER() OVER (ORDER BY cc DESC, c_label) AS rn
+                   FROM scored WHERE vec_id = 0) t
+                WHERE rn <= 2),
+              qv AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+              SELECT a.vec_id, ROUND(list_cosine_similarity(a.v, q.qv), 4) AS cos
+              FROM assigned a JOIN probes p ON a.list_label = p.probe_label
+                CROSS JOIN qv q
+              WHERE a.vec_id <> 0
+              ORDER BY cos DESC, a.vec_id LIMIT 5""")),
 
     // stubbed decode/feature-extract pass (mapPartitions) — rows-only check
     QueryDef("q45_media_decode",
