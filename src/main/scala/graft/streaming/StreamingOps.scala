@@ -100,6 +100,31 @@ object StreamingOps {
       .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
   }
 
+  /** Partitioned streaming bronze sink: the continuous analog of the
+    * batch bronze writer — append-mode parquet, Hive-partitioned by
+    * the event-time day, with a checkpoint for exactly-once file
+    * commits (the file sink's manifest log makes re-delivered
+    * micro-batches idempotent across restarts).
+    *
+    * Scale notes: partitioning by event day keeps files append-only
+    * per partition; the sink commits atomically per micro-batch, so a
+    * 1000-executor restart resumes from the checkpoint without
+    * duplicating or losing files.
+    */
+  def writeBronzeStream(
+      events: DataFrame,
+      path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .withColumn("anomesdia", date_format(col("ts"), "yyyyMMdd"))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("anomesdia")
+      .outputMode(OutputMode.Append())
+      .start()
+
   final case class SessionEvent(user_id: Long, event_id: Long, tsMicros: Long)
   final case class SessionState(sessionStartMicros: Long, lastTsMicros: Long, nEvents: Long)
   final case class SessionOut(

@@ -138,4 +138,38 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq(
       (1L, micros("2024-01-01 00:00:00"), micros("2024-01-01 00:10:00"), 2L)))
   }
+
+  test("bronze streaming sink partitions by event day and is exactly-once across restarts") {
+    val tmp = Files.createTempDirectory("graft-stream-bronze")
+    val dataDir = tmp.resolve("in").toString
+    val outDir = tmp.resolve("bronze").toString
+    val ckpt = tmp.resolve("ckpt").toString
+
+    def run(): Unit = {
+      val q = StreamingOps.writeBronzeStream(
+        StreamingOps.readEventStream(spark, dataDir), outDir, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-02 11:00:00"), 2L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dataDir)
+    run()
+
+    // restart the stream over a landing dir with one more file: the
+    // checkpoint must skip the already-committed input and the file
+    // sink's manifest must not duplicate earlier output
+    Seq((3L, Timestamp.valueOf("2024-01-02 12:00:00"), 3L, "click", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dataDir)
+    run()
+
+    val bronze = spark.read.parquet(outDir)
+    assert(bronze.count() === 3)
+    assert(bronze.select("anomesdia").distinct().as[String].collect().sorted
+      === Array("20240101", "20240102"))
+    assert(bronze.select("event_id").as[Long].collect().sorted === Array(1L, 2L, 3L))
+  }
 }
