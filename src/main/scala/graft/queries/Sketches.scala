@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import QueryDef.table
+
+/** Engine-portable sketches: approximate aggregates whose results are
+  * bit-identical across Spark and DuckDB, so they pass the full hash
+  * oracle gate (unlike q66/q67, whose Spark-native HLL++/KLL estimates
+  * are engine-specific and checked rows-only + accuracy-bounded in
+  * SketchSpec).
+  *
+  * Portability rules used here:
+  *   - the only hash is md5 (identical everywhere), consumed as hex
+  *     text — register index and leading-zero count are derived with
+  *     pure string ops (instr/substring/regexp_extract) and CASE
+  *     tables, never engine bit intrinsics;
+  *   - every float literal is CAST(... AS DOUBLE) in BOTH dialects
+  *     (bare literals parse as DECIMAL in both Spark and DuckDB, with
+  *     different division semantics);
+  *   - the float-sensitive expression text is shared verbatim between
+  *     the Spark plan (`expr(...)`) and the oracle SQL, so both engines
+  *     evaluate the same IEEE operation tree;
+  *   - the HLL harmonic sum adds only powers of two in [2^-41, 1]
+  *     (49-bit span < 53-bit mantissa), so partial sums are EXACT and
+  *     the result is independent of partitioning / add order — safe to
+  *     compare across engines and across cluster sizes.
+  *
+  * Scale design: both queries are dedup-or-sample-first. q81 keys the
+  * register aggregation by (group, bucket) — ≤ 256 rows of state per
+  * group after the first combine, duplicate-insensitive, so the final
+  * shuffle is tiny at any data size. q82 cuts the data 4x with a
+  * deterministic hash sample before the per-group sort (the pattern
+  * that replaces a full-data sort-quantile at 100 TB).
+  */
+object Sketches {
+
+  /** HLL registers = 256 (p = 8): bucket from the first two md5 hex
+    * nibbles, rank from the next 40 bits (10 nibbles).
+    */
+  private val M = 256
+
+  /** Leading-zero-bit count of the 40-bit word in hex chars 3..12 of
+    * `hx`, via the length of the regexp zero-prefix plus a 16-way
+    * nibble CASE; rho = zeros + 1 (41 when the word is all zero).
+    * Pure string ops — evaluates identically in Spark and DuckDB.
+    */
+  private val ZP = "length(regexp_extract(substring(hx, 3, 10), '^0*', 0))"
+  private val RHO =
+    s"""CASE WHEN $ZP = 10 THEN 41
+        ELSE $ZP * 4 +
+          CASE substring(substring(hx, 3, 10), $ZP + 1, 1)
+            WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+            WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+            ELSE 0 END + 1 END"""
+
+  private val BUCKET =
+    """(instr('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16 +
+       (instr('0123456789abcdef', substring(hx, 2, 1)) - 1)"""
+
+  /** alpha_256 * m^2 / S with the standard linear-counting fallback
+    * (E <= 2.5m and empty registers present). The fallback cannot fire
+    * at the test scales (min true cardinality 1081 at sf0.001 > 640),
+    * which also keeps `ln` — the one libm call — off the compared path.
+    */
+  private val RAW_EST =
+    s"""CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST($M.0 AS DOUBLE))
+        * CAST(${M * M}.0 AS DOUBLE) / s"""
+  private val EST =
+    s"""CASE WHEN $RAW_EST <= CAST(${2.5 * M} AS DOUBLE) AND v > CAST(0.0 AS DOUBLE)
+        THEN CAST($M.0 AS DOUBLE) * ln(CAST($M.0 AS DOUBLE) / v)
+        ELSE $RAW_EST END"""
+
+  val all: Seq[QueryDef] = Seq(
+
+    // distinct orders per returnflag, estimated by a from-scratch
+    // portable HyperLogLog next to the exact count. Same dedup-first
+    // shape as q66 (see the rationale there): register state is keyed
+    // by final group only, never by distinct key.
+    QueryDef("q81_portable_hll",
+      (s, d) => {
+        val dedup = table(s, d, "lineitem")
+          .select(col("l_returnflag").as("flag"), col("l_orderkey").as("key"))
+          .distinct()
+        val rho = dedup
+          .select(col("flag"), md5(col("key").cast(StringType)).as("hx"))
+          .select(col("flag"), expr(BUCKET).as("bucket"), expr(RHO).as("rho"))
+        val est = rho.groupBy("flag", "bucket").agg(max(col("rho")).as("r"))
+          .groupBy("flag")
+          .agg(expr(s"CAST($M - COUNT(*) AS DOUBLE)").as("v"),
+            expr(s"SUM(power(CAST(2.0 AS DOUBLE), -r)) + CAST($M - COUNT(*) AS DOUBLE)").as("s"))
+        val exact = dedup.groupBy("flag").agg(count(lit(1)).as("exact_orders"))
+        est.join(exact, "flag")
+          .select(col("flag").as("l_returnflag"),
+            expr(EST).as("approx_orders"), col("exact_orders"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH dedup AS (
+                SELECT DISTINCT l_returnflag AS flag, l_orderkey AS key FROM lineitem),
+              rho AS (
+                SELECT flag, $BUCKET AS bucket, $RHO AS rho
+                FROM (SELECT flag, md5(CAST(key AS VARCHAR)) AS hx FROM dedup) h),
+              est AS (
+                SELECT flag, CAST($M - COUNT(*) AS DOUBLE) AS v,
+                  SUM(power(CAST(2.0 AS DOUBLE), -r)) + CAST($M - COUNT(*) AS DOUBLE) AS s
+                FROM (SELECT flag, bucket, MAX(rho) AS r FROM rho GROUP BY flag, bucket) regs
+                GROUP BY flag),
+              exact AS (SELECT flag, COUNT(*) AS exact_orders FROM dedup GROUP BY flag)
+              SELECT e.flag AS l_returnflag, $EST AS approx_orders, x.exact_orders
+              FROM est e JOIN exact x USING (flag) ORDER BY l_returnflag""")),
+
+    // discrete (type-1) median over a 25% deterministic md5 sample:
+    // the sample-then-exact-quantile pattern. Lower-median rank
+    // floor((n+1)/2) is selected with integer arithmetic only
+    // (rn*2 = cnt for even n, rn*2 = cnt+1 for odd), and the median is
+    // an actual data value — no interpolation, no float averaging.
+    QueryDef("q82_sample_quantile",
+      (s, d) => {
+        val sampled = table(s, d, "orders")
+          .filter(substring(md5(col("o_orderkey").cast(StringType)), 1, 1)
+            .isin("0", "1", "2", "3"))
+        val part = Window.partitionBy("o_orderpriority")
+        sampled
+          .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+          .withColumn("rn",
+            row_number().over(part.orderBy(col("o_totalprice"), col("o_orderkey"))))
+          .withColumn("cnt", count(lit(1)).over(part))
+          .filter(col("rn") * 2 === col("cnt") || col("rn") * 2 === col("cnt") + 1)
+          .select(col("o_orderpriority"), col("cnt").as("n_sampled"),
+            col("o_totalprice").as("sample_median"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH sampled AS (
+                SELECT o_orderpriority, o_totalprice, o_orderkey FROM orders
+                WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')),
+              ranked AS (
+                SELECT o_orderpriority, o_totalprice,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice, o_orderkey) AS rn,
+                  COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+                FROM sampled)
+              SELECT o_orderpriority, cnt AS n_sampled, o_totalprice AS sample_median
+              FROM ranked WHERE rn * 2 = cnt OR rn * 2 = cnt + 1
+              ORDER BY o_orderpriority"""))
+  )
+}

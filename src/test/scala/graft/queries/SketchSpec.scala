@@ -18,6 +18,30 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("portable HLL lands within 20% of exact per group (rsd 6.5% at m=256)") {
+    SparkEntryAccess.run(spark, "q81_portable_hll", sf).collect().foreach { r =>
+      val approx = r.getAs[Double]("approx_orders")
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.20, s"group ${r.get(0)}: $approx vs $exact")
+    }
+  }
+
+  test("sample quantile is a real data value near the exact median") {
+    val med = SparkEntryAccess.run(spark, "q82_sample_quantile", sf).collect()
+    assert(med.length == 5) // one row per o_orderpriority
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    med.foreach { r =>
+      val prio = r.getAs[String]("o_orderpriority")
+      val m = r.getAs[Double]("sample_median")
+      val prices = orders.filter(orders("o_orderpriority") === prio)
+        .select("o_totalprice").collect().map(_.getDouble(0)).sorted
+      // the 25% hash-sample median must land within the middle half of
+      // the full-population distribution
+      assert(m >= prices((prices.length * 0.25).toInt) &&
+        m <= prices((prices.length * 0.75).toInt), s"$prio: $m")
+    }
+  }
+
   test("approx median lies within [min, max] per group") {
     SparkEntryAccess.run(spark, "q67_sketch_quantiles", sf).collect().foreach { r =>
       val m = r.getAs[Double]("approx_median")
