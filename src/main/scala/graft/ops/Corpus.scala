@@ -81,6 +81,38 @@ object Corpus {
         min(col("bench_id")).as("first_bench_id"))
   }
 
+  /** [[decontaminate]] with a Bloom-filter pre-filter on the corpus
+    * side — the shape that holds at 100 TB. The benchmark n-gram set
+    * is first folded into a Bloom filter (one pass over the small
+    * side), broadcast, and applied as a scan-side filter on the
+    * exploded corpus grams BEFORE the confirm join: ~99% of corpus
+    * grams are discarded at the scan (fpp-bounded), so join input
+    * volume drops by orders of magnitude. Because Bloom filters have
+    * no false negatives and every surviving gram is re-checked by the
+    * exact broadcast join, the result is IDENTICAL to the exact
+    * [[decontaminate]] — the filter only prunes, never decides.
+    * (Same pattern as Spark's own runtime row-level bloom pruning for
+    * shuffle joins, applied explicitly so it also works when the
+    * gram-explosion sits between scan and join.)
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      expectedGrams: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val benchGrams = benchmark.select(col(idCol).as("bench_id"),
+      explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val bloom = benchGrams.stat.bloomFilter("gram", expectedGrams, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => g != null && bc.value.mightContainString(g))
+    corpus
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .filter(mightContain(col("gram")))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+        min(col("bench_id")).as("first_bench_id"))
+  }
+
   /** Deterministic stratified sampling: keep a per-stratum fraction
     * decided by the first hex nibble of md5(stratum:id) — a pure
     * map-side filter, reproducible across engines, runs, and

@@ -230,10 +230,10 @@ object PipelineOps {
                 FROM documents),
               c AS (
                 SELECT lang, doc_id, tok,
-                  SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                  CAST(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
                 FROM t)
-              SELECT lang, (cum - tok) // 2048 AS bin, COUNT(*) AS n_docs,
+              SELECT lang, CAST((cum - tok) // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
                 CAST(SUM(tok) AS BIGINT) AS bin_tokens
               FROM c GROUP BY lang, bin ORDER BY lang, bin"""))
   )
