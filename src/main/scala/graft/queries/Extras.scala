@@ -295,6 +295,81 @@ object Extras {
                   AS delay_days,
                 COUNT(*) AS n
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-              GROUP BY delay_days ORDER BY delay_days"""))
+              GROUP BY delay_days ORDER BY delay_days""")),
+
+    // window-function long tail: ntile bucketing, cumulative
+    // distribution, nth_value with the default running frame. The
+    // ordering key (acctbal, custkey) is unique, so RANGE peers are
+    // single rows and every function is deterministic cross-engine.
+    QueryDef("q93_window_extras",
+      (s, d) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        table(s, d, "customer")
+          .filter(col("c_nationkey") <= 4)
+          .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+            ntile(4).over(w).cast(LongType).as("quartile"),
+            cume_dist().over(w).as("cdist"),
+            nth_value(col("c_acctbal"), 2).over(w).as("second_bal"))
+          .orderBy("c_nationkey", "c_acctbal", "c_custkey")
+      },
+      Some("""SELECT c_nationkey, c_custkey, c_acctbal,
+                NTILE(4) OVER w AS quartile,
+                CUME_DIST() OVER w AS cdist,
+                NTH_VALUE(c_acctbal, 2) OVER w AS second_bal
+              FROM customer WHERE c_nationkey <= 4
+              WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+              ORDER BY c_nationkey, c_acctbal, c_custkey""")),
+
+    // scalar string-function surface: case mapping, substring, pad,
+    // reverse, translate, split-part, length, ascii, concat —
+    // all codegen'd built-ins, map-only over the scan.
+    QueryDef("q94_string_funcs",
+      (s, d) => table(s, d, "part")
+        .filter(col("p_partkey") <= 2000)
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          lower(col("p_type")).as("type_l"),
+          substring(col("p_name"), 1, 5).as("name5"),
+          lpad(col("p_partkey").cast(StringType), 10, "0").as("key_pad"),
+          reverse(col("p_brand")).as("brand_rev"),
+          translate(col("p_type"), "aeiou", "_____").as("type_tr"),
+          element_at(split(col("p_name"), " "), 1).as("first_word"),
+          length(col("p_name")).cast(LongType).as("name_len"),
+          ascii(substring(col("p_name"), 1, 1)).cast(LongType).as("first_ascii"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("cat"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+                upper(p_brand) AS brand_u,
+                lower(p_type) AS type_l,
+                substr(p_name, 1, 5) AS name5,
+                lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_pad,
+                reverse(p_brand) AS brand_rev,
+                translate(p_type, 'aeiou', '_____') AS type_tr,
+                split_part(p_name, ' ', 1) AS first_word,
+                CAST(length(p_name) AS BIGINT) AS name_len,
+                CAST(ascii(substr(p_name, 1, 1)) AS BIGINT) AS first_ascii,
+                concat_ws('|', p_brand, p_type) AS cat
+              FROM part WHERE p_partkey <= 2000 ORDER BY p_partkey""")),
+
+    // null-handling semantics: nullif-derived nulls, count(col) vs
+    // count(*), explicit null counting, coalesce fill — the dropna /
+    // fillna surface as aggregates.
+    QueryDef("q95_null_handling",
+      (s, d) => table(s, d, "orders")
+        .select(col("o_orderpriority"),
+          nullif(col("o_orderstatus"), lit("O")).as("st"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("st")).as("n_nonnull"),
+          count(when(col("st").isNull, 1)).as("n_null"),
+          max(coalesce(col("st"), lit("FILLED"))).as("max_filled"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+                COUNT(*) AS n_rows,
+                COUNT(NULLIF(o_orderstatus, 'O')) AS n_nonnull,
+                COUNT(CASE WHEN NULLIF(o_orderstatus, 'O') IS NULL THEN 1 END) AS n_null,
+                MAX(COALESCE(NULLIF(o_orderstatus, 'O'), 'FILLED')) AS max_filled
+              FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

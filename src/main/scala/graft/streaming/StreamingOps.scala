@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
+import graft.ops.Merge
 
 /** Structured Streaming variants of the batch event analytics: the
   * same logical computations as q25 (tumbling window) and q27
@@ -123,6 +124,60 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .partitionBy("anomesdia")
       .outputMode(OutputMode.Append())
+      .start()
+
+  /** Streaming silver upsert: continuously apply a change stream onto
+    * a partitioned parquet entity table (SCD-1, last-write-wins) — the
+    * MERGE INTO sink a lake needs once past append-only bronze.
+    *
+    * Per micro-batch (foreachBatch): (1) collapse the batch to one row
+    * per key, latest `orderCol` wins; (2) read back ONLY the base
+    * partitions the batch touches; (3) [[graft.ops.Merge.upsert]] the
+    * batch over them; (4) rewrite exactly those partitions via dynamic
+    * partition overwrite. The base table is never fully rewritten —
+    * per-batch IO is proportional to the touched partitions, which is
+    * what holds when the base is 100 TB and a batch touches one day.
+    *
+    * Contract: `partitionCol` must be stable per key (derivable from
+    * the key), otherwise a key that migrates partitions would leave
+    * its old row behind in an untouched partition. Restart-safe:
+    * replaying a committed batch is idempotent (same keys upserted to
+    * the same values; dynamic overwrite replaces, never appends).
+    */
+  def upsertStream(
+      updates: DataFrame,
+      basePath: String,
+      key: String,
+      orderCol: String,
+      partitionCol: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(key).orderBy(col(orderCol).desc)
+        val deduped = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .persist() // read twice: touched-partition probe + merge
+        try {
+          val touched = deduped.select(partitionCol).distinct()
+            .collect().map(_.get(0)).toSeq
+          val baseExists = new org.apache.hadoop.fs.Path(basePath)
+            .getFileSystem(sp.sparkContext.hadoopConfiguration)
+            .exists(new org.apache.hadoop.fs.Path(basePath))
+          val merged =
+            if (!baseExists) deduped
+            else Merge.upsert(
+              sp.read.parquet(basePath)
+                .filter(col(partitionCol).isin(touched: _*)),
+              deduped, key)
+          merged.write.mode("overwrite")
+            .partitionBy(partitionCol).parquet(basePath)
+        } finally deduped.unpersist()
+      }
+      .option("checkpointLocation", checkpoint)
       .start()
 
   final case class SessionEvent(user_id: Long, event_id: Long, tsMicros: Long)
