@@ -264,7 +264,9 @@ object Extras {
           .groupBy(col("c_nationkey"), col("o_orderpriority"))
           .agg(count(lit(1)).as("n_orders"))
           .withColumnRenamed("o_orderpriority", "cp")
-        grid.join(counts,
+        // counts is a post-agg dim×dim frame (|nation|×|priority| rows);
+        // static stats can't see that, so hint the broadcast explicitly
+        grid.join(broadcast(counts),
             grid("n_nationkey") === counts("c_nationkey") &&
               grid("o_orderpriority") === counts("cp"), "left")
           .select(col("n_name"), col("o_orderpriority"),
