@@ -170,6 +170,116 @@ object VectorOps {
           .select("media_id", "n_bytes", "mime", "width", "height", "n_frames")
           .orderBy("media_id")
       },
-      None)
+      None),
+
+    // int8 scalar quantization of the embedding column: per-dimension
+    // global [min,max] → 0..255 codes — the 4× memory shrink that lets
+    // an ANN index hold 4× the vectors per executor. min/max are pure
+    // selections (no FP arithmetic) and the code formula is one IEEE
+    // expression, so codes are bit-identical cross-engine. Stats side
+    // is |dims| rows → broadcast; codes are computed map-side.
+    QueryDef("q96_quantize_embeddings",
+      (s, d) => {
+        val ex = table(s, d, "embeddings")
+          .select(col("vec_id"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("p", "x")))
+        val stats = ex.groupBy("p")
+          .agg(min("x").as("lo"), max("x").as("hi"))
+        ex.join(broadcast(stats), "p")
+          .select(col("vec_id"), col("p"),
+            when(col("hi") === col("lo"), lit(0L))
+              .otherwise(floor((col("x") - col("lo")) * 255.0 / (col("hi") - col("lo")))
+                .cast(LongType)).as("code"))
+          .groupBy("vec_id")
+          .agg(count(lit(1)).as("n_dims"),
+            sum(col("code")).as("code_sum"),
+            md5(concat_ws(",",
+              sort_array(collect_list(struct(col("p"), col("code"))))
+                .getField("code").cast("array<string>"))).as("code_md5"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH ex AS (
+                SELECT vec_id, i AS p, CAST(embedding[i + 1] AS DOUBLE) AS x
+                FROM (SELECT vec_id, embedding, unnest(range(len(embedding))) AS i
+                      FROM embeddings) t),
+              stats AS (SELECT p, MIN(x) AS lo, MAX(x) AS hi FROM ex GROUP BY p),
+              codes AS (
+                SELECT vec_id, ex.p,
+                  CASE WHEN hi = lo THEN 0
+                       ELSE CAST(FLOOR((x - lo) * 255.0 / (hi - lo)) AS BIGINT) END AS code
+                FROM ex JOIN stats ON stats.p = ex.p)
+              SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims,
+                CAST(SUM(code) AS BIGINT) AS code_sum,
+                md5(array_to_string(list(code ORDER BY p), ',')) AS code_md5
+              FROM codes GROUP BY vec_id ORDER BY vec_id""")),
+
+    // ANN quality measurement: recall@10 of the sign-LSH bucket search
+    // (q43's scale path) against the exact top-10, per query vector.
+    // The candidate scan is shared: score once, rank twice (full
+    // ranking vs in-bucket ranking) — the evaluation harness pattern
+    // for any ANN index build.
+    QueryDef("q97_ann_recall",
+      (s, d) => {
+        import graft.functions.VectorExprs.cosineSim
+        val emb = table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+            Similarity.signBucket(col("embedding"), 4).as("bucket"))
+        val queries = emb.filter(col("vec_id") <= 4)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("bucket").as("qbucket"))
+        val scored = emb.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), col("bucket"), col("qbucket"),
+            cosineSim(col("v"), col("qv")).as("cos"))
+        val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        val exact = scored
+          .withColumn("rn", row_number().over(wr)).filter(col("rn") <= 10)
+          .select(col("qid"), col("vec_id"))
+        val ann = scored.filter(col("bucket") === col("qbucket"))
+          .withColumn("rn", row_number().over(wr)).filter(col("rn") <= 10)
+          .select(col("qid"), col("vec_id"))
+        val annCnt = ann.groupBy("qid").agg(count(lit(1)).as("n_ann"))
+        val hits = exact.join(ann, Seq("qid", "vec_id"))
+          .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        queries.select(col("qid"))
+          .join(annCnt, Seq("qid"), "left")
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / 10.0).as("recall_at_10"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH e AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                  ${bucketSql(4)} AS bucket
+                FROM embeddings),
+              q AS (SELECT vec_id AS qid, v AS qv, bucket AS qbucket
+                    FROM e WHERE vec_id <= 4),
+              scored AS (
+                SELECT q.qid, e.vec_id, e.bucket, q.qbucket,
+                  list_cosine_similarity(e.v, q.qv) AS cos
+                FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+              exact AS (
+                SELECT qid, vec_id FROM
+                  (SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY cos DESC, vec_id) AS rn FROM scored) t
+                WHERE rn <= 10),
+              ann AS (
+                SELECT qid, vec_id FROM
+                  (SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY cos DESC, vec_id) AS rn
+                   FROM scored WHERE bucket = qbucket) t
+                WHERE rn <= 10),
+              ac AS (SELECT qid, COUNT(*) AS n_ann FROM ann GROUP BY qid),
+              h AS (SELECT x.qid, COUNT(*) AS n_hit
+                    FROM exact x JOIN ann a ON a.qid = x.qid AND a.vec_id = x.vec_id
+                    GROUP BY x.qid)
+              SELECT q.qid, COALESCE(ac.n_ann, 0) AS n_ann,
+                COALESCE(h.n_hit, 0) AS n_hit,
+                CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 10.0 AS recall_at_10
+              FROM q LEFT JOIN ac ON ac.qid = q.qid
+                LEFT JOIN h ON h.qid = q.qid
+              ORDER BY q.qid"""))
   )
 }
