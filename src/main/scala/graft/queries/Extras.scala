@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.ops.{Corpus, Merge}
+import graft.ops.{Corpus, Layout, Merge}
 import QueryDef.table
 
 /** Round-3 operator widening: reshaping (unpivot), exact rank-based
@@ -372,6 +372,42 @@ object Extras {
                 COUNT(NULLIF(o_orderstatus, 'O')) AS n_nonnull,
                 COUNT(CASE WHEN NULLIF(o_orderstatus, 'O') IS NULL THEN 1 END) AS n_null,
                 MAX(COALESCE(NULLIF(o_orderstatus, 'O'), 'FILLED')) AS max_filled
-              FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+              FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Z-order clustering key: Morton-interleave two filter dimensions
+    // and audit locality per curve segment — every zbucket spans a
+    // narrow rectangle in BOTH dims, which is what lets file-level
+    // min/max stats prune range scans on either one after a
+    // repartitionByRange(z) layout write.
+    QueryDef("q98_zorder",
+      (s, d) => {
+        val p = table(s, d, "part").select(
+          (col("p_size").cast(LongType).bitwiseAND(lit(63L))).as("sa"),
+          (length(col("p_name")).cast(LongType).bitwiseAND(lit(63L))).as("sb"))
+        p.select(col("sa"), col("sb"),
+            shiftright(Layout.zValue(col("sa"), col("sb"), 6), 6).as("zbucket"))
+          .groupBy("zbucket")
+          .agg(count(lit(1)).as("n"),
+            min("sa").as("size_min"), max("sa").as("size_max"),
+            min("sb").as("len_min"), max("sb").as("len_max"))
+          .orderBy("zbucket")
+      },
+      Some(s"""WITH p AS (
+                SELECT CAST(p_size & 63 AS BIGINT) AS sa,
+                  CAST(length(p_name) & 63 AS BIGINT) AS sb
+                FROM part),
+              z AS (SELECT sa, sb, (${zSql("sa", "sb", 6)}) >> 6 AS zbucket FROM p)
+              SELECT zbucket, COUNT(*) AS n,
+                MIN(sa) AS size_min, MAX(sa) AS size_max,
+                MIN(sb) AS len_min, MAX(sb) AS len_max
+              FROM z GROUP BY zbucket ORDER BY zbucket"""))
   )
+
+  /** Oracle fragment: Morton interleave of the low `bits` of a and b —
+    * mirrors [[graft.ops.Layout.zValue]].
+    */
+  private def zSql(a: String, b: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i + 1}) | ((($b >> $i) & 1) << ${2 * i})")
+      .mkString(" | ")
 }
