@@ -235,6 +235,63 @@ object PipelineOps {
                 FROM t)
               SELECT lang, CAST((cum - tok) // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
                 CAST(SUM(tok) AS BIGINT) AS bin_tokens
+              FROM c GROUP BY lang, bin ORDER BY lang, bin""")),
+
+    // the stages composed: quality filter → exact dedup (keep-first) →
+    // overlap chunking → per-stratum sequence packing, one declarative
+    // plan end to end. Every stage is individually oracle-proven
+    // (q73/q33/q71/q79); this verifies they COMPOSE — the raw-corpus →
+    // training-shards path as a single Catalyst-optimized query (the
+    // optimizer fuses the map-side stages; the only shuffles are the
+    // dedup window and the packing window).
+    QueryDef("q99_corpus_pipeline",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val kept = docs.filter(
+          TextStats.tokenCount(col("text")) >= 30 &&
+            TextStats.punctRatio(col("text")) <= 0.1)
+        val withFp = kept.withColumn("f",
+          md5(lower(regexp_replace(col("text"), "\\s+", " "))))
+        val ded = Dedup.dedupKeepFirst(withFp, Seq("f"), "doc_id")
+        val chunks = Corpus.chunk(ded, "doc_id", "text", chunkTokens = 64, stride = 48)
+          .join(ded.select("doc_id", "lang"), "doc_id")
+          .select(col("lang"),
+            (col("doc_id") * 1000 + col("chunk_id")).as("cid"),
+            col("n_chunk_tokens"))
+        Corpus.packSequences(chunks, "lang", "cid", col("n_chunk_tokens"), capacity = 2048)
+          .groupBy("lang", "bin")
+          .agg(count(lit(1)).as("n_chunks"), sum(col("__tok")).as("bin_tokens"))
+          .orderBy("lang", "bin")
+      },
+      Some("""WITH m AS (
+                SELECT doc_id, lang, text,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  ROUND(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                    / GREATEST(CAST(length(text) AS DOUBLE), 1.0), 4) AS punct_ratio
+                FROM documents),
+              kept AS (SELECT doc_id, lang, text FROM m
+                       WHERE n_tokens >= 30 AND punct_ratio <= 0.1),
+              ded AS (
+                SELECT doc_id, lang, text FROM (
+                  SELECT doc_id, lang, text, ROW_NUMBER() OVER (
+                    PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+                    ORDER BY doc_id) AS rn
+                  FROM kept) t
+                WHERE rn = 1),
+              t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM ded),
+              st AS (SELECT doc_id, lang, toks,
+                       unnest(range(0, GREATEST(len(toks), 1), 48)) AS start
+                     FROM t),
+              ch AS (SELECT lang,
+                       doc_id * 1000 + CAST(start / 48 AS BIGINT) AS cid,
+                       CAST(LEAST(64, len(toks) - start) AS BIGINT) AS tok
+                     FROM st),
+              c AS (SELECT lang, cid, tok,
+                      CAST(SUM(tok) OVER (PARTITION BY lang ORDER BY cid
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                    FROM ch)
+              SELECT lang, CAST((cum - tok) // 2048 AS BIGINT) AS bin,
+                COUNT(*) AS n_chunks, CAST(SUM(tok) AS BIGINT) AS bin_tokens
               FROM c GROUP BY lang, bin ORDER BY lang, bin"""))
   )
 }
