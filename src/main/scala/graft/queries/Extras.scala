@@ -400,7 +400,51 @@ object Extras {
               SELECT zbucket, COUNT(*) AS n,
                 MIN(sa) AS size_min, MAX(sa) AS size_max,
                 MIN(sb) AS len_min, MAX(sb) AS len_max
-              FROM z GROUP BY zbucket ORDER BY zbucket"""))
+              FROM z GROUP BY zbucket ORDER BY zbucket""")),
+
+    // equi-width histogram: global [min,max] in one tiny agg
+    // (broadcast), bucket assignment map-side with a hand-rolled
+    // formula written identically in both engines (builtin
+    // width_bucket boundary conventions differ across engines).
+    QueryDef("q100_histogram",
+      (s, d) => {
+        val o = table(s, d, "orders")
+        val stats = o.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+        o.crossJoin(broadcast(stats))
+          .select(least(
+            floor((col("o_totalprice") - col("lo")) / (col("hi") - col("lo")) * 10)
+              .cast(LongType), lit(9L)).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .orderBy("bucket")
+      },
+      Some("""WITH s AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders),
+              b AS (SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / (hi - lo) * 10) AS BIGINT), 9)
+                      AS bucket
+                    FROM orders, s)
+              SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    // calendar navigation: month start/end boundaries and month length
+    // per order month — trunc/last_day/datediff written in the DATE
+    // domain, where both engines agree exactly.
+    QueryDef("q101_date_funcs",
+      (s, d) => {
+        val o = table(s, d, "orders")
+          .select(to_date(col("o_orderdate")).as("od"))
+        o.select(trunc(col("od"), "month").as("month_start"),
+            last_day(col("od")).as("month_end"))
+          .groupBy("month_start", "month_end")
+          .agg(count(lit(1)).as("n_orders"))
+          .withColumn("days_in_month",
+            (datediff(col("month_end"), col("month_start")) + 1).cast(LongType))
+          .orderBy("month_start")
+      },
+      Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+                last_day(CAST(o_orderdate AS DATE)) AS month_end,
+                COUNT(*) AS n_orders,
+                CAST(date_diff('day', CAST(date_trunc('month', o_orderdate) AS DATE),
+                  last_day(CAST(o_orderdate AS DATE))) + 1 AS BIGINT) AS days_in_month
+              FROM orders
+              GROUP BY month_start, month_end ORDER BY month_start"""))
   )
 
   /** Oracle fragment: Morton interleave of the low `bits` of a and b —
