@@ -444,7 +444,43 @@ object Extras {
                 CAST(date_diff('day', CAST(date_trunc('month', o_orderdate) AS DATE),
                   last_day(CAST(o_orderdate AS DATE))) + 1 AS BIGINT) AS days_in_month
               FROM orders
-              GROUP BY month_start, month_end ORDER BY month_start"""))
+              GROUP BY month_start, month_end ORDER BY month_start""")),
+
+    // typed cogroup: per-key reconciliation of two datasets with
+    // arbitrary Scala logic — one shuffle per side, then a streaming
+    // per-key merge (neither side materializes beyond the key group).
+    // Money sums accumulate in exact BigDecimal scaled like the SQL
+    // DECIMAL(18,4) cast, so the fold is order-insensitive and
+    // engine-portable despite being handwritten.
+    QueryDef("q102_cogroup",
+      (s, d) => {
+        import s.implicits._
+        val cust = table(s, d, "customer")
+          .select(col("c_custkey").as("k"), col("c_acctbal").as("v"))
+          .as[(Long, Double)]
+        val orders = table(s, d, "orders")
+          .select(col("o_custkey").as("k"), col("o_totalprice").as("v"))
+          .as[(Long, Double)]
+        cust.groupByKey(_._1).cogroup(orders.groupByKey(_._1)) { (k, cs, os) =>
+          if (!cs.hasNext) Iterator.empty // orders for unknown customers drop
+          else {
+            var n = 0L
+            var total = BigDecimal(0).setScale(4)
+            os.foreach { o =>
+              n += 1
+              total += BigDecimal(o._2).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            }
+            Iterator((k, n, total.toDouble))
+          }
+        }.toDF("custkey", "n_orders", "total_spend")
+          .orderBy("custkey")
+      },
+      Some("""SELECT c_custkey AS custkey,
+                CAST(COUNT(o.o_custkey) AS BIGINT) AS n_orders,
+                CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE)
+                  AS total_spend
+              FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+              GROUP BY c_custkey ORDER BY custkey"""))
   )
 
   /** Oracle fragment: Morton interleave of the low `bits` of a and b —
