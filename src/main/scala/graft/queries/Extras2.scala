@@ -372,6 +372,146 @@ object Extras2 {
                 CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
                 CAST((SUM(n_chars) + 65535) // 65536 AS BIGINT) AS target_files,
                 CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bytes
-              FROM documents GROUP BY source ORDER BY source"""))
+              FROM documents GROUP BY source ORDER BY source""")),
+
+    // BPE tokenizer training, step one: corpus-frequency-weighted
+    // adjacent character-pair counts. Word counts are aggregated
+    // FIRST (map-side combine collapses the token stream to the
+    // vocabulary), then the pair generator explodes each distinct
+    // word once and weights by its count — at corpus scale the
+    // expensive fan-out runs over |vocab|, not |tokens|.
+    QueryDef("q114_bpe_pairs",
+      (s, d) => {
+        val words = table(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .filter(length(col("w")) >= 2)
+        words
+          .select(col("w"), col("cnt"),
+            explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+          .select(expr("substring(w, i, 2)").as("pair"), col("cnt"))
+          .groupBy("pair").agg(sum("cnt").as("n"))
+          .filter(col("n") >= 1000)
+          .orderBy("pair")
+      },
+      Some("""WITH wc AS (
+                SELECT w, COUNT(*) AS cnt FROM
+                  (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+                GROUP BY w HAVING length(w) >= 2),
+              p AS (
+                SELECT substr(w, i, 2) AS pair, cnt FROM
+                  (SELECT w, cnt, unnest(range(1, length(w))) AS i FROM wc) x)
+              SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
+              FROM p GROUP BY pair HAVING SUM(cnt) >= 1000 ORDER BY pair""")),
+
+    // cross-lingual vocabulary overlap: Jaccard between per-language
+    // vocabularies for every language pair. The vocab sets are
+    // distinct-collapsed before the pair join (|vocab| per lang, not
+    // the token stream), and union size is inclusion-exclusion —
+    // no second join.
+    QueryDef("q115_lang_vocab_overlap",
+      (s, d) => {
+        val vocab = table(s, d, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .distinct()
+        val sizes = vocab.groupBy("lang").agg(count(lit(1)).as("v"))
+        val inter = vocab.as("a")
+          .join(vocab.as("b"), col("a.tok") === col("b.tok") &&
+            col("a.lang") < col("b.lang"))
+          .groupBy(col("a.lang").as("lang1"), col("b.lang").as("lang2"))
+          .agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(sizes.withColumnRenamed("lang", "lang1").withColumnRenamed("v", "v1"), "lang1")
+          .join(sizes.withColumnRenamed("lang", "lang2").withColumnRenamed("v", "v2"), "lang2")
+          .select(col("lang1"), col("lang2"), col("v1"), col("v2"), col("n_inter"),
+            (col("n_inter").cast(DoubleType) /
+              (col("v1") + col("v2") - col("n_inter")).cast(DoubleType)).as("jaccard"))
+          .orderBy("lang1", "lang2")
+      },
+      Some("""WITH vocab AS (
+                SELECT DISTINCT lang, tok FROM
+                  (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents) t),
+              sizes AS (SELECT lang, COUNT(*) AS v FROM vocab GROUP BY lang),
+              inter AS (
+                SELECT a.lang AS lang1, b.lang AS lang2, COUNT(*) AS n_inter
+                FROM vocab a JOIN vocab b ON b.tok = a.tok AND a.lang < b.lang
+                GROUP BY a.lang, b.lang)
+              SELECT lang1, lang2, CAST(v1.v AS BIGINT) AS v1, CAST(v2.v AS BIGINT) AS v2,
+                CAST(n_inter AS BIGINT) AS n_inter,
+                CAST(n_inter AS DOUBLE) / CAST(v1.v + v2.v - n_inter AS DOUBLE) AS jaccard
+              FROM inter
+              JOIN sizes v1 ON v1.lang = inter.lang1
+              JOIN sizes v2 ON v2.lang = inter.lang2
+              ORDER BY lang1, lang2""")),
+
+    // strict ordered funnel: view → click-after-view →
+    // purchase-after-click per user, counted globally. Each stage is
+    // a conditional min-timestamp join against the previous stage's
+    // per-user watermark — three shuffles on user_id which AQE
+    // coalesces, with the event scan filtered to the three relevant
+    // types before any shuffle.
+    QueryDef("q116_event_funnel",
+      (s, d) => {
+        val ev = table(s, d, "events")
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t_view"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .join(views, "user_id")
+          .filter(col("ts") > col("t_view"))
+          .groupBy("user_id").agg(min("ts").as("t_click"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .join(clicks, "user_id")
+          .filter(col("ts") > col("t_click"))
+          .groupBy("user_id").agg(min("ts").as("t_buy"))
+        views.agg(count(lit(1)).as("n_view"))
+          .crossJoin(clicks.agg(count(lit(1)).as("n_click_after_view")))
+          .crossJoin(buys.agg(count(lit(1)).as("n_purchase_after_click")))
+      },
+      Some("""WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+                         WHERE event_type = 'view' GROUP BY user_id),
+              c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+                    FROM events e JOIN v ON v.user_id = e.user_id
+                    WHERE e.event_type = 'click' AND e.ts > v.t_view
+                    GROUP BY e.user_id),
+              p AS (SELECT e.user_id, MIN(e.ts) AS t_buy
+                    FROM events e JOIN c ON c.user_id = e.user_id
+                    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+                    GROUP BY e.user_id)
+              SELECT (SELECT COUNT(*) FROM v) AS n_view,
+                (SELECT COUNT(*) FROM c) AS n_click_after_view,
+                (SELECT COUNT(*) FROM p) AS n_purchase_after_click""")),
+
+    // retention cohorts: users grouped by first-activity week,
+    // counted per whole-week offset they return in. Two aggs over the
+    // (user, week) distinct frame — the event stream collapses to
+    // ≤ |users|×|weeks| rows before the cohort join, and the offset
+    // is whole-day integer arithmetic on week-start dates divided by
+    // 7 (identical in both engines; Monday week start in both).
+    QueryDef("q117_retention_cohorts",
+      (s, d) => {
+        val um = table(s, d, "events")
+          .select(col("user_id"),
+            trunc(col("ts").cast(DateType), "week").as("wk"))
+          .distinct()
+        val cohort = um.groupBy("user_id").agg(min("wk").as("cohort_week"))
+        um.join(cohort, "user_id")
+          .groupBy(col("cohort_week"),
+            (datediff(col("wk"), col("cohort_week")) / 7).cast(LongType).as("offset"))
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("cohort_week", "offset")
+      },
+      Some("""WITH um AS (
+                SELECT DISTINCT user_id,
+                  CAST(date_trunc('week', ts) AS DATE) AS wk
+                FROM events),
+              cohort AS (SELECT user_id, MIN(wk) AS cohort_week FROM um GROUP BY user_id)
+              SELECT c.cohort_week,
+                CAST(date_diff('day', c.cohort_week, um.wk) / 7 AS BIGINT) AS "offset",
+                COUNT(DISTINCT um.user_id) AS n_users
+              FROM um JOIN cohort c ON c.user_id = um.user_id
+              GROUP BY c.cohort_week, "offset"
+              ORDER BY c.cohort_week, "offset""""))
   )
 }
