@@ -1,0 +1,203 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 connector for the REST/JSON source — the
+  * first-class form of the reference's source-side pushdown
+  * (app/ingestao_api.py:88, where the `userId` predicate rides the
+  * HTTP query string instead of filtering client-side).
+  *
+  * `spark.read.format("graft-api")` with options:
+  *   - `url`        endpoint URL (identity of the dataset)
+  *   - `fixture`    local JSON file backing `url` (offline transport;
+  *                  omit for live HTTP)
+  *   - `timeoutSec`, `retries`   the reference's retry policy knobs
+  *
+  * Planner integration:
+  *   - **Filter pushdown** ([[SupportsPushDownFilters]]): top-level
+  *     `EqualTo` predicates become request query params — evaluated by
+  *     the source, NOT re-filtered by Spark (they are accepted, not
+  *     returned as residuals). Everything else stays a residual.
+  *   - **Column pruning** ([[SupportsPushDownRequiredColumns]]): the
+  *     reader materializes only the pruned schema's fields.
+  *
+  * Execution shape: the payload is fetched ONCE on the driver at batch
+  * planning (API payloads are driver-sized by definition — bulk data
+  * enters through file sources) and shipped inside the single
+  * [[InputPartition]]; executors parse rows without needing transport
+  * or network access. Schema inference reads the first array element's
+  * flat primitive fields (nested objects are out of the reference's
+  * type system, SURVEY.md §1.2).
+  */
+final class ApiDataSourceV2 extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-api"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val body = ApiDataSourceV2.fetch(options.asCaseSensitiveMap().asScala.toMap, Map.empty)
+    ApiDataSourceV2.inferFromPayload(body)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new ApiTable(schema, properties.asScala.toMap)
+}
+
+private[sources] object ApiDataSourceV2 {
+  private val mapper = new ObjectMapper()
+
+  /** Driver-side fetch through the configured transport with the
+    * reference's retry/backoff policy (ApiSource.safeGet).
+    */
+  def fetch(opts: Map[String, String], params: Map[String, String]): String = {
+    val url = opts.getOrElse("url", throw new ApiError("graft-api: missing 'url' option"))
+    val transport: ApiTransport = opts.get("fixture") match {
+      case Some(path) => new FixtureTransport(Map(url -> path))
+      case None       => new HttpTransport
+    }
+    ApiSource.safeGet(transport, url, params,
+      timeoutSec = opts.getOrElse("timeoutSec", "20").toInt,
+      retries = opts.getOrElse("retries", "2").toInt)
+  }
+
+  def inferFromPayload(body: String): StructType = {
+    val root = mapper.readTree(body)
+    val first =
+      if (root.isArray && root.size() > 0) root.get(0)
+      else if (root.isObject) root
+      else throw new ApiError("graft-api: cannot infer schema from empty/scalar payload")
+    val fields = first.properties().asScala.toSeq.flatMap { e =>
+      val (name, v) = (e.getKey, e.getValue)
+      val dt: Option[DataType] =
+        if (v.isIntegralNumber) Some(LongType)
+        else if (v.isFloatingPointNumber) Some(DoubleType)
+        else if (v.isBoolean) Some(BooleanType)
+        else if (v.isTextual || v.isNull) Some(StringType)
+        else None // nested object/array: outside the reference's type system
+      dt.map(StructField(name, _, nullable = true))
+    }
+    StructType(fields)
+  }
+
+  /** Parse the payload rows into InternalRows of `schema` (pruned). */
+  def parse(body: String, schema: StructType): Iterator[InternalRow] = {
+    val root = mapper.readTree(body)
+    val nodes: Iterator[JsonNode] =
+      if (root.isArray) root.elements().asScala
+      else Iterator.single(root)
+    nodes.map { node =>
+      val values = schema.fields.map { f =>
+        val v = node.get(f.name)
+        if (v == null || v.isNull) null
+        else f.dataType match {
+          case LongType    => java.lang.Long.valueOf(v.asLong())
+          case DoubleType  => java.lang.Double.valueOf(v.asDouble())
+          case BooleanType => java.lang.Boolean.valueOf(v.asBoolean())
+          case _           => UTF8String.fromString(v.asText())
+        }
+      }
+      new GenericInternalRow(values.asInstanceOf[Array[Any]])
+    }
+  }
+}
+
+private final class ApiTable(schema: StructType, properties: Map[String, String])
+  extends Table with SupportsRead {
+
+  override def name(): String = properties.getOrElse("url", "graft-api")
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ApiScanBuilder(schema, options.asCaseSensitiveMap().asScala.toMap)
+}
+
+private final class ApiScanBuilder(fullSchema: StructType, opts: Map[String, String])
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var prunedSchema: StructType = fullSchema
+
+  /** Accept top-level equality predicates as request params (the
+    * `?userId=7` pattern); they are NOT returned as residuals, so the
+    * plan contains no re-filter — proving the source evaluated them.
+    * Catalyst's derived `IsNotNull(attr)` is absorbed too when an
+    * equality param on the same attribute subsumes it (a source
+    * matching `attr=v` never returns null for attr).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val eqAttrs = filters.collect {
+      case EqualTo(attr, _) if fullSchema.fieldNames.contains(attr) => attr
+    }.toSet
+    val (accepted, residual) = filters.partition {
+      case EqualTo(attr, _)                   => fullSchema.fieldNames.contains(attr)
+      case org.apache.spark.sql.sources.IsNotNull(attr) => eqAttrs.contains(attr)
+      case _                                  => false
+    }
+    pushed = accepted
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve source field order; requiredSchema order follows usage
+    val keep = requiredSchema.fieldNames.toSet
+    prunedSchema = StructType(fullSchema.fields.filter(f => keep.contains(f.name)))
+  }
+
+  override def build(): Scan = {
+    val params = pushed.collect { case EqualTo(a, v) => a -> String.valueOf(v) }.toMap
+    new ApiScan(prunedSchema, opts, params,
+      pushed.map(_.toString).sorted.mkString("[", ", ", "]"))
+  }
+}
+
+private final class ApiScan(schema: StructType, opts: Map[String, String],
+    params: Map[String, String], pushedDesc: String) extends Scan with Batch {
+
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"graft-api url=${opts.getOrElse("url", "?")} PushedFilters: $pushedDesc"
+  override def toBatch: Batch = this
+
+  // one partition: the payload is API-sized by contract; the fetch runs
+  // once on the driver and the body travels with the partition, so
+  // executors stay network-free (and the fixture path local-FS-free)
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ApiInputPartition(ApiDataSourceV2.fetch(opts, params)))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ApiReaderFactory(schema)
+}
+
+private final case class ApiInputPartition(body: String) extends InputPartition
+
+private final class ApiReaderFactory(schema: StructType)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val it = ApiDataSourceV2.parse(partition.asInstanceOf[ApiInputPartition].body, schema)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,74 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** DataSource V2 connector: schema inference, source-side filter
+  * pushdown (no residual re-filter in the plan), and column pruning
+  * down to the reader.
+  */
+class ApiDataSourceV2Spec extends SparkSpec {
+
+  private val payload =
+    """[
+      |  {"id": 1, "userId": 1, "title": "a post", "score": 1.5, "flag": true},
+      |  {"id": 2, "userId": 7, "title": "b post", "score": 2.5, "flag": false},
+      |  {"id": 3, "userId": 7, "title": "c post", "score": 3.5, "flag": true}
+      |]""".stripMargin
+
+  private def fixtureDf = {
+    val f = Files.createTempFile("graft-api-v2", ".json")
+    Files.write(f, payload.getBytes("UTF-8"))
+    spark.read.format("graft-api")
+      .option("url", "https://api.test/posts")
+      .option("fixture", f.toString)
+      .load()
+  }
+
+  test("schema inference maps flat JSON primitives to Spark types") {
+    val df = fixtureDf
+    val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types === Map(
+      "id" -> "bigint", "userId" -> "bigint", "title" -> "string",
+      "score" -> "double", "flag" -> "boolean"))
+    assert(df.count() === 3)
+  }
+
+  test("EqualTo pushes into the request params; no Spark-side re-filter") {
+    val df = fixtureDf.filter(col("userId") === 7L)
+    // pushdown visible in the scan description
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("userId"), plan)
+    // the predicate is accepted (not residual): no Filter node remains
+    assert(!plan.contains("+- *(1) Filter"), plan)
+    // and the SOURCE applied it: only user 7's rows come back
+    assert(df.collect().map(_.getAs[Long]("id")).sorted.toSeq === Seq(2L, 3L))
+  }
+
+  test("non-equality predicates stay residual and still evaluate correctly") {
+    val df = fixtureDf.filter(col("score") > 2.0 && col("userId") === 7L)
+    assert(df.collect().map(_.getAs[Long]("id")).sorted.toSeq === Seq(2L, 3L))
+  }
+
+  test("column pruning reaches the reader schema") {
+    val df = fixtureDf.filter(col("userId") === 7L).select("title")
+    val scanLine = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("title") && !scanLine.contains("score"), scanLine)
+    assert(df.collect().map(_.getString(0)).sorted.toSeq === Seq("b post", "c post"))
+  }
+
+  test("user-supplied schema overrides inference") {
+    val f = Files.createTempFile("graft-api-v2b", ".json")
+    Files.write(f, payload.getBytes("UTF-8"))
+    val df = spark.read.format("graft-api")
+      .schema("id LONG, title STRING")
+      .option("url", "https://api.test/posts")
+      .option("fixture", f.toString)
+      .load()
+    assert(df.columns.toSeq === Seq("id", "title"))
+    assert(df.count() === 3)
+  }
+}
