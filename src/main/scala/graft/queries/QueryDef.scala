@@ -26,9 +26,20 @@ object QueryDef {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     val converted =
       if (name == "events")
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
-            .cast(org.apache.spark.sql.types.TimestampNTZType))
+        // normalize ts to TIMESTAMP_NTZ whatever the writer encoded:
+        // TIMESTAMP(NANOS) scans as LONG under nanosAsLong; micro-
+        // precision parquet (e.g. written by another engine) scans as
+        // a timestamp type already — a lake has mixed writers
+        df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            df.withColumn("ts",
+              org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+                .cast(org.apache.spark.sql.types.TimestampNTZType))
+          case _ =>
+            df.withColumn("ts",
+              org.apache.spark.sql.functions.col("ts")
+                .cast(org.apache.spark.sql.types.TimestampNTZType))
+        }
       else df
     // documents/embeddings are tiny ON DISK (<1 MB → one input split)
     // but per-ROW expensive (shingling, hashing, 64-dim math): split
