@@ -158,7 +158,11 @@ object VectorOps {
               WHERE a.vec_id <> 0
               ORDER BY cos DESC, a.vec_id LIMIT 5""")),
 
-    // stubbed decode/feature-extract pass (mapPartitions) — rows-only check
+    // stubbed decode/feature-extract pass (mapPartitions). The stub
+    // derives geometry from the leading bytes, so the oracle can
+    // replicate it exactly over the ASCII test corpus
+    // (byte i == ascii(char i+1)) — the handwritten per-partition
+    // code is hash-verified like any declarative query.
     QueryDef("q45_media_decode",
       (s, d) => {
         val media = table(s, d, "documents").select(
@@ -170,7 +174,13 @@ object VectorOps {
           .select("media_id", "n_bytes", "mime", "width", "height", "n_frames")
           .orderBy("media_id")
       },
-      None),
+      Some("""SELECT doc_id AS media_id,
+                CAST(strlen(text) AS BIGINT) AS n_bytes,
+                'application/octet-stream' AS mime,
+                1 + ascii(substr(text, 1, 1)) % 512 AS width,
+                1 + ascii(substr(text, 2, 1)) % 512 AS height,
+                1 + ascii(substr(text, 3, 1)) % 32 AS n_frames
+              FROM documents ORDER BY media_id""")),
 
     // int8 scalar quantization of the embedding column: per-dimension
     // global [min,max] → 0..255 codes — the 4× memory shrink that lets
