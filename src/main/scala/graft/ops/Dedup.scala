@@ -100,17 +100,30 @@ object Dedup {
   }
 
   /** Candidate near-duplicate pairs: documents sharing any LSH band
-    * signature. Equi-join on (band, sig); output pairs id1 < id2,
-    * deduplicated across bands.
+    * signature. Output pairs id1 < id2, deduplicated across bands.
+    *
+    * Shape: ONE bucket aggregation (group by (band, sig), sorted id
+    * list) followed by per-bucket pair expansion — not a self-join.
+    * The naive `bands JOIN bands` formulation evaluates the whole
+    * minhash pipeline twice (the two join inputs differ in their
+    * projection, so no exchange reuse applies; measured 2× on the
+    * sf0.1 plan) and shuffles it twice. Here the expensive lineage
+    * runs once; pair output is quadratic per bucket under either
+    * formulation (that IS the candidate semantics), and LSH buckets
+    * are small by construction — a pipeline that fears a pathological
+    * hot bucket caps it upstream by dropping too-common signatures.
     */
   def lshCandidatePairs(docs: DataFrame, idCol: String, tokensCol: Column,
       numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val bands = lshBands(docs, idCol, tokensCol, numHashes, rowsPerBand)
-    val a = bands.select(col(idCol).as("id1"), col("band"), col("sig"))
-    val b = bands.select(col(idCol).as("id2"), col("band"), col("sig"))
-    a.join(b, Seq("band", "sig"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+    bands
+      .groupBy("band", "sig")
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .filter(size(col("__ids")) >= 2)
+      .select(posexplode(col("__ids")).as(Seq("__i", "id1")), col("__ids"))
+      .select(col("id1"),
+        explode(slice(col("__ids"), col("__i") + 2, size(col("__ids")))).as("id2"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity between two token-array columns. */
