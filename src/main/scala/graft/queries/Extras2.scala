@@ -405,21 +405,26 @@ object Extras2 {
               FROM p GROUP BY pair HAVING SUM(cnt) >= 1000 ORDER BY pair""")),
 
     // cross-lingual vocabulary overlap: Jaccard between per-language
-    // vocabularies for every language pair. The vocab sets are
-    // distinct-collapsed before the pair join (|vocab| per lang, not
-    // the token stream), and union size is inclusion-exclusion —
-    // no second join.
+    // vocabularies for every language pair. The corpus-sized work
+    // (tokenize + distinct) runs ONCE: tokens collapse to a per-token
+    // language set (|global vocab| rows, localCheckpoint'd so the two
+    // consumers don't re-evaluate the corpus lineage — the q36
+    // lesson), then language pairs expand per token and sizes come
+    // from the same frame. Union size is inclusion-exclusion — no
+    // second join against the corpus.
     QueryDef("q115_lang_vocab_overlap",
       (s, d) => {
-        val vocab = table(s, d, "documents")
+        val tokLangs = table(s, d, "documents")
           .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
-          .distinct()
-        val sizes = vocab.groupBy("lang").agg(count(lit(1)).as("v"))
-        val inter = vocab.as("a")
-          .join(vocab.as("b"), col("a.tok") === col("b.tok") &&
-            col("a.lang") < col("b.lang"))
-          .groupBy(col("a.lang").as("lang1"), col("b.lang").as("lang2"))
-          .agg(count(lit(1)).as("n_inter"))
+          .groupBy("tok").agg(sort_array(collect_set(col("lang"))).as("langs"))
+          .localCheckpoint()
+        val sizes = tokLangs.select(explode(col("langs")).as("lang"))
+          .groupBy("lang").agg(count(lit(1)).as("v"))
+        val inter = tokLangs
+          .select(posexplode(col("langs")).as(Seq("i", "lang1")), col("langs"))
+          .select(col("lang1"),
+            explode(slice(col("langs"), col("i") + 2, size(col("langs")))).as("lang2"))
+          .groupBy("lang1", "lang2").agg(count(lit(1)).as("n_inter"))
         inter
           .join(sizes.withColumnRenamed("lang", "lang1").withColumnRenamed("v", "v1"), "lang1")
           .join(sizes.withColumnRenamed("lang", "lang2").withColumnRenamed("v", "v2"), "lang2")
