@@ -241,11 +241,18 @@ object TextOps {
         val bands = docs
           .select(col("doc_id"), col("h"), explode(array(bandCols: _*)).as("bk"))
           .select(col("doc_id"), col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
-        val a = bands.select(col("doc_id").as("id1"), col("h").as("h1"), col("band"), col("key"))
-        val b = bands.select(col("doc_id").as("id2"), col("h").as("h2"), col("band"), col("key"))
-        a.join(b, Seq("band", "key"))
-          .filter(col("id1") < col("id2"))
-          .select(col("id1"), col("id2"), hamming64(col("h1"), col("h2")).as("hamming"))
+        // bucket-aggregate + per-bucket pair expansion (the q36 shape):
+        // the simhash lineage runs once, not twice as a self-join's
+        // two inputs would
+        bands
+          .groupBy("band", "key")
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("h")))).as("__ds"))
+          .filter(size(col("__ds")) >= 2)
+          .select(posexplode(col("__ds")).as(Seq("__i", "__d1")), col("__ds"))
+          .select(col("__d1"),
+            explode(slice(col("__ds"), col("__i") + 2, size(col("__ds")))).as("__d2"))
+          .select(col("__d1.doc_id").as("id1"), col("__d2.doc_id").as("id2"),
+            hamming64(col("__d1.h"), col("__d2.h")).as("hamming"))
           .distinct()
           .filter(col("hamming") <= 8)
           .orderBy("id1", "id2")

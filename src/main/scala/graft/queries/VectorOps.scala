@@ -225,9 +225,10 @@ object VectorOps {
 
     // ANN quality measurement: recall@10 of the sign-LSH bucket search
     // (q43's scale path) against the exact top-10, per query vector.
-    // The candidate scan is shared: score once, rank twice (full
-    // ranking vs in-bucket ranking) — the evaluation harness pattern
-    // for any ANN index build.
+    // The expensive cosine scoring runs ONCE; both rankings are
+    // windows over that single frame (full ranking, and in-bucket
+    // ranking via a (qid, in-bucket) partition), and recall is one
+    // conditional aggregation — no exact×ann join, no re-scoring.
     QueryDef("q97_ann_recall",
       (s, d) => {
         import graft.functions.VectorExprs.cosineSim
@@ -239,21 +240,20 @@ object VectorOps {
             col("bucket").as("qbucket"))
         val scored = emb.crossJoin(broadcast(queries))
           .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"), col("bucket"), col("qbucket"),
+          .select(col("qid"), col("vec_id"),
+            (col("bucket") === col("qbucket")).as("inb"),
             cosineSim(col("v"), col("qv")).as("cos"))
-        val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-        val exact = scored
-          .withColumn("rn", row_number().over(wr)).filter(col("rn") <= 10)
-          .select(col("qid"), col("vec_id"))
-        val ann = scored.filter(col("bucket") === col("qbucket"))
-          .withColumn("rn", row_number().over(wr)).filter(col("rn") <= 10)
-          .select(col("qid"), col("vec_id"))
-        val annCnt = ann.groupBy("qid").agg(count(lit(1)).as("n_ann"))
-        val hits = exact.join(ann, Seq("qid", "vec_id"))
-          .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        val flagged = scored
+          .withColumn("rn_exact", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+          .withColumn("rn_ann", row_number().over(
+            Window.partitionBy("qid", "inb").orderBy(col("cos").desc, col("vec_id"))))
+        val isAnn = col("inb") && col("rn_ann") <= 10
+        val agg = flagged.groupBy("qid").agg(
+          count(when(isAnn, 1)).as("n_ann"),
+          count(when(isAnn && col("rn_exact") <= 10, 1)).as("n_hit"))
         queries.select(col("qid"))
-          .join(annCnt, Seq("qid"), "left")
-          .join(hits, Seq("qid"), "left")
+          .join(agg, Seq("qid"), "left")
           .select(col("qid"),
             coalesce(col("n_ann"), lit(0L)).as("n_ann"),
             coalesce(col("n_hit"), lit(0L)).as("n_hit"),
