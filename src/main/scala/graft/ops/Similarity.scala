@@ -93,6 +93,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe ANN: search the query's bucket plus every bucket at
+    * Hamming distance 1 (one sign bit flipped) — recovers most of the
+    * recall single-probe loses to boundary vectors while still
+    * scanning only (bits+1)/2^bits of the corpus. The probe-key set
+    * is generated on the one-row query side and broadcast; the corpus
+    * side remains a plain equi-join on the bucket key (each corpus
+    * row matches at most one probe key, so no dedup is needed).
+    */
+  def annTopKMultiProbe(
+      embeddings: DataFrame,
+      queryVecId: Long,
+      k: Int,
+      bits: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val withBucket = embeddings.withColumn("__bucket", signBucket(col(vecCol), bits))
+    val q = withBucket.filter(col(idCol) === queryVecId)
+      .select(col("__bucket").as("__qb"), col(vecCol).as("__qv"))
+    val flips = (1 to bits).map { i =>
+      concat(
+        substring(col("__qb"), 1, i - 1),
+        when(substring(col("__qb"), i, 1) === "1", "0").otherwise("1"),
+        substring(col("__qb"), i + 1, bits - i))
+    }
+    val probes = q.select(explode(array(col("__qb") +: flips: _*)).as("__bucket"),
+      col("__qv"))
+    withBucket
+      .filter(col(idCol) =!= queryVecId)
+      .join(broadcast(probes), "__bucket")
+      .select(col(idCol), round(cos(col(vecCol), col("__qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** All-pairs near-duplicate detection above a cosine threshold,
     * blocked by an id-range bucket so the join stays an equi-join
     * (at full scale the blocking key is the LSH bucket; the id-range

@@ -69,6 +69,30 @@ object VectorOps {
               WHERE x.vec_id <> 0
               ORDER BY cos DESC, vec_id LIMIT 5""")),
 
+    // multi-probe ANN: query bucket + all Hamming-distance-1 buckets
+    // (one flipped sign bit). Probes 5/16 of the corpus at bits=4 —
+    // the recall/scan-cost middle ground between q43's single probe
+    // and q40's exhaustive scan.
+    QueryDef("q118_ann_multiprobe",
+      (s, d) => Similarity.annTopKMultiProbe(table(s, d, "embeddings"),
+        queryVecId = 0L, k = 5, bits = 4),
+      Some(s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql(4)} AS bucket FROM embeddings),
+              q AS (SELECT bucket, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+                    FROM b WHERE vec_id = 0),
+              probes AS (
+                SELECT bucket, emb FROM q
+                UNION ALL
+                SELECT substr(bucket, 1, CAST(i - 1 AS INT)) ||
+                       (CASE substr(bucket, CAST(i AS INT), 1) WHEN '1' THEN '0' ELSE '1' END) ||
+                       substr(bucket, CAST(i + 1 AS INT)) AS bucket, emb
+                FROM (SELECT bucket, emb, unnest(range(1, 5)) AS i FROM q) f)
+              SELECT x.vec_id,
+                ROUND(list_cosine_similarity(
+                  list_transform(x.embedding, v -> CAST(v AS DOUBLE)), p.emb), 4) AS cos
+              FROM b x JOIN probes p ON x.bucket = p.bucket
+              WHERE x.vec_id <> 0
+              ORDER BY cos DESC, vec_id LIMIT 5""")),
+
     // multimodal metadata pass over binary payloads (scan-speed, no decode)
     QueryDef("q44_multimodal_meta",
       (s, d) => table(s, d, "documents")
