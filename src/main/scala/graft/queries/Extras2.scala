@@ -517,6 +517,93 @@ object Extras2 {
                 COUNT(DISTINCT um.user_id) AS n_users
               FROM um JOIN cohort c ON c.user_id = um.user_id
               GROUP BY c.cohort_week, "offset"
-              ORDER BY c.cohort_week, "offset""""))
+              ORDER BY c.cohort_week, "offset"""")),
+
+    // time-weighted average: per-user mean of `value` weighted by the
+    // seconds each reading was current (lead-to-next duration; the
+    // last reading carries no duration). The standard irregular-
+    // time-series aggregate. Durations are whole-second BIGINTs
+    // (truncating on both engines), the numerator accumulates in
+    // exact DECIMAL, and the average is one IEEE quotient — portable.
+    // One shuffle on user_id shared by the window and the agg.
+    QueryDef("q119_time_weighted_avg",
+      (s, d) => {
+        // order by truncated seconds + event_id (NOT full-precision ts):
+        // the oracle sees whole seconds only, and sub-second ordering
+        // differences would pair value×duration differently
+        val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+        table(s, d, "events")
+          .filter(col("user_id") <= 100)
+          .select(col("user_id"), col("event_id"), col("value"),
+            col("ts").cast(TimestampType).cast(LongType).as("sec"))
+          .withColumn("dur", lead(col("sec"), 1).over(w) - col("sec"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum("dur").as("total_secs"),
+            (sum(col("value").cast(DecimalType(18, 4)) * col("dur")).cast(DoubleType) /
+              sum(col("dur")).cast(DoubleType)).as("twa"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+                SELECT user_id, event_id, value,
+                  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+                FROM events WHERE user_id <= 100),
+              du AS (
+                SELECT user_id, value,
+                  LEAD(sec, 1) OVER (PARTITION BY user_id ORDER BY sec, event_id) - sec
+                    AS dur
+                FROM e)
+              SELECT user_id, COUNT(*) AS n_events,
+                CAST(SUM(dur) AS BIGINT) AS total_secs,
+                CAST(SUM(CAST(value AS DECIMAL(18,4)) * dur) AS DOUBLE)
+                  / CAST(SUM(dur) AS DOUBLE) AS twa
+              FROM du GROUP BY user_id ORDER BY user_id""")),
+
+    // token co-occurrence lift: for mid-frequency tokens, how much
+    // more often a pair shares a document than independence predicts
+    // (N·c_xy / (df_x·df_y) — PMI's log-free core, an IEEE quotient
+    // of exact integers). Per-doc qualifying tokens collapse to ONE
+    // sorted array and pairs expand per doc (the q36 shape — never a
+    // corpus self-join); the df side is vocabulary-sized and
+    // broadcast.
+    QueryDef("q120_cooccur_lift",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val nDocs = docs.count()
+        val dw = docs
+          .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val df = dw.groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df").between(50, 400))
+        val perDoc = dw.join(broadcast(df), "tok")
+          .groupBy("doc_id").agg(sort_array(collect_list(col("tok"))).as("toks"))
+        val pairs = perDoc
+          .select(posexplode(col("toks")).as(Seq("i", "t1")), col("toks"))
+          .select(col("t1"),
+            explode(slice(col("toks"), col("i") + 2, size(col("toks")))).as("t2"))
+          .groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+          .filter(col("c12") >= 100)
+        pairs
+          .join(broadcast(df.select(col("tok").as("t1"), col("df").as("df1"))), "t1")
+          .join(broadcast(df.select(col("tok").as("t2"), col("df").as("df2"))), "t2")
+          .select(col("t1"), col("t2"), col("c12"), col("df1"), col("df2"),
+            (lit(nDocs).cast(DoubleType) * col("c12").cast(DoubleType) /
+              (col("df1").cast(DoubleType) * col("df2").cast(DoubleType))).as("lift"))
+          .orderBy("t1", "t2")
+      },
+      Some("""WITH dw AS (
+                SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+              n AS (SELECT COUNT(*) AS n_docs FROM documents),
+              f AS (SELECT tok, COUNT(*) AS df FROM dw GROUP BY tok
+                    HAVING COUNT(*) BETWEEN 50 AND 400),
+              q AS (SELECT dw.doc_id, dw.tok FROM dw JOIN f ON f.tok = dw.tok),
+              p AS (SELECT a.tok AS t1, b.tok AS t2, COUNT(*) AS c12
+                    FROM q a JOIN q b ON b.doc_id = a.doc_id AND a.tok < b.tok
+                    GROUP BY a.tok, b.tok HAVING COUNT(*) >= 100)
+              SELECT t1, t2, c12, f1.df AS df1, f2.df AS df2,
+                CAST(n_docs AS DOUBLE) * CAST(c12 AS DOUBLE)
+                  / (CAST(f1.df AS DOUBLE) * CAST(f2.df AS DOUBLE)) AS lift
+              FROM p JOIN f f1 ON f1.tok = p.t1 JOIN f f2 ON f2.tok = p.t2, n
+              ORDER BY t1, t2"""))
   )
 }
