@@ -604,6 +604,58 @@ object Extras2 {
                 CAST(n_docs AS DOUBLE) * CAST(c12 AS DOUBLE)
                   / (CAST(f1.df AS DOUBLE) * CAST(f2.df AS DOUBLE)) AS lift
               FROM p JOIN f f1 ON f1.tok = p.t1 JOIN f f2 ON f2.tok = p.t2, n
-              ORDER BY t1, t2"""))
+              ORDER BY t1, t2""")),
+
+    // snapshot diff / CDC derivation: classify every key between two
+    // table versions (ADDED / REMOVED / CHANGED / UNCHANGED) with the
+    // exact-decimal balance delta per class — the comparison a lake
+    // runs to turn two snapshots into a change feed. One full-outer
+    // shuffle on the key; the classification is pure row-local
+    // expressions, and the rollup rides the same partitioning.
+    QueryDef("q121_snapshot_diff",
+      (s, d) => {
+        val base = table(s, d, "customer")
+        // snapshot B: drop %97 keys, shift %7 balances, append new keys
+        val next = base.filter(col("c_custkey") % 97 =!= 0)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 7 === 0, col("c_acctbal") + 50.0)
+              .otherwise(col("c_acctbal")).as("c_acctbal"))
+          .unionAll(base.filter(col("c_custkey") % 100 === 0)
+            .select((col("c_custkey") + 2000000L).as("c_custkey"), col("c_acctbal")))
+        val a = base.select(col("c_custkey").as("k"), col("c_acctbal").as("bal_a"))
+        val b = next.select(col("c_custkey").as("k"), col("c_acctbal").as("bal_b"))
+        a.join(b, Seq("k"), "full_outer")
+          .select(
+            when(col("bal_a").isNull, "ADDED")
+              .when(col("bal_b").isNull, "REMOVED")
+              .when(col("bal_a") =!= col("bal_b"), "CHANGED")
+              .otherwise("UNCHANGED").as("change_type"),
+            coalesce(col("bal_b"), lit(0.0)).cast(DecimalType(18, 4))
+              .minus(coalesce(col("bal_a"), lit(0.0)).cast(DecimalType(18, 4)))
+              .as("delta"))
+          .groupBy("change_type")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("delta")).cast(DoubleType).as("sum_bal_delta"))
+          .orderBy("change_type")
+      },
+      Some("""WITH nxt AS (
+                SELECT c_custkey,
+                  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 50.0
+                       ELSE c_acctbal END AS c_acctbal
+                FROM customer WHERE c_custkey % 97 <> 0
+                UNION ALL
+                SELECT c_custkey + 2000000, c_acctbal
+                FROM customer WHERE c_custkey % 100 = 0),
+              j AS (
+                SELECT CASE WHEN a.c_custkey IS NULL THEN 'ADDED'
+                            WHEN b.c_custkey IS NULL THEN 'REMOVED'
+                            WHEN a.c_acctbal <> b.c_acctbal THEN 'CHANGED'
+                            ELSE 'UNCHANGED' END AS change_type,
+                  CAST(COALESCE(b.c_acctbal, 0.0) AS DECIMAL(18,4))
+                    - CAST(COALESCE(a.c_acctbal, 0.0) AS DECIMAL(18,4)) AS delta
+                FROM customer a FULL OUTER JOIN nxt b ON b.c_custkey = a.c_custkey)
+              SELECT change_type, COUNT(*) AS n_rows,
+                CAST(SUM(delta) AS DOUBLE) AS sum_bal_delta
+              FROM j GROUP BY change_type ORDER BY change_type"""))
   )
 }
