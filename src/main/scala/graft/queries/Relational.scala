@@ -309,20 +309,27 @@ object Relational {
     // window: running sum (frame-based aggregation)
     QueryDef("q22_window_running",
       (s, d) => {
+        // duplicate lineitem keys exist: rows can share the whole
+        // (shipdate, orderkey, linenumber) prefix with DIFFERENT
+        // prices, and a ROWS frame pairs ties in engine order. The
+        // ordering therefore includes the summed operands — rows
+        // still tied contribute identical amounts, so every tie
+        // order yields the same running values.
         val w = Window.partitionBy(col("l_suppkey"))
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"), col("l_discount"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         table(s, d, "lineitem")
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
             sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
               .cast(DecimalType(18, 4))).over(w).cast(DoubleType).as("running_rev"))
-          // (l_orderkey, l_linenumber) is NOT unique in the synthetic
-          // data — running_rev totalizes the output order
           .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_rev")
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
                 CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
-                  OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  OVER (PARTITION BY l_suppkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                 l_extendedprice, l_discount
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
               FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, running_rev""")),
 
