@@ -235,4 +235,51 @@ object StreamingOps {
           }
       }
   }
+
+  final case class FunnelEvent(user_id: Long, event_type: String, tsMicros: Long)
+  /** stage 0 = nothing, 1 = viewed, 2 = clicked after view,
+    * 3 = purchased after click; stageTsMicros = event time the stage
+    * was entered.
+    */
+  final case class FunnelState(stage: Int, stageTsMicros: Long)
+  final case class FunnelUpdate(user_id: Long, stage: Int, stageTsMicros: Long)
+
+  /** Streaming strict-order funnel (the continuous form of
+    * q116_event_funnel): a per-user monotone stage machine — view →
+    * click-after-view → purchase-after-click — advanced by
+    * `flatMapGroupsWithState`, emitting one row per stage transition.
+    *
+    * State per user is two fields (stage, entered-at), keyed by
+    * user_id so it partitions across executors; a stage only advances
+    * on an event strictly later than the current stage's timestamp,
+    * so in-order delivery reproduces the batch funnel exactly and
+    * duplicate/replayed events are idempotent (they cannot re-enter a
+    * reached stage). Events inside one micro-batch are processed in
+    * event-time order.
+    */
+  def funnelStages(events: Dataset[FunnelEvent]): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = Seq.newBuilder[FunnelUpdate]
+          rows.toSeq.sortBy(_.tsMicros).foreach { e =>
+            val next = (s.stage, e.event_type) match {
+              case (0, "view")                                      => Some(1)
+              case (1, "click") if e.tsMicros > s.stageTsMicros     => Some(2)
+              case (2, "purchase") if e.tsMicros > s.stageTsMicros  => Some(3)
+              case _                                                => None
+            }
+            next.foreach { n =>
+              s = FunnelState(n, e.tsMicros)
+              out += FunnelUpdate(userId, n, e.tsMicros)
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
 }
