@@ -285,9 +285,12 @@ object Extended {
       (s, d) => {
         val docs = table(s, d, "documents")
         val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        // ONE tokenize pass: df(w) = #docs containing w = row count of
+        // the tf frame per w — checkpointed so its two consumers (join
+        // side and df rollup) don't re-run the corpus explode
         val tf = terms.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-        val df_ = terms.select("doc_id", "w").distinct()
-          .groupBy("w").agg(count(lit(1)).as("df"))
+          .localCheckpoint()
+        val df_ = tf.groupBy("w").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("tf").desc, col("df").asc, col("w").asc)
         tf.join(df_, "w")
