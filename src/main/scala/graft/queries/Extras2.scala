@@ -656,6 +656,35 @@ object Extras2 {
                 FROM customer a FULL OUTER JOIN nxt b ON b.c_custkey = a.c_custkey)
               SELECT change_type, COUNT(*) AS n_rows,
                 CAST(SUM(delta) AS DOUBLE) AS sum_bal_delta
-              FROM j GROUP BY change_type ORDER BY change_type"""))
+              FROM j GROUP BY change_type ORDER BY change_type""")),
+
+    // deterministic fixed-size per-group sample ("hash reservoir"):
+    // exactly k rows per group — the k smallest md5(key) ranks. A
+    // uniform sample with NO RNG state: reproducible across engines,
+    // runs, partitionings, and insertion order, unlike a true
+    // reservoir. One shuffle on the group key; rank+filter runs
+    // inside the group partition. Complements q75's per-stratum
+    // Bernoulli rates (fractional) with exact-count semantics —
+    // the train/eval-split sampler.
+    QueryDef("q122_reservoir_sample",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("h"), col("o_orderkey"))
+        table(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+            md5(col("o_orderkey").cast(StringType)).as("h"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select(col("o_orderpriority"), col("rn").cast(LongType).as("rn"),
+            col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_orderpriority", "rn")
+      },
+      Some("""SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+              FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                      ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                        ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+                    FROM orders) t
+              WHERE rn <= 10
+              ORDER BY o_orderpriority, rn"""))
   )
 }
