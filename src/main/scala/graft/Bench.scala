@@ -39,7 +39,14 @@ object Bench {
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => s"\"$k\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    println(line)
+    // the driver captures stdout with a truncated tail (r3 kept only
+    // 61/121 timings), so also persist the full line to a file
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_TIMINGS.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $out: $e") }
     spark.stop()
   }
 }

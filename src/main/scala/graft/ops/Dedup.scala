@@ -110,19 +110,33 @@ object Dedup {
     * sf0.1 plan) and shuffles it twice. Here the expensive lineage
     * runs once; pair output is quadratic per bucket under either
     * formulation (that IS the candidate semantics), and LSH buckets
-    * are small by construction — a pipeline that fears a pathological
-    * hot bucket caps it upstream by dropping too-common signatures.
+    * are small by construction.
+    *
+    * `maxBucketSize` guards the pathological hot signature (boilerplate
+    * text hashing thousands of docs into one bucket): buckets larger
+    * than the cap are DROPPED — a signature that common is a stop-phrase,
+    * not a near-dup signal, and its quadratic expansion would pile onto
+    * one reducer row. 0 disables the cap.
     */
   def lshCandidatePairs(docs: DataFrame, idCol: String, tokensCol: Column,
-      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+      numHashes: Int = 8, rowsPerBand: Int = 2,
+      maxBucketSize: Int = 10000): DataFrame = {
     val bands = lshBands(docs, idCol, tokensCol, numHashes, rowsPerBand)
-    bands
+    val buckets = bands
       .groupBy("band", "sig")
       .agg(sort_array(collect_list(col(idCol))).as("__ids"))
       .filter(size(col("__ids")) >= 2)
+    val capped =
+      if (maxBucketSize > 0) buckets.filter(size(col("__ids")) <= maxBucketSize)
+      else buckets
+    capped
       .select(posexplode(col("__ids")).as(Seq("__i", "id1")), col("__ids"))
       .select(col("id1"),
         explode(slice(col("__ids"), col("__i") + 2, size(col("__ids")))).as("id2"))
+      // duplicate input ids would land adjacent in the sorted bucket
+      // and emit (x,x) — keep the guard the old self-join's id1 < id2
+      // predicate provided
+      .filter(col("id1") =!= col("id2"))
       .distinct()
   }
 

@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
-  /** Full-outer coalesce merge. Both inputs must share the schema of
-    * `base`; `key` must be unique per side.
+  /** Full-outer merge. Both inputs must share the schema of
+    * `base`; `key` must be unique and non-null per side.
     *
     * Scale shape: one shuffle on `key` (sort-merge join). When the
     * change batch is small relative to the base — the common CDC case —
@@ -25,8 +25,15 @@ object Merge {
     */
   def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
     val cols = base.columns.toSeq
+    // matched = the update key is present (key is non-null on the u
+    // side of the full outer). A matched update row wins WHOLESALE —
+    // including legitimately-NULL fields — matching MERGE INTO
+    // semantics; per-column coalesce would silently keep stale base
+    // values wherever an update field is NULL.
     base.alias("b")
       .join(updates.alias("u"), col(s"b.$key") === col(s"u.$key"), "full_outer")
-      .select(cols.map(c => coalesce(col(s"u.$c"), col(s"b.$c")).as(c)): _*)
+      .select(cols.map(c =>
+        when(col(s"u.$key").isNotNull, col(s"u.$c"))
+          .otherwise(col(s"b.$c")).as(c)): _*)
   }
 }

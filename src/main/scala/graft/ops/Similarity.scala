@@ -57,7 +57,7 @@ object Similarity {
     embeddings
       .filter(col(idCol) =!= queryVecId)
       .crossJoin(broadcast(q))
-      .select(col(idCol), round(cos(col(vecCol), col("__qv")), 4).as("cos"))
+      .select(col(idCol), cos(col(vecCol), col("__qv")).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
@@ -88,7 +88,7 @@ object Similarity {
     withBucket
       .filter(col(idCol) =!= queryVecId)
       .join(broadcast(q), "__bucket")
-      .select(col(idCol), round(cos(col(vecCol), col("__qv")), 4).as("cos"))
+      .select(col(idCol), cos(col(vecCol), col("__qv")).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
@@ -122,7 +122,7 @@ object Similarity {
     withBucket
       .filter(col(idCol) =!= queryVecId)
       .join(broadcast(probes), "__bucket")
-      .select(col(idCol), round(cos(col(vecCol), col("__qv")), 4).as("cos"))
+      .select(col(idCol), cos(col(vecCol), col("__qv")).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
@@ -145,7 +145,7 @@ object Similarity {
     val b = withBlock.select(col("__blk"), col(idCol).as("id2"), col("__v").as("v2"))
     a.join(b, Seq("__blk"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), round(cos(col("v1"), col("v2")), 4).as("cos"))
+      .select(col("id1"), col("id2"), cos(col("v1"), col("v2")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

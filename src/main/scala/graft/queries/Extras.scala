@@ -57,16 +57,15 @@ object Extras {
     // exact per-group percentiles, rank-based (percentile_disc
     // semantics): value at row ceil(p*n) of the sorted group. Pure
     // selection — no interpolation arithmetic, so the emitted doubles
-    // are raw input values and hash-stable across engines. One shuffle
-    // (window + agg share the group partitioning).
+    // are raw input values and hash-stable across engines. Ranks come
+    // from Ranks.groupRanked (range repartition + per-partition
+    // offsets), NOT a partitionBy(priority) window: 5 groups would cap
+    // the rank pass at 5 reducers forever.
     QueryDef("q84_percentile_disc",
       (s, d) => {
-        val wr = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
-        val wp = Window.partitionBy("o_orderpriority")
-        table(s, d, "orders")
-          .select(col("o_orderpriority"), col("o_totalprice"))
-          .withColumn("rn", row_number().over(wr))
-          .withColumn("n", count(lit(1)).over(wp))
+        graft.ops.Ranks.groupRanked(
+            table(s, d, "orders").select(col("o_orderpriority"), col("o_totalprice")),
+            "o_orderpriority", "o_totalprice")
           .groupBy("o_orderpriority")
           .agg(
             max(when(col("rn") === ceil(col("n") * 0.5), col("o_totalprice"))).as("p50"),
@@ -154,13 +153,16 @@ object Extras {
         .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
         .groupBy("term")
         .agg(count(lit(1)).as("df"),
-          slice(sort_array(collect_list(col("doc_id"))), 1, 10).as("postings"))
+          // joined to a CSV string: the driver's pandas hash can't
+          // factorize array cells, and a flat string is just as usable
+          array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 10), ",")
+            .as("postings"))
         .filter(col("df") >= 100)
         .orderBy("term"),
       Some("""WITH dw AS (SELECT DISTINCT doc_id, term FROM
                 (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t)
               SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
-                (list(doc_id ORDER BY doc_id))[1:10] AS postings
+                array_to_string((list(doc_id ORDER BY doc_id))[1:10], ',') AS postings
               FROM dw GROUP BY term
               HAVING COUNT(*) >= 100
               ORDER BY term""")),

@@ -138,7 +138,8 @@ object Extras2 {
         val total = grouped.agg(sum("n_docs").as("total_docs"))
         grouped.crossJoin(broadcast(total))
           .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
-            (col("n_docs") * 10000L / col("total_docs")).as("share_bp"))
+            // `div`, not `/`: Spark's / on longs is float division
+            expr("n_docs * 10000 div total_docs").as("share_bp"))
           .orderBy("source", "lang")
       },
       Some("""WITH g AS (
@@ -147,7 +148,7 @@ object Extras2 {
                 FROM documents GROUP BY source, lang),
               t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM g)
               SELECT source, lang, n_docs, n_tokens,
-                CAST(n_docs * 10000 / total_docs AS BIGINT) AS share_bp
+                n_docs * 10000 // total_docs AS share_bp
               FROM g, t ORDER BY source, lang""")),
 
     // weighted deterministic sampling: Bernoulli keep with

@@ -115,19 +115,18 @@ object Sketches {
     // floor((n+1)/2) is selected with integer arithmetic only
     // (rn*2 = cnt for even n, rn*2 = cnt+1 for odd), and the median is
     // an actual data value — no interpolation, no float averaging.
+    // The rank pass is Ranks.groupRanked, not a 5-partition window:
+    // sampling cuts the constant, not the skew asymptote.
     QueryDef("q82_sample_quantile",
       (s, d) => {
         val sampled = table(s, d, "orders")
           .filter(substring(md5(col("o_orderkey").cast(StringType)), 1, 1)
             .isin("0", "1", "2", "3"))
-        val part = Window.partitionBy("o_orderpriority")
-        sampled
           .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
-          .withColumn("rn",
-            row_number().over(part.orderBy(col("o_totalprice"), col("o_orderkey"))))
-          .withColumn("cnt", count(lit(1)).over(part))
-          .filter(col("rn") * 2 === col("cnt") || col("rn") * 2 === col("cnt") + 1)
-          .select(col("o_orderpriority"), col("cnt").as("n_sampled"),
+        graft.ops.Ranks.groupRanked(
+            sampled, "o_orderpriority", "o_totalprice", Seq("o_orderkey"))
+          .filter(col("rn") * 2 === col("n") || col("rn") * 2 === col("n") + 1)
+          .select(col("o_orderpriority"), col("n").as("n_sampled"),
             col("o_totalprice").as("sample_median"))
           .orderBy("o_orderpriority")
       },

@@ -23,10 +23,10 @@ object VectorOps {
     QueryDef("q40_embed_topk",
       (s, d) => Similarity.bruteForceTopK(table(s, d, "embeddings"), queryVecId = 0L, k = 10),
       Some("""SELECT b.vec_id,
-                ROUND(list_cosine_similarity(
+                list_cosine_similarity(
                   list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
                   (SELECT list_transform(a.embedding, x -> CAST(x AS DOUBLE))
-                   FROM embeddings a WHERE a.vec_id = 0)), 4) AS cos
+                   FROM embeddings a WHERE a.vec_id = 0)) AS cos
               FROM embeddings b WHERE b.vec_id <> 0
               ORDER BY cos DESC, vec_id LIMIT 10""")),
 
@@ -37,9 +37,9 @@ object VectorOps {
         .orderBy("id1", "id2"),
       Some("""SELECT * FROM (
                 SELECT a.vec_id AS id1, b.vec_id AS id2,
-                  ROUND(list_cosine_similarity(
+                  list_cosine_similarity(
                     list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-                    list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cos
+                    list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS cos
                 FROM embeddings a JOIN embeddings b
                   ON CAST(FLOOR(a.vec_id / 100) AS BIGINT) = CAST(FLOOR(b.vec_id / 100) AS BIGINT)
                  AND a.vec_id < b.vec_id) t
@@ -60,8 +60,8 @@ object VectorOps {
         queryVecId = 0L, k = 5, bits = 4),
       Some(s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql(4)} AS bucket FROM embeddings)
               SELECT x.vec_id,
-                ROUND(list_cosine_similarity(
-                  list_transform(x.embedding, v -> CAST(v AS DOUBLE)), q.emb), 4) AS cos
+                list_cosine_similarity(
+                  list_transform(x.embedding, v -> CAST(v AS DOUBLE)), q.emb) AS cos
               FROM b x JOIN
                 (SELECT bucket, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
                  FROM b WHERE vec_id = 0) q
@@ -87,8 +87,8 @@ object VectorOps {
                        substr(bucket, CAST(i + 1 AS INT)) AS bucket, emb
                 FROM (SELECT bucket, emb, unnest(range(1, 5)) AS i FROM q) f)
               SELECT x.vec_id,
-                ROUND(list_cosine_similarity(
-                  list_transform(x.embedding, v -> CAST(v AS DOUBLE)), p.emb), 4) AS cos
+                list_cosine_similarity(
+                  list_transform(x.embedding, v -> CAST(v AS DOUBLE)), p.emb) AS cos
               FROM b x JOIN probes p ON x.bucket = p.bucket
               WHERE x.vec_id <> 0
               ORDER BY cos DESC, vec_id LIMIT 5""")),
@@ -115,7 +115,7 @@ object VectorOps {
     // hash-partitioned by centroid so a probe touches nprobe/k of the
     // data. Centroid means use decimal sums (order-independent →
     // engine-identical doubles); ranking compares RAW doubles (both
-    // engines fold dims left-to-right) and only the output is rounded.
+    // engines fold dims left-to-right), emitted raw — no round().
     QueryDef("q80_ivf_ann",
       (s, d) => {
         import graft.functions.VectorExprs.cosineSim
@@ -146,7 +146,7 @@ object VectorOps {
         assigned.filter(col("vec_id") =!= 0)
           .join(broadcast(probes), col("list_label") === col("probe_label"))
           .crossJoin(broadcast(qv))
-          .select(col("vec_id"), round(cosineSim(col("v"), col("qv")), 4).as("cos"))
+          .select(col("vec_id"), cosineSim(col("v"), col("qv")).as("cos"))
           .orderBy(col("cos").desc, col("vec_id").asc)
           .limit(5)
       },
@@ -176,7 +176,7 @@ object VectorOps {
                    FROM scored WHERE vec_id = 0) t
                 WHERE rn <= 2),
               qv AS (SELECT v AS qv FROM e WHERE vec_id = 0)
-              SELECT a.vec_id, ROUND(list_cosine_similarity(a.v, q.qv), 4) AS cos
+              SELECT a.vec_id, list_cosine_similarity(a.v, q.qv) AS cos
               FROM assigned a JOIN probes p ON a.list_label = p.probe_label
                 CROSS JOIN qv q
               WHERE a.vec_id <> 0
@@ -185,8 +185,10 @@ object VectorOps {
     // stubbed decode/feature-extract pass (mapPartitions). The stub
     // derives geometry from the leading bytes, so the oracle can
     // replicate it exactly over the ASCII test corpus
-    // (byte i == ascii(char i+1)) — the handwritten per-partition
-    // code is hash-verified like any declarative query.
+    // (byte i == ascii(char i+1); the SQL mirrors the stub's
+    // index wraparound so sub-3-char texts agree too) — the
+    // handwritten per-partition code is hash-verified like any
+    // declarative query.
     QueryDef("q45_media_decode",
       (s, d) => {
         val media = table(s, d, "documents").select(
@@ -202,8 +204,8 @@ object VectorOps {
                 CAST(strlen(text) AS BIGINT) AS n_bytes,
                 'application/octet-stream' AS mime,
                 1 + ascii(substr(text, 1, 1)) % 512 AS width,
-                1 + ascii(substr(text, 2, 1)) % 512 AS height,
-                1 + ascii(substr(text, 3, 1)) % 32 AS n_frames
+                1 + ascii(substr(text, 1 + (1 % GREATEST(strlen(text), 1)), 1)) % 512 AS height,
+                1 + ascii(substr(text, 1 + (2 % GREATEST(strlen(text), 1)), 1)) % 32 AS n_frames
               FROM documents ORDER BY media_id""")),
 
     // int8 scalar quantization of the embedding column: per-dimension

@@ -134,24 +134,38 @@ private final class ApiScanBuilder(fullSchema: StructType, opts: Map[String, Str
   private var pushed: Array[Filter] = Array.empty
   private var prunedSchema: StructType = fullSchema
 
-  /** Accept top-level equality predicates as request params (the
-    * `?userId=7` pattern); they are NOT returned as residuals, so the
-    * plan contains no re-filter — proving the source evaluated them.
-    * Catalyst's derived `IsNotNull(attr)` is absorbed too when an
-    * equality param on the same attribute subsumes it (a source
-    * matching `attr=v` never returns null for attr).
+  /** Top-level equality predicates become request params (the
+    * `?userId=7` pattern). Whether they also stay as residuals
+    * depends on trust: a REST endpoint that silently IGNORES unknown
+    * params would return unfiltered rows, and with no residual Spark
+    * would never re-filter — silently wrong results. So only
+    * attributes listed in the `pushdown.trusted` option (params the
+    * endpoint is KNOWN to honor) are fully absorbed; everything else
+    * is pushed best-effort AND returned as a residual for Spark's
+    * cheap re-filter. Catalyst's derived `IsNotNull(attr)` is
+    * absorbed when a trusted equality param on the same attribute
+    * subsumes it (a source matching `attr=v` never returns null).
     */
+  private val trustedAttrs: Set[String] = opts
+    .collectFirst { case (k, v) if k.equalsIgnoreCase("pushdown.trusted") => v }
+    .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    .getOrElse(Set.empty)
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val eqAttrs = filters.collect {
-      case EqualTo(attr, _) if fullSchema.fieldNames.contains(attr) => attr
+    val trustedEq = filters.collect {
+      case EqualTo(attr, _) if trustedAttrs.contains(attr) => attr
     }.toSet
-    val (accepted, residual) = filters.partition {
-      case EqualTo(attr, _)                   => fullSchema.fieldNames.contains(attr)
-      case org.apache.spark.sql.sources.IsNotNull(attr) => eqAttrs.contains(attr)
-      case _                                  => false
+    pushed = filters.filter {
+      case EqualTo(attr, _) => fullSchema.fieldNames.contains(attr)
+      case org.apache.spark.sql.sources.IsNotNull(attr) => trustedEq.contains(attr)
+      case _ => false
     }
-    pushed = accepted
-    residual
+    // residual = anything not provably evaluated by the source
+    filters.filter {
+      case EqualTo(attr, _) => !trustedEq.contains(attr)
+      case org.apache.spark.sql.sources.IsNotNull(attr) => !trustedEq.contains(attr)
+      case _ => true
+    }
   }
 
   override def pushedFilters(): Array[Filter] = pushed

@@ -154,7 +154,6 @@ object StreamingOps {
     updates.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sp = batch.sparkSession
-        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(key).orderBy(col(orderCol).desc)
         val deduped = batch
@@ -164,16 +163,27 @@ object StreamingOps {
         try {
           val touched = deduped.select(partitionCol).distinct()
             .collect().map(_.get(0)).toSeq
+          // NULL partition values land in Hive's default partition on
+          // write but never match isin() — probe them null-safely so
+          // such keys still merge instead of silently bypassing it
+          val nonNull = touched.filter(_ != null)
+          val probe =
+            if (touched.contains(null))
+              col(partitionCol).isin(nonNull: _*) || col(partitionCol).isNull
+            else col(partitionCol).isin(nonNull: _*)
           val baseExists = new org.apache.hadoop.fs.Path(basePath)
             .getFileSystem(sp.sparkContext.hadoopConfiguration)
             .exists(new org.apache.hadoop.fs.Path(basePath))
           val merged =
             if (!baseExists) deduped
             else Merge.upsert(
-              sp.read.parquet(basePath)
-                .filter(col(partitionCol).isin(touched: _*)),
+              sp.read.parquet(basePath).filter(probe),
               deduped, key)
+          // per-write option, NOT sp.conf.set: mutating the shared
+          // session conf would change overwrite semantics for
+          // unrelated writes in the same session
           merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partitionCol).parquet(basePath)
         } finally deduped.unpersist()
       }

@@ -53,6 +53,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((3L, 10L)))
   }
 
+  test("lshCandidatePairs drops hot buckets over maxBucketSize and never self-pairs") {
+    val same = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = ((1L to 5L).map(i => (i, same)) :+ (1L, same)) // duplicate id 1
+      .toDF("doc_id", "text")
+    // every doc shares every band sig → bucket size 6 > cap 4 → dropped
+    val capped = Dedup.lshCandidatePairs(docs, "doc_id", Dedup.shingles(col("text"), 3),
+      maxBucketSize = 4)
+    assert(capped.count() === 0)
+    // uncapped: pairs flow, but the duplicate id never emits (1,1)
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", Dedup.shingles(col("text"), 3),
+      maxBucketSize = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(!pairs.exists { case (a, b) => a == b })
+  }
+
   test("jaccard of identical sets is 1, disjoint is 0") {
     val df = Seq(("a b c", "a b c", "x y")).toDF("t1", "t2", "t3")
     val r = df.select(

@@ -22,6 +22,14 @@ class MergeSpec extends SparkSpec {
       (1L, "alice", 10.0), (2L, "bob2", 25.0), (3L, "carol", 30.0), (9L, "zoe", 99.0)))
   }
 
+  test("upsert: a matched update row wins wholesale, including NULL fields") {
+    val changes = Seq((2L, Option.empty[String], 25.0)).toDF("id", "name", "bal")
+    val row = Merge.upsert(base, changes, "id")
+      .filter(col("id") === 2L).collect().head
+    assert(row.isNullAt(1), "update's NULL name must overwrite base's 'bob'")
+    assert(row.getDouble(2) === 25.0)
+  }
+
   test("upsert: empty change batch is identity") {
     val out = Merge.upsert(base, base.limit(0), "id")
     assert(out.collect().length === 3)

@@ -18,17 +18,18 @@ class ApiDataSourceV2Spec extends SparkSpec {
       |  {"id": 3, "userId": 7, "title": "c post", "score": 3.5, "flag": true}
       |]""".stripMargin
 
-  private def fixtureDf = {
+  private def fixtureDf(extra: (String, String)*) = {
     val f = Files.createTempFile("graft-api-v2", ".json")
     Files.write(f, payload.getBytes("UTF-8"))
-    spark.read.format("graft-api")
-      .option("url", "https://api.test/posts")
-      .option("fixture", f.toString)
+    extra.foldLeft(
+      spark.read.format("graft-api")
+        .option("url", "https://api.test/posts")
+        .option("fixture", f.toString)) { case (r, (k, v)) => r.option(k, v) }
       .load()
   }
 
   test("schema inference maps flat JSON primitives to Spark types") {
-    val df = fixtureDf
+    val df = fixtureDf()
     val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
     assert(types === Map(
       "id" -> "bigint", "userId" -> "bigint", "title" -> "string",
@@ -36,8 +37,8 @@ class ApiDataSourceV2Spec extends SparkSpec {
     assert(df.count() === 3)
   }
 
-  test("EqualTo pushes into the request params; no Spark-side re-filter") {
-    val df = fixtureDf.filter(col("userId") === 7L)
+  test("trusted EqualTo pushes into the request params; no Spark-side re-filter") {
+    val df = fixtureDf("pushdown.trusted" -> "userId").filter(col("userId") === 7L)
     // pushdown visible in the scan description
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("userId"), plan)
@@ -47,13 +48,24 @@ class ApiDataSourceV2Spec extends SparkSpec {
     assert(df.collect().map(_.getAs[Long]("id")).sorted.toSeq === Seq(2L, 3L))
   }
 
+  test("untrusted EqualTo is pushed best-effort but KEPT as a residual re-filter") {
+    val df = fixtureDf().filter(col("userId") === 7L)
+    val plan = df.queryExecution.executedPlan.toString
+    // still forwarded as a request param...
+    assert(plan.contains("PushedFilters") && plan.contains("userId"), plan)
+    // ...but Spark re-filters, guarding against an endpoint that
+    // ignores unknown params and returns unfiltered rows
+    assert(plan.contains("Filter"), plan)
+    assert(df.collect().map(_.getAs[Long]("id")).sorted.toSeq === Seq(2L, 3L))
+  }
+
   test("non-equality predicates stay residual and still evaluate correctly") {
-    val df = fixtureDf.filter(col("score") > 2.0 && col("userId") === 7L)
+    val df = fixtureDf().filter(col("score") > 2.0 && col("userId") === 7L)
     assert(df.collect().map(_.getAs[Long]("id")).sorted.toSeq === Seq(2L, 3L))
   }
 
   test("column pruning reaches the reader schema") {
-    val df = fixtureDf.filter(col("userId") === 7L).select("title")
+    val df = fixtureDf().filter(col("userId") === 7L).select("title")
     val scanLine = df.queryExecution.executedPlan.toString
       .linesIterator.find(_.contains("BatchScan")).getOrElse("")
     assert(scanLine.contains("title") && !scanLine.contains("score"), scanLine)
