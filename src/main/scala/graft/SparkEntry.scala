@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Extended, Extras, Extras2, PipelineOps, QueryDef, Relational, Sketches, TextOps, VectorOps}
+import graft.queries.{Extended, Extras, Extras2, Extras3, PipelineOps, QueryDef, Relational, Sketches, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,7 @@ import graft.queries.{Extended, Extras, Extras2, PipelineOps, QueryDef, Relation
 object SparkEntry {
 
   private val defs: Seq[QueryDef] =
-    Relational.all ++ TextOps.all ++ VectorOps.all ++ Extended.all ++ PipelineOps.all ++ Sketches.all ++ Extras.all ++ Extras2.all
+    Relational.all ++ TextOps.all ++ VectorOps.all ++ Extended.all ++ PipelineOps.all ++ Sketches.all ++ Extras.all ++ Extras2.all ++ Extras3.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -26,6 +26,16 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (custom expressions / mapPartitions) → rows-only check.
+    *
+    * INTENTIONALLY oracle-less (the driver reports `no_oracle`, not a
+    * failure): q66_sketch_distinct and q67_sketch_quantiles exercise
+    * Spark-native HLL++/percentile_approx, whose estimates are
+    * engine-specific by definition. Each has a hash-verified portable
+    * twin — q81_portable_hll (from-scratch HLL, identical registers in
+    * both engines) and q82_sample_quantile (exact rank over a
+    * deterministic sample) — and `SketchSpec` proves the Spark-native
+    * estimates land within the published error bounds of the exact
+    * values.
     */
   def oracleSql: Map[String, String] =
     defs.flatMap(q => q.oracle.map(sql => q.name -> sql.stripMargin)).toMap
