@@ -148,4 +148,29 @@ object Similarity {
       .select(col("id1"), col("id2"), cos(col("v1"), col("v2")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Near-duplicate pairs blocked by the sign-LSH bucket — the scale
+    * form of [[nearDupPairsBlocked]]: the blocking key is derived from
+    * the VECTOR (similar vectors collide), not from the id, so the
+    * equi-join compares only plausibly-similar candidates and scans
+    * ~1/2^bits of the pair space. Recall tradeoff: a pair straddling a
+    * sign boundary is missed — raise recall with fewer bits or
+    * multi-probe banding, exactly as in ANN search.
+    */
+  def nearDupPairsLsh(
+      embeddings: DataFrame,
+      threshold: Double,
+      bits: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val withBucket = embeddings.select(
+      col(idCol), col(vecCol).as("__v"),
+      signBucket(col(vecCol), bits).as("__bucket"))
+    val a = withBucket.select(col("__bucket"), col(idCol).as("id1"), col("__v").as("v1"))
+    val b = withBucket.select(col("__bucket"), col(idCol).as("id2"), col("__v").as("v2"))
+    a.join(b, Seq("__bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cos(col("v1"), col("v2")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
 }

@@ -110,6 +110,53 @@ object Sketches {
               SELECT e.flag AS l_returnflag, $EST AS approx_orders, x.exact_orders
               FROM est e JOIN exact x USING (flag) ORDER BY l_returnflag""")),
 
+    // HLL sketch MERGE: per-shard registers united into a global
+    // sketch by a bucket-wise MAX — the property that makes sketches
+    // work on a 1000-executor cluster (each shard builds its 256-row
+    // register set locally; only registers cross the network; the
+    // merged estimate is IDENTICAL to the single-pass global sketch,
+    // which this query proves by emitting both). Shards overlap in
+    // keys, which a sketch union absorbs and a naive sum of per-shard
+    // counts would double-count.
+    QueryDef("q127_hll_shard_merge",
+      (s, d) => {
+        val dedup = table(s, d, "lineitem")
+          .select((col("l_suppkey") % 8).as("shard"), col("l_orderkey").as("key"))
+          .distinct()
+        val rho = dedup
+          .select(col("shard"), md5(col("key").cast(StringType)).as("hx"))
+          .select(col("shard"), expr(BUCKET).as("bucket"), expr(RHO).as("rho"))
+        def estOf(regs: org.apache.spark.sql.DataFrame) = regs
+          .agg(expr(s"CAST($M - COUNT(*) AS DOUBLE)").as("v"),
+            expr(s"SUM(power(CAST(2.0 AS DOUBLE), -r)) + CAST($M - COUNT(*) AS DOUBLE)").as("s"))
+          .select(expr(EST).as("e"))
+        val shardRegs = rho.groupBy("shard", "bucket").agg(max(col("rho")).as("r"))
+        val merged = estOf(shardRegs.groupBy("bucket").agg(max(col("r")).as("r")))
+          .select(col("e").as("est_merged"))
+        val direct = estOf(rho.groupBy("bucket").agg(max(col("rho")).as("r")))
+          .select(col("e").as("est_direct"))
+        val nShards = dedup.agg(countDistinct("shard").as("n_shards"))
+        nShards.crossJoin(merged).crossJoin(direct)
+      },
+      Some(s"""WITH dedup AS (
+                SELECT DISTINCT l_suppkey % 8 AS shard, l_orderkey AS key FROM lineitem),
+              rho AS (
+                SELECT shard, $BUCKET AS bucket, $RHO AS rho
+                FROM (SELECT shard, md5(CAST(key AS VARCHAR)) AS hx FROM dedup) h),
+              sregs AS (SELECT shard, bucket, MAX(rho) AS r FROM rho GROUP BY shard, bucket),
+              mstats AS (
+                SELECT CAST($M - COUNT(*) AS DOUBLE) AS v,
+                  SUM(power(CAST(2.0 AS DOUBLE), -r)) + CAST($M - COUNT(*) AS DOUBLE) AS s
+                FROM (SELECT bucket, MAX(r) AS r FROM sregs GROUP BY bucket) m),
+              dstats AS (
+                SELECT CAST($M - COUNT(*) AS DOUBLE) AS v,
+                  SUM(power(CAST(2.0 AS DOUBLE), -r)) + CAST($M - COUNT(*) AS DOUBLE) AS s
+                FROM (SELECT bucket, MAX(rho) AS r FROM rho GROUP BY bucket) g)
+              SELECT
+                (SELECT CAST(COUNT(DISTINCT shard) AS BIGINT) FROM dedup) AS n_shards,
+                (SELECT $EST FROM mstats) AS est_merged,
+                (SELECT $EST FROM dstats) AS est_direct""")),
+
     // discrete (type-1) median over a 25% deterministic md5 sample:
     // the sample-then-exact-quantile pattern. Lower-median rank
     // floor((n+1)/2) is selected with integer arithmetic only

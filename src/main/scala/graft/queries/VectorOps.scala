@@ -45,6 +45,25 @@ object VectorOps {
                  AND a.vec_id < b.vec_id) t
               WHERE cos >= 0.3 ORDER BY id1, id2""")),
 
+    // near-dup pairs blocked by the sign-LSH bucket — q41's documented
+    // scale path made concrete: the blocking key derives from the
+    // vector, so the equi-join only compares plausibly-similar
+    // candidates (~1/2^bits of the pair space); boundary pairs are the
+    // recall tradeoff, recovered by fewer bits or multi-probe.
+    QueryDef("q128_lsh_neardup_pairs",
+      (s, d) => Similarity.nearDupPairsLsh(table(s, d, "embeddings"),
+          threshold = 0.3, bits = 4)
+        .orderBy("id1", "id2"),
+      Some(s"""SELECT * FROM (
+                SELECT a.vec_id AS id1, b.vec_id AS id2,
+                  list_cosine_similarity(
+                    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                    list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS cos
+                FROM (SELECT vec_id, embedding, ${bucketSql(4)} AS bucket FROM embeddings) a
+                JOIN (SELECT vec_id, embedding, ${bucketSql(4)} AS bucket FROM embeddings) b
+                  ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+              WHERE cos >= 0.3 ORDER BY id1, id2""")),
+
     // deterministic sign-LSH bucket histogram (the IVF coarse quantizer)
     QueryDef("q42_lsh_buckets",
       (s, d) => table(s, d, "embeddings")

@@ -26,6 +26,13 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("HLL shard merge is lossless: merged estimate equals single-pass estimate") {
+    val r = SparkEntryAccess.run(spark, "q127_hll_shard_merge", sf).collect().head
+    assert(r.getAs[Long]("n_shards") === 8L)
+    // bucket-wise max of per-shard maxes IS the global max — bit-equal
+    assert(r.getAs[Double]("est_merged") === r.getAs[Double]("est_direct"))
+  }
+
   test("sample quantile is a real data value near the exact median") {
     val med = SparkEntryAccess.run(spark, "q82_sample_quantile", sf).collect()
     assert(med.length == 5) // one row per o_orderpriority
