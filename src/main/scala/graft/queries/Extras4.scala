@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.{Graph, Ranks}
+import QueryDef.table
+
+/** Round-4 widening: corpus-graph analytics and robust statistics.
+  *
+  *  - sparse TF-cosine similarity through an inverted-index join (the
+  *    text-side answer to dense-vector ANN: postings, not embeddings)
+  *  - triangle counting and fixed-point PageRank over an item
+  *    co-occurrence graph (connectivity QA / source-weighting motifs
+  *    as pure edge-list shuffles)
+  *  - exact per-group median + MAD through the de-skewed rank
+  *    machinery (`ops/Ranks.groupRanked`) — no low-cardinality window
+  *    anywhere in the pass
+  *
+  * Determinism: integer or fixed-point arithmetic end to end; the only
+  * doubles are IEEE quotients/sqrt of exact integers and subtraction
+  * of stored doubles, all correctly rounded identically in both
+  * engines; every output totally ordered.
+  */
+object Extras4 {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // sparse TF cosine over an inverted index: score the incoming
+    // batch (doc_id % 7 = 0, as q123) against itself for near-dup
+    // ranking WITHOUT dense vectors — candidate pairs come from a
+    // postings self-join keyed by token, so only docs sharing a
+    // surviving token ever meet. The df cap (> 80% of the batch)
+    // drops stopword-grade tokens BEFORE the join — the lever that
+    // keeps postings lists, and so the pair expansion, bounded at
+    // 100 TB. dot/norms are exact BIGINTs; cosine is one IEEE
+    // division of correctly-rounded sqrt products.
+    QueryDef("q129_sparse_cosine",
+      (s, d) => {
+        val batch = table(s, d, "documents").filter(col("doc_id") % 7 === 0)
+        val tf = batch
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val nb = batch.agg(count(lit(1)).cast(DoubleType).as("nb"))
+        val keep = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+          .crossJoin(nb)
+          .filter(col("df").cast(DoubleType) <= lit(0.8) * col("nb"))
+          .select("tok")
+        val kept = tf.join(broadcast(keep), "tok")
+        val nrm = kept.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nsq"))
+        val dot = kept.as("a")
+          .join(kept.as("b"),
+            col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+            (col("a.tf") * col("b.tf")).as("p"))
+          .groupBy("id1", "id2").agg(sum("p").as("dot"))
+        dot
+          .join(nrm.select(col("doc_id").as("id1"), col("nsq").as("n1")), "id1")
+          .join(nrm.select(col("doc_id").as("id2"), col("nsq").as("n2")), "id2")
+          .select(col("id1"), col("id2"),
+            (col("dot").cast(DoubleType) /
+              (sqrt(col("n1").cast(DoubleType)) * sqrt(col("n2").cast(DoubleType))))
+              .as("cos"))
+          .orderBy(col("cos").desc, col("id1"), col("id2"))
+          .limit(20)
+      },
+      Some("""WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+              tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM batch),
+              tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+                     FROM tok GROUP BY doc_id, tok),
+              keep AS (SELECT tok FROM (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok) t
+                       WHERE CAST(df AS DOUBLE) <=
+                             0.8 * (SELECT CAST(COUNT(*) AS DOUBLE) FROM batch)),
+              k AS (SELECT t.* FROM tf t JOIN keep USING (tok)),
+              nrm AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nsq
+                      FROM k GROUP BY doc_id),
+              dot AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                        CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+                      FROM k a JOIN k b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+              SELECT d.id1, d.id2,
+                CAST(d.dot AS DOUBLE) /
+                  (sqrt(CAST(n1.nsq AS DOUBLE)) * sqrt(CAST(n2.nsq AS DOUBLE))) AS cos
+              FROM dot d
+              JOIN nrm n1 ON n1.doc_id = d.id1
+              JOIN nrm n2 ON n2.doc_id = d.id2
+              ORDER BY cos DESC, id1, id2 LIMIT 20""")),
+
+    // triangle count on the part co-occurrence graph (parts sharing an
+    // order). Connectivity QA for implicit graphs in the lake: the
+    // two-join wedge-close motif count, oriented low-id -> high-id so
+    // each triangle counts once. Edge building shuffles by order key
+    // (pair expansion bounded by basket size); counting shuffles by
+    // vertex key. See ops/Graph.triangleStats for the degree-
+    // orientation note that bounds wedge fan-out under skew at scale.
+    QueryDef("q130_triangle_count",
+      (s, d) => Graph.triangleStats(
+        Graph.coOccurrenceEdges(table(s, d, "lineitem"), "l_orderkey", "l_partkey")),
+      Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                         FROM lineitem a JOIN lineitem b
+                           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+              verts AS (SELECT u AS x FROM e UNION SELECT v FROM e)
+              SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM verts) AS n_vertices,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+                     (SELECT CAST(COUNT(*) AS BIGINT)
+                      FROM e e1 JOIN e e2 ON e1.v = e2.u
+                                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""")),
+
+    // exact per-group median and MAD (median absolute deviation) —
+    // robust quality-score statistics without a 5-cardinality window:
+    // both rank passes run through Ranks.groupRanked (range
+    // repartition + local ranks + broadcast offsets), so parallelism
+    // scales with partitions, not with the group count. The 5-row
+    // median table broadcasts back for the deviation pass.
+    QueryDef("q131_median_mad",
+      (s, d) => {
+        val o = table(s, d, "orders")
+          .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("v"))
+        val med = Ranks.groupRanked(o, "grp", "v")
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("grp"), col("v").as("median"))
+        val dev = o.join(broadcast(med), "grp")
+          .select(col("grp"), col("median"), abs(col("v") - col("median")).as("ad"))
+        Ranks.groupRanked(dev, "grp", "ad")
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("grp"), col("n"), col("median"), col("ad").as("mad"))
+          .orderBy("grp")
+      },
+      Some("""WITH r AS (SELECT o_orderpriority AS grp, o_totalprice AS v,
+                           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                              ORDER BY o_totalprice) AS rn,
+                           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+                         FROM orders),
+              med AS (SELECT grp, v AS median FROM r WHERE rn = (n + 1) // 2),
+              dv AS (SELECT o.o_orderpriority AS grp, m.median,
+                       ABS(o.o_totalprice - m.median) AS ad
+                     FROM orders o JOIN med m ON m.grp = o.o_orderpriority),
+              r2 AS (SELECT grp, median, ad,
+                       ROW_NUMBER() OVER (PARTITION BY grp ORDER BY ad) AS rn,
+                       COUNT(*) OVER (PARTITION BY grp) AS n
+                     FROM dv)
+              SELECT grp, CAST(n AS BIGINT) AS n, median, ad AS mad
+              FROM r2 WHERE rn = (n + 1) // 2 ORDER BY grp""")),
+
+    // fixed-point PageRank, 2 damped rounds, on the symmetrized part
+    // co-occurrence graph — centrality as a source-weighting signal.
+    // Every operation is an exact 64-bit integer op (mass 1e12 split
+    // by integer div), so the ranks are bit-identical across engines
+    // and partitionings; each round is one edges-to-ranks join + one
+    // groupBy dst — the Pregel superstep as a Catalyst plan.
+    QueryDef("q132_pagerank",
+      (s, d) => {
+        val e = Graph.coOccurrenceEdges(table(s, d, "lineitem"), "l_orderkey", "l_partkey")
+        val sym = e.select(col("u").as("src"), col("v").as("dst"))
+          .union(e.select(col("v").as("src"), col("u").as("dst")))
+        Graph.pageRankFixedPoint(sym, iters = 2)
+          .orderBy(col("pr").desc, col("node"))
+          .limit(20)
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                          FROM lineitem a JOIN lineitem b
+                            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+              e AS (SELECT u AS src, v AS dst FROM e0
+                    UNION ALL SELECT v, u FROM e0),
+              deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                      FROM e GROUP BY src),
+              n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+              p0 AS (SELECT node, deg, 1000000000000 // n.n AS pr FROM deg, n),
+              i1 AS (SELECT e.dst AS node, CAST(SUM(p.pr // p.deg) AS BIGINT) AS inflow
+                     FROM e JOIN p0 p ON p.node = e.src GROUP BY e.dst),
+              p1 AS (SELECT d.node, d.deg,
+                       (15 * (1000000000000 // n.n) + 85 * COALESCE(i1.inflow, 0)) // 100 AS pr
+                     FROM deg d LEFT JOIN i1 ON i1.node = d.node, n),
+              i2 AS (SELECT e.dst AS node, CAST(SUM(p.pr // p.deg) AS BIGINT) AS inflow
+                     FROM e JOIN p1 p ON p.node = e.src GROUP BY e.dst),
+              p2 AS (SELECT d.node,
+                       (15 * (1000000000000 // n.n) + 85 * COALESCE(i2.inflow, 0)) // 100 AS pr
+                     FROM deg d LEFT JOIN i2 ON i2.node = d.node, n)
+              SELECT node, CAST(pr AS BIGINT) AS pr
+              FROM p2 ORDER BY pr DESC, node LIMIT 20"""))
+  )
+}

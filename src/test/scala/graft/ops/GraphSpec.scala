@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("coOccurrenceEdges emits each undirected pair once, oriented u < v") {
+    // baskets: (1: a,b,c) (2: b,c) (3: a) — edges ab, ac, bc, bc→dedup
+    val df = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 20L), (2L, 30L), (3L, 10L),
+      (1L, 10L) /* dup line */).toDF("g", "item")
+    val e = Graph.coOccurrenceEdges(df, "g", "item")
+      .orderBy("u", "v").as[(Long, Long)].collect().toSeq
+    assert(e === Seq((10L, 20L), (10L, 30L), (20L, 30L)))
+  }
+
+  test("triangleStats counts K4 as 4 triangles, path as 0") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    val r = Graph.triangleStats(k4).as[(Long, Long, Long)].head()
+    assert(r === ((4L, 6L, 4L)))
+
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val p = Graph.triangleStats(path).as[(Long, Long, Long)].head()
+    assert(p === ((4L, 3L, 0L)))
+  }
+
+  test("pageRankFixedPoint conserves mass within remainder leakage and ranks hubs first") {
+    // star: center 1 linked to 2..5 — center must out-rank the leaves
+    val e0 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("u", "v")
+    val sym = e0.select(col("u").as("src"), col("v").as("dst"))
+      .union(e0.select(col("v").as("src"), col("u").as("dst")))
+    val pr = Graph.pageRankFixedPoint(sym, iters = 2)
+    val rows = pr.orderBy(col("pr").desc, col("node")).as[(Long, Long)].collect()
+    assert(rows.head._1 === 1L)
+    assert(rows.tail.map(_._1).toSet === Set(2L, 3L, 4L, 5L))
+    // total mass stays within n*100 fixed-point units of the scale per round
+    val total = rows.map(_._2).sum
+    assert(total <= 1000000000000L)
+    assert(total >= 1000000000000L - 2 * 5 * 100)
+  }
+
+  test("pageRankFixedPoint on a regular graph is uniform (exact)") {
+    // 4-cycle: every node identical by symmetry — fixed-point arithmetic
+    // must produce exactly equal ranks, not approximately
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    val sym = e0.select(col("u").as("src"), col("v").as("dst"))
+      .union(e0.select(col("v").as("src"), col("u").as("dst")))
+    val prs = Graph.pageRankFixedPoint(sym, iters = 3)
+      .select(countDistinct("pr")).as[Long].head()
+    assert(prs === 1L)
+  }
+
+  test("pageRankFixedPoint keeps teleport share for nodes with no in-edges (directed)") {
+    val e = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val pr = Graph.pageRankFixedPoint(e, iters = 1)
+    // node 1 exists in deg (has out-edges) and must not be dropped
+    assert(pr.filter(col("node") === 1L).count() === 1L)
+  }
+}
