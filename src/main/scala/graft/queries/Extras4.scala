@@ -176,6 +176,87 @@ object Extras4 {
                        (15 * (1000000000000 // n.n) + 85 * COALESCE(i2.inflow, 0)) // 100 AS pr
                      FROM deg d LEFT JOIN i2 ON i2.node = d.node, n)
               SELECT node, CAST(pr AS BIGINT) AS pr
-              FROM p2 ORDER BY pr DESC, node LIMIT 20"""))
+              FROM p2 ORDER BY pr DESC, node LIMIT 20""")),
+
+    // token-budget fill: per source, rank documents by quality proxy
+    // (n_chars desc) and keep them while the running token total fits
+    // a 1000-token budget — the "fill each mixture slot up to its
+    // token quota" curriculum step. The running sum goes through
+    // Ranks.groupRunningSum (range repartition + local prefix sums +
+    // broadcast sum offsets): a window partitioned by the ~20 sources
+    // would serialize each source through one reducer forever.
+    QueryDef("q133_token_budget",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+          .select(col("source"), col("doc_id"),
+            graft.ops.TextStats.tokenCount(col("text")).as("tok"),
+            (-col("n_chars")).as("negq"))
+        graft.ops.Ranks
+          .groupRunningSum(docs, "source", "negq", "tok", ties = Seq("doc_id"))
+          .filter(col("rsum") <= 1000L)
+          .groupBy("source")
+          .agg(count(lit(1)).as("docs_kept"), sum(col("tok")).as("tokens_kept"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT source, doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS tok, n_chars
+                         FROM documents),
+              r AS (SELECT source, tok,
+                      SUM(tok) OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS rsum
+                    FROM t)
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_kept,
+                     CAST(SUM(tok) AS BIGINT) AS tokens_kept
+              FROM r WHERE rsum <= 1000 GROUP BY source ORDER BY source""")),
+
+    // global equi-depth histogram (8 buckets over order totals) with
+    // NO single-partition window: the global rank comes from
+    // Ranks.groupRanked on a constant group — range repartition splits
+    // the value domain across partitions, so the "global sort rank"
+    // parallelizes — and the bucket id is pure integer arithmetic on
+    // (rank, n). This is ntile-at-scale; per-bucket count/lo/hi feed
+    // range-partition planning and skew reports.
+    QueryDef("q134_equidepth_hist",
+      (s, d) => {
+        val o = table(s, d, "orders")
+          .select(lit(1).as("g"), col("o_totalprice").as("v"), col("o_orderkey"))
+        graft.ops.Ranks.groupRanked(o, "g", "v", ties = Seq("o_orderkey"))
+          .withColumn("bucket", expr("(rn - 1) * 8 div n"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"), min("v").as("lo"), max("v").as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""WITH r AS (SELECT o_totalprice AS v,
+                           ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+                           COUNT(*) OVER () AS n
+                         FROM orders)
+              SELECT (rn - 1) * 8 // n AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows, MIN(v) AS lo, MAX(v) AS hi
+              FROM r GROUP BY 1 ORDER BY bucket""")),
+
+    // algebraic stats merge: per-shard manifest stats (count / null
+    // count / sum / min / max by doc_id % 4) re-aggregated into corpus
+    // totals — the mergeability that lets 1000 executors summarize
+    // 100 TB with one tiny final reduce. The oracle computes the
+    // global stats DIRECTLY, so the green row proves merged == direct.
+    QueryDef("q135_shard_stats_merge",
+      (s, d) => {
+        val sh = table(s, d, "documents")
+          .groupBy((col("doc_id") % 4).as("shard"))
+          .agg(count(lit(1)).as("c"),
+            sum(when(col("text").isNull, 1L).otherwise(0L)).as("nn"),
+            sum(col("n_chars")).as("s"),
+            min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+        sh.agg(sum("c").as("n_docs"), sum("nn").as("n_null_text"),
+          sum("s").as("sum_chars"), min("mn").as("min_chars"), max("mx").as("max_chars"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_null_text,
+                     CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                     MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+              FROM documents"""))
   )
 }

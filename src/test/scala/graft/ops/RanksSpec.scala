@@ -33,6 +33,21 @@ class RanksSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("groupRunningSum matches a per-group running window (total tie-break)") {
+    val df = (1 to 400).map(i => (s"s${i % 4}", (i * 31) % 50, i.toLong, i))
+      .toDF("g", "o", "v", "id")
+    val got = Ranks.groupRunningSum(df, "g", "o", "v", Seq("id"))
+      .select("g", "o", "v", "id", "rn", "n", "rsum")
+    val w = Window.partitionBy("g").orderBy(col("o"), col("id"))
+    val want = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      .withColumn("rsum", sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select("g", "o", "v", "id", "rn", "n", "rsum")
+    assert(got.except(want).count() === 0)
+    assert(want.except(got).count() === 0)
+  }
+
   test("groupRanked ranks are a contiguous 1..n per group") {
     val df = (1 to 97).map(i => (s"g${i % 2}", 97 - i, i)).toDF("g", "v", "id")
     val per = Ranks.groupRanked(df, "g", "v", Seq("id"))
