@@ -36,41 +36,7 @@ import QueryDef.table
   */
 object Sketches {
 
-  /** HLL registers = 256 (p = 8): bucket from the first two md5 hex
-    * nibbles, rank from the next 40 bits (10 nibbles).
-    */
-  private val M = 256
-
-  /** Leading-zero-bit count of the 40-bit word in hex chars 3..12 of
-    * `hx`, via the length of the regexp zero-prefix plus a 16-way
-    * nibble CASE; rho = zeros + 1 (41 when the word is all zero).
-    * Pure string ops — evaluates identically in Spark and DuckDB.
-    */
-  private val ZP = "length(regexp_extract(substring(hx, 3, 10), '^0*', 0))"
-  private val RHO =
-    s"""CASE WHEN $ZP = 10 THEN 41
-        ELSE $ZP * 4 +
-          CASE substring(substring(hx, 3, 10), $ZP + 1, 1)
-            WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
-            WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
-            ELSE 0 END + 1 END"""
-
-  private val BUCKET =
-    """(instr('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16 +
-       (instr('0123456789abcdef', substring(hx, 2, 1)) - 1)"""
-
-  /** alpha_256 * m^2 / S with the standard linear-counting fallback
-    * (E <= 2.5m and empty registers present). The fallback cannot fire
-    * at the test scales (min true cardinality 1081 at sf0.001 > 640),
-    * which also keeps `ln` — the one libm call — off the compared path.
-    */
-  private val RAW_EST =
-    s"""CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST($M.0 AS DOUBLE))
-        * CAST(${M * M}.0 AS DOUBLE) / s"""
-  private val EST =
-    s"""CASE WHEN $RAW_EST <= CAST(${2.5 * M} AS DOUBLE) AND v > CAST(0.0 AS DOUBLE)
-        THEN CAST($M.0 AS DOUBLE) * ln(CAST($M.0 AS DOUBLE) / v)
-        ELSE $RAW_EST END"""
+  import graft.functions.PortableHll.{M, RHO, BUCKET, EST}
 
   val all: Seq[QueryDef] = Seq(
 

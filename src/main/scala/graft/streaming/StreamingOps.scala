@@ -292,4 +292,47 @@ object StreamingOps {
           out.result().iterator
       }
   }
+
+  final case class HllRow(group: String, bucket: Int, rho: Int)
+  final case class HllEstimate(group: String, estimate: Double, non_zero_registers: Int)
+
+  /** Streaming approximate distinct count: a 256-byte portable-HLL
+    * register array per group held in `mapGroupsWithState`, updated
+    * bucket-wise-max each micro-batch, emitting the refreshed
+    * estimate per group per batch (Update mode).
+    *
+    * Input rows are (group, bucket, rho) — derive them with
+    * [[hllRows]] so the register derivation is the exact md5 pipeline
+    * of the batch q81/q127 sketches. Because registers are
+    * duplicate-insensitive and merge by max, the streaming state after
+    * any prefix of batches equals the batch sketch over the union of
+    * keys seen — `StreamingHllSpec` asserts bit-equality of the
+    * estimates. State is 256 bytes/group, bounded forever; keys
+    * partition across executors like any keyed state.
+    */
+  def approxDistinctStream(rows: Dataset[HllRow]): Dataset[HllEstimate] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.group)
+      .mapGroupsWithState[Array[Byte], HllEstimate](GroupStateTimeout.NoTimeout()) {
+        (g: String, it: Iterator[HllRow], state: GroupState[Array[Byte]]) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](graft.functions.PortableHll.M))
+          it.foreach { r =>
+            if (r.rho > regs(r.bucket)) regs(r.bucket) = r.rho.toByte
+          }
+          state.update(regs)
+          HllEstimate(g, graft.functions.PortableHll.estimateFromRegisters(regs),
+            regs.count(_ != 0))
+      }
+  }
+
+  /** (group, bucket, rho) from a (group, key) frame via the shared
+    * portable-HLL md5 expressions — identical derivation to q81.
+    */
+  def hllRows(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    df.select(col(groupCol).cast(StringType).as("group"),
+        md5(col(keyCol).cast(StringType)).as("hx"))
+      .select(col("group"),
+        expr(graft.functions.PortableHll.BUCKET).cast(IntegerType).as("bucket"),
+        expr(graft.functions.PortableHll.RHO).cast(IntegerType).as("rho"))
 }
