@@ -257,6 +257,75 @@ object Extras4 {
                        AS n_null_text,
                      CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                      MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
-              FROM documents"""))
+              FROM documents""")),
+
+    // SCD2 interval construction: the silver-table pattern that turns
+    // an event log into versioned dimension rows. Consecutive
+    // same-state events collapse (only CHANGES version); valid_to =
+    // next change's timestamp, open for the current row. Both windows
+    // partition by user_id — real high-cardinality keys, so state
+    // building shards across the cluster (contrast the de-skewed rank
+    // path used when the partition key is low-cardinality). event_id
+    // is emitted for lineage and gives the output a total order even
+    // when one user changes state twice in a display second.
+    QueryDef("q136_scd2_intervals",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val ev = table(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+          .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+          .select(col("user_id"), col("event_id"), col("event_type").as("state"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+            coalesce(date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss"),
+              lit("current")).as("valid_to"),
+            when(col("valid_to_ts").isNull, 1L).otherwise(0L).as("is_current"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH c AS (
+                SELECT user_id, event_id, ts, event_type,
+                  LAG(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_type
+                FROM events),
+              ch AS (SELECT user_id, event_id, ts, event_type FROM c
+                     WHERE prev_type IS NULL OR prev_type <> event_type),
+              iv AS (SELECT user_id, event_id, event_type, ts,
+                       LEAD(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS valid_to
+                     FROM ch)
+              SELECT user_id, event_id, event_type AS state,
+                STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                COALESCE(STRFTIME(valid_to, '%Y-%m-%d %H:%M:%S'), 'current') AS valid_to,
+                CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+              FROM iv ORDER BY user_id, event_id""")),
+
+    // last-touch attribution: each purchase credits the event-type the
+    // user emitted immediately before it — one lag over the per-user
+    // event stream (high-cardinality partition), then a tiny rollup.
+    // First-touch / multi-touch variants are the same plan with
+    // first_value / full-window collect.
+    QueryDef("q137_last_touch",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        table(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("prev_type"), lit("none")).as("prev_type"))
+          .agg(count(lit(1)).as("purchases"))
+          .orderBy("prev_type")
+      },
+      Some("""WITH c AS (
+                SELECT event_type,
+                  LAG(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_type
+                FROM events)
+              SELECT COALESCE(prev_type, 'none') AS prev_type,
+                     CAST(COUNT(*) AS BIGINT) AS purchases
+              FROM c WHERE event_type = 'purchase'
+              GROUP BY 1 ORDER BY prev_type"""))
   )
 }
