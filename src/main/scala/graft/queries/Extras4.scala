@@ -326,6 +326,221 @@ object Extras4 {
               SELECT COALESCE(prev_type, 'none') AS prev_type,
                      CAST(COUNT(*) AS BIGINT) AS purchases
               FROM c WHERE event_type = 'purchase'
-              GROUP BY 1 ORDER BY prev_type"""))
+              GROUP BY 1 ORDER BY prev_type""")),
+
+    // winsorized mean: clip to the exact per-group [p05, p95] values
+    // (de-skewed rank pass), then a decimal-exact mean — the robust
+    // average that outlier documents can't drag. Percentile indices
+    // are pure integer ceil ((n*k + 99) div 100): a double 0.05*n
+    // could round either side of an integer and silently shift the
+    // cut row. Bounds are 5 rows, broadcast back.
+    QueryDef("q138_winsorized_mean",
+      (s, d) => {
+        val o = table(s, d, "orders")
+          .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("v"))
+        val r = Ranks.groupRanked(o, "grp", "v")
+        val bounds = r
+          .filter(col("rn") === expr("greatest(1L, (n * 5 + 99) div 100)"))
+          .select(col("grp"), col("v").as("lo"))
+          .join(r.filter(col("rn") === expr("(n * 95 + 99) div 100"))
+            .select(col("grp"), col("v").as("hi")), "grp")
+        o.join(broadcast(bounds), "grp")
+          .select(col("grp"), col("lo"), col("hi"),
+            least(greatest(col("v"), col("lo")), col("hi")).as("w"))
+          .groupBy("grp")
+          .agg(count(lit(1)).as("n"), first("lo").as("p05"), first("hi").as("p95"),
+            sum(col("w").cast(DecimalType(18, 4))).cast(DoubleType).as("wsum"))
+          .select(col("grp"), col("n"), col("p05"), col("p95"),
+            (col("wsum") / col("n").cast(DoubleType)).as("wmean"))
+          .orderBy("grp")
+      },
+      Some("""WITH r AS (SELECT o_orderpriority AS grp, o_totalprice AS v,
+                           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                              ORDER BY o_totalprice) AS rn,
+                           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+                         FROM orders),
+              lo AS (SELECT grp, v AS lo FROM r
+                     WHERE rn = GREATEST(1, (n * 5 + 99) // 100)),
+              hi AS (SELECT grp, v AS hi FROM r
+                     WHERE rn = (n * 95 + 99) // 100),
+              w AS (SELECT o.o_orderpriority AS grp, l.lo, h.hi,
+                      LEAST(GREATEST(o.o_totalprice, l.lo), h.hi) AS w
+                    FROM orders o JOIN lo l ON l.grp = o.o_orderpriority
+                                  JOIN hi h ON h.grp = o.o_orderpriority)
+              SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+                     MIN(lo) AS p05, MIN(hi) AS p95,
+                     CAST(SUM(CAST(w AS DECIMAL(18,4))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS wmean
+              FROM w GROUP BY grp ORDER BY grp""")),
+
+    // prefix-filtered EXACT Jaccard similarity join (Vernica et al.'s
+    // MapReduce set-similarity join): order each doc's token set by
+    // ascending global document frequency; two sets can reach Jaccard
+    // >= 4/5 only if they share a token in their first
+    // n - ceil(0.8 n) + 1 RAREST tokens, so the candidate join runs
+    // on those prefix postings only — the exact-threshold complement
+    // to the probabilistic LSH path (q36/q128). The final predicate
+    // is pure integers (inter * 5 >= union * 4): no float threshold
+    // on the cut line.
+    QueryDef("q139_prefix_jaccard",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = table(s, d, "documents")
+          .filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .distinct()
+        // global rarity order: window over the VOCABULARY frame (tiny
+        // by construction — tokens, not documents)
+        val ord = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+          .withColumn("trank", row_number().over(Window.orderBy(col("df"), col("tok"))))
+        val pos = tok.join(broadcast(ord), "tok")
+          .withColumn("idx",
+            row_number().over(Window.partitionBy("doc_id").orderBy("trank")))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+        val prefix = pos.filter(col("idx") <= expr("n - ((n * 4 + 4) div 5) + 1"))
+          .select(col("doc_id"), col("tok"))
+        val cand = prefix.as("a")
+          .join(prefix.as("b"),
+            col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+          .distinct()
+        val sets = tok.groupBy("doc_id")
+          .agg(sort_array(collect_list(col("tok"))).as("toks"), count(lit(1)).as("n"))
+        cand
+          .join(sets.select(col("doc_id").as("id1"), col("toks").as("ta"), col("n").as("na")), "id1")
+          .join(sets.select(col("doc_id").as("id2"), col("toks").as("tb"), col("n").as("nb")), "id2")
+          .select(col("id1"), col("id2"),
+            size(array_intersect(col("ta"), col("tb"))).cast(LongType).as("n_common"),
+            (col("na") + col("nb")).as("nab"))
+          .select(col("id1"), col("id2"), col("n_common"),
+            (col("nab") - col("n_common")).as("n_union"))
+          .filter(col("n_common") * 5 >= col("n_union") * 4)
+          .select(col("id1"), col("id2"), col("n_common"), col("n_union"),
+            (col("n_common").cast(DoubleType) / col("n_union").cast(DoubleType)).as("jaccard"))
+          .orderBy("id1", "id2")
+      },
+      Some("""WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+              tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM batch),
+              ord AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*), tok) AS trank
+                      FROM tok GROUP BY tok),
+              pos AS (SELECT t.doc_id, t.tok,
+                        ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY o.trank) AS idx,
+                        COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+                      FROM tok t JOIN ord o USING (tok)),
+              pre AS (SELECT doc_id, tok FROM pos
+                      WHERE idx <= n - ((n * 4 + 4) // 5) + 1),
+              cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                       FROM pre a JOIN pre b
+                         ON a.tok = b.tok AND a.doc_id < b.doc_id),
+              sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+              inter AS (SELECT c.id1, c.id2, COUNT(*) AS n_common
+                        FROM cand c
+                        JOIN tok x ON x.doc_id = c.id1
+                        JOIN tok y ON y.doc_id = c.id2 AND y.tok = x.tok
+                        GROUP BY c.id1, c.id2)
+              SELECT i.id1, i.id2, CAST(i.n_common AS BIGINT) AS n_common,
+                     CAST(a.n + b.n - i.n_common AS BIGINT) AS n_union,
+                     CAST(i.n_common AS DOUBLE)
+                       / CAST(a.n + b.n - i.n_common AS DOUBLE) AS jaccard
+              FROM inter i
+              JOIN sz a ON a.doc_id = i.id1
+              JOIN sz b ON b.doc_id = i.id2
+              WHERE i.n_common * 5 >= (a.n + b.n - i.n_common) * 4
+              ORDER BY id1, id2""")),
+
+    // order-free table fingerprint: per month, row count + the sum of
+    // a 48-bit md5 integer over the key/status columns — the cheap
+    // reconciliation handle for 100 TB tables (compare fingerprints
+    // across engines/snapshots/replicas, move rows only when a
+    // partition's fingerprint disagrees). Addition is commutative, so
+    // the checksum is independent of partitioning and row order;
+    // summed in DECIMAL(38,0) (a LONG sum would overflow ~40k rows up
+    // under ANSI mode). Only integer/string/date columns feed the
+    // hash — double formatting differs across engines.
+    QueryDef("q140_table_fingerprint",
+      (s, d) => {
+        val h = conv(substring(md5(concat_ws("|",
+            col("o_orderkey").cast(StringType), col("o_custkey").cast(StringType),
+            col("o_orderstatus"), col("o_orderdate").cast(StringType))), 1, 12), 16, 10)
+          .cast(LongType)
+        table(s, d, "orders")
+          .select(trunc(to_date(col("o_orderdate")), "month").cast(StringType).as("month"),
+            h.as("h"))
+          .groupBy("month")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("h").cast(DecimalType(38, 0))).as("checksum"))
+          .orderBy("month")
+      },
+      Some("""SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS VARCHAR) AS month,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(SUM(CAST('0x' || substr(md5(CONCAT_WS('|',
+                         CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                         o_orderstatus, CAST(o_orderdate AS VARCHAR))), 1, 12)
+                       AS BIGINT)) AS DECIMAL(38,0)) AS checksum
+              FROM orders GROUP BY 1 ORDER BY month""")),
+
+    // CDC apply: derive the change feed between two snapshots (q121's
+    // diff), apply it to snapshot A as delete-matched + upsert (the
+    // q89/ops.Merge plan over a derived feed), and emit the applied
+    // table's fingerprint NEXT TO the direct snapshot-B fingerprint —
+    // count, key checksum, exact-decimal balance sum. The green row
+    // proves apply∘diff == direct, the invariant an incremental
+    // 100 TB pipeline rides instead of re-copying snapshots.
+    QueryDef("q141_cdc_apply",
+      (s, d) => {
+        val base = table(s, d, "customer")
+          .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+        val next = table(s, d, "customer").filter(col("c_custkey") % 97 =!= 0)
+          .select(col("c_custkey").as("k"),
+            when(col("c_custkey") % 7 === 0, col("c_acctbal") + 50.0)
+              .otherwise(col("c_acctbal")).as("bal"))
+          .unionAll(table(s, d, "customer").filter(col("c_custkey") % 100 === 0)
+            .select((col("c_custkey") + 2000000L).as("k"), col("c_acctbal").as("bal")))
+        val j = base.select(col("k"), col("bal").as("bal_a"))
+          .join(next.select(col("k"), col("bal").as("bal_b")), Seq("k"), "full_outer")
+          .localCheckpoint()
+        val dels = j.filter(col("bal_b").isNull ||
+            (col("bal_a").isNotNull && col("bal_a") =!= col("bal_b"))).select("k")
+        val ups = j.filter(col("bal_b").isNotNull &&
+            (col("bal_a").isNull || col("bal_a") =!= col("bal_b")))
+          .select(col("k"), col("bal_b").as("bal"))
+        val applied = base.join(dels, Seq("k"), "left_anti").unionAll(ups)
+        def fp(df: org.apache.spark.sql.DataFrame, tag: String) = df.agg(
+          count(lit(1)).as(s"n_$tag"),
+          sum(conv(substring(md5(col("k").cast(StringType)), 1, 12), 16, 10)
+            .cast(DecimalType(38, 0))).as(s"keysum_$tag"),
+          sum(col("bal").cast(DecimalType(18, 4))).cast(DoubleType).as(s"balsum_$tag"))
+        fp(applied, "applied").crossJoin(fp(next, "direct"))
+      },
+      Some("""WITH nxt AS (
+                SELECT c_custkey AS k,
+                  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 50.0
+                       ELSE c_acctbal END AS bal
+                FROM customer WHERE c_custkey % 97 <> 0
+                UNION ALL
+                SELECT c_custkey + 2000000, c_acctbal
+                FROM customer WHERE c_custkey % 100 = 0),
+              a AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+              j AS (SELECT a.k AS ka, a.bal AS bal_a, b.k AS kb, b.bal AS bal_b
+                    FROM a FULL OUTER JOIN nxt b ON b.k = a.k),
+              dels AS (SELECT ka AS k FROM j
+                       WHERE kb IS NULL OR (ka IS NOT NULL AND bal_a <> bal_b)),
+              ups AS (SELECT kb AS k, bal_b AS bal FROM j
+                      WHERE kb IS NOT NULL AND (ka IS NULL OR bal_a <> bal_b)),
+              applied AS (
+                SELECT k, bal FROM a WHERE k NOT IN (SELECT k FROM dels)
+                UNION ALL SELECT k, bal FROM ups),
+              fa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_applied,
+                       CAST(SUM(CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 12)
+                         AS BIGINT)) AS DECIMAL(38,0)) AS keysum_applied,
+                       CAST(SUM(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS balsum_applied
+                     FROM applied),
+              fd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_direct,
+                       CAST(SUM(CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 12)
+                         AS BIGINT)) AS DECIMAL(38,0)) AS keysum_direct,
+                       CAST(SUM(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS balsum_direct
+                     FROM nxt)
+              SELECT * FROM fa, fd""")),
   )
 }
