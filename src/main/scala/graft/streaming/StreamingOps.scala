@@ -81,12 +81,19 @@ object StreamingOps {
     * watermarks so the join state is bounded — Spark can discard a
     * buffered click once no purchase within the interval can still
     * arrive. The batch analog is q53_range_join.
+    *
+    * `joinType = "leftOuter"` is the attribution-with-timeout form:
+    * a click with no purchase inside its horizon is emitted ONCE,
+    * with null purchase columns, when the watermark passes the end
+    * of its join window — the streaming analog of q11's anti-join
+    * side. State stays bounded either way.
     */
   def clickToPurchaseJoin(
       clicks: DataFrame,
       purchases: DataFrame,
       horizon: String = "5 minutes",
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val c = clicks
       .withWatermark("ts", watermarkDelay)
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
@@ -97,7 +104,8 @@ object StreamingOps {
     c.join(p,
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") > col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL '$horizon'"))
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL '$horizon'"),
+      joinType)
       .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
   }
 

@@ -77,6 +77,59 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 10L, 20L)))
   }
 
+  test("left-outer stream-stream join emits watermark-expired clicks with null purchase") {
+    val tmp = Files.createTempDirectory("graft-stream-louter")
+    val clickDir = tmp.resolve("clicks").toString
+    val purchaseDir = tmp.resolve("purchases").toString
+    val ckpt = tmp.resolve("ckpt").toString
+
+    Seq(
+      (10L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 0.0, "{}"), // converts
+      (11L, Timestamp.valueOf("2024-01-01 00:20:00"), 2L, "click", 0.0, "{}")) // never converts
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(clickDir)
+    Seq(
+      (20L, Timestamp.valueOf("2024-01-01 00:03:00"), 1L, "purchase", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(purchaseDir)
+
+    val q = StreamingOps.clickToPurchaseJoin(
+        StreamingOps.readEventStream(spark, clickDir),
+        StreamingOps.readEventStream(spark, purchaseDir),
+        joinType = "leftOuter")
+      .writeStream.format("memory").queryName("louter_out")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      // click 11 is still inside its join window — not emitted yet
+      assert(spark.table("louter_out").count() === 1)
+
+      // late traffic on BOTH streams pushes the (min) watermark far
+      // past click 11's window end → the unmatched click must flush
+      Seq((12L, Timestamp.valueOf("2024-01-01 03:00:00"), 3L, "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(clickDir)
+      Seq((21L, Timestamp.valueOf("2024-01-01 03:00:00"), 3L, "purchase", 9.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(purchaseDir)
+      q.processAllAvailable()
+      // one more micro-batch so the advanced watermark evicts state
+      Seq((13L, Timestamp.valueOf("2024-01-01 03:30:00"), 4L, "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(clickDir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("louter_out")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(got.contains((10L, 20L)))   // matched pair
+    assert(got.contains((11L, -1L)))   // expired unmatched click, null purchase
+  }
+
   test("dedupStream drops repeated fingerprints within the watermark") {
     val tmp = Files.createTempDirectory("graft-stream-dedup")
     val dataDir = tmp.resolve("in").toString
