@@ -343,4 +343,52 @@ object StreamingOps {
       .select(col("group"),
         expr(graft.functions.PortableHll.BUCKET).cast(IntegerType).as("bucket"),
         expr(graft.functions.PortableHll.RHO).cast(IntegerType).as("rho"))
+
+  final case class HeavyHitter(shard: Int, token: String, est_count: Long, max_err: Long)
+
+  /** Streaming heavy hitters via the space-saving sketch: at most
+    * `capacity` tracked (token, count, err) entries per shard, held in
+    * `flatMapGroupsWithState`. An untracked arrival evicts the
+    * minimum-count entry (ties broken by token for determinism) and
+    * inherits its count as the error bound — the classic guarantees:
+    * est_count - max_err <= true <= est_count, and any token with
+    * true frequency > N/capacity in the shard is tracked.
+    *
+    * Sharding: tokens route by a hash of the token, so each token's
+    * entire stream meets one state partition — state is
+    * O(shards x capacity) forever, and shards scale out across
+    * executors exactly like any keyed state. Per-shard sketches are
+    * independently correct; a reader unions them (heavy hitters of
+    * the whole stream are heavy in their shard).
+    *
+    * Emits the full tracked table of every shard touched by the
+    * micro-batch (Update mode), count-descending.
+    */
+  def heavyHittersStream(
+      tokens: Dataset[String],
+      capacity: Int,
+      nShards: Int = 1): Dataset[HeavyHitter] = {
+    import tokens.sparkSession.implicits._
+    tokens
+      .groupByKey(t => ((t.hashCode % nShards) + nShards) % nShards)
+      .flatMapGroupsWithState[Map[String, (Long, Long)], HeavyHitter](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (shard: Int, it: Iterator[String], state: GroupState[Map[String, (Long, Long)]]) =>
+          var m = state.getOption.getOrElse(Map.empty[String, (Long, Long)])
+          it.foreach { t =>
+            m.get(t) match {
+              case Some((c, e)) => m = m.updated(t, (c + 1, e))
+              case None if m.size < capacity => m = m.updated(t, (1L, 0L))
+              case None =>
+                val (vt, (vc, _)) = m.minBy { case (tok, (c, _)) => (c, tok) }
+                m = (m - vt).updated(t, (vc + 1, vc))
+            }
+          }
+          state.update(m)
+          m.toSeq
+            .sortBy { case (tok, (c, _)) => (-c, tok) }
+            .map { case (tok, (c, e)) => HeavyHitter(shard, tok, c, e) }
+            .iterator
+      }
+  }
 }
