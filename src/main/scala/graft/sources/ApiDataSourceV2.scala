@@ -67,13 +67,22 @@ private[sources] object ApiDataSourceV2 {
   def fetch(opts: Map[String, String], params: Map[String, String]): String = {
     val url = opts.getOrElse("url", throw new ApiError("graft-api: missing 'url' option"))
     val transport: ApiTransport = opts.get("fixture") match {
-      case Some(path) => new FixtureTransport(Map(url -> path))
-      case None       => new HttpTransport
+      case Some(path) =>
+        // paged fixtures: a `{page}` placeholder in the path selects the
+        // page named by the request params (page 1 at schema inference,
+        // where no params exist yet)
+        val resolved = path.replace("{page}",
+          params.getOrElse(pageParam(opts), "1"))
+        new FixtureTransport(Map(url -> resolved))
+      case None => new HttpTransport
     }
     ApiSource.safeGet(transport, url, params,
       timeoutSec = opts.getOrElse("timeoutSec", "20").toInt,
       retries = opts.getOrElse("retries", "2").toInt)
   }
+
+  def pageParam(opts: Map[String, String]): String =
+    opts.getOrElse("pageParam", "page")
 
   def inferFromPayload(body: String): StructType = {
     val root = mapper.readTree(body)
@@ -191,11 +200,26 @@ private final class ApiScan(schema: StructType, opts: Map[String, String],
     s"graft-api url=${opts.getOrElse("url", "?")} PushedFilters: $pushedDesc"
   override def toBatch: Batch = this
 
-  // one partition: the payload is API-sized by contract; the fetch runs
-  // once on the driver and the body travels with the partition, so
-  // executors stay network-free (and the fixture path local-FS-free)
+  /** Partition planning:
+    *   - default: ONE partition; the fetch runs once on the driver and
+    *     the body travels with the partition, so executors stay
+    *     network-free (API payloads are driver-sized by contract);
+    *   - `pages=N`: N partitions, one per page of a paginated
+    *     endpoint; each EXECUTOR fetches its own page (query param
+    *     `pageParam`, default `page`, values 1..N) — the shape that
+    *     parallelizes REST ingestion across a cluster instead of
+    *     serializing it through the driver.
+    */
   override def planInputPartitions(): Array[InputPartition] =
-    Array(ApiInputPartition(ApiDataSourceV2.fetch(opts, params)))
+    opts.get("pages").map(_.toInt) match {
+      case Some(n) if n > 1 =>
+        val pp = ApiDataSourceV2.pageParam(opts)
+        (1 to n).map(i =>
+          PagedApiInputPartition(opts, params + (pp -> i.toString))
+            : InputPartition).toArray
+      case _ =>
+        Array(ApiInputPartition(ApiDataSourceV2.fetch(opts, params)))
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ApiReaderFactory(schema)
@@ -203,10 +227,18 @@ private final class ApiScan(schema: StructType, opts: Map[String, String],
 
 private final case class ApiInputPartition(body: String) extends InputPartition
 
+/** Executor-side-fetch partition: carries the request, not the data. */
+private final case class PagedApiInputPartition(
+    opts: Map[String, String], params: Map[String, String]) extends InputPartition
+
 private final class ApiReaderFactory(schema: StructType)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val it = ApiDataSourceV2.parse(partition.asInstanceOf[ApiInputPartition].body, schema)
+    val body = partition match {
+      case ApiInputPartition(b)            => b
+      case PagedApiInputPartition(opts, p) => ApiDataSourceV2.fetch(opts, p)
+    }
+    val it = ApiDataSourceV2.parse(body, schema)
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }

@@ -83,4 +83,26 @@ class ApiDataSourceV2Spec extends SparkSpec {
     assert(df.columns.toSeq === Seq("id", "title"))
     assert(df.count() === 3)
   }
+
+  test("pages=N plans N partitions, each fetching its own page") {
+    val dir = Files.createTempDirectory("graft-api-pages")
+    (1 to 3).foreach { p =>
+      val rows = (1 to 4).map(i =>
+        s"""{"id": ${(p - 1) * 4 + i}, "page": $p}""").mkString("[", ",", "]")
+      Files.write(dir.resolve(s"page$p.json"), rows.getBytes("UTF-8"))
+    }
+    val df = spark.read.format("graft-api")
+      .option("url", "https://api.test/paged")
+      .option("fixture", s"$dir/page{page}.json")
+      .option("pages", "3")
+      .load()
+    // one input partition per page — the unit of executor parallelism
+    assert(df.rdd.getNumPartitions === 3)
+    // and the union of the pages is the dataset
+    assert(df.count() === 12)
+    assert(df.selectExpr("max(id)").collect().head.getLong(0) === 12L)
+    assert(df.groupBy("page").count().collect().map(r =>
+      (r.getAs[Long]("page"), r.getAs[Long]("count"))).sorted.toSeq ===
+      Seq((1L, 4L), (2L, 4L), (3L, 4L)))
+  }
 }
