@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import QueryDef.table
+
+/** Round-4 widening, batch 8: graph 2-hop reach, the classic TPC-H Q3
+  * composite, and a contingency-table independence screen.
+  *
+  * Determinism: the 2-hop probe is pure integer set algebra on a
+  * deterministic md5-sampled subgraph; Q3 revenue uses the proven
+  * dsum decimal accumulator; contingency expectations and chi-square
+  * contributions are per-cell fixed expressions over exact integer
+  * marginals (no cross-cell double summation, whose order would be
+  * partition-dependent).
+  */
+object Extras11 {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+  private def DSUM(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // 2-hop reach per vertex on the part co-occurrence graph,
+    // restricted to a deterministic 25% vertex sample (md5 first
+    // nibble). The connectivity-QA probe: how much of the catalog is
+    // reachable within two hops. The wedge join is the unavoidable
+    // Σ deg² expansion — the vertex sample cuts it 64x and keeps the
+    // fraction stable at any data size (hash-sampling, not top-N,
+    // so the subgraph is a consistent random induced subgraph); skew
+    // still lands on hub mid-vertices, which AQE splits (see
+    // ScaleLayoutSpec).
+    QueryDef("q172_two_hop_reach",
+      (s, d) => {
+        val m = table(s, d, "lineitem")
+          .select(col("l_orderkey").as("g"), col("l_partkey").as("i"))
+          .filter(substring(md5(col("i").cast(StringType)), 1, 1).isin("0", "1", "2", "3"))
+          .distinct()
+        val e = m.as("a").join(m.as("b"),
+            col("a.g") === col("b.g") && col("a.i") < col("b.i"))
+          .select(col("a.i").as("u"), col("b.i").as("v"))
+          .distinct()
+        val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        val twoHop = sym.as("e1")
+          .join(sym.as("e2"), col("e1.v") === col("e2.u"))
+          .select(col("e1.u").as("u"), col("e2.v").as("w"))
+          .filter(col("u") =!= col("w"))
+          .distinct()
+          .join(sym.select(col("u"), col("v").as("w")), Seq("u", "w"), "left_anti")
+          .groupBy("u").agg(count(lit(1)).as("n_two_hop"))
+        val oneHop = sym.groupBy("u").agg(count(lit(1)).as("n_one_hop"))
+        oneHop.join(twoHop, Seq("u"), "left")
+          .na.fill(0L, Seq("n_two_hop"))
+          .select(col("u").as("part"), col("n_one_hop"), col("n_two_hop"))
+          .orderBy("part")
+      },
+      Some("""WITH m AS (
+                SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+                WHERE substring(md5(CAST(l_partkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')),
+              e AS (
+                SELECT DISTINCT a.i AS u, b.i AS v
+                FROM m a JOIN m b ON a.g = b.g AND a.i < b.i),
+              sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+              two_hop AS (
+                SELECT t.u, COUNT(*) AS n_two_hop FROM (
+                  SELECT DISTINCT e1.u, e2.v AS w
+                  FROM sym e1 JOIN sym e2 ON e1.v = e2.u
+                  WHERE e1.u <> e2.v) t
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM sym s WHERE s.u = t.u AND s.v = t.w)
+                GROUP BY t.u),
+              one_hop AS (SELECT u, COUNT(*) AS n_one_hop FROM sym GROUP BY u)
+              SELECT o.u AS part, CAST(o.n_one_hop AS BIGINT) AS n_one_hop,
+                CAST(COALESCE(t.n_two_hop, 0) AS BIGINT) AS n_two_hop
+              FROM one_hop o LEFT JOIN two_hop t ON t.u = o.u
+              ORDER BY part""")),
+
+    // TPC-H Q3 (shipping-priority) composite: segment-filtered
+    // customers, date-windowed orders and lineitems, revenue top-10.
+    // Classic plan: broadcast the filtered customer dim, shuffle-join
+    // the two facts on orderkey, TakeOrderedAndProject for the
+    // limit — the sort never materializes globally.
+    QueryDef("q173_tpch_q3",
+      (s, d) => {
+        val cust = broadcast(table(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING"))
+        table(s, d, "lineitem")
+          .filter(col("l_shipdate") > lit("1998-01-01").cast(TimestampType))
+          .join(table(s, d, "orders")
+            .filter(col("o_orderdate") < lit("1998-01-01").cast(TimestampType)),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .select(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("o_orderpriority"), col("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey,
+                STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+                o_orderpriority,
+                ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS revenue
+              FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY l_orderkey, o_orderdate, o_orderpriority
+              ORDER BY revenue DESC, l_orderkey
+              LIMIT 10""")),
+
+    // contingency-table independence screen: order priority vs
+    // customer segment, with per-cell expected counts and chi-square
+    // contributions. Marginals are exact integers; each cell's
+    // expectation and contribution is ONE fixed double expression, so
+    // no cross-cell summation order exists to diverge — the chi-square
+    // total is the reader's one-line fold over 25 emitted cells.
+    // Shape: one fact aggregation to the 25-cell table, marginals
+    // derived from it, broadcast back — the fact shuffles once.
+    QueryDef("q174_contingency",
+      (s, d) => {
+        val joined = table(s, d, "orders")
+          .join(broadcast(table(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderpriority").as("prio"), col("c_mktsegment").as("seg"))
+        val cells = joined.groupBy("prio", "seg").agg(count(lit(1)).as("o"))
+        val rowM = cells.groupBy("prio").agg(sum("o").as("row_n"))
+        val colM = cells.groupBy("seg").agg(sum("o").as("col_n"))
+        val tot = cells.agg(sum("o").as("total"))
+        cells.join(broadcast(rowM), "prio")
+          .join(broadcast(colM), "seg")
+          .crossJoin(broadcast(tot))
+          .withColumn("expected",
+            col("row_n").cast(DoubleType) * col("col_n").cast(DoubleType) /
+              col("total").cast(DoubleType))
+          .withColumn("contrib",
+            (col("o").cast(DoubleType) - col("expected")) *
+              (col("o").cast(DoubleType) - col("expected")) / col("expected"))
+          .select("prio", "seg", "o", "row_n", "col_n", "expected", "contrib")
+          .orderBy("prio", "seg")
+      },
+      Some("""WITH j AS (
+                SELECT o_orderpriority AS prio, c_mktsegment AS seg
+                FROM orders JOIN customer ON o_custkey = c_custkey),
+              cells AS (
+                SELECT prio, seg, CAST(COUNT(*) AS BIGINT) AS o
+                FROM j GROUP BY prio, seg),
+              rm AS (SELECT prio, CAST(SUM(o) AS BIGINT) AS row_n FROM cells GROUP BY prio),
+              cm AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS col_n FROM cells GROUP BY seg),
+              t AS (SELECT CAST(SUM(o) AS BIGINT) AS total FROM cells),
+              x AS (
+                SELECT c.prio, c.seg, c.o, rm.row_n, cm.col_n,
+                  CAST(rm.row_n AS DOUBLE) * CAST(cm.col_n AS DOUBLE) /
+                    CAST(t.total AS DOUBLE) AS expected
+                FROM cells c JOIN rm ON rm.prio = c.prio
+                JOIN cm ON cm.seg = c.seg CROSS JOIN t)
+              SELECT prio, seg, o, row_n, col_n, expected,
+                (CAST(o AS DOUBLE) - expected) * (CAST(o AS DOUBLE) - expected)
+                  / expected AS contrib
+              FROM x ORDER BY prio, seg""")))
+}
