@@ -38,11 +38,16 @@ object Extras11 {
           .select(col("l_orderkey").as("g"), col("l_partkey").as("i"))
           .filter(substring(md5(col("i").cast(StringType)), 1, 1).isin("0", "1", "2", "3"))
           .distinct()
+          .localCheckpoint() // both sides of the edge self-join
         val e = m.as("a").join(m.as("b"),
             col("a.g") === col("b.g") && col("a.i") < col("b.i"))
           .select(col("a.i").as("u"), col("b.i").as("v"))
           .distinct()
+        // sym feeds four consumers (both wedge sides, the 1-hop
+        // anti-join, the degree agg) — pin it once or the upstream
+        // self-join + distinct re-executes per consumer (q130 lesson)
         val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+          .localCheckpoint()
         val twoHop = sym.as("e1")
           .join(sym.as("e2"), col("e1.v") === col("e2.u"))
           .select(col("e1.u").as("u"), col("e2.v").as("w"))

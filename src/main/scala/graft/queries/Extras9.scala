@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.ops.Ranks
 import QueryDef.table
 
 /** Round-4 widening, batch 6: per-key trend fitting, KMV/theta-style
@@ -106,15 +105,33 @@ object Extras9 {
     // Jaccard estimates — emitted NEXT TO the exact values, so the
     // error is visible. This is how engines intersect audiences at
     // 100 TB: k hashes per set cross the network, never the sets.
-    // The per-flag top-k uses the de-skewed rank pass (Ranks); the
-    // pair stage touches <= 2k rows per pair.
+    // The per-flag top-k is a two-stage rank (local per-split minima,
+    // then a global pass over <= 64 x P survivors — bounded state at
+    // any data size); the pair stage touches <= 2k rows per pair.
     QueryDef("q166_kmv_set_ops",
       (s, d) => {
+        // ded feeds four consumers (sketch build, exact counts, both
+        // sides of the exact-intersection join) — pin the distinct
+        // once or the full fact dedup re-executes per consumer
         val ded = table(s, d, "lineitem")
           .select(col("l_returnflag").as("flag"), col("l_orderkey").as("key"))
           .distinct()
+          .localCheckpoint()
         val hashed = ded.withColumn("hx", md5(col("key").cast(StringType)))
-        val ks = Ranks.groupRanked(hashed.select("flag", "hx"), "flag", "hx")
+        // classic two-stage top-k: per-(flag, input-partition) local
+        // top-64 first — the global k minima are necessarily among the
+        // local minima of every split, so the global rank then runs
+        // over <= 64 x P survivor rows instead of the full key set
+        // (and is partitioning-invariant: any superset of the true
+        // top-64 yields the same final 64)
+        val local = hashed
+          .withColumn("pid", spark_partition_id())
+          .withColumn("lrn", row_number().over(
+            Window.partitionBy("flag", "pid").orderBy("hx")))
+          .filter(col("lrn") <= KMV_K)
+        val ks = local
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("flag").orderBy("hx")))
           .filter(col("rn") <= KMV_K).select("flag", "hx", "rn")
 
         // (k-1)/u_k over the row's hx column; 281474976710656 = 2^48
