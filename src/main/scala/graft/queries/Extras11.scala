@@ -167,5 +167,42 @@ object Extras11 {
               SELECT prio, seg, o, row_n, col_n, expected,
                 (CAST(o AS DOUBLE) - expected) * (CAST(o AS DOUBLE) - expected)
                   / expected AS contrib
-              FROM x ORDER BY prio, seg""")))
+              FROM x ORDER BY prio, seg""")),
+
+    // TPC-H Q10 (returned-item reporting): revenue lost to returns
+    // per customer over a quarter, top-20. Fact-fact shuffle join on
+    // orderkey with the returnflag filter pushed to the lineitem
+    // scan; customer and nation broadcast; TakeOrderedAndProject
+    // caps the output without a global sort.
+    QueryDef("q175_tpch_q10",
+      (s, d) => {
+        table(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .join(table(s, d, "orders")
+            .filter(col("o_orderdate") >= lit("1998-01-01").cast(TimestampType) &&
+              col("o_orderdate") < lit("1998-04-01").cast(TimestampType)),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(table(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(table(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+          .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+      },
+      Some(s"""SELECT c_custkey, c_name,
+                ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+                c_acctbal, n_name
+              FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1998-04-01 00:00:00'
+              GROUP BY c_custkey, c_name, c_acctbal, n_name
+              ORDER BY revenue DESC, c_custkey
+              LIMIT 20""")))
 }

@@ -344,6 +344,60 @@ object StreamingOps {
         expr(graft.functions.PortableHll.BUCKET).cast(IntegerType).as("bucket"),
         expr(graft.functions.PortableHll.RHO).cast(IntegerType).as("rho"))
 
+  final case class TypedValue(group: String, event_id: Long, cents: Long)
+  final case class Anomaly(group: String, event_id: Long, z: Double, n_seen: Long)
+
+  /** Streaming z-score anomaly detector: per-group running moments
+    * (n, Σc, Σc²) as exact BIGINT state in `flatMapGroupsWithState`;
+    * every arriving row is scored against the state AS OF THE PRIOR
+    * BATCH (so a batch's own outliers cannot mask themselves by
+    * inflating the variance they are scored with), then the batch is
+    * folded into the moments. Rows with |z| >= threshold emit; nothing
+    * emits until `warmup` rows have been absorbed — a mean/std over a
+    * handful of points flags everything.
+    *
+    * State is three longs per group forever; groups partition across
+    * executors like any keyed state. The integer moments make the
+    * state algebraically mergeable and the emitted z deterministic
+    * for a given batch sequence (int64 -> double is correctly
+    * rounded; the fold order within a batch never enters the score,
+    * which uses only the pre-batch moments).
+    */
+  def anomalyStream(
+      rows: Dataset[TypedValue],
+      zThreshold: Double = 3.0,
+      warmup: Long = 30): Dataset[Anomaly] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[(Long, Long, Long), Anomaly](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (g: String, it: Iterator[TypedValue], state: GroupState[(Long, Long, Long)]) =>
+          val (n0, s0, ss0) = state.getOption.getOrElse((0L, 0L, 0L))
+          val batch = it.toSeq
+          val out =
+            if (n0 < warmup) Seq.empty
+            else {
+              val mean = s0.toDouble / n0.toDouble
+              val variance =
+                (ss0.toDouble - s0.toDouble * s0.toDouble / n0.toDouble) /
+                  (n0 - 1).toDouble
+              val std = math.sqrt(variance)
+              if (std == 0.0) Seq.empty
+              else batch.flatMap { r =>
+                val z = (r.cents.toDouble - mean) / std
+                if (math.abs(z) >= zThreshold) Some(Anomaly(g, r.event_id, z, n0))
+                else None
+              }
+            }
+          state.update((
+            n0 + batch.size,
+            s0 + batch.map(_.cents).sum,
+            ss0 + batch.map(r => r.cents * r.cents).sum))
+          out.iterator
+      }
+  }
+
   final case class HeavyHitter(shard: Int, token: String, est_count: Long, max_err: Long)
 
   /** Streaming heavy hitters via the space-saving sketch: at most
