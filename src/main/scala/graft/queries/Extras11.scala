@@ -204,5 +204,56 @@ object Extras11 {
                 AND o_orderdate < TIMESTAMP '1998-04-01 00:00:00'
               GROUP BY c_custkey, c_name, c_acctbal, n_name
               ORDER BY revenue DESC, c_custkey
-              LIMIT 20""")))
+              LIMIT 20""")),
+
+    // interpolated percentiles (percentile_cont semantics) — the
+    // twin of q84's discrete selection: p50/p90 of order totalprice
+    // per priority as linear interpolation between the two bracketing
+    // exact ranks. Ranks come from the de-skewed range pass (Ranks),
+    // so no 5-partition window exists; the bracketing rank indices,
+    // fraction, and interpolation are identical IEEE expressions over
+    // exact (n, rank-value) pairs in both engines.
+    QueryDef("q176_percentile_cont",
+      (s, d) => {
+        val r = graft.ops.Ranks.groupRanked(
+          table(s, d, "orders").select(col("o_orderpriority"), col("o_totalprice")),
+          "o_orderpriority", "o_totalprice", Seq.empty)
+        def lo(p: String) = expr(s"CAST(floor((n - 1) * $p) AS BIGINT) + 1")
+        def hi(p: String) = expr(s"CAST(ceil((n - 1) * $p) AS BIGINT) + 1")
+        val g = r.groupBy("o_orderpriority").agg(
+          max("n").as("n_orders"),
+          max(when(col("rn") === lo("0.5"), col("o_totalprice"))).as("lo50"),
+          max(when(col("rn") === hi("0.5"), col("o_totalprice"))).as("hi50"),
+          max(when(col("rn") === lo("0.9"), col("o_totalprice"))).as("lo90"),
+          max(when(col("rn") === hi("0.9"), col("o_totalprice"))).as("hi90"))
+        g.select(col("o_orderpriority"), col("n_orders"),
+            (col("lo50") + (col("hi50") - col("lo50")) *
+              expr("(n_orders - 1) * 0.5 - floor((n_orders - 1) * 0.5)")).as("p50_cont"),
+            (col("lo90") + (col("hi90") - col("lo90")) *
+              expr("(n_orders - 1) * 0.9 - floor((n_orders - 1) * 0.9)")).as("p90_cont"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH r AS (
+                SELECT o_orderpriority, o_totalprice,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice) AS rn,
+                  COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+                FROM orders),
+              g AS (
+                SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_orders,
+                  MAX(CASE WHEN rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
+                           THEN o_totalprice END) AS lo50,
+                  MAX(CASE WHEN rn = CAST(ceil((n - 1) * 0.5) AS BIGINT) + 1
+                           THEN o_totalprice END) AS hi50,
+                  MAX(CASE WHEN rn = CAST(floor((n - 1) * 0.9) AS BIGINT) + 1
+                           THEN o_totalprice END) AS lo90,
+                  MAX(CASE WHEN rn = CAST(ceil((n - 1) * 0.9) AS BIGINT) + 1
+                           THEN o_totalprice END) AS hi90
+                FROM r GROUP BY o_orderpriority)
+              SELECT o_orderpriority, n_orders,
+                lo50 + (hi50 - lo50) *
+                  ((n_orders - 1) * 0.5 - floor((n_orders - 1) * 0.5)) AS p50_cont,
+                lo90 + (hi90 - lo90) *
+                  ((n_orders - 1) * 0.9 - floor((n_orders - 1) * 0.9)) AS p90_cont
+              FROM g ORDER BY o_orderpriority""")))
 }
