@@ -255,5 +255,77 @@ object Extras11 {
                   ((n_orders - 1) * 0.5 - floor((n_orders - 1) * 0.5)) AS p50_cont,
                 lo90 + (hi90 - lo90) *
                   ((n_orders - 1) * 0.9 - floor((n_orders - 1) * 0.9)) AS p90_cont
-              FROM g ORDER BY o_orderpriority""")))
+              FROM g ORDER BY o_orderpriority""")),
+
+    // hybrid-retrieval reciprocal rank fusion: fuse a LEXICAL ranking
+    // (token overlap with the query document) and a VECTOR ranking
+    // (embedding cosine, the q40-proven portable kernel) via
+    // RRF = Σ 1/(60 + rank) — the standard way hybrid search merges
+    // BM25-style and ANN result lists without score calibration.
+    // Both rankings run through the de-skewed rank pass; each doc's
+    // RRF is a fixed two-term double expression over integer ranks,
+    // so no float accumulation order exists. Broadcast query row,
+    // one corpus scan per modality.
+    QueryDef("q177_rrf_fusion",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val qTokens = docs.filter(col("doc_id") === 0)
+          .select(array_distinct(split(col("text"), " ")).as("__qt"))
+        val lexical = docs.filter(col("doc_id") =!= 0)
+          .crossJoin(broadcast(qTokens))
+          .select(col("doc_id"),
+            size(array_intersect(array_distinct(split(col("text"), " ")),
+              col("__qt"))).cast(LongType).as("overlap"))
+        val lrank = graft.ops.Ranks.groupRanked(
+            lexical.withColumn("g", lit("all"))
+              .withColumn("negov", -col("overlap")),
+            "g", "negov", Seq("doc_id"))
+          .select(col("doc_id"), col("rn").as("r_lex"))
+        val emb = table(s, d, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
+        val vec = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+          .select(col("vec_id").as("doc_id"),
+            graft.functions.VectorExprs.cosineSim(col("embedding"), col("__qv")).as("cos"))
+        val vrank = graft.ops.Ranks.groupRanked(
+            vec.withColumn("g", lit("all")).withColumn("negcos", -col("cos")),
+            "g", "negcos", Seq("doc_id"))
+          .select(col("doc_id"), col("rn").as("r_vec"))
+        lrank.join(vrank, "doc_id")
+          .withColumn("rrf",
+            lit(1.0) / (lit(60.0) + col("r_lex").cast(DoubleType)) +
+              lit(1.0) / (lit(60.0) + col("r_vec").cast(DoubleType)))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(20)
+          .select("doc_id", "r_lex", "r_vec", "rrf")
+      },
+      Some("""WITH qt AS (
+                SELECT list_distinct(string_split(text, ' ')) AS t
+                FROM documents WHERE doc_id = 0),
+              lex AS (
+                SELECT d.doc_id,
+                  CAST(len(list_intersect(list_distinct(string_split(d.text, ' ')),
+                    qt.t)) AS BIGINT) AS overlap
+                FROM documents d CROSS JOIN qt WHERE d.doc_id <> 0),
+              lr AS (
+                SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY -overlap, doc_id) AS r_lex
+                FROM lex),
+              qv AS (
+                SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings WHERE vec_id = 0),
+              vec AS (
+                SELECT e.vec_id AS doc_id,
+                  list_cosine_similarity(
+                    list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                    qv.v) AS cos
+                FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+              vr AS (
+                SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY -cos, doc_id) AS r_vec
+                FROM vec)
+              SELECT l.doc_id, l.r_lex, v.r_vec,
+                CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r_lex) +
+                  CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r_vec) AS rrf
+              FROM lr l JOIN vr v USING (doc_id)
+              ORDER BY rrf DESC, doc_id LIMIT 20""")))
 }
