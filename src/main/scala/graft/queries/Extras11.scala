@@ -4,15 +4,17 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import QueryDef.table
 
-/** Round-4 widening, batch 8: graph 2-hop reach, the classic TPC-H Q3
-  * composite, and a contingency-table independence screen.
+/** Round-4 widening, batch 8: graph 2-hop reach, TPC-H Q3 and Q10
+  * composites, a contingency-table independence screen, interpolated
+  * percentiles, and hybrid-retrieval rank fusion.
   *
   * Determinism: the 2-hop probe is pure integer set algebra on a
-  * deterministic md5-sampled subgraph; Q3 revenue uses the proven
+  * deterministic md5-sampled subgraph; Q3/Q10 revenue uses the proven
   * dsum decimal accumulator; contingency expectations and chi-square
   * contributions are per-cell fixed expressions over exact integer
   * marginals (no cross-cell double summation, whose order would be
-  * partition-dependent).
+  * partition-dependent); percentile interpolation and RRF are fixed
+  * expressions over exact ranks.
   */
 object Extras11 {
 
