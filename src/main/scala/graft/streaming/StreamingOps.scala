@@ -254,6 +254,24 @@ object StreamingOps {
       }
   }
 
+  /** Declarative session windows: the built-in `session_window`
+    * aggregation — Spark merges overlapping per-event gap windows
+    * itself, the watermark closes sessions, and Catalyst plans the
+    * whole thing (partial merge before shuffle, AQE applies).
+    * Semantically the sessions equal [[sessionize]]'s (same gap
+    * rule); this form trades the custom state machine's flexibility
+    * (funnels, caps, side outputs) for optimizer-visible planning —
+    * prefer it when the per-session logic IS an aggregation.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
   final case class FunnelEvent(user_id: Long, event_type: String, tsMicros: Long)
   /** stage 0 = nothing, 1 = viewed, 2 = clicked after view,
     * 3 = purchased after click; stageTsMicros = event time the stage

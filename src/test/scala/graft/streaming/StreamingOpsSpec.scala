@@ -192,6 +192,29 @@ class StreamingOpsSpec extends SparkSpec {
       (1L, micros("2024-01-01 00:00:00"), micros("2024-01-01 00:10:00"), 2L)))
   }
 
+  test("declarative session_window agrees with the stateful sessionizer") {
+    import java.sql.Timestamp
+    // same burst pattern as the sessionize test, in batch mode (batch
+    // session_window needs no watermark and emits ALL sessions, so
+    // parity is checkable over the complete session set)
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00")),
+      (1L, Timestamp.valueOf("2024-01-01 01:00:00")),
+      (2L, Timestamp.valueOf("2024-01-01 00:05:00")))
+      .toDF("user_id", "ts")
+    val got = StreamingOps.sessionWindowAgg(rows)
+      .orderBy("user_id", "session_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3)))
+    // session_window end = last event + gap; starts and counts match
+    // the state machine's sessions exactly
+    assert(got.toSeq === Seq(
+      (1L, "2024-01-01 00:00:00.0", 2L),
+      (1L, "2024-01-01 01:00:00.0", 1L),
+      (2L, "2024-01-01 00:05:00.0", 1L)))
+  }
+
   test("bronze streaming sink partitions by event day and is exactly-once across restarts") {
     val tmp = Files.createTempDirectory("graft-stream-bronze")
     val dataDir = tmp.resolve("in").toString
