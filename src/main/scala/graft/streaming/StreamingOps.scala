@@ -254,6 +254,17 @@ object StreamingOps {
       }
   }
 
+  /** Stream-static enrichment: join the unbounded stream against a
+    * bounded dimension snapshot. The static side is broadcast and
+    * RE-READ per micro-batch (a dimension update between batches is
+    * picked up without restarting the query — eventual-consistency
+    * dimension refresh for free); stateless, so no watermark and no
+    * state store. The standard silver-layer enrichment shape.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      key: String, dimCols: Seq[String]): DataFrame =
+    stream.join(broadcast(dim.select((key +: dimCols).map(col): _*)), Seq(key), "left")
+
   /** Declarative session windows: the built-in `session_window`
     * aggregation — Spark merges overlapping per-event gap windows
     * itself, the watermark closes sessions, and Catalyst plans the

@@ -192,6 +192,26 @@ class StreamingOpsSpec extends SparkSpec {
       (1L, micros("2024-01-01 00:00:00"), micros("2024-01-01 00:10:00"), 2L)))
   }
 
+  test("stream-static join enriches each micro-batch from the dimension") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val source = MemoryStream[(Long, Long)]
+    val enriched = StreamingOps.enrichStream(
+      source.toDS().toDF("event_id", "user_id"), dim, "user_id", Seq("tier"))
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      source.addData((10L, 1L), (11L, 2L), (12L, 3L)) // 3L: no dim row
+      q.processAllAvailable()
+      val got = spark.table("enrich_out").orderBy("event_id")
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), Option(r.getAs[String]("tier"))))
+      assert(got.toSeq === Seq(
+        (1L, Some("gold")), (2L, Some("basic")), (3L, None)))
+    } finally q.stop()
+  }
+
   test("declarative session_window agrees with the stateful sessionizer") {
     import java.sql.Timestamp
     // same burst pattern as the sessionize test, in batch mode (batch
