@@ -329,5 +329,52 @@ object Extras11 {
                 CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r_lex) +
                   CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r_vec) AS rrf
               FROM lr l JOIN vr v USING (doc_id)
-              ORDER BY rrf DESC, doc_id LIMIT 20""")))
+              ORDER BY rrf DESC, doc_id LIMIT 20""")),
+
+    // MLM / denoising corruption prep: deterministically mask ~12.5%
+    // of token positions (md5(doc_id:pos) first nibble in {0,1}) and
+    // emit the corrupted text next to the ordered target tokens — the
+    // masked-language-model training-pair generator, reproducible
+    // across runs AND engines because the mask is pure hash, not RNG.
+    // Map-only until the per-doc reassembly (one keyed collect of
+    // (pos, token) pairs, arrays bounded by document length).
+    QueryDef("q178_mlm_mask",
+      (s, d) => {
+        val tok = table(s, d, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+          .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+          .withColumn("masked",
+            substring(md5(concat_ws(":", col("doc_id"), col("pos"))), 1, 1)
+              .isin("0", "1"))
+        tok.groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            count(when(col("masked"), 1)).as("n_masked"),
+            array_join(
+              transform(sort_array(collect_list(struct(col("pos").as("pos"),
+                when(col("masked"), lit("[MASK]")).otherwise(col("tok")).as("out")))),
+                x => x.getField("out")), " ").as("corrupted"),
+            array_join(
+              transform(sort_array(collect_list(when(col("masked"),
+                struct(col("pos").as("pos"), col("tok").as("tok"))))),
+                x => x.getField("tok")), ",").as("targets"))
+          .select("doc_id", "n_tokens", "n_masked", "corrupted", "targets")
+          .orderBy("doc_id")
+      },
+      Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              tok AS (
+                SELECT doc_id, i AS pos, w[i] AS tok FROM
+                  (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM ws) t),
+              m AS (
+                SELECT doc_id, pos, tok,
+                  substring(md5(concat_ws(':', doc_id, pos)), 1, 1) IN ('0','1') AS masked
+                FROM tok)
+              SELECT doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                CAST(COUNT(CASE WHEN masked THEN 1 END) AS BIGINT) AS n_masked,
+                string_agg(CASE WHEN masked THEN '[MASK]' ELSE tok END, ' '
+                           ORDER BY pos) AS corrupted,
+                COALESCE(string_agg(CASE WHEN masked THEN tok END, ',' ORDER BY pos),
+                         '') AS targets
+              FROM m GROUP BY doc_id ORDER BY doc_id""")))
 }
