@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Corpus
+import QueryDef.table
+
+/** Round-4 widening, batch 9: MATCH_RECOGNIZE-style sequence pattern
+  * counting and an end-to-end entity-resolution composite.
+  *
+  * Determinism: event sequences serialize in (ts, event_id) order and
+  * the patterns are LITERAL strings (no quantifiers — Java regex vs
+  * RE2 ambiguity never enters; non-overlapping leftmost scan is
+  * identical); entity resolution is the SymSpell candidate join +
+  * min-label propagation, all string/integer algebra.
+  */
+object Extras12 {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // sequence pattern counting (MATCH_RECOGNIZE-lite): serialize each
+    // user's view/click/purchase stream into a letter string in time
+    // order, then count literal patterns — strict V→C→P conversions
+    // and direct V→P impulse buys. One shuffle keys everything by
+    // user; per-user strings are bounded by the user's event count,
+    // and the pattern scan is a codegen'd regexp over that string.
+    QueryDef("q179_seq_pattern",
+      (s, d) => {
+        val e = table(s, d, "events")
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            when(col("event_type") === "view", "V")
+              .when(col("event_type") === "click", "C")
+              .otherwise("P").as("letter"))
+        e.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            array_join(
+              transform(sort_array(collect_list(struct(
+                col("ts").as("ts"), col("event_id").as("eid"),
+                col("letter").as("l")))),
+                x => x.getField("l")), "").as("seq"))
+          .withColumn("n_vcp", regexp_count(col("seq"), lit("VCP")))
+          .withColumn("n_vp", regexp_count(col("seq"), lit("VP")))
+          .select(col("user_id"), col("n_events"),
+            col("n_vcp").cast(LongType).as("n_vcp"),
+            col("n_vp").cast(LongType).as("n_vp"))
+          .filter(col("n_vcp") > 0 || col("n_vp") > 0)
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+                SELECT user_id, ts, event_id,
+                  CASE event_type WHEN 'view' THEN 'V'
+                    WHEN 'click' THEN 'C' ELSE 'P' END AS letter
+                FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+              seqs AS (
+                SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                  string_agg(letter, '' ORDER BY ts, event_id) AS seq
+                FROM e GROUP BY user_id),
+              counted AS (
+                SELECT user_id, n_events,
+                  CAST(len(regexp_extract_all(seq, 'VCP')) AS BIGINT) AS n_vcp,
+                  CAST(len(regexp_extract_all(seq, 'VP')) AS BIGINT) AS n_vp
+                FROM seqs)
+              SELECT user_id, n_events, n_vcp, n_vp
+              FROM counted WHERE n_vcp > 0 OR n_vp > 0
+              ORDER BY user_id""")),
+
+    // entity resolution end-to-end: SymSpell deletion-neighborhood
+    // blocking (q161) generates candidate name pairs, a residual
+    // levenshtein confirms them as match edges, min-label propagation
+    // (Corpus.duplicateClusters — the q77 machinery) finds the
+    // transitive match components, and every name maps to its
+    // canonical (lexicographic-min) form. The full dedupe-to-golden-
+    // record pipeline as ONE composed Catalyst DAG; names absent from
+    // any pair stay their own canonical.
+    QueryDef("q180_entity_resolution",
+      (s, d) => {
+        val names = table(s, d, "part").select(col("p_name")).distinct()
+          .localCheckpoint() // feeds variant build AND the final mapping
+        val vars = names.select(col("p_name"), explode(expr(
+          """array_append(
+               transform(sequence(1, length(p_name)),
+                 i -> concat(substr(p_name, 1, i - 1), substr(p_name, i + 1))),
+               p_name)""")).as("v"))
+        val pairs = vars.select(col("p_name").as("id1"), col("v"))
+          .join(vars.select(col("p_name").as("id2"), col("v")), Seq("v"))
+          .filter(col("id1") < col("id2"))
+          .select("id1", "id2").distinct()
+          .filter(expr("levenshtein(id1, id2) <= 1"))
+        val clusters = Corpus.duplicateClusters(pairs)
+        val mapped = names
+          .join(clusters.withColumnRenamed("id", "p_name"), Seq("p_name"), "left")
+          .select(col("p_name").as("name"),
+            coalesce(col("cluster"), col("p_name")).as("canonical"))
+        val sizes = mapped.groupBy("canonical").agg(count(lit(1)).as("n_members"))
+        mapped.join(sizes, "canonical")
+          .select("name", "canonical", "n_members")
+          .orderBy("canonical", "name")
+      },
+      Some("""WITH RECURSIVE
+              n AS (SELECT DISTINCT p_name FROM part),
+              p AS (
+                SELECT a.p_name AS id1, b.p_name AS id2
+                FROM n a, n b
+                WHERE a.p_name < b.p_name
+                  AND levenshtein(a.p_name, b.p_name) <= 1),
+              e AS (SELECT id1 AS src, id2 AS dst FROM p
+                    UNION ALL SELECT id2, id1 FROM p),
+              walk(id, label) AS (
+                SELECT src, src FROM e
+                UNION
+                SELECT e.dst, walk.label FROM walk JOIN e ON e.src = walk.id),
+              labels AS (SELECT id, MIN(label) AS cluster FROM walk GROUP BY id),
+              mapped AS (
+                SELECT n.p_name AS name,
+                  COALESCE(l.cluster, n.p_name) AS canonical
+                FROM n LEFT JOIN labels l ON l.id = n.p_name),
+              sizes AS (SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_members
+                        FROM mapped GROUP BY canonical)
+              SELECT m.name, m.canonical, s.n_members
+              FROM mapped m JOIN sizes s ON s.canonical = m.canonical
+              ORDER BY m.canonical, m.name""")))
+}
