@@ -119,5 +119,36 @@ object Extras12 {
                         FROM mapped GROUP BY canonical)
               SELECT m.name, m.canonical, s.n_members
               FROM mapped m JOIN sizes s ON s.canonical = m.canonical
-              ORDER BY m.canonical, m.name""")))
+              ORDER BY m.canonical, m.name""")),
+
+    // video frame-sampling plan: every 4th frame index per media item,
+    // derived from the q45 decode geometry — the Spark-side plumbing
+    // (schema, per-item generator, batch shape) a real frame extractor
+    // plugs into. Map-only: `sequence` builds the index list per row,
+    // no shuffle before the output sort.
+    QueryDef("q181_frame_sample",
+      (s, d) => {
+        val media = table(s, d, "documents").select(
+          col("doc_id").as("media_id"),
+          col("text").cast(BinaryType).as("content"),
+          lit("application/octet-stream").as("mime"))
+        graft.ops.Multimodal.decodeFeatures(media).toDF()
+          .select(col("media_id"), col("n_frames"))
+          .withColumn("frames",
+            graft.ops.Multimodal.sampleFrameIndexes(col("n_frames"), 4))
+          .select(col("media_id"), col("n_frames").cast(LongType).as("n_frames"),
+            size(col("frames")).cast(LongType).as("n_sampled"),
+            array_join(transform(col("frames"), _.cast(StringType)), ",")
+              .as("frame_idxs"))
+          .orderBy("media_id")
+      },
+      Some("""WITH meta AS (
+                SELECT doc_id AS media_id,
+                  1 + ascii(substr(text, 1 + (2 % GREATEST(strlen(text), 1)), 1)) % 32
+                    AS n_frames
+                FROM documents)
+              SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,
+                CAST(len(range(0, n_frames, 4)) AS BIGINT) AS n_sampled,
+                array_to_string(range(0, n_frames, 4), ',') AS frame_idxs
+              FROM meta ORDER BY media_id""")))
 }
