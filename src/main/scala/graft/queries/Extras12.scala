@@ -150,5 +150,93 @@ object Extras12 {
               SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,
                 CAST(len(range(0, n_frames, 4)) AS BIGINT) AS n_sampled,
                 array_to_string(range(0, n_frames, 4), ',') AS frame_idxs
-              FROM meta ORDER BY media_id""")))
+              FROM meta ORDER BY media_id""")),
+
+    // per-dimension embedding profile: n/min/max/mean/range for every
+    // dimension of the corpus — the embedding-QA pass that catches
+    // dead dimensions (range ~ 0) and scale outliers before an ANN
+    // index is built. posexplode fans the vectors out once; stats
+    // collapse to |dims| rows (64) in one keyed aggregation with
+    // map-side combine; min/max are pure selections, the mean is the
+    // repo's decimal accumulator.
+    QueryDef("q182_embedding_dim_profile",
+      (s, d) => {
+        table(s, d, "embeddings")
+          .select(posexplode(col("embedding").cast("array<double>")).as(Seq("p", "x")))
+          .select((col("p") + 1).as("dim"), col("x"))
+          .groupBy("dim")
+          .agg(count(lit(1)).as("n"),
+            min("x").as("mn"), max("x").as("mx"),
+            (sum(col("x").cast(DecimalType(30, 8))).cast(DoubleType) /
+              count(lit(1)).cast(DoubleType)).as("mean"))
+          .withColumn("rng", col("mx") - col("mn"))
+          .orderBy("dim")
+      },
+      Some("""WITH e AS (
+                SELECT generate_subscripts(embedding, 1) AS dim,
+                  CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings)
+              SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+                MIN(x) AS mn, MAX(x) AS mx,
+                CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) AS mean,
+                MAX(x) - MIN(x) AS rng
+              FROM e GROUP BY dim ORDER BY dim""")),
+
+    // clustering-vs-label agreement: assign every vector to its
+    // nearest seed centroid (the q142 argmin kernel), cross-tabulate
+    // against the ground-truth label column, and score per-cluster
+    // PURITY in integer basis points — the unsupervised-quality eval
+    // an embedding pipeline runs after every re-train. Counts are
+    // exact integers; the majority label ties break lexically.
+    QueryDef("q183_cluster_purity",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val asD = (c: org.apache.spark.sql.Column) =>
+          transform(c, x => x.cast(DoubleType))
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), asD(col("embedding")).as("cv"))
+        val assign = emb
+          .select(col("vec_id"), asD(col("embedding")).as("vv"))
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid"),
+            sqrt(aggregate(zip_with(col("vv"), col("cv"), (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, x) => acc + x)).as("dist"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("dist"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cid"))
+        val cells = assign.join(emb.select(col("vec_id"), col("label")), "vec_id")
+          .groupBy("cid", "label").agg(count(lit(1)).as("c"))
+        cells.groupBy("cid")
+          .agg(sum("c").as("n_members"),
+            min(struct((-col("c")).as("negc"), col("label").as("label"))).as("top"))
+          .select(col("cid"), col("n_members"),
+            col("top.label").as("majority_label"),
+            (-col("top.negc")).as("majority_n"),
+            expr("(-top.negc) * 10000 div n_members").as("purity_bp"))
+          .orderBy("cid")
+      },
+      Some("""WITH c AS (SELECT vec_id AS cid,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                FROM embeddings WHERE vec_id < 8),
+              v AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+                FROM embeddings),
+              d AS (SELECT v.vec_id, v.label, c.cid,
+                  row_number() OVER (PARTITION BY v.vec_id
+                    ORDER BY list_distance(v.vv, c.cv), c.cid) AS rn
+                FROM v CROSS JOIN c),
+              a AS (SELECT vec_id, label, cid FROM d WHERE rn = 1),
+              cells AS (
+                SELECT cid, label, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM a GROUP BY cid, label),
+              top AS (
+                SELECT cid, CAST(SUM(cnt) AS BIGINT) AS n_members,
+                  MIN({'negc': -cnt, 'label': label}) AS t
+                FROM cells GROUP BY cid)
+              SELECT cid, n_members,
+                t['label'] AS majority_label,
+                CAST(-t['negc'] AS BIGINT) AS majority_n,
+                CAST(-t['negc'] AS BIGINT) * 10000 // n_members AS purity_bp
+              FROM top ORDER BY cid""")))
 }
