@@ -6,13 +6,16 @@ import graft.ops.Corpus
 import QueryDef.table
 
 /** Round-4 widening, batch 9: MATCH_RECOGNIZE-style sequence pattern
-  * counting and an end-to-end entity-resolution composite.
+  * counting, an end-to-end entity-resolution composite, the
+  * multimodal frame-sampling plan, and embedding QA/eval passes.
   *
   * Determinism: event sequences serialize in (ts, event_id) order and
   * the patterns are LITERAL strings (no quantifiers — Java regex vs
   * RE2 ambiguity never enters; non-overlapping leftmost scan is
   * identical); entity resolution is the SymSpell candidate join +
-  * min-label propagation, all string/integer algebra.
+  * min-label propagation, all string/integer algebra; frame indexes
+  * and purity are pure integers; the dim profile uses selections and
+  * the decimal mean accumulator.
   */
 object Extras12 {
 
