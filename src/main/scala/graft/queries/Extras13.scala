@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import QueryDef.table
+
+/** Round-4 widening, batch 10: temporal-join staleness semantics and
+  * time-series imputation.
+  *
+  * Determinism: both operators are pure integer algebra over epoch
+  * seconds / hour buckets and cent-scaled values — the interpolation
+  * is INTEGER linear interpolation (floor), so no float enters at
+  * all.
+  */
+object Extras13 {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // as-of join with max staleness (the feature-store point-in-time
+    // rule): each purchase takes the user's LAST click, but only if
+    // it is at most 1 hour old — staler features are refused (NULL),
+    // not silently served. Same single per-user ordered pass as the
+    // plain as-of join; the tolerance is one integer comparison on
+    // the matched row.
+    QueryDef("q184_asof_tolerance",
+      (s, d) => {
+        val e = table(s, d, "events")
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts").cast(TimestampType).cast(LongType).as("sec"))
+        val wPrev = Window.partitionBy("user_id")
+          .orderBy(col("sec"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ck = when(col("event_type") === "click", col("sec"))
+        val ckId = when(col("event_type") === "click", col("event_id"))
+        val r = e
+          .withColumn("psec", last(ck, ignoreNulls = true).over(wPrev))
+          .withColumn("pid", last(ckId, ignoreNulls = true).over(wPrev))
+          .filter(col("event_type") === "purchase")
+        val fresh = col("pid").isNotNull && (col("sec") - col("psec")) <= 3600L
+        r.select(col("user_id"), col("event_id").as("purchase_id"),
+            when(fresh, col("pid")).as("click_id"),
+            when(fresh, col("sec") - col("psec")).as("staleness_sec"),
+            when(fresh, lit(1L)).otherwise(lit(0L)).as("matched"))
+          .orderBy("user_id", "purchase_id")
+      },
+      Some("""WITH e AS (
+                SELECT user_id, event_id, event_type,
+                  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+                FROM events WHERE event_type IN ('purchase', 'click')),
+              w AS (
+                SELECT user_id, event_id, event_type, sec,
+                  last_value(CASE WHEN event_type = 'click' THEN sec END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY sec, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS psec,
+                  last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY sec, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pid
+                FROM e),
+              p AS (
+                SELECT *, (pid IS NOT NULL AND sec - psec <= 3600) AS fresh
+                FROM w WHERE event_type = 'purchase')
+              SELECT user_id, event_id AS purchase_id,
+                CASE WHEN fresh THEN pid END AS click_id,
+                CASE WHEN fresh THEN sec - psec END AS staleness_sec,
+                CASE WHEN fresh THEN 1 ELSE 0 END AS matched
+              FROM p ORDER BY user_id, purchase_id""")),
+
+    // time-series gap imputation: hourly purchase revenue per type on
+    // the dense hour grid (q169's densification), interior silent
+    // hours filled by INTEGER linear interpolation between the
+    // surrounding observed hours; leading/trailing gaps stay NULL
+    // (flagged 'edge'). The standard prep before differencing or
+    // forecasting. One grid generation + one per-type ordered pass
+    // (running prev/next observed state — the q164 machinery).
+    QueryDef("q185_interpolate_gaps",
+      (s, d) => {
+        val e = table(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("ts").cast(TimestampType).cast(LongType).as("sec"),
+            expr("CAST(floor(value * 100.0) AS BIGINT)").as("c"))
+          .select(expr("sec div 3600").as("hour"), col("c"))
+        val obs = e.groupBy("hour").agg(sum("c").as("rev_c"))
+        val span = e.agg(min("hour").as("h0"), max("hour").as("h1"))
+        val grid = span.select(explode(sequence(col("h0"), col("h1"))).as("hour"))
+          .join(obs, Seq("hour"), "left")
+        val ord = Window.orderBy("hour")
+        val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
+        val wNext = ord.rowsBetween(1, Window.unboundedFollowing)
+        // single-partition window is intentional HERE: the grid is
+        // span-hours rows (post-aggregation, thousands at most) — at
+        // scale this pass runs per series key, not globally
+        val known = when(col("rev_c").isNotNull, col("hour"))
+        val r = grid
+          .withColumn("ph", last(known, ignoreNulls = true).over(wPrev))
+          .withColumn("pv", last(when(col("rev_c").isNotNull, col("rev_c")),
+            ignoreNulls = true).over(wPrev))
+          .withColumn("nh", first(known, ignoreNulls = true).over(wNext))
+          .withColumn("nv", first(when(col("rev_c").isNotNull, col("rev_c")),
+            ignoreNulls = true).over(wNext))
+        val interior = col("rev_c").isNull && col("ph").isNotNull && col("nh").isNotNull
+        r.select(col("hour"),
+            when(col("rev_c").isNotNull, col("rev_c"))
+              .when(interior, col("pv") + expr(
+                "(nv - pv) * (hour - ph) div (nh - ph)"))
+              .as("filled_c"),
+            when(col("rev_c").isNotNull, lit("obs"))
+              .when(interior, lit("interp"))
+              .otherwise(lit("edge")).as("source"))
+          .orderBy("hour")
+      },
+      Some("""WITH e AS (
+                SELECT date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) // 3600
+                    AS hour,
+                  CAST(floor(value * 100.0) AS BIGINT) AS c
+                FROM events WHERE event_type = 'purchase'),
+              obs AS (SELECT hour, CAST(SUM(c) AS BIGINT) AS rev_c
+                      FROM e GROUP BY hour),
+              span AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM e),
+              grid AS (
+                SELECT g.hour, o.rev_c
+                FROM (SELECT unnest(range(h0, h1 + 1)) AS hour FROM span) g
+                LEFT JOIN obs o ON o.hour = g.hour),
+              r AS (
+                SELECT hour, rev_c,
+                  last_value(CASE WHEN rev_c IS NOT NULL THEN hour END IGNORE NULLS)
+                    OVER (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ph,
+                  last_value(rev_c IGNORE NULLS)
+                    OVER (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+                  first_value(CASE WHEN rev_c IS NOT NULL THEN hour END IGNORE NULLS)
+                    OVER (ORDER BY hour ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nh,
+                  first_value(rev_c IGNORE NULLS)
+                    OVER (ORDER BY hour ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+                FROM grid)
+              SELECT hour,
+                CASE WHEN rev_c IS NOT NULL THEN rev_c
+                     WHEN ph IS NOT NULL AND nh IS NOT NULL
+                       THEN pv + (nv - pv) * (hour - ph) // (nh - ph)
+                END AS filled_c,
+                CASE WHEN rev_c IS NOT NULL THEN 'obs'
+                     WHEN ph IS NOT NULL AND nh IS NOT NULL THEN 'interp'
+                     ELSE 'edge' END AS source
+              FROM r ORDER BY hour""")))
+}
