@@ -5,13 +5,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import QueryDef.table
 
-/** Round-4 widening, batch 10: temporal-join staleness semantics and
-  * time-series imputation.
+/** Round-4 widening, batch 10: temporal-join staleness semantics,
+  * time-series imputation, seasonal baselines, and leaderboard churn.
   *
-  * Determinism: both operators are pure integer algebra over epoch
-  * seconds / hour buckets and cent-scaled values — the interpolation
-  * is INTEGER linear interpolation (floor), so no float enters at
-  * all.
+  * Determinism: every operator here is pure integer algebra over
+  * epoch seconds / hour buckets and cent-scaled values — the
+  * interpolation and the seasonal baselines are INTEGER (floor)
+  * arithmetic, so no float enters at all.
   */
 object Extras13 {
 
@@ -141,5 +141,94 @@ object Extras13 {
                 CASE WHEN rev_c IS NOT NULL THEN 'obs'
                      WHEN ph IS NOT NULL AND nh IS NOT NULL THEN 'interp'
                      ELSE 'edge' END AS source
-              FROM r ORDER BY hour""")))
+              FROM r ORDER BY hour""")),
+
+    // seasonal baseline + residuals: expected purchase revenue per
+    // hour-of-day (the 24-slot seasonal profile), and each concrete
+    // hour's deviation from its slot's baseline — the de-seasonalized
+    // signal an anomaly monitor thresholds. All integer: floor-mean
+    // baselines, cent residuals. Two keyed aggregations (hour, then
+    // hour-of-day) and a broadcast of the 24-row profile.
+    QueryDef("q186_hod_baseline",
+      (s, d) => {
+        val hourly = table(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("ts").cast(TimestampType).cast(LongType).as("sec"),
+            expr("CAST(floor(value * 100.0) AS BIGINT)").as("c"))
+          .select(expr("sec div 3600").as("hour"), col("c"))
+          .groupBy("hour").agg(sum("c").as("obs_c"))
+          .withColumn("hod", expr("hour % 24"))
+        val base = hourly.groupBy("hod")
+          .agg(expr("sum(obs_c) div count(1)").as("base_c"))
+        hourly.join(broadcast(base), "hod")
+          .select(col("hour"), col("hod"), col("obs_c"), col("base_c"),
+            (col("obs_c") - col("base_c")).as("resid_c"))
+          .orderBy("hour")
+      },
+      Some("""WITH hourly AS (
+                SELECT date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) // 3600
+                    AS hour,
+                  CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS obs_c
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY 1),
+              h2 AS (SELECT hour, hour % 24 AS hod, obs_c FROM hourly),
+              base AS (
+                SELECT hod, CAST(SUM(obs_c) AS BIGINT) // COUNT(*) AS base_c
+                FROM h2 GROUP BY hod)
+              SELECT h.hour, h.hod, h.obs_c, b.base_c,
+                h.obs_c - b.base_c AS resid_c
+              FROM h2 h JOIN base b ON b.hod = h.hod
+              ORDER BY h.hour""")),
+
+    // weekly leaderboard churn: top-10 parts by shipped revenue per
+    // week, with each part's rank movement vs the previous week
+    // (NULL = new entrant). Ranks come from the de-skewed range pass
+    // keyed by week; the churn join touches only 10 rows per week.
+    // The "trending items" op every marketplace dashboard runs.
+    QueryDef("q187_rank_churn",
+      (s, d) => {
+        val wk = table(s, d, "lineitem")
+          .select(
+            col("l_shipdate").cast(TimestampType).cast(LongType).as("sec"),
+            col("l_partkey"),
+            expr("CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)")
+              .as("c"))
+          .select(expr("sec div 604800").as("week"), col("l_partkey"), col("c"))
+          .groupBy("week", "l_partkey").agg(sum("c").as("rev_c"))
+        val ranked = graft.ops.Ranks.groupRanked(
+            wk.withColumn("negrev", -col("rev_c")),
+            "week", "negrev", Seq("l_partkey"))
+          .filter(col("rn") <= 10)
+          .select(col("week"), col("l_partkey"), col("rev_c"), col("rn").as("rank"))
+        val prev = ranked.select(col("week").as("pw"),
+          col("l_partkey").as("pk"), col("rank").as("prev_rank"))
+        ranked
+          .join(prev,
+            col("l_partkey") === col("pk") && col("pw") === col("week") - 1,
+            "left")
+          .select(col("week"), col("l_partkey").as("part"),
+            col("rev_c"), col("rank"), col("prev_rank"),
+            (col("prev_rank") - col("rank")).as("delta"))
+          .orderBy("week", "rank")
+      },
+      Some("""WITH wk AS (
+                SELECT date_diff('second', TIMESTAMP '1970-01-01 00:00:00', l_shipdate)
+                    // 604800 AS week,
+                  l_partkey,
+                  CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+                    AS BIGINT)) AS BIGINT) AS rev_c
+                FROM lineitem GROUP BY 1, 2),
+              ranked AS (
+                SELECT week, l_partkey, rev_c,
+                  ROW_NUMBER() OVER (PARTITION BY week
+                    ORDER BY rev_c DESC, l_partkey) AS rank
+                FROM wk QUALIFY rank <= 10)
+              SELECT c.week, c.l_partkey AS part, c.rev_c,
+                CAST(c.rank AS BIGINT) AS rank,
+                CAST(p.rank AS BIGINT) AS prev_rank,
+                CAST(p.rank - c.rank AS BIGINT) AS delta
+              FROM ranked c
+              LEFT JOIN ranked p
+                ON p.l_partkey = c.l_partkey AND p.week = c.week - 1
+              ORDER BY c.week, c.rank""")))
 }
