@@ -230,5 +230,137 @@ object Extras13 {
               FROM ranked c
               LEFT JOIN ranked p
                 ON p.l_partkey = c.l_partkey AND p.week = c.week - 1
-              ORDER BY c.week, c.rank""")))
+              ORDER BY c.week, c.rank""")),
+
+    // hierarchical contribution (ratio-to-report at two levels):
+    // every nation's revenue share WITHIN its region and every
+    // region's share of the total, in integer basis points. One fact
+    // aggregation to nation grain; region and grand totals derive
+    // from it and broadcast back — the fact shuffles once.
+    QueryDef("q188_contribution",
+      (s, d) => {
+        val rev = table(s, d, "orders")
+          .join(broadcast(table(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(table(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(table(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_name"), col("n_name"),
+            expr("CAST(floor(o_totalprice * 100.0) AS BIGINT)").as("c"))
+          .groupBy("r_name", "n_name").agg(sum("c").as("rev_c"))
+        val regTot = rev.groupBy("r_name").agg(sum("rev_c").as("reg_c"))
+        val tot = rev.agg(sum("rev_c").as("tot_c"))
+        rev.join(broadcast(regTot), "r_name")
+          .crossJoin(broadcast(tot))
+          .select(col("r_name"), col("n_name"), col("rev_c"),
+            expr("rev_c * 10000 div reg_c").as("share_of_region_bp"),
+            expr("reg_c * 10000 div tot_c").as("region_share_bp"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""WITH rev AS (
+                SELECT r_name, n_name,
+                  CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+                    AS rev_c
+                FROM orders
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+                GROUP BY r_name, n_name),
+              reg AS (SELECT r_name, CAST(SUM(rev_c) AS BIGINT) AS reg_c
+                      FROM rev GROUP BY r_name),
+              tot AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS tot_c FROM rev)
+              SELECT v.r_name, v.n_name, v.rev_c,
+                (v.rev_c * 10000) // g.reg_c AS share_of_region_bp,
+                (g.reg_c * 10000) // t.tot_c AS region_share_bp
+              FROM rev v JOIN reg g ON g.r_name = v.r_name CROSS JOIN tot t
+              ORDER BY v.r_name, v.n_name""")),
+
+    // ABC / Pareto classification: parts ranked by revenue, classed A
+    // while cumulative share <= 80%, B to 95%, else C — the inventory
+    // 80/20 analysis. The cumulative sum comes from the de-skewed
+    // running-sum pass (Ranks.groupRunningSum over a constant group:
+    // range-partitioned by the VALUE, no single-reducer window);
+    // thresholds are integer basis points. Emits the three class
+    // summaries, however many parts exist.
+    QueryDef("q189_abc_pareto",
+      (s, d) => {
+        val rev = table(s, d, "lineitem")
+          .select(col("l_partkey"),
+            expr("CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)")
+              .as("c"))
+          .groupBy("l_partkey").agg(sum("c").as("rev_c"))
+          .withColumn("g", lit("all"))
+          .withColumn("negrev", -col("rev_c"))
+        val run = graft.ops.Ranks.groupRunningSum(
+          rev, "g", "negrev", "rev_c", Seq("l_partkey"))
+        val tot = rev.agg(sum("rev_c").as("tot_c"))
+        run.crossJoin(broadcast(tot))
+          .withColumn("cum_bp", expr("rsum * 10000 div tot_c"))
+          .withColumn("cls",
+            when(col("cum_bp") <= 8000, "A")
+              .when(col("cum_bp") <= 9500, "B")
+              .otherwise(lit("C")))
+          .groupBy("cls")
+          .agg(count(lit(1)).as("n_parts"), sum("rev_c").as("class_rev_c"),
+            min("rn").as("first_rank"), max("rn").as("last_rank"))
+          .orderBy("cls")
+      },
+      Some("""WITH rev AS (
+                SELECT l_partkey,
+                  CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+                    AS BIGINT)) AS BIGINT) AS rev_c
+                FROM lineitem GROUP BY l_partkey),
+              run AS (
+                SELECT l_partkey, rev_c,
+                  ROW_NUMBER() OVER (ORDER BY rev_c DESC, l_partkey) AS rn,
+                  SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum
+                FROM rev),
+              tot AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS tot_c FROM rev),
+              classed AS (
+                SELECT rn, rev_c,
+                  CASE WHEN (rsum * 10000) // t.tot_c <= 8000 THEN 'A'
+                       WHEN (rsum * 10000) // t.tot_c <= 9500 THEN 'B'
+                       ELSE 'C' END AS cls
+                FROM run CROSS JOIN tot t)
+              SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                CAST(SUM(rev_c) AS BIGINT) AS class_rev_c,
+                CAST(MIN(rn) AS BIGINT) AS first_rank,
+                CAST(MAX(rn) AS BIGINT) AS last_rank
+              FROM classed GROUP BY cls ORDER BY cls""")),
+
+    // growth accounting: weekly actives split into NEW (first week of
+    // activity) vs RETURNING users. Two keyed aggregations — per-user
+    // first week (broadcastable per-user grain collapses to distinct
+    // users), then per-week counts. The standard weekly growth panel.
+    QueryDef("q190_new_returning",
+      (s, d) => {
+        val uw = table(s, d, "events")
+          .select(col("user_id"),
+            col("ts").cast(TimestampType).cast(LongType).as("sec"))
+          .select(col("user_id"), expr("sec div 604800").as("week"))
+          .distinct()
+        val first = uw.groupBy("user_id").agg(min("week").as("first_week"))
+        uw.join(first, "user_id")
+          .groupBy("week")
+          .agg(count(lit(1)).as("n_active"),
+            count(when(col("week") === col("first_week"), 1)).as("n_new"))
+          .withColumn("n_returning", col("n_active") - col("n_new"))
+          .orderBy("week")
+      },
+      Some("""WITH uw AS (
+                SELECT DISTINCT user_id,
+                  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) // 604800
+                    AS week
+                FROM events),
+              f AS (SELECT user_id, MIN(week) AS first_week
+                    FROM uw GROUP BY user_id)
+              SELECT uw.week, CAST(COUNT(*) AS BIGINT) AS n_active,
+                CAST(COUNT(CASE WHEN uw.week = f.first_week THEN 1 END) AS BIGINT)
+                  AS n_new,
+                CAST(COUNT(*) - COUNT(CASE WHEN uw.week = f.first_week THEN 1 END)
+                  AS BIGINT) AS n_returning
+              FROM uw JOIN f ON f.user_id = uw.user_id
+              GROUP BY uw.week ORDER BY uw.week""")))
 }
