@@ -362,5 +362,61 @@ object Extras13 {
                 CAST(COUNT(*) - COUNT(CASE WHEN uw.week = f.first_week THEN 1 END)
                   AS BIGINT) AS n_returning
               FROM uw JOIN f ON f.user_id = uw.user_id
-              GROUP BY uw.week ORDER BY uw.week""")))
+              GROUP BY uw.week ORDER BY uw.week""")),
+
+    // market-basket association rules (Apriori level 2): for part
+    // pairs co-purchased in >= 2 orders, support, both confidences,
+    // and lift — ALL in integer basis points (lift_bp = c_ab * N *
+    // 10000 div (c_a * c_b); int64-safe at these grains). The pair
+    // expansion is the bounded per-order self-join (baskets are
+    // business-bounded — the q130 edge argument); item and basket
+    // counts collapse first and broadcast. Top-100 by support keeps
+    // the report bounded.
+    QueryDef("q191_basket_rules",
+      (s, d) => {
+        val m = table(s, d, "lineitem")
+          .select(col("l_orderkey").as("ord"), col("l_partkey").as("item"))
+          .distinct()
+          .localCheckpoint() // pair join + item counts + basket count
+        val pairs = m.as("a").join(m.as("b"),
+            col("a.ord") === col("b.ord") && col("a.item") < col("b.item"))
+          .groupBy(col("a.item").as("part_a"), col("b.item").as("part_b"))
+          .agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 2)
+        val items = m.groupBy("item").agg(count(lit(1)).as("ci"))
+        val n = m.select(countDistinct("ord").as("n_orders"))
+        pairs
+          .join(broadcast(items.select(col("item").as("part_a"), col("ci").as("c_a"))),
+            "part_a")
+          .join(broadcast(items.select(col("item").as("part_b"), col("ci").as("c_b"))),
+            "part_b")
+          .crossJoin(broadcast(n))
+          .select(col("part_a"), col("part_b"), col("c_ab"),
+            expr("c_ab * 10000 div n_orders").as("support_bp"),
+            expr("c_ab * 10000 div c_a").as("conf_ab_bp"),
+            expr("c_ab * 10000 div c_b").as("conf_ba_bp"),
+            expr("c_ab * n_orders * 10000 div (c_a * c_b)").as("lift_bp"))
+          .orderBy(col("c_ab").desc, col("part_a"), col("part_b"))
+          .limit(100)
+      },
+      Some("""WITH m AS (
+                SELECT DISTINCT l_orderkey AS ord, l_partkey AS item FROM lineitem),
+              pairs AS (
+                SELECT a.item AS part_a, b.item AS part_b, COUNT(*) AS c_ab
+                FROM m a JOIN m b ON a.ord = b.ord AND a.item < b.item
+                GROUP BY a.item, b.item HAVING COUNT(*) >= 2),
+              items AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS ci
+                        FROM m GROUP BY item),
+              n AS (SELECT CAST(COUNT(DISTINCT ord) AS BIGINT) AS n_orders FROM m)
+              SELECT p.part_a, p.part_b, CAST(p.c_ab AS BIGINT) AS c_ab,
+                (p.c_ab * 10000) // n.n_orders AS support_bp,
+                (p.c_ab * 10000) // ia.ci AS conf_ab_bp,
+                (p.c_ab * 10000) // ib.ci AS conf_ba_bp,
+                (p.c_ab * n.n_orders * 10000) // (ia.ci * ib.ci) AS lift_bp
+              FROM pairs p
+              JOIN items ia ON ia.item = p.part_a
+              JOIN items ib ON ib.item = p.part_b
+              CROSS JOIN n
+              ORDER BY c_ab DESC, part_a, part_b
+              LIMIT 100""")))
 }
