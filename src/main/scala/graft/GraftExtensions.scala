@@ -17,10 +17,14 @@ import graft.functions.{CosineSim, SimHash64}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // whole-operator tier: planner strategy for the native as-of join
+    // (graft.plans.AsOfJoin → AsOfJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
+  }
 }
 
 object GraftExtensions {

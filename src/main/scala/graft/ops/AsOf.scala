@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.graftshim.ColumnShim
+import graft.plans.{AsOfJoin, GraftStrategies}
+
+/** User-facing entry for the native as-of join operator
+  * (graft.plans.AsOfJoinExec). Mirrors the reference's lookup-latest
+  * semantics as a first-class plan node instead of the window/union
+  * composition.
+  *
+  * Column names must be disjoint between the two sides (rename the
+  * right side first, as with any Spark self-join) — the node's output
+  * is left.output ++ right.output.
+  */
+object AsOf {
+
+  /** Ensure the planner can translate AsOfJoin on this session.
+    * `spark.experimental.extraStrategies` is the public hook for an
+    * already-running session; new sessions can instead register
+    * `graft.GraftExtensions` via spark.sql.extensions.
+    */
+  private def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(GraftStrategies))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GraftStrategies
+
+  /** Left-outer as-of join: for every left row, the right row with
+    * equal keys and the greatest `rightTimeCol <= leftTimeCol`
+    * (within `toleranceMicros` when given); nulls when none.
+    */
+  def joinAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+      "as-of join needs matching non-empty key lists")
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in ${plan.output.map(_.name).mkString(", ")}"))
+    ColumnShim.ofRows(spark, AsOfJoin(
+      lPlan, rPlan,
+      leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol),
+      toleranceMicros))
+  }
+}

@@ -1,0 +1,161 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native as-of join — the whole-operator Catalyst extension tier
+  * ((c) in the build plan: LogicalPlan + SparkStrategy + SparkPlan).
+  *
+  * Semantics: left-outer as-of — every left row joins the single
+  * right row with equal keys and the greatest right-time that is
+  * `<=` the left row's time (optionally within `toleranceMicros`);
+  * unmatched left rows pad the right side with nulls. This is the
+  * operator the window/union composition (q54/q184) emulates; here
+  * it is ONE streaming merge pass per partition.
+  *
+  * Scale shape: `requiredChildDistribution` clusters both sides on
+  * the join keys and `requiredChildOrdering` sorts within partitions
+  * by (keys, time) — EnsureRequirements inserts exactly one exchange
+  * + sort per side (same machinery as sort-merge join), and the
+  * merge itself holds O(1) rows per key: no per-key buffering of the
+  * probe side, no window state. At 100 TB this is a plain co-
+  * partitioned merge, parallel in the key space.
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    toleranceMicros: Option[Long]) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    toleranceMicros: Option[Long],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  override def outputPartitioning = left.outputPartitioning
+
+  // left rows pass through in their sorted order
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  private def asMicros(v: Any): Long = v match {
+    case null         => Long.MinValue
+    case l: Long      => l
+    case i: Int       => i.toLong
+    case n: Number    => n.longValue()
+    case other => throw new IllegalArgumentException(
+      s"as-of time must be integral/timestamp, got ${other.getClass}")
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val tol = toleranceMicros
+    val leftOut = left.output
+    val rightOut = right.output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, leftOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rightOut)
+      val lTimeEval = BindReferences.bindReference(lTime, leftOut)
+      val rTimeEval = BindReferences.bindReference(rTime, rightOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightOut.size)
+
+      new Iterator[InternalRow] {
+        // lookahead right row not yet consumed (copied — sorter reuses rows)
+        private var rNext: InternalRow = _
+        // best match so far for the current key run (copied)
+        private var held: InternalRow = _
+        private var heldKey: InternalRow = _
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val lKey = lKeyProj(lRow)
+          val lT = asMicros(lTimeEval.eval(lRow))
+
+          var scanning = true
+          while (scanning) {
+            if (rNext == null) {
+              if (rIter.hasNext) rNext = rIter.next().copy()
+              else scanning = false
+            }
+            if (rNext != null) {
+              val rKey = rKeyProj(rNext)
+              val cmp = keyOrd.compare(rKey, lKey)
+              if (cmp < 0) {
+                // right key already behind every remaining left key
+                rNext = null
+              } else if (cmp > 0) {
+                scanning = false // hold for a later left key
+              } else {
+                val rT = asMicros(rTimeEval.eval(rNext))
+                if (rT <= lT) {
+                  // newer candidate at or before lT — keep the latest
+                  held = rNext
+                  heldKey = rKey.copy()
+                  rNext = null
+                } else {
+                  scanning = false // too new for this left row
+                }
+              }
+            }
+          }
+
+          val matches = held != null && keyOrd.compare(heldKey, lKey) == 0 &&
+            tol.forall(t => lT - asMicros(rTimeEval.eval(held)) <= t)
+          resultProj(joined(lRow, if (matches) held else nullRight))
+        }
+      }
+    }
+  }
+}
+
+/** Planner strategy mapping the logical as-of node to its exec. */
+object GraftStrategies extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}

@@ -299,6 +299,37 @@ object Extras16 {
                 CAST(SUM(converted) AS BIGINT) AS n_converted,
                 CAST(SUM(converted) * 10000 // COUNT(*) AS BIGINT) AS conv_bp
               FROM marked WHERE rn = 1
-              GROUP BY event_type ORDER BY event_type"""))
+              GROUP BY event_type ORDER BY event_type""")),
+
+    // Native as-of join — the whole-operator Catalyst tier: a custom
+    // LogicalPlan (graft.plans.AsOfJoin) planned by an injected
+    // SparkStrategy into AsOfJoinExec, whose required distribution/
+    // ordering buys one exchange + sort per side and a streaming
+    // O(1)-state merge (see plans/AsOfJoinPlan.scala). Same semantics
+    // as q54's window/union composition; the oracle is DuckDB's own
+    // native ASOF LEFT JOIN.
+    QueryDef("q210_asof_native",
+      (s, d) => {
+        val ev = table(s, d, "events")
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        graft.ops.AsOf.joinAsOf(p, c, Seq("user_id"), Seq("c_user"), "ts", "c_ts")
+          .select(col("user_id"), col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+            date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_click_ts"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH p AS (SELECT user_id, event_id, ts FROM events
+                         WHERE event_type = 'purchase'),
+                   c AS (SELECT user_id AS c_user, ts AS c_ts FROM events
+                         WHERE event_type = 'click')
+              SELECT p.user_id, p.event_id,
+                STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+                STRFTIME(c.c_ts, '%Y-%m-%d %H:%M:%S') AS asof_click_ts
+              FROM p ASOF LEFT JOIN c
+                ON p.user_id = c.c_user AND p.ts >= c.c_ts
+              ORDER BY p.user_id, p.event_id"""))
   )
 }

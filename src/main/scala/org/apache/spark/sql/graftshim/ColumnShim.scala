@@ -16,6 +16,16 @@ object ColumnShim {
   /** Unwrap a Column to its Catalyst expression. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Build a DataFrame from a raw logical plan (private[sql]
+    * `Dataset.ofRows`) — the entry point for custom logical nodes
+    * like graft.plans.AsOfJoin.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a function on an EXISTING session's registry (the
     * extensions path only applies when a brand-new session is built).
     */
