@@ -22,8 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     // whole-operator tier: planner strategy for the native as-of join
-    // (graft.plans.AsOfJoin → AsOfJoinExec)
+    // (graft.plans.AsOfJoin → AsOfJoinExec) plus the optimizer rule
+    // that lets left-side filters commute below the custom node
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
 }
 

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.graftshim.ColumnShim
-import graft.plans.{AsOfJoin, GraftStrategies}
+import graft.plans.{AsOfJoin, GraftStrategies, PushFilterThroughAsOfJoin}
 
 /** User-facing entry for the native as-of join operator
   * (graft.plans.AsOfJoinExec). Mirrors the reference's lookup-latest
@@ -20,10 +20,14 @@ object AsOf {
     * already-running session; new sessions can instead register
     * `graft.GraftExtensions` via spark.sql.extensions.
     */
-  private def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
+  private def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(GraftStrategies))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ GraftStrategies
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
+  }
 
   /** Left-outer as-of join: for every left row, the right row with
     * equal keys and the greatest `rightTimeCol <= leftTimeCol`

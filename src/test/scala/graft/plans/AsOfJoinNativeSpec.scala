@@ -89,4 +89,28 @@ class AsOfJoinNativeSpec extends SparkSpec {
     val diff = native.except(composed).union(composed.except(native)).count()
     assert(diff === 0L, "native and composed as-of must agree row-for-row")
   }
+
+  test("left-side filters push below the as-of node into the scan") {
+    val ev = graft.queries.QueryDef.table(spark, "/root/testdata/sf0.001", "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val joined = AsOf.joinAsOf(p, c, Seq("user_id"), Seq("c_user"), "ts", "c_ts")
+    val filtered = joined.filter(col("user_id") < 3)
+    val optimized = filtered.queryExecution.optimizedPlan
+    // the Filter must have commuted below the AsOfJoin node
+    val filterAboveJoin = optimized.collectFirst {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, _: AsOfJoin)
+        if cond.references.exists(_.name == "user_id") => true
+    }.isDefined
+    assert(!filterAboveJoin, s"left filter stayed above the join:\n$optimized")
+    val pushedIntoLeft = optimized.collectFirst { case j: AsOfJoin => j.left }
+      .exists(_.toString.contains("user_id"))
+    assert(pushedIntoLeft, s"expected pushed left filter in:\n$optimized")
+    // and semantics are unchanged vs filtering before the join
+    val pre = AsOf.joinAsOf(p.filter(col("user_id") < 3), c,
+      Seq("user_id"), Seq("c_user"), "ts", "c_ts")
+    assert(filtered.except(pre).union(pre.except(filtered)).count() === 0L)
+  }
 }
