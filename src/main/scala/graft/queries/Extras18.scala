@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QueryDef.table
+
+/** Round-4 widening, batch 15: weighted median over de-skewed running
+  * weights, funnel time-to-convert quantiles, and a discount response
+  * curve.
+  */
+object Extras18 {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Quantity-weighted median price per return flag: the smallest
+    // value whose running weight reaches half the group total.
+    // Running weights come from Ranks.groupRunningSum (range
+    // repartition + broadcast offsets — no 3-reducer group window).
+    // Tie runs make per-row rsum order-dependent, but the CROSSING
+    // VALUE is not: cumulative weight entering/leaving a tie run is
+    // fixed, so the run containing the crossing — and hence the
+    // emitted value — is deterministic in both engines.
+    QueryDef("q216_weighted_median",
+      (s, d) => {
+        val li = table(s, d, "lineitem").select(
+          col("l_returnflag").as("g"),
+          expr("CAST(floor(l_extendedprice * 100.0) AS BIGINT)").as("v_c"),
+          expr("CAST(floor(l_quantity) AS BIGINT)").as("wt"))
+        val r = graft.ops.Ranks.groupRunningSum(li, "g", "v_c", "wt")
+        val t = li.groupBy("g").agg(sum("wt").as("w_total"))
+        r.join(broadcast(t), "g")
+          .groupBy("g")
+          .agg(max("w_total").as("w_total"),
+            min(when(expr("2 * rsum >= w_total"), col("v_c"))).as("wmedian_c"))
+          .orderBy("g")
+      },
+      Some("""WITH li AS (
+                SELECT l_returnflag AS g,
+                  CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS v_c,
+                  CAST(floor(l_quantity) AS BIGINT) AS wt
+                FROM lineitem),
+              x AS (
+                SELECT g, v_c, wt,
+                  SUM(wt) OVER (PARTITION BY g ORDER BY v_c
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum,
+                  SUM(wt) OVER (PARTITION BY g) AS w_total
+                FROM li)
+              SELECT g, CAST(MAX(w_total) AS BIGINT) AS w_total,
+                CAST(MIN(CASE WHEN 2 * rsum >= w_total THEN v_c END) AS BIGINT)
+                  AS wmedian_c
+              FROM x GROUP BY g ORDER BY g""")),
+
+    // Funnel latency: whole-hour gaps from first view to first
+    // subsequent purchase, with exact p50/p90 over the converting
+    // users (de-skewed global ranks; quantile ranks are the same
+    // integer formulas in both engines).
+    QueryDef("q217_time_to_convert",
+      (s, d) => {
+        val ev = table(s, d, "events")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t_view"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(v, "user_id")
+          .filter(col("ts") > col("t_view"))
+          .groupBy("user_id").agg(min("ts").as("t_buy"))
+        val dlt = v.join(p, "user_id")
+          .select(expr("(CAST(CAST(t_buy AS TIMESTAMP) AS LONG)" +
+            " - CAST(CAST(t_view AS TIMESTAMP) AS LONG)) div 3600").as("hrs"))
+          .withColumn("g", lit(1))
+        graft.ops.Ranks.groupRanked(dlt, "g", "hrs", Seq.empty)
+          .agg(max("n").as("n_converted"),
+            max(when(col("rn") === expr("(n + 1) div 2"), col("hrs"))).as("p50_h"),
+            max(when(col("rn") === expr("(9 * n + 9) div 10"), col("hrs"))).as("p90_h"))
+      },
+      Some("""WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+                         WHERE event_type = 'view' GROUP BY user_id),
+              p AS (SELECT e.user_id, MIN(e.ts) AS t_buy
+                    FROM events e JOIN v ON e.user_id = v.user_id
+                    WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+                    GROUP BY e.user_id),
+              d AS (SELECT date_diff('second', v.t_view, p.t_buy) // 3600 AS hrs
+                    FROM v JOIN p ON v.user_id = p.user_id),
+              r AS (SELECT hrs, row_number() OVER (ORDER BY hrs) AS rn,
+                      COUNT(*) OVER () AS n FROM d)
+              SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+                CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN hrs END) AS BIGINT) AS p50_h,
+                CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN hrs END) AS BIGINT)
+                  AS p90_h
+              FROM r""")),
+
+    // Discount response curve: per discount level (bp), item count,
+    // quantity, revenue cents, average item revenue, and share of
+    // total revenue — the pricing-elasticity readout. One aggregation
+    // plus a broadcast scalar total.
+    QueryDef("q218_discount_response",
+      (s, d) => {
+        val li = table(s, d, "lineitem").select(
+          expr("CAST(floor(l_discount * 10000.0) AS BIGINT)").as("disc_bp"),
+          expr("CAST(floor(l_quantity) AS BIGINT)").as("qty"),
+          expr("CAST(floor(l_extendedprice * 100.0) AS BIGINT)" +
+            " * (10000 - CAST(floor(l_discount * 10000.0) AS BIGINT)) div 10000")
+            .as("rev_c"))
+          .localCheckpoint() // total + per-level rollup
+        val t = li.agg(sum("rev_c").as("total_c"))
+        li.groupBy("disc_bp")
+          .agg(count(lit(1)).as("n_items"), sum("qty").as("total_qty"),
+            sum("rev_c").as("revenue_c"))
+          .crossJoin(broadcast(t))
+          .withColumn("avg_item_c", expr("revenue_c div n_items"))
+          .withColumn("rev_share_bp", expr("revenue_c * 10000 div total_c"))
+          .select("disc_bp", "n_items", "total_qty", "revenue_c",
+            "avg_item_c", "rev_share_bp")
+          .orderBy("disc_bp")
+      },
+      Some("""WITH li AS (
+                SELECT CAST(floor(l_discount * 10000.0) AS BIGINT) AS disc_bp,
+                  CAST(floor(l_quantity) AS BIGINT) AS qty,
+                  CAST(floor(l_extendedprice * 100.0) AS BIGINT)
+                    * (10000 - CAST(floor(l_discount * 10000.0) AS BIGINT))
+                    // 10000 AS rev_c
+                FROM lineitem),
+              t AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS total_c FROM li)
+              SELECT disc_bp, CAST(COUNT(*) AS BIGINT) AS n_items,
+                CAST(SUM(qty) AS BIGINT) AS total_qty,
+                CAST(SUM(rev_c) AS BIGINT) AS revenue_c,
+                CAST(SUM(rev_c) // COUNT(*) AS BIGINT) AS avg_item_c,
+                CAST(SUM(rev_c) * 10000 // t.total_c AS BIGINT) AS rev_share_bp
+              FROM li CROSS JOIN t
+              GROUP BY disc_bp, t.total_c ORDER BY disc_bp"""))
+  )
+}
