@@ -474,4 +474,28 @@ object StreamingOps {
             .iterator
       }
   }
+
+  /** Point-in-time enrichment: every micro-batch of facts joins the
+    * dimension's latest snapshot at-or-before each fact's time via
+    * the NATIVE as-of operator (graft.plans.AsOfJoinExec) — the
+    * feature-store rule that keeps future dimension state out of
+    * training facts. The dimension is a static versioned table
+    * (key, version time, attributes); `toleranceMicros` optionally
+    * refuses stale versions. The join plans per batch with one
+    * exchange + sort per side, so at scale each micro-batch is a
+    * bounded co-partitioned merge.
+    */
+  def pointInTimeEnrich(
+      facts: DataFrame,
+      dim: DataFrame,
+      factKey: String, dimKey: String,
+      factTime: String, dimTime: String,
+      toleranceMicros: Option[Long] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    facts.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.ops.AsOf.joinAsOf(batch, dim,
+          Seq(factKey), Seq(dimKey), factTime, dimTime, toleranceMicros), id)
+      }
+      .start()
 }
