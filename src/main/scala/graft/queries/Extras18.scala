@@ -125,6 +125,44 @@ object Extras18 {
                 CAST(SUM(rev_c) // COUNT(*) AS BIGINT) AS avg_item_c,
                 CAST(SUM(rev_c) * 10000 // t.total_c AS BIGINT) AS rev_share_bp
               FROM li CROSS JOIN t
-              GROUP BY disc_bp, t.total_c ORDER BY disc_bp"""))
+              GROUP BY disc_bp, t.total_c ORDER BY disc_bp""")),
+
+    // Weekly price bands: exact p25/p50/p75 of order totals per week.
+    // Unlike the FIXED 5-value priority groups (q84/q176, de-skewed),
+    // the week key's cardinality GROWS with the data — a per-week
+    // rank window keeps parallelism proportional to the time span, so
+    // the plain window is the right plan here (and the cheaper one).
+    QueryDef("q219_weekly_bands",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("wk").orderBy("p_c")
+        table(s, d, "orders")
+          .select(trunc(col("o_orderdate").cast(org.apache.spark.sql.types.DateType), "week").as("wk"),
+            expr("CAST(floor(o_totalprice * 100.0) AS BIGINT)").as("p_c"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("wk")))
+          .groupBy(date_format(col("wk"), "yyyy-MM-dd").as("week"))
+          .agg(max("n").as("n_orders"),
+            max(when(col("rn") === expr("(n + 3) div 4"), col("p_c"))).as("p25_c"),
+            max(when(col("rn") === expr("(n + 1) div 2"), col("p_c"))).as("p50_c"),
+            max(when(col("rn") === expr("(3 * n + 3) div 4"), col("p_c"))).as("p75_c"))
+          .orderBy("week")
+      },
+      Some("""WITH o AS (
+                SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+                  CAST(floor(o_totalprice * 100.0) AS BIGINT) AS p_c
+                FROM orders),
+              r AS (
+                SELECT wk, p_c,
+                  row_number() OVER (PARTITION BY wk ORDER BY p_c) AS rn,
+                  COUNT(*) OVER (PARTITION BY wk) AS n
+                FROM o)
+              SELECT STRFTIME(wk, '%Y-%m-%d') AS week,
+                CAST(MAX(n) AS BIGINT) AS n_orders,
+                CAST(MAX(CASE WHEN rn = (n + 3) // 4 THEN p_c END) AS BIGINT) AS p25_c,
+                CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN p_c END) AS BIGINT) AS p50_c,
+                CAST(MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN p_c END) AS BIGINT) AS p75_c
+              FROM r GROUP BY wk ORDER BY week"""))
   )
 }
