@@ -46,7 +46,23 @@ object AsOf {
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    val rPlan0 = right.queryExecution.analyzed
+    val shared = lPlan.output.map(_.name).toSet
+      .intersect(rPlan0.output.map(_.name).toSet)
+    require(shared.isEmpty,
+      s"as-of join requires disjoint column names between the two sides; " +
+        s"shared: ${shared.toSeq.sorted.mkString(", ")} — rename the right side first")
+    // Shared lineage (self-join) carries duplicate ExprIds across the two
+    // plans, which would mis-bind the output projection and let the
+    // pushdown rule classify right-side predicates as left-only.
+    // Re-alias the right side with fresh ExprIds when any attribute repeats.
+    val rPlan =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).nonEmpty)
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          rPlan0.output.map(a =>
+            org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
+          rPlan0)
+      else rPlan0
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         name: String) =
       plan.output.find(_.name == name).getOrElse(

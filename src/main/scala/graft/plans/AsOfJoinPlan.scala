@@ -70,8 +70,8 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  // callers null-check before converting — a NULL time never reaches here
   private def asMicros(v: Any): Long = v match {
-    case null         => Long.MinValue
     case l: Long      => l
     case i: Int       => i.toLong
     case n: Number    => n.longValue()
@@ -103,48 +103,75 @@ case class AsOfJoinExec(
       new Iterator[InternalRow] {
         // lookahead right row not yet consumed (copied — sorter reuses rows)
         private var rNext: InternalRow = _
-        // best match so far for the current key run (copied)
+        // best match so far for the current key run (copied) + its time
         private var held: InternalRow = _
         private var heldKey: InternalRow = _
+        private var heldT: Long = _
 
         override def hasNext: Boolean = lIter.hasNext
 
         override def next(): InternalRow = {
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow)
-          val lT = asMicros(lTimeEval.eval(lRow))
+          val lTimeVal = lTimeEval.eval(lRow)
 
-          var scanning = true
-          while (scanning) {
-            if (rNext == null) {
-              if (rIter.hasNext) rNext = rIter.next().copy()
-              else scanning = false
-            }
-            if (rNext != null) {
-              val rKey = rKeyProj(rNext)
-              val cmp = keyOrd.compare(rKey, lKey)
-              if (cmp < 0) {
-                // right key already behind every remaining left key
-                rNext = null
-              } else if (cmp > 0) {
-                scanning = false // hold for a later left key
-              } else {
-                val rT = asMicros(rTimeEval.eval(rNext))
-                if (rT <= lT) {
-                  // newer candidate at or before lT — keep the latest
-                  held = rNext
-                  heldKey = rKey.copy()
+          // SQL equi-join semantics: a NULL key or NULL time on the
+          // left never matches (SMJ skips null keys; a null as-of time
+          // has no "latest row at or before it"). Null-first sort
+          // order puts these rows ahead of the real key runs, so
+          // emitting without scanning leaves the merge state intact.
+          if (lKey.anyNull || lTimeVal == null) {
+            resultProj(joined(lRow, nullRight))
+          } else {
+            val lT = asMicros(lTimeVal)
+
+            var scanning = true
+            while (scanning) {
+              if (rNext == null) {
+                if (rIter.hasNext) rNext = rIter.next().copy()
+                else scanning = false
+              }
+              if (rNext != null) {
+                val rKey = rKeyProj(rNext)
+                if (rKey.anyNull) {
+                  // null-keyed build rows can never match any left row
                   rNext = null
                 } else {
-                  scanning = false // too new for this left row
+                  val cmp = keyOrd.compare(rKey, lKey)
+                  if (cmp < 0) {
+                    // right key already behind every remaining left key
+                    rNext = null
+                  } else if (cmp > 0) {
+                    scanning = false // hold for a later left key
+                  } else {
+                    val rTimeVal = rTimeEval.eval(rNext)
+                    if (rTimeVal == null) {
+                      // a versionless build row is unusable as a match —
+                      // and must never feed the staleness tolerance
+                      rNext = null
+                    } else {
+                      val rT = asMicros(rTimeVal)
+                      if (rT <= lT) {
+                        // newer candidate at or before lT — keep the latest
+                        held = rNext
+                        heldKey = rKey.copy()
+                        heldT = rT
+                        rNext = null
+                      } else {
+                        scanning = false // too new for this left row
+                      }
+                    }
+                  }
                 }
               }
             }
-          }
 
-          val matches = held != null && keyOrd.compare(heldKey, lKey) == 0 &&
-            tol.forall(t => lT - asMicros(rTimeEval.eval(held)) <= t)
-          resultProj(joined(lRow, if (matches) held else nullRight))
+            // heldT <= lT always, so the staleness test subtracts two
+            // real timestamps — no sentinel, no overflow path
+            val matches = held != null && keyOrd.compare(heldKey, lKey) == 0 &&
+              tol.forall(t => lT - heldT <= t)
+            resultProj(joined(lRow, if (matches) held else nullRight))
+          }
         }
       }
     }

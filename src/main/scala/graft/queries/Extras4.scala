@@ -456,8 +456,12 @@ object Extras4 {
     // partition's fingerprint disagrees). Addition is commutative, so
     // the checksum is independent of partitioning and row order;
     // summed in DECIMAL(38,0) (a LONG sum would overflow ~40k rows up
-    // under ANSI mode). Only integer/string/date columns feed the
-    // hash — double formatting differs across engines.
+    // under ANSI mode) but EMITTED AS STRING — wide decimals on the
+    // compared surface trip engine-dependent normalization even when
+    // the digits agree (round-4 verdict adjudicated q140/q141 as exact
+    // value matches failing only on decimal repr). Only integer/
+    // string/date columns feed the hash — double formatting differs
+    // across engines.
     QueryDef("q140_table_fingerprint",
       (s, d) => {
         val h = conv(substring(md5(concat_ws("|",
@@ -469,15 +473,15 @@ object Extras4 {
             h.as("h"))
           .groupBy("month")
           .agg(count(lit(1)).as("n_rows"),
-            sum(col("h").cast(DecimalType(38, 0))).as("checksum"))
+            sum(col("h").cast(DecimalType(38, 0))).cast(StringType).as("checksum"))
           .orderBy("month")
       },
       Some("""SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS VARCHAR) AS month,
                      CAST(COUNT(*) AS BIGINT) AS n_rows,
-                     CAST(SUM(CAST('0x' || substr(md5(CONCAT_WS('|',
+                     CAST(CAST(SUM(CAST('0x' || substr(md5(CONCAT_WS('|',
                          CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
                          o_orderstatus, CAST(o_orderdate AS VARCHAR))), 1, 12)
-                       AS BIGINT)) AS DECIMAL(38,0)) AS checksum
+                       AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
               FROM orders GROUP BY 1 ORDER BY month""")),
 
     // CDC apply: derive the change feed between two snapshots (q121's
@@ -509,7 +513,7 @@ object Extras4 {
         def fp(df: org.apache.spark.sql.DataFrame, tag: String) = df.agg(
           count(lit(1)).as(s"n_$tag"),
           sum(conv(substring(md5(col("k").cast(StringType)), 1, 12), 16, 10)
-            .cast(DecimalType(38, 0))).as(s"keysum_$tag"),
+            .cast(DecimalType(38, 0))).cast(StringType).as(s"keysum_$tag"),
           sum(col("bal").cast(DecimalType(18, 4))).cast(DoubleType).as(s"balsum_$tag"))
         fp(applied, "applied").crossJoin(fp(next, "direct"))
       },
@@ -532,13 +536,13 @@ object Extras4 {
                 SELECT k, bal FROM a WHERE k NOT IN (SELECT k FROM dels)
                 UNION ALL SELECT k, bal FROM ups),
               fa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_applied,
-                       CAST(SUM(CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 12)
-                         AS BIGINT)) AS DECIMAL(38,0)) AS keysum_applied,
+                       CAST(CAST(SUM(CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 12)
+                         AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS keysum_applied,
                        CAST(SUM(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS balsum_applied
                      FROM applied),
               fd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_direct,
-                       CAST(SUM(CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 12)
-                         AS BIGINT)) AS DECIMAL(38,0)) AS keysum_direct,
+                       CAST(CAST(SUM(CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 12)
+                         AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS keysum_direct,
                        CAST(SUM(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS balsum_direct
                      FROM nxt)
               SELECT * FROM fa, fd""")),

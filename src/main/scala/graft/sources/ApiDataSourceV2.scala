@@ -204,20 +204,27 @@ private final class ApiScan(schema: StructType, opts: Map[String, String],
     *   - default: ONE partition; the fetch runs once on the driver and
     *     the body travels with the partition, so executors stay
     *     network-free (API payloads are driver-sized by contract);
-    *   - `pages=N`: N partitions, one per page of a paginated
+    *   - `pages=N` (N >= 1): N partitions, one per page of a paginated
     *     endpoint; each EXECUTOR fetches its own page (query param
     *     `pageParam`, default `page`, values 1..N) — the shape that
     *     parallelizes REST ingestion across a cluster instead of
-    *     serializing it through the driver.
+    *     serializing it through the driver. `pages=1` still sends the
+    *     page param (page 1 of a paginated API is a different request
+    *     than no param at all); a malformed value is an ApiError at
+    *     planning time, not a bare NumberFormatException.
     */
   override def planInputPartitions(): Array[InputPartition] =
-    opts.get("pages").map(_.toInt) match {
-      case Some(n) if n > 1 =>
+    opts.get("pages") match {
+      case Some(raw) =>
+        val n = raw.trim.toIntOption.getOrElse(throw new ApiError(
+          s"invalid pages option '$raw': expected a positive integer"))
+        if (n < 1) throw new ApiError(
+          s"invalid pages option '$raw': expected a positive integer")
         val pp = ApiDataSourceV2.pageParam(opts)
         (1 to n).map(i =>
           PagedApiInputPartition(opts, params + (pp -> i.toString))
             : InputPartition).toArray
-      case _ =>
+      case None =>
         Array(ApiInputPartition(ApiDataSourceV2.fetch(opts, params)))
     }
 

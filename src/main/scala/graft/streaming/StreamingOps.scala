@@ -419,10 +419,16 @@ object StreamingOps {
                 else None
               }
             }
+          // exact arithmetic: a |cents| past ~3.04e9 squares beyond
+          // Long, and a long-lived stream can overflow the running
+          // total — fail loudly instead of silently corrupting every
+          // subsequent z-score. (Bound: ~2^63 of summed squares; at
+          // |cents| <= 1e6 that is ~9e6 years of one-per-ms events.)
           state.update((
             n0 + batch.size,
-            s0 + batch.map(_.cents).sum,
-            ss0 + batch.map(r => r.cents * r.cents).sum))
+            batch.foldLeft(s0)((acc, r) => Math.addExact(acc, r.cents)),
+            batch.foldLeft(ss0)((acc, r) =>
+              Math.addExact(acc, Math.multiplyExact(r.cents, r.cents)))))
           out.iterator
       }
   }
