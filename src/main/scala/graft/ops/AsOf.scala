@@ -47,8 +47,14 @@ object AsOf {
     ensureStrategy(spark)
     val lPlan = left.queryExecution.analyzed
     val rPlan0 = right.queryExecution.analyzed
-    val shared = lPlan.output.map(_.name).toSet
-      .intersect(rPlan0.output.map(_.name).toSet)
+    // Disjointness must follow the session's resolution rules: under the
+    // default case-insensitive resolver, 'Key' vs 'key' is the SAME name
+    // downstream, so the guard normalizes before intersecting.
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def norm(n: String) = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val shared = lPlan.output.map(a => norm(a.name)).toSet
+      .intersect(rPlan0.output.map(a => norm(a.name)).toSet)
     require(shared.isEmpty,
       s"as-of join requires disjoint column names between the two sides; " +
         s"shared: ${shared.toSeq.sorted.mkString(", ")} — rename the right side first")

@@ -424,11 +424,22 @@ object StreamingOps {
           // total — fail loudly instead of silently corrupting every
           // subsequent z-score. (Bound: ~2^63 of summed squares; at
           // |cents| <= 1e6 that is ~9e6 years of one-per-ms events.)
+          // A bare ArithmeticException would fail the whole query with
+          // no hint of where; rethrow with the group and value so the
+          // poisoned key is identifiable from the driver log.
+          def exact(acc: Long, r: TypedValue)(f: => Long): Long =
+            try f catch {
+              case e: ArithmeticException =>
+                throw new ArithmeticException(
+                  s"running-moment overflow in group '$g' at event ${r.event_id} " +
+                    s"(cents=${r.cents}, acc=$acc): ${e.getMessage}")
+            }
           state.update((
             n0 + batch.size,
-            batch.foldLeft(s0)((acc, r) => Math.addExact(acc, r.cents)),
+            batch.foldLeft(s0)((acc, r) =>
+              exact(acc, r)(Math.addExact(acc, r.cents))),
             batch.foldLeft(ss0)((acc, r) =>
-              Math.addExact(acc, Math.multiplyExact(r.cents, r.cents)))))
+              exact(acc, r)(Math.addExact(acc, Math.multiplyExact(r.cents, r.cents))))))
           out.iterator
       }
   }

@@ -105,4 +105,33 @@ class ApiDataSourceV2Spec extends SparkSpec {
       (r.getAs[Long]("page"), r.getAs[Long]("count"))).sorted.toSeq ===
       Seq((1L, 4L), (2L, 4L), (3L, 4L)))
   }
+
+  test("pages=1 is an executor-side fetch OF page 1, not the no-param driver path") {
+    val dir = Files.createTempDirectory("graft-api-page1")
+    Files.write(dir.resolve("page1.json"),
+      """[{"id": 10, "page": 1}, {"id": 11, "page": 1}]""".getBytes("UTF-8"))
+    val df = spark.read.format("graft-api")
+      .option("url", "https://api.test/paged")
+      // resolves {page} — succeeds ONLY if the page param was sent
+      .option("fixture", s"$dir/page{page}.json")
+      .option("pages", "1")
+      .load()
+    assert(df.rdd.getNumPartitions === 1)
+    assert(df.collect().map(_.getAs[Long]("id")).sorted.toSeq === Seq(10L, 11L))
+  }
+
+  test("pages=0 and malformed pages fail with ApiError at planning, not NumberFormatException") {
+    for (bad <- Seq("0", "-2", "three", "1.5")) {
+      val df = fixtureDf("pages" -> bad)
+      val e = intercept[Exception](df.count())
+      // the planner throws our typed error; Spark may wrap it
+      val root = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).toSeq.last
+      assert(root.isInstanceOf[ApiError] ||
+        Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+          .exists(_.isInstanceOf[ApiError]),
+        s"pages=$bad: expected ApiError, got $e")
+      assert(!e.isInstanceOf[NumberFormatException])
+    }
+  }
 }
