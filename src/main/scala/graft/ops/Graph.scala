@@ -48,17 +48,42 @@ object Graph {
     * this form shuffles only the compact out-adjacency table (one row
     * per vertex, list bounded by oriented out-degree) and does the
     * intersection per edge inside codegen. AQE broadcasts the
-    * adjacency when it fits; under heavy skew, orient by DEGREE
-    * (low→high, tie by id) instead of id — same count, out-lists
-    * bounded by O(√E) — the orientation here stays id-based so the
-    * oracle SQL matches line for line.
+    * adjacency when it fits.
+    *
+    * `orientByDegree = true` re-orients each edge from its
+    * (degree, id)-smaller endpoint before building the adjacency: any
+    * total order on vertices makes the orientation acyclic and counts
+    * each triangle exactly once, and degree order bounds every
+    * out-list by O(√E) — a celebrity vertex with 10M neighbors stops
+    * producing a 10M-element out-list because almost all its edges
+    * point INTO it. Same count either way (invariance spec'd); the
+    * default stays id-based so the oracle SQL matches line for line.
     * Returns one row: (n_vertices, n_edges, n_triangles).
     */
-  def triangleStats(edges: DataFrame): DataFrame = {
+  def triangleStats(edges: DataFrame, orientByDegree: Boolean = false): DataFrame = {
     // the edge list feeds four consumers (vertex count, edge count,
     // adjacency build, intersection probe) — pin it once or the
     // upstream build (a self-join + distinct) re-executes per consumer
-    val e = edges.select(col("u"), col("v")).localCheckpoint()
+    val e0 = edges.select(col("u"), col("v")).localCheckpoint()
+    val e =
+      if (!orientByDegree) e0
+      else {
+        // undirected degree per endpoint; the (degree, id) total order
+        // picks each edge's arrow direction
+        val deg = e0.select(col("u").as("x")).union(e0.select(col("v").as("x")))
+          .groupBy("x").agg(count(lit(1)).as("d"))
+        val fwd = col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v"))
+        e0.join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+          .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+          .select(
+            when(fwd, col("u")).otherwise(col("v")).as("u"),
+            when(fwd, col("v")).otherwise(col("u")).as("v"))
+          // the oriented list feeds adjacency build + probe; its
+          // lineage is two joins over e0 — pin it like e0 rather than
+          // re-running them per consumer
+          .localCheckpoint()
+      }
     val verts = e.select(col("u").as("x")).union(e.select(col("v").as("x"))).distinct()
     val adj = e.groupBy(col("u").as("x")).agg(sort_array(collect_list(col("v"))).as("nbr"))
     val tris = e

@@ -25,6 +25,46 @@ class GraphSpec extends SparkSpec {
     assert(p === ((4L, 3L, 0L)))
   }
 
+  test("degree orientation counts the same triangles as id orientation") {
+    // skewed random graph: a hub (vertex 0) wired to everyone plus
+    // random sparse edges — the shape degree orientation exists for.
+    // Brute-force ground truth on the driver keeps the test honest.
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val hub = (1 until n).map(i => (0L, i.toLong))
+    val sparse = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val undirected = (hub ++ sparse).distinct
+    val adj = undirected.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val expected = undirected.map { case (a, b) =>
+      (adj(a) & adj(b)).count(c => c > b) // count each triangle at its max vertex
+    }.sum.toLong
+    // expected counts triangles where c > b > a with (a,b,c) id-ordered:
+    // undirected holds (min,max), so intersect-and-count-greater is exact
+    val edges = undirected.toDF("u", "v")
+    val byId = Graph.triangleStats(edges).as[(Long, Long, Long)].head()
+    val byDeg = Graph.triangleStats(edges, orientByDegree = true)
+      .as[(Long, Long, Long)].head()
+    assert(byId === byDeg, s"orientations diverged: id=$byId deg=$byDeg")
+    assert(byId._3 === expected, s"triangles ${byId._3} != brute $expected")
+    // degree orientation must also agree on vertex/edge counts
+    assert(byDeg._1 === byId._1 && byDeg._2 === byId._2)
+  }
+
+  test("degree orientation bounds the hub's out-list") {
+    // star + one rim edge: id orientation gives the hub (id 0) an
+    // out-list of every rim vertex; degree orientation points every
+    // star edge INTO the hub (rim degree 1..2 < hub degree n-1)
+    val star = (1L to 30L).map(i => (0L, i)) :+ ((1L, 2L))
+    val byId = Graph.triangleStats(star.toDF("u", "v")).as[(Long, Long, Long)].head()
+    val byDeg = Graph.triangleStats(star.toDF("u", "v"), orientByDegree = true)
+      .as[(Long, Long, Long)].head()
+    assert(byId === byDeg)
+    assert(byId._3 === 1L) // triangle {0,1,2}
+  }
+
   test("pageRankFixedPoint conserves mass within remainder leakage and ranks hubs first") {
     // star: center 1 linked to 2..5 — center must out-rank the leaves
     val e0 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("u", "v")
