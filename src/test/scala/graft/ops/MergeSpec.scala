@@ -40,4 +40,50 @@ class MergeSpec extends SparkSpec {
     val changes = Seq((1L, "x", 0.0)).toDF("id", "name", "bal")
     assert(Merge.upsert(base, changes, "id").columns.toSeq === Seq("id", "name", "bal"))
   }
+
+  test("applyChangeLog: one-pass fold equals applying each version batch in seq order") {
+    // random multi-version logs: per trial, a base of ~keys and a log
+    // where each key gets 0..4 versions (upsert or delete) at unique
+    // seqs; the one-pass fold must equal the sequential ground truth
+    // (apply seq-1 batch, then seq-2, ...: upserts overwrite/insert,
+    // deletes remove)
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 5) {
+      val nKeys = 30 + rnd.nextInt(50)
+      val baseRows = (1 to nKeys).filter(_ => rnd.nextBoolean())
+        .map(k => (k.toLong, rnd.nextInt(1000).toLong))
+      val maxSeq = 4
+      val logRows = (1 to nKeys + 10).flatMap { k => // +10: keys beyond base (inserts)
+        (1 to maxSeq).filter(_ => rnd.nextInt(100) < 40).map { s =>
+          val del = rnd.nextInt(100) < 25
+          (k.toLong, s.toLong, if (del) "D" else "U",
+            if (del) Option.empty[Long] else Some(rnd.nextInt(1000).toLong))
+        }
+      }
+      // sequential ground truth on the driver
+      var state = baseRows.toMap
+      for (s <- 1 to maxSeq; (k, _, op, v) <- logRows.filter(_._2 == s))
+        state = if (op == "D") state - k else state.updated(k, v.get)
+
+      val baseDf = baseRows.toDF("k", "v")
+      val logDf = logRows.toDF("k", "seq", "op", "v")
+      val out = Merge.applyChangeLog(baseDf, logDf, "k", "seq", "op")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) Option.empty[Long] else Some(r.getLong(1)))).toMap
+      assert(out === state.map { case (k, v) => k -> Some(v) },
+        s"trial $trial diverged (base=${baseRows.size}, log=${logRows.size})")
+    }
+  }
+
+  test("applyChangeLog: delete of an absent key and re-insert after delete behave") {
+    val b = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val log = Seq(
+      (9L, 1L, "D", Option.empty[Long]),  // delete of a key not in base: no-op
+      (1L, 1L, "D", Option.empty[Long]),  // delete 1...
+      (1L, 2L, "U", Some(99L)),           // ...then re-insert at a later seq
+      (2L, 1L, "U", Some(25L))).toDF("k", "seq", "op", "v")
+    val out = Merge.applyChangeLog(b, log, "k", "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 99L), (2L, 25L)))
+  }
 }

@@ -46,6 +46,50 @@ class PointInTimeEnrichSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("randomized multi-batch: every batch equals the brute-force as-of against the dim") {
+    // Late-arriving facts across many micro-batches: whatever order
+    // fact events arrive in, each batch's enrichment must equal the
+    // brute-force point-in-time definition (greatest version at or
+    // before the fact time, within tolerance) — i.e. batch boundaries
+    // and batch composition are invisible to the semantics.
+    val rnd = new scala.util.Random(83)
+    val dimRows = (for {
+      k <- 1L to 4L
+      vt <- Seq.fill(rnd.nextInt(5))(rnd.nextInt(300).toLong).distinct
+    } yield (k, vt, s"k${k}v$vt"))
+    val dimDf = dimRows.toDF("dk", "vt", "state")
+    val tol = Some(60L)
+    def brute(k: Long, t: Long): String =
+      dimRows.filter(d => d._1 == k && d._2 <= t && t - d._2 <= tol.get)
+        .sortBy(_._2).lastOption.map(_._3).getOrElse("NONE")
+
+    implicit val sc = spark.sqlContext
+    val source = MemoryStream[FactEvent]
+    val got = ArrayBuffer.empty[(Long, Long, String)]
+    val q = StreamingOps.pointInTimeEnrich(
+      source.toDS().toDF(), dimDf, "k", "dk", "t", "vt",
+      toleranceMicros = tol) { (df, _) =>
+      got.synchronized {
+        got ++= df.collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("t"),
+          Option(r.getAs[String]("state")).getOrElse("NONE")))
+      }
+    }
+    try {
+      var expected = Set.empty[(Long, Long, String)]
+      for (batch <- 1 to 5) {
+        val facts = Seq.fill(3 + rnd.nextInt(6))(FactEvent(
+          1L + rnd.nextInt(4), rnd.nextInt(320).toLong, rnd.nextLong().abs))
+        // times are random, NOT monotone: late facts in later batches
+        // must still see their point-in-time version, never a newer one
+        source.addData(facts: _*)
+        q.processAllAvailable()
+        expected ++= facts.map(f => (f.k, f.t, brute(f.k, f.t)))
+        assert(got.toSet === expected,
+          s"batch $batch diverged: missing=${expected -- got.toSet} extra=${got.toSet -- expected}")
+      }
+    } finally q.stop()
+  }
+
   test("tolerance refuses versions older than the staleness bound") {
     implicit val sc = spark.sqlContext
     val source = MemoryStream[FactEvent]
