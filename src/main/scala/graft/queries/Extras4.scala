@@ -398,10 +398,16 @@ object Extras4 {
             row_number().over(Window.partitionBy("doc_id").orderBy("trank")))
           .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
         val prefix = pos.filter(col("idx") <= expr("n - ((n * 4 + 4) div 5) + 1"))
-          .select(col("doc_id"), col("tok"))
+          .select(col("doc_id"), col("tok"), col("n"))
+        // length filter INSIDE the prefix equi-join: J >= 0.8 forces
+        // 5*min(|A|,|B|) >= 4*max (common <= min, union >= max), so
+        // incompatible-length pairs die before the distinct shuffle
+        // and the array joins — semantics-preserving, the final
+        // Jaccard filter is unchanged
         val cand = prefix.as("a")
           .join(prefix.as("b"),
-            col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+            col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+              col("a.n") * 5 >= col("b.n") * 4 && col("b.n") * 5 >= col("a.n") * 4)
           .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
           .distinct()
         val sets = tok.groupBy("doc_id")
