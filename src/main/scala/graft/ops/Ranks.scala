@@ -113,10 +113,15 @@ object Ranks {
       sum("__c").over(Window.partitionBy(group)).as("n"))
 
     val local = Window.partitionBy(col("__pid"), col(group)).orderBy(orderCols: _*)
+    // null-SAFE group match: an equi-join would silently drop rows of
+    // a NULL group (null never equals null), losing data instead of
+    // ranking the null group like any other
     ranged
-      .join(broadcast(offsets), Seq("__pid", group))
+      .join(broadcast(offsets.withColumnRenamed("__pid", "__pid2")
+          .withColumnRenamed(group, "__grp2")),
+        col("__pid") === col("__pid2") && col(group) <=> col("__grp2"))
       .withColumn("rn", row_number().over(local).cast("long") + col("__off"))
-      .drop("__pid", "__off")
+      .drop("__pid", "__pid2", "__grp2", "__off")
   }
 
   /** Adds `rn`, `n` (as [[groupRanked]]) and `rsum` — the INCLUSIVE
@@ -155,11 +160,14 @@ object Ranks {
       sum("__c").over(Window.partitionBy(group)).as("n"))
 
     val local = Window.partitionBy(col("__pid"), col(group)).orderBy(orderCols: _*)
+    // null-safe group match — see groupRanked
     ranged
-      .join(broadcast(offsets), Seq("__pid", group))
+      .join(broadcast(offsets.withColumnRenamed("__pid", "__pid2")
+          .withColumnRenamed(group, "__grp2")),
+        col("__pid") === col("__pid2") && col(group) <=> col("__grp2"))
       .withColumn("rn", row_number().over(local).cast("long") + col("__off"))
       .withColumn("rsum",
         sum(col(value)).over(local.rowsBetween(Window.unboundedPreceding, 0)) + col("__soff"))
-      .drop("__pid", "__off", "__soff")
+      .drop("__pid", "__pid2", "__grp2", "__off", "__soff")
   }
 }

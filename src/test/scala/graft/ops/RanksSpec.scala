@@ -48,6 +48,48 @@ class RanksSpec extends SparkSpec {
     assert(want.except(got).count() === 0)
   }
 
+  test("groupRanked assignment is invariant to the session partition count (tie-free)") {
+    // the boundary sample comes from a CONTENT-hash filter, not
+    // runtime range sampling, so the full (g, v, rn) relation must be
+    // identical whatever spark.sql.shuffle.partitions is — the
+    // property the de-materialized design rests on (the old design
+    // needed a localCheckpoint to pin one sampled placement)
+    val df = (1 to 800).map(i => (s"g${i % 3}", (i * 7919) % 10000, i))
+      .toDF("g", "v", "id") // v effectively tie-free with id tiebreak
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    def run(): Set[(String, Int, Int, Long)] =
+      Ranks.groupRanked(df, "g", "v", Seq("id"))
+        .select("g", "v", "id", "rn").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    try {
+      spark.conf.set(key, "3")
+      val a = run()
+      spark.conf.set(key, "13")
+      val b = run()
+      assert(a === b, s"rank assignment changed with partition count: " +
+        s"onlyA=${(a -- b).take(3)} onlyB=${(b -- a).take(3)}")
+    } finally spark.conf.set(key, before)
+  }
+
+  test("groupRanked handles null keys and null values (bucket 0, nulls-first rank order)") {
+    val df = Seq(
+      (Some("g"), Some(5), 1), (Some("g"), None, 2), (Some("g"), Some(1), 3),
+      (None: Option[String], Some(2), 4), (Some("g"), None, 5))
+      .toDF("g", "v", "id")
+    val all = Ranks.groupRanked(df, "g", "v", Seq("id"))
+    // the NULL group must not be dropped (null-safe offset join) and
+    // ranks like any other group
+    assert(all.count() === 5L)
+    val nullG = all.filter(col("g").isNull).select("id", "rn", "n")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(nullG === Seq((4, 1L, 1L)))
+    val got = all.filter(col("g") === "g")
+      .select("id", "rn").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // within group g: nulls first (ids 2,5 by id order), then v=1, v=5
+    assert(got === Map(2 -> 1L, 5 -> 2L, 3 -> 3L, 1 -> 4L))
+  }
+
   test("groupRanked ranks are a contiguous 1..n per group") {
     val df = (1 to 97).map(i => (s"g${i % 2}", 97 - i, i)).toDF("g", "v", "id")
     val per = Ranks.groupRanked(df, "g", "v", Seq("id"))
