@@ -115,9 +115,16 @@ object Extras4 {
       (s, d) => {
         val o = table(s, d, "orders")
           .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("v"))
+        // pin the 5-ROW median table: the deviation frame feeds the
+        // second rank pass's three consumers (boundary sample, counts,
+        // window), and without the pin each would re-execute the whole
+        // first rank pass through this lineage. Pinning 5 rows is free
+        // at any scale — the thing to avoid is pinning data-sized
+        // relations.
         val med = Ranks.groupRanked(o, "grp", "v")
           .filter(col("rn") === expr("(n + 1) div 2"))
           .select(col("grp"), col("v").as("median"))
+          .localCheckpoint()
         val dev = o.join(broadcast(med), "grp")
           .select(col("grp"), col("median"), abs(col("v") - col("median")).as("ad"))
         Ranks.groupRanked(dev, "grp", "ad")
