@@ -29,9 +29,11 @@ object AsOf {
         spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
   }
 
-  /** Left-outer as-of join: for every left row, the right row with
-    * equal keys and the greatest `rightTimeCol <= leftTimeCol`
-    * (within `toleranceMicros` when given); nulls when none.
+  /** As-of join: for every left row, the right row with equal keys
+    * and the greatest `rightTimeCol <= leftTimeCol` (within
+    * `toleranceMicros` when given). `joinType` "left" (default) pads
+    * unmatched left rows with nulls; "inner" drops them (the
+    * trades×quotes shape, DuckDB's ASOF JOIN default).
     */
   def joinAsOf(
       left: DataFrame,
@@ -40,7 +42,10 @@ object AsOf {
       rightKeys: Seq[String],
       leftTimeCol: String,
       rightTimeCol: String,
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      joinType: String = "left"): DataFrame = {
+    require(joinType == "left" || joinType == "inner",
+      s"as-of joinType must be 'left' or 'inner', got '$joinType'")
     require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
       "as-of join needs matching non-empty key lists")
     val spark = left.sparkSession
@@ -78,6 +83,6 @@ object AsOf {
       lPlan, rPlan,
       leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
       attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol),
-      toleranceMicros))
+      toleranceMicros, isInner = joinType == "inner"))
   }
 }

@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import QueryDef.table
 
-/** Round-6 depth batch: multi-version CDC compaction.
+/** Round-6 depth batch: multi-version CDC compaction and the inner
+  * variant of the native as-of join.
   */
 object Extras19 {
 
@@ -75,6 +76,38 @@ object Extras19 {
                      CAST(CAST(SUM(CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 12)
                        AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS keysum,
                      CAST(SUM(bal_c) AS BIGINT) AS balsum_c
-              FROM applied"""))
+              FROM applied""")),
+
+    // INNER as-of through the native Catalyst node (q210's left-outer
+    // sibling): purchases that HAVE a preceding click keep it,
+    // click-less purchases vanish — the trades×quotes shape, and what
+    // DuckDB's bare ASOF JOIN means by default. The exec's inner path
+    // skips null padding via a look-ahead merge (one row copy per
+    // EMITTED row); distribution/ordering and the pushdown rule are
+    // shared with the left-outer form.
+    QueryDef("q221_asof_inner",
+      (s, d) => {
+        val ev = QueryDef.table(s, d, "events")
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        graft.ops.AsOf.joinAsOf(p, c, Seq("user_id"), Seq("c_user"),
+            "ts", "c_ts", joinType = "inner")
+          .select(col("user_id"), col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+            date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_click_ts"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH p AS (SELECT user_id, event_id, ts FROM events
+                         WHERE event_type = 'purchase'),
+                   c AS (SELECT user_id AS c_user, ts AS c_ts FROM events
+                         WHERE event_type = 'click')
+              SELECT p.user_id, p.event_id,
+                STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+                STRFTIME(c.c_ts, '%Y-%m-%d %H:%M:%S') AS asof_click_ts
+              FROM p ASOF JOIN c
+                ON p.user_id = c.c_user AND p.ts >= c.c_ts
+              ORDER BY p.user_id, p.event_id"""))
   )
 }

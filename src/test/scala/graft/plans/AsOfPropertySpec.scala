@@ -99,6 +99,31 @@ class AsOfPropertySpec extends SparkSpec {
     }
   }
 
+  test("inner as-of equals the matched subset of the brute-force definition") {
+    val rnd = new scala.util.Random(61)
+    for (trial <- 1 to 6) {
+      val left = Seq.fill(60 + rnd.nextInt(120))((rnd.nextInt(6).toLong,
+        rnd.nextInt(40).toLong, rnd.nextLong().abs))
+      val right = Seq.fill(rnd.nextInt(100))((rnd.nextInt(6).toLong, rnd.nextInt(40).toLong))
+        .distinct.map { case (k, t) => (k, t, k * 1000L + t) }
+      val tol = if (trial % 2 == 0) Some(rnd.nextInt(10).toLong) else None
+
+      val l = left.toDF("k", "t", "id")
+      val r = right.toDF("rk", "rt", "payload")
+      val out = AsOf.joinAsOf(l, r, Seq("k"), Seq("rk"), "t", "rt", tol, "inner")
+        .select("id", "payload").collect()
+        .map(row => (row.getLong(0), row.getLong(1))).toSet
+      // inner = brute left-outer minus the unmatched (-1) rows; the
+      // payload column must also be non-nullable in the inner schema
+      val expect = brute(left, right, tol).filter(_._2 != -1L)
+      assert(out === expect,
+        s"inner trial $trial (tol=$tol) diverged: " +
+          s"missing=${expect -- out} extra=${out -- expect}")
+      val joinedSchema = AsOf.joinAsOf(l, r, Seq("k"), Seq("rk"), "t", "rt", tol, "inner").schema
+      assert(!joinedSchema("payload").nullable)
+    }
+  }
+
   test("case-insensitive sessions reject sides sharing a name that differs only by case") {
     val l = Seq((1L, 1L, 1L)).toDF("Key", "t", "id")
     val r = Seq((1L, 1L, 1L)).toDF("key", "rt", "payload")
