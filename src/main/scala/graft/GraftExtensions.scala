@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // that lets left-side filters commute below the custom node
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
+    // banded rewrite of point-in-interval theta joins, gated on
+    // spark.graft.rangeJoin.binSize (> 0 enables)
+    ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoin)
   }
 }
 

@@ -1,0 +1,53 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QueryDef.table
+
+/** Round-6 depth batch 2: the banded range-join rewrite on real data.
+  */
+object Extras20 {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Pure range join — NO equi-key: every view within 5 minutes
+    // after ANY click, across all users (global attribution window).
+    // Written as the naive theta join, then rewritten by
+    // plans.BandedRangeJoin (via ops.RangeJoin.banded) into an
+    // equi-join on 5-minute bands: clicks explode onto the ≤2 bands
+    // their window overlaps, views compute one band, candidates meet
+    // on the band id, and the exact (v_ts > c_ts AND v_ts <= c_hi)
+    // predicate runs as the residual. Without the rewrite Spark plans
+    // a nested-loop join — quadratic per partition, a non-starter for
+    // a month of events at 100 TB; with it the work shuffles on
+    // ~8.6k distinct bands/month and AQE can split any hot band.
+    // Output is the distribution of follow-up counts (clicks with ≥1
+    // view in window, grouped by how many), bounded and portable.
+    QueryDef("q222_banded_range_join",
+      (s, d) => {
+        val ev = table(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("ts").as("c_ts"),
+            (col("ts") + expr("INTERVAL '5' MINUTE")).as("c_hi"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("ts").as("v_ts"))
+        val naive = clicks.join(views,
+          col("v_ts") > col("c_ts") && col("v_ts") <= col("c_hi"))
+        graft.ops.RangeJoin.banded(naive, binSize = 300L * 1000 * 1000)
+          .groupBy("click_id")
+          .agg(count(lit(1)).as("n_views"))
+          .groupBy("n_views")
+          .agg(count(lit(1)).as("n_clicks"))
+          .orderBy("n_views")
+      },
+      Some("""WITH c AS (SELECT event_id AS click_id, ts AS c_ts
+                         FROM events WHERE event_type = 'click'),
+                   v AS (SELECT ts AS v_ts FROM events WHERE event_type = 'view'),
+                   per AS (SELECT c.click_id, COUNT(*) AS n_views
+                           FROM c JOIN v
+                             ON v.v_ts > c.c_ts
+                            AND v.v_ts <= c.c_ts + INTERVAL '5 minutes'
+                           GROUP BY c.click_id)
+              SELECT n_views, COUNT(*) AS n_clicks
+              FROM per GROUP BY n_views ORDER BY n_views"""))
+  )
+}
