@@ -48,6 +48,48 @@ object Extras20 {
                             AND v.v_ts <= c.c_ts + INTERVAL '5 minutes'
                            GROUP BY c.click_id)
               SELECT n_views, COUNT(*) AS n_clicks
-              FROM per GROUP BY n_views ORDER BY n_views"""))
+              FROM per GROUP BY n_views ORDER BY n_views""")),
+
+    // Version-log ACID table end-to-end (sink/TxLogTable): three
+    // commits — append thirds-0, overwrite with thirds-1, append
+    // thirds-2 — then TIME-TRAVEL reads of versions 1..3, each
+    // fingerprinted (count, cents sum, key range). The oracle
+    // recomputes every snapshot straight from `customer`, so the
+    // query proves the log replay (overwrite resets, append extends)
+    // and snapshot isolation cross-engine, not just in the spec.
+    // Writes go through the normal distributed parquet writer; the
+    // commit is one driver-side metadata file.
+    QueryDef("q223_txlog_time_travel",
+      (s, d) => {
+        val t = java.nio.file.Files.createTempDirectory("graft_txlog")
+          .resolve("cust").toString
+        val base = table(s, d, "customer").select(
+          col("c_custkey").as("k"),
+          expr("CAST(floor(c_acctbal * 100.0) AS BIGINT)").as("bal_c"))
+        graft.sink.TxLogTable.append(base.filter(col("k") % 3 === 0), t)
+        graft.sink.TxLogTable.overwrite(base.filter(col("k") % 3 === 1), t)
+        graft.sink.TxLogTable.append(base.filter(col("k") % 3 === 2), t)
+        (1L to 3L).map { v =>
+          graft.sink.TxLogTable.read(s, t, Some(v))
+            .groupBy(lit(v).as("version"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("bal_c")).as("bal_cents"),
+              min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        }.reduce(_.unionAll(_)).orderBy("version")
+      },
+      Some("""WITH b AS (SELECT c_custkey AS k,
+                     CAST(floor(c_acctbal * 100.0) AS BIGINT) AS bal_c
+                   FROM customer),
+                   v1 AS (SELECT * FROM b WHERE k % 3 = 0),
+                   v2 AS (SELECT * FROM b WHERE k % 3 = 1),
+                   v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM b WHERE k % 3 = 2)
+              SELECT 1 AS version, COUNT(*) AS n_rows,
+                     CAST(SUM(bal_c) AS BIGINT) AS bal_cents,
+                     MIN(k) AS min_k, MAX(k) AS max_k FROM v1
+              UNION ALL
+              SELECT 2, COUNT(*), CAST(SUM(bal_c) AS BIGINT), MIN(k), MAX(k) FROM v2
+              UNION ALL
+              SELECT 3, COUNT(*), CAST(SUM(bal_c) AS BIGINT), MIN(k), MAX(k) FROM v3
+              ORDER BY version"""))
   )
 }

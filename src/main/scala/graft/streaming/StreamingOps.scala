@@ -515,4 +515,26 @@ object StreamingOps {
           Seq(factKey), Seq(dimKey), factTime, dimTime, toleranceMicros), id)
       }
       .start()
+
+  /** Exactly-once streaming sink into a [[graft.sink.TxLogTable]]:
+    * each micro-batch commits as one transactional append tagged
+    * `(appId, batchId)`. Structured Streaming delivers batches
+    * at-least-once across restarts; the log's epoch dedup turns that
+    * into exactly-once TABLE contents — a replayed batch is a no-op,
+    * which plain parquet `foreachBatch` appends cannot guarantee.
+    * The commit itself is atomic, so a crash mid-batch leaves only
+    * invisible orphan files, never a torn table.
+    */
+  def txLogSink(
+      stream: DataFrame,
+      tablePath: String,
+      appId: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sink.TxLogTable.append(batch, tablePath, Some((appId, batchId)))
+        ()
+      }
+      .start()
 }
