@@ -90,6 +90,35 @@ object Extras20 {
               SELECT 2, COUNT(*), CAST(SUM(bal_c) AS BIGINT), MIN(k), MAX(k) FROM v2
               UNION ALL
               SELECT 3, COUNT(*), CAST(SUM(bal_c) AS BIGINT), MIN(k), MAX(k) FROM v3
-              ORDER BY version"""))
+              ORDER BY version""")),
+
+    // Data-skipping read over the version-log table: one append
+    // range-clustered on the key (repartitionByRange → each parquet
+    // file holds a contiguous key band; the commit records each
+    // file's footer min/max), then prunedRead(k in [lo, hi]) plans
+    // its scan over ONLY the files whose recorded range intersects —
+    // at 100 TB a selective read touches a handful of files instead
+    // of the table. Equality with a plain filtered read is the
+    // correctness contract (conservative pruning + residual filter);
+    // TxLogTableSpec additionally asserts files really are skipped.
+    QueryDef("q224_txlog_pruned_read",
+      (s, d) => {
+        val t = java.nio.file.Files.createTempDirectory("graft_txprune")
+          .resolve("cust").toString
+        val base = table(s, d, "customer").select(
+          col("c_custkey").as("k"),
+          expr("CAST(floor(c_acctbal * 100.0) AS BIGINT)").as("bal_c"))
+        graft.sink.TxLogTable.append(base.repartitionByRange(8, col("k")), t)
+        graft.sink.TxLogTable
+          .prunedRead(s, t, "k", lower = Some(100L), upper = Some(600L))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("bal_c")).as("bal_cents"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+                     CAST(SUM(CAST(floor(c_acctbal * 100.0) AS BIGINT)) AS BIGINT) AS bal_cents,
+                     MIN(c_custkey) AS min_k, MAX(c_custkey) AS max_k
+              FROM customer
+              WHERE c_custkey BETWEEN 100 AND 600"""))
   )
 }

@@ -1,8 +1,17 @@
 package graft.sink
 
 import java.nio.charset.StandardCharsets
+import java.util.Base64
 
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -37,6 +46,17 @@ import org.apache.spark.sql.types.StructType
   *   match the current schema exactly (evolution belongs to
   *   `overwrite`), and empty snapshots stay readable because the
   *   schema never depends on data files being present.
+  * - **Data skipping**: every commit records per-file min/max for the
+  *   top-level long/double/string columns, harvested from the parquet
+  *   footers the write already produced (a metadata-only read, no
+  *   second data pass). [[prunedRead]] uses them to skip files whose
+  *   range cannot intersect a bound — the stats side of the public
+  *   lake-table recipe. Pruning is strictly conservative: any column/
+  *   file without usable stats is always read, and a residual filter
+  *   keeps results exactly equal to `read(...).filter(...)`. Skipping
+  *   only pays when writers cluster the column (e.g.
+  *   `df.repartitionByRange(col)` before `append`) — same contract as
+  *   any lake table.
   *
   * Scale posture: data moves with full executor parallelism through
   * the normal parquet writer; the commit itself is one driver-side
@@ -86,27 +106,41 @@ object TxLogTable {
   /** Snapshot read at `asOfVersion` (default: latest). */
   def read(spark: SparkSession, tablePath: String,
       asOfVersion: Option[Long] = None): DataFrame = {
-    val fs = fileSystem(spark, tablePath)
-    val commits = committedVersions(fs, tablePath)
-    require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
-    val upTo = asOfVersion.getOrElse(commits.max)
-    require(commits.contains(upTo),
-      s"version $upTo does not exist; have ${commits.mkString(", ")}")
-    val replayed = commits.filter(_ <= upTo).sorted
-      .foldLeft((Vector.empty[String], Option.empty[String])) {
-        case ((live, _), v) =>
-          val c = parseCommit(fs, tablePath, v)
-          val base = if (c.isOverwrite) Vector.empty[String] else live
-          (base ++ c.files, Some(c.schemaDdl))
-      }
-    val (files, Some(ddl)) = replayed: @unchecked
-    val schema = StructType.fromDDL(ddl)
-    if (files.isEmpty) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else {
-      spark.read.schema(schema)
-        .parquet(files.map(f => s"$tablePath/$DataDir/$f"): _*)
-    }
+    val snap = snapshot(fileSystem(spark, tablePath), tablePath, asOfVersion)
+    buildFrame(spark, tablePath, snap.files, snap.schema)
+  }
+
+  /** Snapshot read that SKIPS data files whose committed min/max
+    * statistics prove no row can satisfy
+    * `lower <= column <= upper` (either bound optional) — the
+    * data-skipping read that makes a log-backed table usable at
+    * 100 TB: selective queries touch the few files whose range
+    * intersects instead of the whole table. Pruning is conservative:
+    * files with no statistics for `column` (nulls-only chunks, type
+    * not covered, schema evolution) are always read. The residual
+    * range filter is applied to the surviving rows, so the result
+    * equals `read(...).filter(lower <= column <= upper)` exactly.
+    */
+  def prunedRead(spark: SparkSession, tablePath: String, column: String,
+      lower: Option[Any] = None, upper: Option[Any] = None,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val snap = snapshot(fileSystem(spark, tablePath), tablePath, asOfVersion)
+    val keep = pruneFiles(snap, column, lower, upper)
+    val df = buildFrame(spark, tablePath, keep, snap.schema)
+    val c = org.apache.spark.sql.functions.col(column)
+    val bounded = lower.map(v => c >= org.apache.spark.sql.functions.lit(v)) ++
+      upper.map(v => c <= org.apache.spark.sql.functions.lit(v))
+    bounded.reduceOption(_ && _).map(df.filter).getOrElse(df)
+  }
+
+  /** The data files a [[prunedRead]] with these bounds would touch —
+    * exposed so callers (and specs) can observe skipping directly.
+    */
+  def candidateFiles(spark: SparkSession, tablePath: String, column: String,
+      lower: Option[Any] = None, upper: Option[Any] = None,
+      asOfVersion: Option[Long] = None): Seq[String] = {
+    val snap = snapshot(fileSystem(spark, tablePath), tablePath, asOfVersion)
+    pruneFiles(snap, column, lower, upper)
   }
 
   /** Committed versions, ascending. */
@@ -133,9 +167,190 @@ object TxLogTable {
 
   // ---------------------------------------------------------------
 
+  /** One column's file-level min/max: `kind` is long|double|string,
+    * bounds are the base64-UTF8 of the value's canonical string form
+    * (base64 keeps the line format safe for any content).
+    */
+  private final case class ColStats(kind: String, min: String, max: String)
+
   private final case class Commit(
       isOverwrite: Boolean, schemaDdl: String, files: Seq[String],
-      txn: Option[(String, Long)] = None)
+      txn: Option[(String, Long)] = None,
+      stats: Map[String, Map[String, ColStats]] = Map.empty)
+
+  /** The live file set at a version, with schema and per-file stats. */
+  private final case class Snapshot(files: Seq[String], schema: StructType,
+      stats: Map[String, Map[String, ColStats]])
+
+  private def snapshot(fs: FileSystem, tablePath: String,
+      asOfVersion: Option[Long]): Snapshot = {
+    val commits = committedVersions(fs, tablePath)
+    require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+    val upTo = asOfVersion.getOrElse(commits.max)
+    require(commits.contains(upTo),
+      s"version $upTo does not exist; have ${commits.mkString(", ")}")
+    val zero = (Vector.empty[String], Option.empty[String],
+      Map.empty[String, Map[String, ColStats]])
+    val (files, ddlOpt, stats) = commits.filter(_ <= upTo).sorted
+      .foldLeft(zero) { case ((live, _, liveStats), v) =>
+        val c = parseCommit(fs, tablePath, v)
+        val (base, baseStats) =
+          if (c.isOverwrite) (Vector.empty[String], Map.empty[String, Map[String, ColStats]])
+          else (live, liveStats)
+        (base ++ c.files, Some(c.schemaDdl), baseStats ++ c.stats)
+      }
+    Snapshot(files, StructType.fromDDL(ddlOpt.get), stats)
+  }
+
+  private def buildFrame(spark: SparkSession, tablePath: String,
+      files: Seq[String], schema: StructType): DataFrame =
+    if (files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      spark.read.schema(schema)
+        .parquet(files.map(f => s"$tablePath/$DataDir/$f"): _*)
+    }
+
+  /** Files whose recorded range can intersect `[lower, upper]`; files
+    * with no usable stats for `column` (or a bound whose type does not
+    * match the recorded kind) are kept unconditionally.
+    */
+  private def pruneFiles(snap: Snapshot, column: String,
+      lower: Option[Any], upper: Option[Any]): Seq[String] =
+    if (lower.isEmpty && upper.isEmpty) snap.files
+    else snap.files.filter { f =>
+      snap.stats.get(f).flatMap(_.get(column)) match {
+        case None     => true
+        case Some(cs) => mayIntersect(cs, lower, upper)
+      }
+    }
+
+  private def mayIntersect(cs: ColStats, lower: Option[Any],
+      upper: Option[Any]): Boolean = {
+    def dec(s: String): String =
+      new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+    def asLong(b: Any): Option[Long] = b match {
+      case n: Byte => Some(n.toLong); case n: Short => Some(n.toLong)
+      case n: Int  => Some(n.toLong); case n: Long  => Some(n)
+      case _ => None
+    }
+    def asDouble(b: Any): Option[Double] = b match {
+      case n: java.lang.Number => Some(n.doubleValue())
+      case _ => None
+    }
+    cs.kind match {
+      case "long" =>
+        val lo = lower.map(asLong); val hi = upper.map(asLong)
+        // a bound of the wrong type disables pruning rather than lying
+        if (lo.exists(_.isEmpty) || hi.exists(_.isEmpty)) true
+        else lo.flatten.forall(_ <= dec(cs.max).toLong) &&
+          hi.flatten.forall(_ >= dec(cs.min).toLong)
+      case "double" =>
+        val lo = lower.map(asDouble); val hi = upper.map(asDouble)
+        if (lo.exists(_.isEmpty) || hi.exists(_.isEmpty)) true
+        else lo.flatten.forall(_ <= dec(cs.max).toDouble) &&
+          hi.flatten.forall(_ >= dec(cs.min).toDouble)
+      case "string" =>
+        // compare UNSIGNED UTF-8 bytes — the ordering both the parquet
+        // footer stats and Spark's UTF8String comparisons use (java
+        // String.compareTo differs for supplementary characters)
+        (lower, upper) match {
+          case (l, u) if l.forall(_.isInstanceOf[String]) && u.forall(_.isInstanceOf[String]) =>
+            l.forall(b => utf8Compare(b.asInstanceOf[String], dec(cs.max)) <= 0) &&
+              u.forall(b => utf8Compare(b.asInstanceOf[String], dec(cs.min)) >= 0)
+          case _ => true
+        }
+      case _ => true
+    }
+  }
+
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Per-top-level-column min/max from the file's parquet footer —
+    * metadata only, no row read. Covered kinds: plain INT32/INT64
+    * (long), FLOAT/DOUBLE (double), UTF8 BINARY (string); decimals,
+    * dates, timestamps and nested paths are skipped (→ never pruned).
+    * A row group with absent stats poisons the column for the whole
+    * file; an all-null row group is skipped (it cannot move min/max,
+    * and the residual filter discards nulls anyway).
+    */
+  private def footerStats(conf: Configuration, file: Path): Map[String, ColStats] = {
+    val enc = (s: String) =>
+      Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val acc = scala.collection.mutable.Map.empty[String, (String, String, String)]
+      val poisoned = scala.collection.mutable.Set.empty[String]
+      for (block <- reader.getFooter.getBlocks.asScala;
+           cc <- block.getColumns.asScala if cc.getPath.size == 1) {
+        val col = cc.getPath.toArray.head
+        if (!poisoned.contains(col)) {
+          val pt = cc.getPrimitiveType
+          val kind: Option[String] = pt.getPrimitiveTypeName match {
+            case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+              pt.getLogicalTypeAnnotation match {
+                case null => Some("long")
+                case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => Some("long")
+                case _ => None
+              }
+            case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => Some("double")
+            case PrimitiveTypeName.BINARY =>
+              pt.getLogicalTypeAnnotation match {
+                case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => Some("string")
+                case _ => None
+              }
+            case _ => None
+          }
+          kind match {
+            case None => poisoned += col
+            case Some(k) =>
+              val st = cc.getStatistics
+              if (st == null) poisoned += col
+              else if (st.hasNonNullValue) {
+                val (mn, mx) = k match {
+                  case "long" =>
+                    (st.genericGetMin.asInstanceOf[Number].longValue.toString,
+                      st.genericGetMax.asInstanceOf[Number].longValue.toString)
+                  case "double" =>
+                    (st.genericGetMin.asInstanceOf[Number].doubleValue.toString,
+                      st.genericGetMax.asInstanceOf[Number].doubleValue.toString)
+                  case _ =>
+                    (st.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8,
+                      st.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8)
+                }
+                acc.get(col) match {
+                  case None => acc(col) = (k, mn, mx)
+                  case Some((_, curMn, curMx)) =>
+                    def lt(a: String, b: String): Boolean = k match {
+                      case "long"   => a.toLong < b.toLong
+                      case "double" => a.toDouble < b.toDouble
+                      case _        => utf8Compare(a, b) < 0
+                    }
+                    acc(col) = (k, if (lt(mn, curMn)) mn else curMn,
+                      if (lt(curMx, mx)) mx else curMx)
+                }
+              } else if (!(st.isNumNullsSet && st.getNumNulls == cc.getValueCount)) {
+                poisoned += col // stats absent but values present: unusable
+              }
+          }
+        }
+      }
+      (acc -- poisoned).map { case (col, (k, mn, mx)) =>
+        col -> ColStats(k, enc(mn), enc(mx))
+      }.toMap
+    } finally reader.close()
+  }
 
   /** Highest committed epoch for `appId`, if any commit carries it. */
   private def lastEpoch(fs: FileSystem, tablePath: String,
@@ -172,6 +387,7 @@ object TxLogTable {
     // so the retry republishes the same data, never duplicates it)
     var attempt = 0
     var published: Option[(Long, Seq[String])] = None
+    var fileStats = Map.empty[String, Map[String, ColStats]]
     var result = -1L
     try {
       while (result < 0) {
@@ -208,11 +424,16 @@ object TxLogTable {
                 s"failed to move staged file $src")
               name
             }.toSeq
+            val conf = spark.sparkContext.hadoopConfiguration
+            fileStats = ns.map { n =>
+              n -> footerStats(conf, new Path(dataPath, n))
+            }.filter(_._2.nonEmpty).toMap
             published = Some((version, ns))
             ns
         }
         try {
-          claimCommit(fs, tablePath, version, Commit(overwrite, ddl, names, txn))
+          claimCommit(fs, tablePath, version,
+            Commit(overwrite, ddl, names, txn, fileStats))
           result = version
         } catch {
           case _: CommitConflict => () // loop: re-read log, next version
@@ -240,6 +461,16 @@ object TxLogTable {
           .append("txnEpoch=").append(epoch).append('\n')
       }
       c.files.foreach(f => body.append("file=").append(f).append('\n'))
+      // one line per (file, column): stat=<file>|<colB64>|<kind>|<minB64>|<maxB64>
+      // (file names are writer-generated uuid forms, never contain '|')
+      for ((f, cols) <- c.stats.toSeq.sortBy(_._1);
+           (col, cs) <- cols.toSeq.sortBy(_._1)) {
+        val colB64 = Base64.getEncoder
+          .encodeToString(col.getBytes(StandardCharsets.UTF_8))
+        body.append("stat=").append(f).append('|').append(colB64).append('|')
+          .append(cs.kind).append('|').append(cs.min).append('|')
+          .append(cs.max).append('\n')
+      }
       out.write(body.toString.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
   }
@@ -256,11 +487,22 @@ object TxLogTable {
       .getOrElse(throw new IllegalStateException(s"corrupt commit $p: missing $k"))
     def opt(k: String): Option[String] = lines
       .collectFirst { case l if l.startsWith(s"$k=") => l.substring(k.length + 1) }
+    val stats = lines.collect { case l if l.startsWith("stat=") =>
+      l.substring(5).split('|') match {
+        case Array(f, colB64, kind, minB64, maxB64) =>
+          val col = new String(Base64.getDecoder.decode(colB64), StandardCharsets.UTF_8)
+          (f, col, ColStats(kind, minB64, maxB64))
+        case _ => throw new IllegalStateException(s"corrupt commit $p: bad stat line")
+      }
+    }.groupBy(_._1).map { case (f, xs) =>
+      f -> xs.map(x => x._2 -> x._3).toMap
+    }
     Commit(
       isOverwrite = field("action") == "overwrite",
       schemaDdl = field("schema"),
       files = lines.collect { case l if l.startsWith("file=") => l.substring(5) }.toSeq,
-      txn = for { a <- opt("txnApp"); e <- opt("txnEpoch") } yield (a, e.toLong))
+      txn = for { a <- opt("txnApp"); e <- opt("txnEpoch") } yield (a, e.toLong),
+      stats = stats)
   }
 
   private def commitName(version: Long): String = f"$version%020d.txt"

@@ -110,4 +110,93 @@ class TxLogTableSpec extends SparkSpec {
     TxLogTable.append(Seq((1L, "a")).toDF("id", "v"), t)
     intercept[IllegalArgumentException](TxLogTable.read(spark, t, Some(9L)))
   }
+
+  // ----------------------------------------------------------------
+  // data skipping
+
+  /** Three appends with disjoint id ranges, one file each. */
+  private def rangedTable(): String = {
+    val t = freshTable()
+    TxLogTable.append(Seq((1L, "a"), (9L, "b")).toDF("id", "v").coalesce(1), t)
+    TxLogTable.append(Seq((10L, "c"), (19L, "d")).toDF("id", "v").coalesce(1), t)
+    TxLogTable.append(Seq((20L, "e"), (29L, "f")).toDF("id", "v").coalesce(1), t)
+    t
+  }
+
+  test("prunedRead skips files outside the bound and equals read+filter") {
+    val t = rangedTable()
+    assert(TxLogTable.candidateFiles(spark, t, "id").size === 3)
+    assert(TxLogTable.candidateFiles(spark, t, "id", lower = Some(10L), upper = Some(19L)).size === 1)
+    assert(TxLogTable.candidateFiles(spark, t, "id", lower = Some(25L)).size === 1)
+    assert(TxLogTable.candidateFiles(spark, t, "id", upper = Some(9L)).size === 1)
+    assert(TxLogTable.candidateFiles(spark, t, "id", lower = Some(100L)).isEmpty)
+    for ((lo, hi) <- Seq((Some(10L: Any), Some(19L: Any)), (Some(5L: Any), None),
+        (None, Some(12L: Any)), (Some(100L: Any), None))) {
+      val pruned = rows(TxLogTable.prunedRead(spark, t, "id", lo, hi))
+      val full = {
+        var df = TxLogTable.read(spark, t)
+        lo.foreach(v => df = df.filter($"id" >= v.asInstanceOf[Long]))
+        hi.foreach(v => df = df.filter($"id" <= v.asInstanceOf[Long]))
+        rows(df)
+      }
+      assert(pruned === full, s"bounds ($lo, $hi)")
+    }
+  }
+
+  test("string and double columns prune by footer stats") {
+    val t = freshTable()
+    TxLogTable.append(Seq(("alpha", 0.5), ("bravo", 1.5)).toDF("s", "x").coalesce(1), t)
+    TxLogTable.append(Seq(("mike", 10.5), ("oscar", 11.5)).toDF("s", "x").coalesce(1), t)
+    assert(TxLogTable.candidateFiles(spark, t, "s", lower = Some("zulu")).isEmpty)
+    assert(TxLogTable.candidateFiles(spark, t, "s", lower = Some("m"), upper = Some("p")).size === 1)
+    assert(TxLogTable.candidateFiles(spark, t, "x", upper = Some(2.0)).size === 1)
+    val got = TxLogTable.prunedRead(spark, t, "x", lower = Some(1.0), upper = Some(11.0))
+      .collect().map(_.getString(0)).toSet
+    assert(got === Set("bravo", "mike"))
+  }
+
+  test("pruning is conservative: wrong-typed bounds, nulls, and stats-less commits read everything") {
+    val t = rangedTable()
+    // a bound whose type does not match the recorded long kind → no pruning
+    assert(TxLogTable.candidateFiles(spark, t, "id", lower = Some("10")).size === 3)
+    assert(TxLogTable.candidateFiles(spark, t, "v", lower = Some(10L)).size === 3,
+      "string column with long bound must not prune")
+
+    // nulls in the column: residual filter semantics still exact
+    val tn = freshTable()
+    TxLogTable.append(Seq((Some(1L), "a"), (None, "n")).toDF("id", "v").coalesce(1), tn)
+    TxLogTable.append(Seq((Some(20L), "z")).toDF("id", "v").coalesce(1), tn)
+    val pruned = TxLogTable.prunedRead(spark, tn, "id", lower = Some(0L), upper = Some(5L))
+      .collect().map(_.getString(1)).toSet
+    assert(pruned === Set("a"), "nulls must not satisfy a range bound")
+
+    // a commit written without stat lines (older writer) is always read
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = fs.listStatus(new Path(t, "_txlog")).map(_.getPath).sortBy(_.getName)
+    val first = log.head
+    val text = {
+      val in = fs.open(first)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    fs.delete(first, false)
+    val out = fs.create(first, false)
+    out.write(text.linesIterator.filterNot(_.startsWith("stat=")).mkString("\n").getBytes("UTF-8"))
+    out.close()
+    assert(TxLogTable.candidateFiles(spark, t, "id", lower = Some(100L)).size === 1,
+      "the stats-less file must always be a candidate")
+    assert(rows(TxLogTable.prunedRead(spark, t, "id", lower = Some(100L))) === Set.empty)
+  }
+
+  test("pruning respects time travel and overwrite resets stats") {
+    val t = freshTable()
+    TxLogTable.append(Seq((1L, "a")).toDF("id", "v").coalesce(1), t)   // v1
+    TxLogTable.append(Seq((50L, "b")).toDF("id", "v").coalesce(1), t)  // v2
+    TxLogTable.overwrite(Seq((99L, "z")).toDF("id", "v").coalesce(1), t) // v3
+    assert(TxLogTable.candidateFiles(spark, t, "id", lower = Some(40L),
+      asOfVersion = Some(2L)).size === 1)
+    assert(TxLogTable.candidateFiles(spark, t, "id", upper = Some(60L)).isEmpty,
+      "overwrite must drop the old files' stats")
+    assert(rows(TxLogTable.prunedRead(spark, t, "id", lower = Some(40L),
+      asOfVersion = Some(2L))) === Set((50L, "b")))
+  }
 }
