@@ -119,6 +119,50 @@ object Extras20 {
                      CAST(SUM(CAST(floor(c_acctbal * 100.0) AS BIGINT)) AS BIGINT) AS bal_cents,
                      MIN(c_custkey) AS min_k, MAX(c_custkey) AS max_k
               FROM customer
-              WHERE c_custkey BETWEEN 100 AND 600"""))
+              WHERE c_custkey BETWEEN 100 AND 600""")),
+
+    // Compaction end-to-end: three unclustered appends (each split
+    // into 4 files, every file spanning the whole key range — the
+    // small-file tail a micro-batch sink leaves), then
+    // compact(clusterBy = k) bin-packs them into range-clustered
+    // files as ONE new version, and the final fingerprint is read
+    // through a prunedRead band over the compacted layout. Proves
+    // cross-engine that the rewrite is contents-identical AND that
+    // pre-compaction versions still replay (v1 fingerprint), while
+    // TxLogTableSpec asserts the file-count/skipping mechanics.
+    QueryDef("q225_txlog_compact",
+      (s, d) => {
+        val t = java.nio.file.Files.createTempDirectory("graft_txcompact")
+          .resolve("cust").toString
+        val base = table(s, d, "customer").select(
+          col("c_custkey").as("k"),
+          expr("CAST(floor(c_acctbal * 100.0) AS BIGINT)").as("bal_c"))
+        for (i <- 0 until 3)
+          graft.sink.TxLogTable.append(
+            base.filter(pmod(col("k"), lit(3)) === i).repartition(4), t)
+        graft.sink.TxLogTable.compact(s, t, clusterBy = Some("k"))
+        val v1 = graft.sink.TxLogTable.read(s, t, asOfVersion = Some(1L))
+          .agg(lit("v1_precompact").as("part"), count(lit(1)).as("n_rows"),
+            sum(col("bal_c")).as("bal_cents"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        val band = graft.sink.TxLogTable
+          .prunedRead(s, t, "k", lower = Some(100L), upper = Some(600L))
+          .agg(lit("compacted_band").as("part"), count(lit(1)).as("n_rows"),
+            sum(col("bal_c")).as("bal_cents"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        v1.unionAll(band).orderBy("part")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS k,
+                                CAST(floor(c_acctbal * 100.0) AS BIGINT) AS bal_c
+                         FROM customer)
+              SELECT 'compacted_band' AS part, COUNT(*) AS n_rows,
+                     CAST(SUM(bal_c) AS BIGINT) AS bal_cents,
+                     MIN(k) AS min_k, MAX(k) AS max_k
+              FROM c WHERE k BETWEEN 100 AND 600
+              UNION ALL
+              SELECT 'v1_precompact', COUNT(*), CAST(SUM(bal_c) AS BIGINT),
+                     MIN(k), MAX(k)
+              FROM c WHERE k % 3 = 0
+              ORDER BY part"""))
   )
 }

@@ -57,6 +57,13 @@ import org.apache.spark.sql.types.StructType
   *   only pays when writers cluster the column (e.g.
   *   `df.repartitionByRange(col)` before `append`) — same contract as
   *   any lake table.
+  * - **Compaction**: [[compact]] bin-packs the small-file tail left
+  *   by micro-batch appends into few large files as one new
+  *   `action=compact` version (`remove=` lines drop the old files
+  *   from the live set going forward; every earlier version still
+  *   reads them, so time travel and [[vacuum]] are unaffected).
+  *   Optional `clusterBy` range-partitions the rewrite so the new
+  *   files carry tight min/max ranges for [[prunedRead]].
   *
   * Scale posture: data moves with full executor parallelism through
   * the normal parquet writer; the commit itself is one driver-side
@@ -101,6 +108,59 @@ object TxLogTable {
       updates: DataFrame, key: String): Long = {
     val current = read(spark, tablePath)
     overwrite(graft.ops.Merge.upsert(current, updates, key), tablePath)
+  }
+
+  /** Bin-pack the current snapshot's small data files into fewer
+    * large ones as ONE new version — contents identical, every prior
+    * version still time-travelable (the replaced files stay
+    * committed history, so [[vacuum]] keeps them). This is the
+    * maintenance half of the public lake-table recipe: streaming /
+    * micro-batch appends leave a long tail of small files, and at
+    * 100 TB an uncompacted table pays per-file open cost and loses
+    * data skipping. Files of at least `smallFileBytes` are left in
+    * place untouched (their bytes never move — compaction cost is
+    * proportional to the small tail, not the table); the small ones
+    * are re-read with full executor parallelism and rewritten into
+    * `ceil(smallBytes / targetFileBytes)` files.
+    *
+    * `clusterBy` additionally range-partitions the rewritten rows on
+    * that column, so the new files carry tight non-overlapping
+    * min/max ranges and [[prunedRead]] starts skipping — compaction
+    * doubling as incremental re-clustering.
+    *
+    * Concurrency: the commit is claimed through the same optimistic
+    * loop as `append`; a concurrent append simply lands before or
+    * after. If a concurrent overwrite/compaction removed one of the
+    * files this compaction rewrote, the attempt aborts with
+    * [[IllegalStateException]] instead of resurrecting dead data
+    * (the staged rewrite becomes a vacuumable orphan).
+    *
+    * Returns the committed version; a no-op (fewer than two small
+    * files) returns the current version without committing.
+    */
+  def compact(spark: SparkSession, tablePath: String,
+      smallFileBytes: Long = 32L * 1024 * 1024,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Option[String] = None): Long = {
+    val fs = fileSystem(spark, tablePath)
+    val commits = committedVersions(fs, tablePath)
+    require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+    val base = commits.max
+    val snap = snapshot(fs, tablePath, Some(base))
+    val dataPath = new Path(tablePath, DataDir)
+    val small = snap.files
+      .map(f => f -> fs.getFileStatus(new Path(dataPath, f)).getLen)
+      .filter(_._2 < smallFileBytes)
+    if (small.size < 2) return base
+    val nOut = math.max(1L,
+      (small.map(_._2).sum + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = buildFrame(spark, tablePath, small.map(_._1), snap.schema)
+    val arranged = clusterBy match {
+      case Some(c) => df.repartitionByRange(nOut, org.apache.spark.sql.functions.col(c))
+      case None    => df.coalesce(nOut)
+    }
+    write(arranged, tablePath, overwrite = false, txn = None,
+      removes = small.map(_._1))
   }
 
   /** Snapshot read at `asOfVersion` (default: latest). */
@@ -176,7 +236,8 @@ object TxLogTable {
   private final case class Commit(
       isOverwrite: Boolean, schemaDdl: String, files: Seq[String],
       txn: Option[(String, Long)] = None,
-      stats: Map[String, Map[String, ColStats]] = Map.empty)
+      stats: Map[String, Map[String, ColStats]] = Map.empty,
+      removes: Seq[String] = Seq.empty)
 
   /** The live file set at a version, with schema and per-file stats. */
   private final case class Snapshot(files: Seq[String], schema: StructType,
@@ -196,7 +257,11 @@ object TxLogTable {
         val c = parseCommit(fs, tablePath, v)
         val (base, baseStats) =
           if (c.isOverwrite) (Vector.empty[String], Map.empty[String, Map[String, ColStats]])
-          else (live, liveStats)
+          else if (c.removes.isEmpty) (live, liveStats)
+          else {
+            val gone = c.removes.toSet
+            (live.filterNot(gone), liveStats -- gone)
+          }
         (base ++ c.files, Some(c.schemaDdl), baseStats ++ c.stats)
       }
     Snapshot(files, StructType.fromDDL(ddlOpt.get), stats)
@@ -361,7 +426,7 @@ object TxLogTable {
   }
 
   private def write(df: DataFrame, tablePath: String, overwrite: Boolean,
-      txn: Option[(String, Long)]): Long = {
+      txn: Option[(String, Long)], removes: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     val fs = fileSystem(spark, tablePath)
     val ddl = df.schema.toDDL
@@ -404,11 +469,28 @@ object TxLogTable {
             return commits.max
         }
         val version = if (commits.isEmpty) 1L else commits.max + 1L
+        // compaction rewrites the table's own rows, so it keeps the
+        // committed DDL verbatim (reading parquet back relaxes
+        // nullability, which must not masquerade as schema evolution)
+        var commitDdl = ddl
         if (!overwrite && commits.nonEmpty) {
           val current = parseCommit(fs, tablePath, commits.max).schemaDdl
-          require(current == ddl,
+          if (removes.nonEmpty) commitDdl = current
+          else require(current == ddl,
             s"append schema mismatch: table has [$current], batch has [$ddl] " +
               "— schema changes go through overwrite")
+        }
+        // compaction must not resurrect files a concurrent overwrite/
+        // compaction already removed — re-validate liveness on every
+        // attempt; on violation the staged rewrite is abandoned as a
+        // vacuumable orphan rather than committing stale data
+        if (removes.nonEmpty) {
+          val live = snapshot(fs, tablePath, Some(commits.max)).files.toSet
+          val dead = removes.filterNot(live)
+          if (dead.nonEmpty) throw new IllegalStateException(
+            s"compaction conflict on $tablePath: ${dead.size} rewritten " +
+              s"file(s) no longer live (e.g. ${dead.head}) — a concurrent " +
+              "overwrite or compaction landed first; rerun compact")
         }
         val names = published match {
           case Some((_, ns)) => ns // files already in data/ from a lost race
@@ -433,7 +515,7 @@ object TxLogTable {
         }
         try {
           claimCommit(fs, tablePath, version,
-            Commit(overwrite, ddl, names, txn, fileStats))
+            Commit(overwrite, commitDdl, names, txn, fileStats, removes))
           result = version
         } catch {
           case _: CommitConflict => () // loop: re-read log, next version
@@ -453,14 +535,19 @@ object TxLogTable {
       try fs.create(commitPath, /* overwrite = */ false)
       catch { case _: java.io.IOException => throw new CommitConflict(version) }
     try {
+      val action =
+        if (c.isOverwrite) "overwrite"
+        else if (c.removes.nonEmpty) "compact"
+        else "append"
       val body = new StringBuilder()
-        .append("action=").append(if (c.isOverwrite) "overwrite" else "append").append('\n')
+        .append("action=").append(action).append('\n')
         .append("schema=").append(c.schemaDdl).append('\n')
       c.txn.foreach { case (appId, epoch) =>
         body.append("txnApp=").append(appId).append('\n')
           .append("txnEpoch=").append(epoch).append('\n')
       }
       c.files.foreach(f => body.append("file=").append(f).append('\n'))
+      c.removes.foreach(f => body.append("remove=").append(f).append('\n'))
       // one line per (file, column): stat=<file>|<colB64>|<kind>|<minB64>|<maxB64>
       // (file names are writer-generated uuid forms, never contain '|')
       for ((f, cols) <- c.stats.toSeq.sortBy(_._1);
@@ -502,7 +589,8 @@ object TxLogTable {
       schemaDdl = field("schema"),
       files = lines.collect { case l if l.startsWith("file=") => l.substring(5) }.toSeq,
       txn = for { a <- opt("txnApp"); e <- opt("txnEpoch") } yield (a, e.toLong),
-      stats = stats)
+      stats = stats,
+      removes = lines.collect { case l if l.startsWith("remove=") => l.substring(7) }.toSeq)
   }
 
   private def commitName(version: Long): String = f"$version%020d.txt"

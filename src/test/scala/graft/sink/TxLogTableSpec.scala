@@ -187,6 +187,57 @@ class TxLogTableSpec extends SparkSpec {
     assert(rows(TxLogTable.prunedRead(spark, t, "id", lower = Some(100L))) === Set.empty)
   }
 
+  // ----------------------------------------------------------------
+  // compaction
+
+  test("compact bin-packs small files into one version; history intact") {
+    val t = rangedTable() // 3 single-file appends, versions 1..3
+    val before = rows(TxLogTable.read(spark, t))
+    val v = TxLogTable.compact(spark, t)
+    assert(v === 4L, "compaction commits exactly one new version")
+    assert(TxLogTable.candidateFiles(spark, t, "id").size === 1,
+      "three small files collapse into one")
+    assert(rows(TxLogTable.read(spark, t)) === before, "contents identical")
+    // every pre-compaction version still reads the old files
+    assert(rows(TxLogTable.read(spark, t, Some(2L))) ===
+      Set((1L, "a"), (9L, "b"), (10L, "c"), (19L, "d")))
+    // vacuum must NOT reclaim the compacted-away files (still history)
+    assert(TxLogTable.vacuum(spark, t) === 0)
+    assert(rows(TxLogTable.read(spark, t, Some(3L))) === before)
+    // appends continue normally after a compaction
+    TxLogTable.append(Seq((40L, "g")).toDF("id", "v").coalesce(1), t)
+    assert(rows(TxLogTable.read(spark, t)) === before + ((40L, "g")))
+  }
+
+  test("compact with clusterBy restores data skipping on a shuffled table") {
+    val t = freshTable()
+    // interleaved ranges: every file spans [1, 30] → no skipping possible
+    TxLogTable.append(Seq((1L, "a"), (30L, "f")).toDF("id", "v").coalesce(1), t)
+    TxLogTable.append(Seq((2L, "b"), (29L, "e")).toDF("id", "v").coalesce(1), t)
+    TxLogTable.append(Seq((3L, "c"), (28L, "d")).toDF("id", "v").coalesce(1), t)
+    assert(TxLogTable.candidateFiles(spark, t, "id", lower = Some(25L)).size === 3)
+    val before = rows(TxLogTable.read(spark, t))
+    TxLogTable.compact(spark, t, targetFileBytes = 1L, clusterBy = Some("id"))
+    val all = TxLogTable.candidateFiles(spark, t, "id")
+    val hit = TxLogTable.candidateFiles(spark, t, "id", lower = Some(25L))
+    assert(all.size > 1, "tiny targetFileBytes keeps several output files")
+    assert(hit.size < all.size, "range-clustered rewrite prunes again")
+    assert(rows(TxLogTable.prunedRead(spark, t, "id", lower = Some(25L))) ===
+      before.filter(_._1 >= 25L))
+  }
+
+  test("compact is a no-op below two small files and skips big files") {
+    val t = freshTable()
+    TxLogTable.append(Seq((1L, "a")).toDF("id", "v").coalesce(1), t)
+    assert(TxLogTable.compact(spark, t) === 1L, "single file: no new version")
+    assert(TxLogTable.versions(spark, t) === Seq(1L))
+    TxLogTable.append(Seq((2L, "b")).toDF("id", "v").coalesce(1), t)
+    // both files are "big" under a 1-byte threshold → untouched
+    assert(TxLogTable.compact(spark, t, smallFileBytes = 1L) === 2L)
+    assert(TxLogTable.versions(spark, t) === Seq(1L, 2L))
+    assert(TxLogTable.candidateFiles(spark, t, "id").size === 2)
+  }
+
   test("pruning respects time travel and overwrite resets stats") {
     val t = freshTable()
     TxLogTable.append(Seq((1L, "a")).toDF("id", "v").coalesce(1), t)   // v1
