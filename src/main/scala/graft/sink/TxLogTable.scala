@@ -64,12 +64,23 @@ import org.apache.spark.sql.types.StructType
   *   reads them, so time travel and [[vacuum]] are unaffected).
   *   Optional `clusterBy` range-partitions the rewrite so the new
   *   files carry tight min/max ranges for [[prunedRead]].
+  * - **Log checkpoints**: every [[CheckpointInterval]]-th commit (and
+  *   every compaction) folds the materialized state — live files,
+  *   schema, per-file stats, per-app txn epochs — into
+  *   `_txlog/<version>.checkpoint.txt`, the public protocol's
+  *   checkpoint action. Reads load the newest checkpoint at or below
+  *   the target version and replay only the tail commits, so snapshot
+  *   resolution is O(interval) instead of O(commits) — the difference
+  *   between a usable and an unusable table once a micro-batch sink
+  *   has landed 100k commits. Checkpoints are written atomically
+  *   (temp + rename) and are pure caches: a missing, torn, or corrupt
+  *   checkpoint falls back to older checkpoints and ultimately to
+  *   full replay, never to a wrong answer.
   *
   * Scale posture: data moves with full executor parallelism through
   * the normal parquet writer; the commit itself is one driver-side
-  * metadata file of O(files) lines. Log replay is O(commits) driver
-  * work — fine for the checkpoint-less minimal core (a production log
-  * would fold checkpoints in, as the public protocol does).
+  * metadata file of O(files) lines, and log replay is O(commits since
+  * last checkpoint) ≤ [[CheckpointInterval]].
   */
 object TxLogTable {
 
@@ -79,6 +90,12 @@ object TxLogTable {
   private val LogDir = "_txlog"
   private val DataDir = "data"
   private val MaxCommitRetries = 20
+
+  /** Every N-th commit auto-folds a checkpoint (compactions always
+    * do); reads replay at most this many tail commits past the newest
+    * readable checkpoint.
+    */
+  val CheckpointInterval = 10
 
   /** Append `df` as a new version; returns the committed version.
     *
@@ -207,14 +224,36 @@ object TxLogTable {
   def versions(spark: SparkSession, tablePath: String): Seq[Long] =
     committedVersions(fileSystem(spark, tablePath), tablePath).sorted
 
+  /** Force a checkpoint of the latest version (normally automatic
+    * every [[CheckpointInterval]] commits and on every [[compact]]);
+    * returns the checkpointed version. Idempotent.
+    */
+  def checkpoint(spark: SparkSession, tablePath: String): Long = {
+    val fs = fileSystem(spark, tablePath)
+    val commits = committedVersions(fs, tablePath)
+    require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+    writeCheckpoint(fs, tablePath, commits.max)
+    commits.max
+  }
+
+  /** Versions carrying a checkpoint file, ascending (specs/ops). */
+  def checkpoints(spark: SparkSession, tablePath: String): Seq[Long] =
+    checkpointVersions(fileSystem(spark, tablePath), tablePath).sorted
+
   /** Delete data files referenced by NO commit (crashed writers,
     * lost races). Every committed version stays readable — this never
     * truncates time travel. Returns the number of files removed.
     */
   def vacuum(spark: SparkSession, tablePath: String): Int = {
     val fs = fileSystem(spark, tablePath)
-    val referenced = committedVersions(fs, tablePath)
-      .flatMap(v => parseCommit(fs, tablePath, v).files).toSet
+    // checkpoints count as references too: once old commits are
+    // expired (log retention), the checkpoint is the only witness
+    // that a still-live file is not an orphan
+    val referenced = (committedVersions(fs, tablePath)
+      .flatMap(v => parseCommit(fs, tablePath, v).files) ++
+      checkpointVersions(fs, tablePath)
+        .flatMap(v => loadCheckpoint(fs, tablePath, v).toSeq.flatMap(_.files))
+      ).toSet
     val dataPath = new Path(tablePath, DataDir)
     if (!fs.exists(dataPath)) 0
     else {
@@ -243,6 +282,44 @@ object TxLogTable {
   private final case class Snapshot(files: Seq[String], schema: StructType,
       stats: Map[String, Map[String, ColStats]])
 
+  /** Full materialized log state at a version — what a checkpoint
+    * persists: the snapshot fields plus the per-app max txn epoch
+    * (txn identities survive overwrites, so idempotent replays stay
+    * deduplicated across a table rewrite).
+    */
+  private final case class State(files: Vector[String], ddl: Option[String],
+      stats: Map[String, Map[String, ColStats]], txns: Map[String, Long])
+
+  private val EmptyState =
+    State(Vector.empty, None, Map.empty, Map.empty)
+
+  /** State at `upTo`: newest readable checkpoint ≤ `upTo`, then
+    * replay of the tail commits. Checkpoints are caches — any that
+    * fail to parse are skipped (next older, then full replay).
+    */
+  private def replayState(fs: FileSystem, tablePath: String, upTo: Long,
+      commits: Seq[Long]): State = {
+    val (start, from) = checkpointVersions(fs, tablePath)
+      .filter(_ <= upTo).sorted(Ordering[Long].reverse).iterator
+      .flatMap(v => loadCheckpoint(fs, tablePath, v).map(_ -> v))
+      .nextOption().getOrElse((EmptyState, 0L))
+    commits.filter(v => v > from && v <= upTo).sorted
+      .foldLeft(start) { (st, v) =>
+        val c = parseCommit(fs, tablePath, v)
+        val (base, baseStats) =
+          if (c.isOverwrite) (Vector.empty[String], Map.empty[String, Map[String, ColStats]])
+          else if (c.removes.isEmpty) (st.files, st.stats)
+          else {
+            val gone = c.removes.toSet
+            (st.files.filterNot(gone), st.stats -- gone)
+          }
+        State(base ++ c.files, Some(c.schemaDdl), baseStats ++ c.stats,
+          c.txn.foldLeft(st.txns) { case (m, (a, e)) =>
+            m.updated(a, math.max(e, m.getOrElse(a, Long.MinValue)))
+          })
+      }
+  }
+
   private def snapshot(fs: FileSystem, tablePath: String,
       asOfVersion: Option[Long]): Snapshot = {
     val commits = committedVersions(fs, tablePath)
@@ -250,21 +327,10 @@ object TxLogTable {
     val upTo = asOfVersion.getOrElse(commits.max)
     require(commits.contains(upTo),
       s"version $upTo does not exist; have ${commits.mkString(", ")}")
-    val zero = (Vector.empty[String], Option.empty[String],
-      Map.empty[String, Map[String, ColStats]])
-    val (files, ddlOpt, stats) = commits.filter(_ <= upTo).sorted
-      .foldLeft(zero) { case ((live, _, liveStats), v) =>
-        val c = parseCommit(fs, tablePath, v)
-        val (base, baseStats) =
-          if (c.isOverwrite) (Vector.empty[String], Map.empty[String, Map[String, ColStats]])
-          else if (c.removes.isEmpty) (live, liveStats)
-          else {
-            val gone = c.removes.toSet
-            (live.filterNot(gone), liveStats -- gone)
-          }
-        (base ++ c.files, Some(c.schemaDdl), baseStats ++ c.stats)
-      }
-    Snapshot(files, StructType.fromDDL(ddlOpt.get), stats)
+    val st = replayState(fs, tablePath, upTo, commits)
+    Snapshot(st.files, StructType.fromDDL(st.ddl.getOrElse(
+      throw new IllegalStateException(
+        s"no schema resolvable at version $upTo of $tablePath"))), st.stats)
   }
 
   private def buildFrame(spark: SparkSession, tablePath: String,
@@ -417,13 +483,13 @@ object TxLogTable {
     } finally reader.close()
   }
 
-  /** Highest committed epoch for `appId`, if any commit carries it. */
+  /** Highest committed epoch for `appId`, if any commit carries it
+    * (checkpoint-accelerated like any other state read).
+    */
   private def lastEpoch(fs: FileSystem, tablePath: String,
-      versions: Seq[Long], appId: String): Option[Long] = {
-    val epochs = versions.flatMap(v => parseCommit(fs, tablePath, v).txn)
-      .collect { case (a, e) if a == appId => e }
-    if (epochs.isEmpty) None else Some(epochs.max)
-  }
+      versions: Seq[Long], appId: String): Option[Long] =
+    if (versions.isEmpty) None
+    else replayState(fs, tablePath, versions.max, versions).txns.get(appId)
 
   private def write(df: DataFrame, tablePath: String, overwrite: Boolean,
       txn: Option[(String, Long)], removes: Seq[String] = Seq.empty): Long = {
@@ -522,6 +588,12 @@ object TxLogTable {
         }
       }
     } finally fs.delete(staging, true)
+    // fold a checkpoint on the interval (and after every compaction);
+    // best-effort — a checkpoint is a cache, a failed one only costs
+    // the next reader a longer replay
+    if (result % CheckpointInterval == 0 || removes.nonEmpty)
+      try writeCheckpoint(fs, tablePath, result)
+      catch { case scala.util.control.NonFatal(_) => () }
     result
   }
 
@@ -592,6 +664,104 @@ object TxLogTable {
       stats = stats,
       removes = lines.collect { case l if l.startsWith("remove=") => l.substring(7) }.toSeq)
   }
+
+  // --------------------------------------------------------------
+  // checkpoints — serialized State, same line format as commits plus
+  // a trailing end marker so a torn file can never parse as complete
+
+  private def checkpointName(version: Long): String =
+    f"$version%020d.checkpoint.txt"
+
+  private def checkpointVersions(fs: FileSystem, tablePath: String): Seq[Long] = {
+    val logPath = new Path(tablePath, LogDir)
+    if (!fs.exists(logPath)) Seq.empty
+    else fs.listStatus(logPath).map(_.getPath.getName)
+      .filter(_.endsWith(".checkpoint.txt"))
+      .flatMap(n => scala.util.Try(
+        n.stripSuffix(".checkpoint.txt").toLong).toOption)
+      .toSeq
+  }
+
+  /** Write the checkpoint for `version` atomically (temp + rename);
+    * a lost rename race means another writer checkpointed the same
+    * version — equivalent content, so the loser just cleans up.
+    */
+  private def writeCheckpoint(fs: FileSystem, tablePath: String,
+      version: Long): Unit = {
+    val logPath = new Path(tablePath, LogDir)
+    val target = new Path(logPath, checkpointName(version))
+    if (fs.exists(target)) return
+    val st = replayState(fs, tablePath, version,
+      committedVersions(fs, tablePath))
+    val body = new StringBuilder()
+      .append("schema=").append(st.ddl.getOrElse(
+        throw new IllegalStateException(
+          s"cannot checkpoint $tablePath@$version: no schema"))).append('\n')
+    for ((a, e) <- st.txns.toSeq.sortBy(_._1)) {
+      val aB64 = Base64.getEncoder
+        .encodeToString(a.getBytes(StandardCharsets.UTF_8))
+      body.append("txn=").append(aB64).append('|').append(e).append('\n')
+    }
+    st.files.foreach(f => body.append("file=").append(f).append('\n'))
+    for ((f, cols) <- st.stats.toSeq.sortBy(_._1);
+         (col, cs) <- cols.toSeq.sortBy(_._1)) {
+      val colB64 = Base64.getEncoder
+        .encodeToString(col.getBytes(StandardCharsets.UTF_8))
+      body.append("stat=").append(f).append('|').append(colB64).append('|')
+        .append(cs.kind).append('|').append(cs.min).append('|')
+        .append(cs.max).append('\n')
+    }
+    body.append("end=1\n")
+    val tmp = new Path(logPath,
+      s"tmp-${java.util.UUID.randomUUID()}.ckpt")
+    val out = fs.create(tmp, /* overwrite = */ false)
+    try out.write(body.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, target)) fs.delete(tmp, false)
+  }
+
+  /** Parse a checkpoint; None on any defect (truncated, corrupt,
+    * missing end marker) — the reader then falls back to an older
+    * checkpoint or full replay.
+    */
+  private def loadCheckpoint(fs: FileSystem, tablePath: String,
+      version: Long): Option[State] = scala.util.Try {
+    val p = new Path(new Path(tablePath, LogDir), checkpointName(version))
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split('\n').filter(_.nonEmpty)
+    require(lines.lastOption.contains("end=1"), "missing end marker")
+    val ddl = lines.collectFirst {
+      case l if l.startsWith("schema=") => l.substring(7)
+    }
+    require(ddl.isDefined, "missing schema")
+    StructType.fromDDL(ddl.get) // must round-trip, else corrupt
+    val txns = lines.collect { case l if l.startsWith("txn=") =>
+      l.substring(4).split('|') match {
+        case Array(aB64, e) =>
+          new String(Base64.getDecoder.decode(aB64),
+            StandardCharsets.UTF_8) -> e.toLong
+        case _ => throw new IllegalStateException("bad txn line")
+      }
+    }.toMap
+    val files = lines.collect {
+      case l if l.startsWith("file=") => l.substring(5)
+    }.toVector
+    val stats = lines.collect { case l if l.startsWith("stat=") =>
+      l.substring(5).split('|') match {
+        case Array(f, colB64, kind, minB64, maxB64) =>
+          val col = new String(Base64.getDecoder.decode(colB64),
+            StandardCharsets.UTF_8)
+          (f, col, ColStats(kind, minB64, maxB64))
+        case _ => throw new IllegalStateException("bad stat line")
+      }
+    }.groupBy(_._1).map { case (f, xs) =>
+      f -> xs.map(x => x._2 -> x._3).toMap
+    }
+    State(files, ddl, stats, txns)
+  }.toOption
 
   private def commitName(version: Long): String = f"$version%020d.txt"
 

@@ -250,4 +250,107 @@ class TxLogTableSpec extends SparkSpec {
     assert(rows(TxLogTable.prunedRead(spark, t, "id", lower = Some(40L),
       asOfVersion = Some(2L))) === Set((50L, "b")))
   }
+
+  // ----------------------------------------------------------------
+  // log checkpoints
+
+  /** `n` single-row appends (ids 1..n), each its own version. */
+  private def manyAppends(t: String, n: Int): Unit =
+    for (i <- 1 to n)
+      TxLogTable.append(Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1), t)
+
+  private def expected(n: Int): Set[(Long, String)] =
+    (1 to n).map(i => (i.toLong, s"r$i")).toSet
+
+  test("every CheckpointInterval-th commit auto-folds a checkpoint; reads stay exact") {
+    val t = freshTable()
+    manyAppends(t, 12)
+    assert(TxLogTable.checkpoints(spark, t) === Seq(10L),
+      "interval commit checkpoints, off-interval ones do not")
+    // served from checkpoint(10) + 2 tail commits
+    assert(rows(TxLogTable.read(spark, t)) === expected(12))
+    // exactly at the checkpoint: zero tail commits replayed
+    assert(rows(TxLogTable.read(spark, t, Some(10L))) === expected(10))
+    // before the checkpoint: full replay path still works
+    assert(rows(TxLogTable.read(spark, t, Some(5L))) === expected(5))
+  }
+
+  test("latest state is resolvable from checkpoint + tail alone (old commits expired)") {
+    val t = freshTable()
+    manyAppends(t, 12)
+    // expire commits 1..9 (log retention): the checkpoint at 10 must
+    // carry everything a latest-reader needs
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (v <- 1 to 9)
+      assert(fs.delete(new Path(t, f"_txlog/$v%020d.txt"), false))
+    assert(rows(TxLogTable.read(spark, t)) === expected(12))
+    assert(rows(TxLogTable.prunedRead(spark, t, "id", lower = Some(3L),
+      upper = Some(4L))) === Set((3L, "r3"), (4L, "r4")),
+      "per-file stats must survive the checkpoint roundtrip")
+    // appends (and their txn dedup) keep working on the expired log
+    TxLogTable.append(Seq((13L, "r13")).toDF("id", "v").coalesce(1), t)
+    assert(rows(TxLogTable.read(spark, t)) === expected(13))
+    // files whose only remaining witness is the checkpoint are NOT
+    // orphans — vacuum must keep them
+    assert(TxLogTable.vacuum(spark, t) === 0)
+    assert(rows(TxLogTable.read(spark, t)) === expected(13))
+  }
+
+  test("a corrupt or torn checkpoint falls back to replay, never a wrong answer") {
+    val t = freshTable()
+    manyAppends(t, 11)
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ckpt = new Path(t, f"_txlog/${10L}%020d.checkpoint.txt")
+    assert(fs.exists(ckpt))
+    // truncate: drop the end marker and half the file list
+    val full = {
+      val in = fs.open(ckpt)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    fs.delete(ckpt, false)
+    val out = fs.create(ckpt, false)
+    try out.write(full.substring(0, full.length / 2)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    assert(rows(TxLogTable.read(spark, t)) === expected(11),
+      "torn checkpoint must be ignored")
+    // forcing a fresh checkpoint repairs nothing destructively: the
+    // torn v10 file stays, v11 gets a good one and wins for readers
+    assert(TxLogTable.checkpoint(spark, t) === 11L)
+    assert(TxLogTable.checkpoints(spark, t) === Seq(10L, 11L))
+    assert(rows(TxLogTable.read(spark, t)) === expected(11))
+  }
+
+  test("txn idempotence and overwrite semantics hold across a checkpoint") {
+    val t = freshTable()
+    TxLogTable.append(Seq((1L, "a")).toDF("id", "v").coalesce(1), t,
+      txn = Some(("job", 7L)))
+    manyAppends(t, 9) // ids 1..9 on top, versions 2..10 → checkpoint at 10
+    assert(TxLogTable.checkpoints(spark, t) === Seq(10L))
+    val before = TxLogTable.versions(spark, t).max
+    // replayed epoch must dedup THROUGH the checkpoint's txn map
+    assert(TxLogTable.append(Seq((99L, "dup")).toDF("id", "v"), t,
+      txn = Some(("job", 7L))) === before, "replayed epoch committed again")
+    // a genuinely new epoch still lands
+    assert(TxLogTable.append(Seq((50L, "new")).toDF("id", "v").coalesce(1), t,
+      txn = Some(("job", 8L))) === before + 1)
+    // overwrite resets data but NOT txn identities (checkpoint after it)
+    TxLogTable.overwrite(Seq((0L, "z")).toDF("id", "v").coalesce(1), t)
+    TxLogTable.checkpoint(spark, t)
+    assert(TxLogTable.append(Seq((98L, "dup2")).toDF("id", "v"), t,
+      txn = Some(("job", 8L))) === before + 2,
+      "txn identity must survive overwrite + checkpoint")
+    assert(rows(TxLogTable.read(spark, t)) === Set((0L, "z")))
+  }
+
+  test("compaction always checkpoints and the pruned read serves from it") {
+    val t = rangedTable() // versions 1..3
+    TxLogTable.compact(spark, t, clusterBy = Some("id")) // v4 + checkpoint
+    assert(TxLogTable.checkpoints(spark, t) === Seq(4L))
+    assert(rows(TxLogTable.prunedRead(spark, t, "id", lower = Some(20L))) ===
+      Set((20L, "e"), (29L, "f")))
+    assert(rows(TxLogTable.read(spark, t, Some(2L))) ===
+      Set((1L, "a"), (9L, "b"), (10L, "c"), (19L, "d")),
+      "pre-compaction time travel unaffected by the checkpoint")
+  }
 }
