@@ -164,5 +164,48 @@ object Extras20 {
                      MIN(k), MAX(k)
               FROM c WHERE k % 3 = 0
               ORDER BY part"""))
+  ) ++ Seq(
+
+    // Z-order maintenance end-to-end: shuffled appends (every file
+    // spans the full range of both k and n), then compact(zOrderBy =
+    // (k, n)) lays the rewrite along the Morton curve, and BOTH
+    // dimension bands are read back through prunedRead over the
+    // curve-clustered files. The oracle is the plain filter — proving
+    // the layout op is contents-exact on either probe dimension
+    // (TxLogTableSpec asserts the actual file skipping).
+    QueryDef("q226_txlog_zorder",
+      (s, d) => {
+        val t = java.nio.file.Files.createTempDirectory("graft_txz")
+          .resolve("cust").toString
+        val base = table(s, d, "customer").select(
+          col("c_custkey").as("k"), col("c_nationkey").as("n"),
+          expr("CAST(floor(c_acctbal * 100.0) AS BIGINT)").as("bal_c"))
+        for (i <- 0 until 3)
+          graft.sink.TxLogTable.append(
+            base.filter(pmod(col("k"), lit(3)) === i).repartition(4), t)
+        graft.sink.TxLogTable.compact(s, t, targetFileBytes = 16L * 1024,
+          zOrderBy = Some(("k", "n")))
+        def band(part: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(lit(part).as("part"), count(lit(1)).as("n_rows"),
+            sum(col("bal_c")).as("bal_cents"),
+            min(col("k")).as("min_k"), max(col("n")).as("max_n"))
+        band("k_band", graft.sink.TxLogTable
+            .prunedRead(s, t, "k", lower = Some(100L), upper = Some(600L)))
+          .unionAll(band("n_band", graft.sink.TxLogTable
+            .prunedRead(s, t, "n", lower = Some(5L), upper = Some(10L))))
+          .orderBy("part")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS k, c_nationkey AS n,
+                                CAST(floor(c_acctbal * 100.0) AS BIGINT) AS bal_c
+                         FROM customer)
+              SELECT 'k_band' AS part, COUNT(*) AS n_rows,
+                     CAST(SUM(bal_c) AS BIGINT) AS bal_cents,
+                     MIN(k) AS min_k, MAX(n) AS max_n
+              FROM c WHERE k BETWEEN 100 AND 600
+              UNION ALL
+              SELECT 'n_band', COUNT(*), CAST(SUM(bal_c) AS BIGINT),
+                     MIN(k), MAX(n)
+              FROM c WHERE n BETWEEN 5 AND 10
+              ORDER BY part"""))
   )
 }

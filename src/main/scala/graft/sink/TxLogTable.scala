@@ -143,7 +143,14 @@ object TxLogTable {
     * `clusterBy` additionally range-partitions the rewritten rows on
     * that column, so the new files carry tight non-overlapping
     * min/max ranges and [[prunedRead]] starts skipping — compaction
-    * doubling as incremental re-clustering.
+    * doubling as incremental re-clustering. `zOrderBy` does the same
+    * along a Morton curve over TWO non-negative long columns
+    * ([[graft.ops.Layout.zValue]], low `zBits` bits each): the new
+    * files carry tight ranges on BOTH dimensions, so range
+    * predicates on either column prune — the public Z-ORDER layout
+    * recipe as a maintenance op. Values wider than `zBits` bits
+    * degrade clustering quality, never correctness (pruning always
+    * reads real footer stats).
     *
     * Concurrency: the commit is claimed through the same optimistic
     * loop as `append`; a concurrent append simply lands before or
@@ -158,7 +165,11 @@ object TxLogTable {
   def compact(spark: SparkSession, tablePath: String,
       smallFileBytes: Long = 32L * 1024 * 1024,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      clusterBy: Option[String] = None): Long = {
+      clusterBy: Option[String] = None,
+      zOrderBy: Option[(String, String)] = None,
+      zBits: Int = 20): Long = {
+    require(clusterBy.isEmpty || zOrderBy.isEmpty,
+      "clusterBy and zOrderBy are mutually exclusive")
     val fs = fileSystem(spark, tablePath)
     val commits = committedVersions(fs, tablePath)
     require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
@@ -172,9 +183,20 @@ object TxLogTable {
     val nOut = math.max(1L,
       (small.map(_._2).sum + targetFileBytes - 1) / targetFileBytes).toInt
     val df = buildFrame(spark, tablePath, small.map(_._1), snap.schema)
-    val arranged = clusterBy match {
-      case Some(c) => df.repartitionByRange(nOut, org.apache.spark.sql.functions.col(c))
-      case None    => df.coalesce(nOut)
+    import org.apache.spark.sql.functions.col
+    val arranged = (clusterBy, zOrderBy) match {
+      case (Some(c), _) => df.repartitionByRange(nOut, col(c))
+      case (_, Some((a, b))) =>
+        // range-partition AND sort within partitions along the curve:
+        // partitioning bounds the per-file z range, the sort keeps row
+        // groups tight inside each file; the helper column never
+        // reaches the committed schema (dropped before write)
+        val z = graft.ops.Layout.zValue(col(a), col(b), zBits)
+        df.withColumn("__graft_z", z)
+          .repartitionByRange(nOut, col("__graft_z"))
+          .sortWithinPartitions("__graft_z")
+          .drop("__graft_z")
+      case _ => df.coalesce(nOut)
     }
     write(arranged, tablePath, overwrite = false, txn = None,
       removes = small.map(_._1))
