@@ -24,18 +24,11 @@ object SparkEntry {
     defs.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (custom expressions / mapPartitions) → rows-only check.
-    *
-    * INTENTIONALLY oracle-less (the driver reports `no_oracle`, not a
-    * failure): q66_sketch_distinct and q67_sketch_quantiles exercise
-    * Spark-native HLL++/percentile_approx, whose estimates are
-    * engine-specific by definition. Each has a hash-verified portable
-    * twin — q81_portable_hll (from-scratch HLL, identical registers in
-    * both engines) and q82_sample_quantile (exact rank over a
-    * deterministic sample) — and `SketchSpec` proves the Spark-native
-    * estimates land within the published error bounds of the exact
-    * values.
+    * the same parquet tables. Every query carries an oracle: even the
+    * engine-specific sketch estimates (q66/q67) are verified through
+    * their CONTRACT — exact value hash-compared, estimate-within-bound
+    * boolean asserted TRUE — with portable twins (q81/q82) and
+    * `SketchSpec` covering the raw estimates.
     */
   def oracleSql: Map[String, String] =
     defs.flatMap(q => q.oracle.map(sql => q.name -> sql.stripMargin)).toMap

@@ -372,10 +372,13 @@ object Extended {
               WHERE rnk <= 5 ORDER BY o_orderpriority, rnk""")),
 
     // sketch aggregates — the 100 TB cardinality/quantile tools.
-    // Estimates are engine-specific (Spark HLL++/KLL vs DuckDB's HLL),
-    // so these are rows-only entries; exact counterparts are
-    // oracle-checked in q14/q48. The spec asserts estimate accuracy
-    // bounds against the exact values.
+    // The raw estimates are engine-specific (Spark HLL++/KLL vs
+    // DuckDB's HLL) so they cannot be hash-compared; the CONTRACT is
+    // oracle-checkable: emit the exact value plus an est_within_bound
+    // boolean (|est - exact| inside the algorithm's error budget,
+    // computed Spark-side), and the oracle reproduces the exact value
+    // and asserts TRUE. SketchSpec additionally probes the raw
+    // estimates' accuracy against exact at several scales.
     // Dedup-first shape, deliberately NOT
     // `agg(approx_count_distinct, countDistinct)`: mixing a distinct
     // agg with HLL makes Spark's rewrite key the HLL partial by
@@ -383,7 +386,9 @@ object Extended {
     // shuffled across the wire (~500 MB at sf0.1, unbounded at 100 TB).
     // Deduping the pair first keeps sketch state per final group only,
     // and HLL is duplicate-insensitive so the estimate is identical;
-    // count over the deduped set IS the exact distinct count.
+    // count over the deduped set IS the exact distinct count. Bound:
+    // rsd 0.02 → 5% is 2.5σ; HLL++ on fixed data is deterministic and
+    // SketchSpec pins the observed error well inside it.
     QueryDef("q66_sketch_distinct",
       (s, d) => table(s, d, "lineitem")
         .select("l_returnflag", "l_orderkey").distinct()
@@ -391,16 +396,37 @@ object Extended {
         .agg(
           approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
           count(lit(1)).as("exact_orders"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx_orders") - col("exact_orders")).cast(DoubleType)
+            <= col("exact_orders").cast(DoubleType) * 0.05).as("est_within_bound"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag,
+                     CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+                     TRUE AS est_within_bound
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // percentile_approx(accuracy=1000) guarantees rank error <= n/1000;
+    // the exact p45/p55 window allows 50x that slack, so the boolean
+    // is true by the algorithm's published contract, not by luck. The
+    // exact median itself interpolates identically to DuckDB's
+    // PERCENTILE_CONT (parity proven by q176) and is hash-verified.
     QueryDef("q67_sketch_quantiles",
       (s, d) => table(s, d, "orders")
         .groupBy("o_orderpriority")
         .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_median"),
+          expr("percentile(o_totalprice, array(0.45, 0.5, 0.55))").as("pw"),
           min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+        .select(col("o_orderpriority"), col("pw")(1).as("exact_median"),
+          col("lo"), col("hi"),
+          (col("approx_median") >= col("pw")(0) &&
+            col("approx_median") <= col("pw")(2)).as("est_within_bound"))
         .orderBy("o_orderpriority"),
-      None),
+      Some("""SELECT o_orderpriority,
+                     PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                       AS exact_median,
+                     MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+                     TRUE AS est_within_bound
+              FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // outer-join family: per-customer order stats keeping order-less
     // customers (LEFT OUTER), null-aware aggregation on the outer side
