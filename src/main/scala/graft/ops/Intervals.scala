@@ -3,47 +3,46 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Grid-blocked interval overlap join.
+/** Interval overlap join, banded.
   *
   * A theta join on `a.start <= b.end AND b.start <= a.end` has no
-  * equi-key, so Spark would plan a nested-loop join — quadratic in
-  * rows per key and a non-starter at scale. Banding restores an
-  * equi-join: every interval is exploded onto the calendar-month
-  * cells it covers, candidates meet on (key, cell), the exact overlap
-  * predicate runs as a residual filter, and `distinct` collapses
-  * pairs that share several cells.
+  * usable equi-key (even with a same-key conjunct, the per-key work is
+  * an all-pairs product — quadratic in the hottest key), so Spark
+  * would fall back to per-key nested loops. The declarative naive join
+  * built here is handed to the [[graft.plans.BandedRangeJoin]]
+  * interval-overlap rewrite: every interval explodes onto the
+  * fixed-width band cells it covers, candidates meet on (key, cell)
+  * as an ordinary shuffle equi-join, the exact overlap predicate runs
+  * as a residual, and a first-shared-band residual equality emits each
+  * qualifying pair exactly once — no `distinct()` shuffle.
   *
-  * Shuffle volume is rows × cells-per-interval (bounded: a 30-day
-  * window touches ≤ 2 month cells); pair expansion is per (key, cell)
-  * bucket, never global. Pick the grid granularity of the same order
-  * as typical interval length — too fine multiplies the explode, too
-  * coarse fattens the buckets.
+  * Shuffle volume is rows × cells-per-interval; pick `binSize` of the
+  * same order as typical interval length (units: days for date
+  * intervals, epoch micros for timestamps, raw value for integers) —
+  * too fine multiplies the explode, too coarse fattens the buckets.
   */
 object Intervals {
 
-  /** Distinct (id1 < id2) pairs of same-`key` rows whose
-    * [start, end] intervals overlap (inclusive bounds).
+  /** (id1 < id2) pairs of same-`key` rows whose [start, end]
+    * intervals overlap (inclusive bounds); one output row per
+    * qualifying pair (ids are assumed unique per row, as a join key
+    * should be).
     */
   def overlapPairsSameKey(
       df: DataFrame,
       key: String,
       id: String,
       start: Column,
-      end: Column): DataFrame = {
-    val cells = df.select(
-      col(key), col(id), start.as("__s"), end.as("__e"),
-      explode(sequence(
-        date_trunc("month", start),
-        date_trunc("month", end),
-        expr("INTERVAL 1 MONTH"))).as("__cell"))
-    cells.as("a")
-      .join(cells.as("b"),
-        col(s"a.$key") === col(s"b.$key") &&
-          col("a.__cell") === col("b.__cell") &&
-          col(s"a.$id") < col(s"b.$id") &&
-          col("a.__s") <= col("b.__e") && col("b.__s") <= col("a.__e"))
-      .select(col(s"a.$key").as(key),
-        col(s"a.$id").as("id1"), col(s"b.$id").as("id2"))
-      .distinct()
+      end: Column,
+      binSize: Long): DataFrame = {
+    val a = df.select(col(key), col(id).as("id1"),
+      start.as("__s1"), end.as("__e1"))
+    val b = df.select(col(key).as("__k2"), col(id).as("id2"),
+      start.as("__s2"), end.as("__e2"))
+    val naive = a.join(b,
+      col(key) === col("__k2") && col("id1") < col("id2") &&
+        col("__s1") <= col("__e2") && col("__s2") <= col("__e1"))
+    RangeJoin.banded(naive, binSize)
+      .select(col(key), col("id1"), col("id2"))
   }
 }

@@ -32,9 +32,10 @@ object RangeJoin {
         }
     }
     require(hit,
-      "no rewritable point-in-interval inner join found: need cross-side " +
-        "lower AND upper bounds on the same integral/timestamp expression " +
-        "and no existing cross-side equi-conjunct")
+      "no rewritable range inner join found: need either cross-side lower " +
+        "AND upper bounds on one integral/timestamp/date expression (with " +
+        "no existing cross-side equi-conjunct), or an interval-overlap " +
+        "pair sL <= eR AND sR <= eL")
     ColumnShim.ofRows(joined.sparkSession, rewritten)
   }
 }

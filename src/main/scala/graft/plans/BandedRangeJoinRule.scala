@@ -6,15 +6,16 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
 
-/** Banded rewrite for point-in-interval theta joins.
+/** Banded rewrite for range theta joins: point-in-interval
+  * (`lo <= p AND p <= hi`) and interval-interval overlap
+  * (`sL <= eR AND sR <= eL`).
   *
-  * A join whose only cross-side predicates are range bounds —
-  * `point >= lo AND point <= hi` with `point` from one side and
-  * `lo`/`hi` from the other — has no equi-key, so Spark plans a
-  * nested-loop join: broadcast if one side is small, else
-  * quadratic-per-partition. At 100 TB that is a non-starter even when
-  * result cardinality is modest (e.g. events landing in promo
-  * windows, readings between calibration bounds).
+  * A join whose only cross-side predicates are range bounds has no
+  * equi-key, so Spark plans a nested-loop join: broadcast if one side
+  * is small, else quadratic-per-partition. At 100 TB that is a
+  * non-starter even when result cardinality is modest (e.g. events
+  * landing in promo windows, readings between calibration bounds,
+  * pairs of bookings whose stay windows touch).
   *
   * The standard fix (the shape behind Databricks' RANGE_JOIN bin
   * hint, here derived from first principles on public Spark APIs) is
@@ -40,12 +41,18 @@ import org.apache.spark.sql.types._
   *  - [[graft.ops.RangeJoin.banded]] applies the same rewrite to one
   *    DataFrame explicitly, no session conf involved.
   *
-  * Supported: INNER joins; point/bounds of integral or timestamp
-  * (with or without time zone) type; bounds may be arbitrary
-  * expressions of their side (e.g.
-  * `ts - INTERVAL 5 MINUTE`). Joins that already carry a cross-side
+  * Supported: INNER joins; point/bounds of integral, timestamp (with
+  * or without time zone) or date type; bounds may be arbitrary
+  * expressions of their side (e.g. `ts - INTERVAL 5 MINUTE`).
+  * Point-in-interval joins that already carry a cross-side
   * equi-conjunct are left untouched — Spark has a shuffle key there
-  * and banding would only add work.
+  * and a single-band point adds nothing. The overlap shape rewrites
+  * even with an equi-key present: same-key self-overlap is its common
+  * form, and the key alone leaves per-key all-pairs work (quadratic
+  * in the hottest key); the band becomes an ADDITIONAL join key. The
+  * overlap rewrite emits every qualifying pair exactly once (no
+  * distinct needed): a residual equality keeps a pair only in the
+  * first band both sides share, `band(greatest(sL, sR))`.
   */
 object BandedRangeJoin extends Rule[LogicalPlan] {
 
@@ -62,10 +69,30 @@ object BandedRangeJoin extends Rule[LogicalPlan] {
     }
   }
 
-  /** Rewrite one Join node, or None when the shape does not match. */
+  /** Rewrite one Join node, or None when the shape does not match.
+    * Two shapes are recognized:
+    *
+    *  1. point-in-interval — `lo <= p AND p <= hi`, `p` from one side,
+    *     both bounds from the other, and NO cross-side equi-conjunct
+    *     (with one, Spark already has a shuffle key and a single-band
+    *     point adds nothing);
+    *  2. interval-interval overlap — `sL <= eR AND sR <= eL` with all
+    *     four expressions distinct. This one rewrites EVEN IF an
+    *     equi-key is present: the common shape is a same-key
+    *     self-overlap (pairs of a customer's orders whose windows
+    *     touch), where the equi-key alone leaves a per-key all-pairs
+    *     product — quadratic in the hottest key. The band joins the
+    *     shuffle key instead of replacing it.
+    */
   def rewriteJoin(j: Join, binSize: Long): Option[LogicalPlan] = {
     require(binSize > 0, s"binSize must be positive, got $binSize")
     if (j.joinType != Inner) return None
+    // Never re-rewrite our own output: the rewritten join still carries
+    // the original range predicate as a residual, so without this
+    // guard transformDown/fixed-point iteration would band the banded
+    // plan forever.
+    if ((j.left.output ++ j.right.output)
+        .exists(_.name.startsWith("__graft_band"))) return None
     val cond = j.condition.getOrElse(return None)
     val conjuncts = splitConjuncts(cond)
 
@@ -83,13 +110,11 @@ object BandedRangeJoin extends Rule[LogicalPlan] {
     def crossSide(a: Expression, b: Expression): Boolean =
       (for { sa <- side(a); sb <- side(b) } yield sa != sb).getOrElse(false)
 
-    // Already has a shuffle key — banding would be pure overhead.
     val hasEquiKey = conjuncts.exists {
       case EqualTo(a, b)       => crossSide(a, b)
       case EqualNullSafe(a, b) => crossSide(a, b)
       case _                   => false
     }
-    if (hasEquiKey) return None
 
     // Normalize every cross-side inequality to (small, large).
     val ineqs = conjuncts.flatMap {
@@ -99,11 +124,11 @@ object BandedRangeJoin extends Rule[LogicalPlan] {
       case GreaterThan(a, b) if crossSide(a, b)        => Seq((b, a))
       case _                                           => Nil
     }
-    // A usable pattern is a pair (lo <= p, p <= hi) where p is the
+    // Point-in-interval: a pair (lo <= p, p <= hi) where p is the
     // same expression in both and lo/hi both live on p's other side.
     // Strict bounds band identically: p > lo still implies
     // band(p) ∈ [band(lo), band(hi)] because floorDiv is monotone.
-    val pattern = (for {
+    val pointPattern = (for {
       (lo, p1) <- ineqs.iterator
       (p2, hi) <- ineqs.iterator
       if p1.semanticEquals(p2)
@@ -114,29 +139,17 @@ object BandedRangeJoin extends Rule[LogicalPlan] {
       if bandable(p1.dataType)
     } yield (p1, lo, hi, ps)).nextOption()
 
-    pattern.map { case (point, lo, hi, pointOnLeft) =>
+    pointPattern.filter(_ => !hasEquiKey).map { case (point, lo, hi, pointOnLeft) =>
       val (pointPlan, intervalPlan) =
         if (pointOnLeft) (j.left, j.right) else (j.right, j.left)
 
       // Interval side: drop rows that cannot match (null or inverted
-      // bounds — also keeps Sequence from throwing on lo > hi), then
+      // bounds — for THIS pattern any match implies lo <= hi), then
       // explode onto every band the interval overlaps.
-      val cellAttr = AttributeReference("__graft_band_cell", LongType,
-        nullable = false)()
       val intervalFiltered = Filter(
         And(And(IsNotNull(lo), IsNotNull(hi)), LessThanOrEqual(lo, hi)),
         intervalPlan)
-      val cells = Generate(
-        Explode(new Sequence(
-          floorDiv(toLong(lo), binSize),
-          floorDiv(toLong(hi), binSize),
-          Some(Literal(1L, LongType)),
-          Some(conf.sessionLocalTimeZone))),
-        unrequiredChildIndex = Nil,
-        outer = false,
-        qualifier = None,
-        generatorOutput = Seq(cellAttr),
-        child = intervalFiltered)
+      val (cells, cellAttr) = explodeBands(intervalFiltered, lo, hi, binSize)
 
       // Point side: a single band per row.
       val bandAlias = Alias(floorDiv(toLong(point), binSize), "__graft_band")()
@@ -153,7 +166,87 @@ object BandedRangeJoin extends Rule[LogicalPlan] {
       val rejoined = Join(newLeft, newRight, Inner,
         Some(And(EqualTo(bandAttr, cellAttr), cond)), j.hint)
       Project(j.output, rejoined)
+    }.orElse {
+      // Interval-interval overlap: (sL <= eR, sR <= eL) with sL/eL on
+      // one side, sR/eR on the other, all four distinct expressions
+      // (the degenerate sL==eL / sR==eR case IS point-in-interval and
+      // keeps that path's equi-key bail). All four must band in the
+      // same long domain.
+      val candidates = (for {
+        (a, b) <- ineqs.iterator // a = sL <= b = eR
+        (c, d) <- ineqs.iterator // c = sR <= d = eL
+        sa <- side(a); sb <- side(b); sc <- side(c); sd <- side(d)
+        if sa == sd && sb == sc && sa != sb
+        if !a.semanticEquals(d) && !b.semanticEquals(c)
+        if Seq(a, b, c, d).forall(e => bandable(e.dataType))
+        // Greatest() needs exact type agreement within each side
+        if a.dataType == d.dataType && c.dataType == b.dataType
+      } yield (a, d, c, b, sa)).toSeq
+      // Several conjunct pairs can cross (e.g. an `idL < idR` tie-break
+      // next to the real window bounds). Prefer an all-temporal pattern:
+      // temporal bounds are near-certainly the intended interval, while
+      // banding a surrogate-id range could explode onto millions of
+      // cells.
+      def temporal(dt: DataType): Boolean = dt match {
+        case TimestampType | TimestampNTZType | DateType => true
+        case _ => false
+      }
+      val overlap = candidates.sortBy { case (sL, eL, sR, eR, _) =>
+        if (Seq(sL, eL, sR, eR).forall(e => temporal(e.dataType))) 0 else 1
+      }.headOption
+
+      overlap.map { case (sL, eL, sR, eR, leftHoldsL) =>
+        // Each side explodes onto [band(s), band(greatest(s, e))] —
+        // greatest (not a lo<=hi pre-filter) because the overlap
+        // predicate does NOT imply s <= e on either side: an inverted
+        // "interval" can still satisfy sL <= eR AND sR <= eL, and the
+        // greatest() upper keeps its single band(s) cell alive.
+        // Coverage proof for any matching pair: both sides cover
+        // band(max(sL, sR)) — side L because sL <= max and
+        // max(sL, sR) <= max(sL, eL) (from sR <= eL); side R
+        // symmetrically (from sL <= eR).
+        val (lPlanRaw, rPlanRaw) =
+          if (leftHoldsL) (j.left, j.right) else (j.right, j.left)
+        val (lCells, lCell) = explodeBands(
+          Filter(And(IsNotNull(sL), IsNotNull(eL)), lPlanRaw),
+          sL, Greatest(Seq(sL, eL)), binSize)
+        val (rCells, rCell) = explodeBands(
+          Filter(And(IsNotNull(sR), IsNotNull(eR)), rPlanRaw),
+          sR, Greatest(Seq(sR, eR)), binSize)
+        // Exactly-once without a distinct(): a pair may share many
+        // bands, so emit it only in the FIRST band both sides cover —
+        // band(greatest(sL, sR)) — as a residual equality on the cell.
+        val firstShared = floorDiv(
+          Greatest(Seq(toLong(sL), toLong(sR))), binSize)
+        val (newLeft, newRight) =
+          if (leftHoldsL) (lCells, rCells) else (rCells, lCells)
+        val rejoined = Join(newLeft, newRight, Inner,
+          Some(And(And(EqualTo(lCell, rCell), EqualTo(lCell, firstShared)),
+            cond)), j.hint)
+        Project(j.output, rejoined)
+      }
     }
+  }
+
+  /** Explode `child` onto every band in [band(lo), band(hi)]; returns
+    * the generated plan and its cell attribute.
+    */
+  private def explodeBands(child: LogicalPlan, lo: Expression,
+      hi: Expression, binSize: Long): (LogicalPlan, Attribute) = {
+    val cellAttr = AttributeReference("__graft_band_cell", LongType,
+      nullable = false)()
+    val gen = Generate(
+      Explode(new Sequence(
+        floorDiv(toLong(lo), binSize),
+        floorDiv(toLong(hi), binSize),
+        Some(Literal(1L, LongType)),
+        Some(conf.sessionLocalTimeZone))),
+      unrequiredChildIndex = Nil,
+      outer = false,
+      qualifier = None,
+      generatorOutput = Seq(cellAttr),
+      child = child)
+    (gen, cellAttr)
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
@@ -163,22 +256,24 @@ object BandedRangeJoin extends Rule[LogicalPlan] {
 
   private def bandable(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | TimestampType |
-        TimestampNTZType => true
+        TimestampNTZType | DateType => true
     case _ => false
   }
 
   /** Map the banded domain to Long: integral widens, timestamps use
-    * exact epoch micros (no ANSI cast semantics involved). NTZ first
-    * rebinds to an instant in the session zone — that mapping is
-    * non-decreasing in local-datetime order (even across DST folds),
-    * which is all band containment needs, and every bound of one
-    * pattern converts through the same zone.
+    * exact epoch micros (no ANSI cast semantics involved), dates use
+    * epoch days (bin units: days). NTZ first rebinds to an instant in
+    * the session zone — that mapping is non-decreasing in
+    * local-datetime order (even across DST folds), which is all band
+    * containment needs, and every bound of one pattern converts
+    * through the same zone.
     */
   private def toLong(e: Expression): Expression = e.dataType match {
     case LongType         => e
     case TimestampType    => UnixMicros(e)
     case TimestampNTZType =>
       UnixMicros(Cast(e, TimestampType, Some(conf.sessionLocalTimeZone)))
+    case DateType         => Cast(UnixDate(e), LongType)
     case _                => Cast(e, LongType)
   }
 

@@ -146,17 +146,21 @@ object Extras5 {
               ORDER BY revenue DESC, suppkey""")),
 
     // repeat-purchase bursts: pairs of same-customer orders whose
-    // 30-day windows overlap, counted per customer. The overlap join
-    // runs through ops/Intervals month-grid banding (equi-join on
-    // (custkey, month cell) + residual predicate), not the
+    // 30-day windows overlap, counted per customer. The naive theta
+    // join goes through the plans/BandedRangeJoin interval-overlap
+    // rewrite (equi-join on (custkey, 30-day band cell) + residual
+    // predicate + first-shared-band exactly-once emission), not the
     // nested-loop theta join in the oracle.
     QueryDef("q145_overlap_bursts",
       (s, d) => {
         val o = table(s, d, "orders").select(
           col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           expr("o_orderdate + INTERVAL 30 DAY").as("w_end"))
+        // o_orderdate is physically timestamp[us] → bands quantize
+        // epoch micros; 30-day bands match the window width
         Intervals.overlapPairsSameKey(o, "o_custkey", "o_orderkey",
-            col("o_orderdate"), col("w_end"))
+            col("o_orderdate"), col("w_end"),
+            binSize = 30L * 86400L * 1000000L)
           .groupBy(col("o_custkey").as("custkey"))
           .agg(count(lit(1)).as("n_overlaps"))
           .orderBy(col("n_overlaps").desc, col("custkey"))

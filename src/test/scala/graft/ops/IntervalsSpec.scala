@@ -17,7 +17,8 @@ class IntervalsSpec extends SparkSpec {
       (i.toLong % 7, i.toLong, ts(start), ts(start + (i * 31) % 45))
     }
     val df = rows.toDF("k", "id", "s", "e")
-    val got = Intervals.overlapPairsSameKey(df, "k", "id", col("s"), col("e"))
+    val got = Intervals.overlapPairsSameKey(df, "k", "id", col("s"), col("e"),
+        binSize = 30L * 86400L * 1000000L) // 30-day bands in epoch micros
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     val want = (for {
       (k1, i1, s1, e1) <- rows
@@ -34,7 +35,8 @@ class IntervalsSpec extends SparkSpec {
       (1L, 11L, ts(10), ts(110)),  // Jan 10 .. Apr 26 — overlaps 10 in many months
       (1L, 12L, ts(117), ts(119))  // May 5 .. May 7 — disjoint from 11, overlaps 10
     ).toDF("k", "id", "s", "e")
-    val got = Intervals.overlapPairsSameKey(df, "k", "id", col("s"), col("e"))
+    val got = Intervals.overlapPairsSameKey(df, "k", "id", col("s"), col("e"),
+        binSize = 30L * 86400L * 1000000L)
       .select("id1", "id2").as[(Long, Long)].collect().toSeq
     assert(got.size === got.toSet.size)
     assert(got.toSet === Set((10L, 11L), (10L, 12L)))

@@ -113,6 +113,106 @@ class BandedRangeJoinSpec extends SparkSpec {
     }
   }
 
+  // interval-interval overlap: two interval relations, nulls and
+  // ~10% inverted intervals on both sides (an inverted [s, e] can
+  // still overlap under the predicate — it must not be dropped)
+  private def ivL: DataFrame = {
+    val rnd = new scala.util.Random(29)
+    (1 to 150).map { i =>
+      val s = rnd.nextInt(2000) - 1000
+      val w = rnd.nextInt(160) - 16
+      (i.toLong,
+        if (i % 13 == 0) None else Some(s.toLong),
+        if (i % 21 == 0) None else Some((s + w).toLong))
+    }.toDF("l_id", "s1", "e1")
+  }
+
+  private def ivR: DataFrame = {
+    val rnd = new scala.util.Random(31)
+    (1 to 170).map { i =>
+      val s = rnd.nextInt(2400) - 1200
+      val w = rnd.nextInt(120) - 12
+      (i.toLong,
+        if (i % 11 == 0) None else Some(s.toLong),
+        if (i % 19 == 0) None else Some((s + w).toLong))
+    }.toDF("r_id", "s2", "e2")
+  }
+
+  private def naiveOverlap: DataFrame =
+    ivL.join(ivR, $"s1" <= $"e2" && $"s2" <= $"e1")
+
+  /** Multiset of pairs — exactly-once emission must survive, so a
+    * duplicate-collapsing Set compare would hide bugs.
+    */
+  private def pairSeq(df: DataFrame): Seq[(Long, Long)] =
+    df.select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+  test("overlap shape equals naive across band widths, each pair exactly once") {
+    val expected = pairSeq(naiveOverlap)
+    assert(expected.nonEmpty)
+    assert(expected.size === expected.toSet.size) // premise: unique pairs
+    for (bin <- Seq(1L, 13L, 100L, 5000L)) {
+      assert(pairSeq(RangeJoin.banded(naiveOverlap, bin)) === expected,
+        s"bin=$bin diverged")
+    }
+  }
+
+  test("overlap physical plan: band equi-join, no nested loop") {
+    withAutoBroadcastOff {
+      val nl = naiveOverlap.queryExecution.executedPlan.toString
+      assert(nl.contains("NestedLoopJoin") || nl.contains("CartesianProduct"))
+      val banded = RangeJoin.banded(naiveOverlap, 100L)
+        .queryExecution.executedPlan.toString
+      assert(!banded.contains("NestedLoopJoin") && !banded.contains("CartesianProduct"),
+        s"banded overlap still nested-loop:\n$banded")
+      assert(banded.contains("__graft_band_cell"), s"no band cell in:\n$banded")
+    }
+  }
+
+  test("overlap rewrites even with a same-key equi-conjunct (q145 shape)") {
+    val rnd = new scala.util.Random(37)
+    val base = (1 to 300).map { i =>
+      val s = rnd.nextInt(300)
+      (i.toLong % 5, i.toLong, s.toLong, (s + rnd.nextInt(40)).toLong)
+    }.toDF("k", "id", "s", "e")
+    val a = base.select($"k", $"id".as("l_id"), $"s".as("s1"), $"e".as("e1"))
+    val b = base.select($"k".as("k2"), $"id".as("r_id"), $"s".as("s2"), $"e".as("e2"))
+    val naiveKeyed = a.join(b,
+      $"k" === $"k2" && $"l_id" < $"r_id" && $"s1" <= $"e2" && $"s2" <= $"e1")
+    val banded = RangeJoin.banded(naiveKeyed, 32L)
+    assert(pairSeq(banded) === pairSeq(naiveKeyed))
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_band_cell"), s"band key missing in:\n$plan")
+  }
+
+  test("date domain bands on epoch days") {
+    val a = Seq((1L, "1997-01-05", "1997-02-10"), (2L, "1997-06-01", "1997-06-02"))
+      .toDF("l_id", "sa", "ea")
+      .select($"l_id", $"sa".cast("date").as("s1"), $"ea".cast("date").as("e1"))
+    val b = Seq((10L, "1997-02-01", "1997-03-01"), (11L, "1997-07-01", "1997-07-02"))
+      .toDF("r_id", "sb", "eb")
+      .select($"r_id", $"sb".cast("date").as("s2"), $"eb".cast("date").as("e2"))
+    val naiveD = a.join(b, $"s1" <= $"e2" && $"s2" <= $"e1")
+    val got = RangeJoin.banded(naiveD, 30L)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L)))
+  }
+
+  test("conf-gated rule also fires for the overlap shape") {
+    if (!spark.experimental.extraOptimizations.contains(BandedRangeJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BandedRangeJoin
+    withAutoBroadcastOff {
+      try {
+        spark.conf.set(BandedRangeJoin.BinSizeConf, "100")
+        val plan = naiveOverlap.queryExecution.executedPlan.toString
+        assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+          s"rule did not fire on overlap:\n$plan")
+      } finally spark.conf.unset(BandedRangeJoin.BinSizeConf)
+    }
+  }
+
   test("guard: joins with a cross-side equi-key are left untouched") {
     val l = Seq((1L, 5L)).toDF("k", "v")
     val r = Seq((1L, 0L, 10L)).toDF("k2", "lo2", "hi2")
