@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import QueryDef.table
+
+/** Round-7 depth batch: typed data skipping on the TxLog table and
+  * lakehouse surface growth.
+  */
+object Extras21 {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Typed min/max data skipping: the TxLog commit log records
+    // footer stats for DATE, TIMESTAMP and DECIMAL columns (the
+    // partition-adjacent predicate types of a TPC-H-ish lake), and
+    // prunedRead skips files whose range cannot intersect the bound.
+    // Appends are range-clustered on the date so files carry tight
+    // non-overlapping ranges — the layout any lake table needs before
+    // skipping pays. The oracle is the plain filter over the same
+    // rows, proving the pruned read is contents-exact on every typed
+    // dimension (TxLogTableSpec asserts the actual file skipping).
+    QueryDef("q227_txlog_typed_prune",
+      (s, d) => {
+        val t = java.nio.file.Files.createTempDirectory("graft_txt")
+          .resolve("orders").toString
+        val base = table(s, d, "orders").select(
+          col("o_orderkey").as("k"),
+          to_date(col("o_orderdate")).as("od"),
+          col("o_orderdate").as("ots"),
+          (expr("CAST(floor(o_totalprice * 100.0) AS BIGINT)")
+            .cast(DecimalType(16, 0)) / 100).cast(DecimalType(14, 2))
+            .as("price"))
+        for (i <- 0 until 3)
+          graft.sink.TxLogTable.append(
+            base.filter(pmod(col("k"), lit(3)) === i)
+              .repartitionByRange(4, col("od")), t)
+        def band(part: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(lit(part).as("part"), count(lit(1)).as("n_rows"),
+            sum(col("price")).cast(DecimalType(20, 2)).as("turnover"),
+            min(col("od")).as("min_od"), max(col("k")).as("max_k"))
+        val dateBand = band("date_band", graft.sink.TxLogTable.prunedRead(
+          s, t, "od",
+          lower = Some(java.time.LocalDate.parse("1996-03-01")),
+          upper = Some(java.time.LocalDate.parse("1996-08-31"))))
+        val tsBand = band("ts_band", graft.sink.TxLogTable.prunedRead(
+          s, t, "ots",
+          lower = Some(java.time.LocalDateTime.parse("1997-01-01T00:00:00")),
+          upper = Some(java.time.LocalDateTime.parse("1997-03-31T23:59:59"))))
+        val decBand = band("dec_band", graft.sink.TxLogTable.prunedRead(
+          s, t, "price",
+          lower = Some(new java.math.BigDecimal("50000.00")),
+          upper = Some(new java.math.BigDecimal("100000.00"))))
+        dateBand.unionAll(tsBand).unionAll(decBand).orderBy("part")
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS k,
+                     CAST(o_orderdate AS DATE) AS od, o_orderdate AS ots,
+                     CAST(CAST(CAST(floor(o_totalprice * 100.0) AS BIGINT)
+                          AS DECIMAL(16,0)) / 100 AS DECIMAL(14,2)) AS price
+                   FROM orders)
+              SELECT 'date_band' AS part, COUNT(*) AS n_rows,
+                     CAST(SUM(price) AS DECIMAL(20,2)) AS turnover,
+                     MIN(od) AS min_od, MAX(k) AS max_k
+              FROM o WHERE od BETWEEN DATE '1996-03-01' AND DATE '1996-08-31'
+              UNION ALL
+              SELECT 'ts_band', COUNT(*), CAST(SUM(price) AS DECIMAL(20,2)),
+                     MIN(od), MAX(k)
+              FROM o WHERE ots BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                                   AND TIMESTAMP '1997-03-31 23:59:59'
+              UNION ALL
+              SELECT 'dec_band', COUNT(*), CAST(SUM(price) AS DECIMAL(20,2)),
+                     MIN(od), MAX(k)
+              FROM o WHERE price BETWEEN 50000.00 AND 100000.00
+              ORDER BY part"""))
+  )
+}

@@ -47,7 +47,8 @@ import org.apache.spark.sql.types.StructType
   *   `overwrite`), and empty snapshots stay readable because the
   *   schema never depends on data files being present.
   * - **Data skipping**: every commit records per-file min/max for the
-  *   top-level long/double/string columns, harvested from the parquet
+  *   top-level long/double/string/date/timestamp/decimal columns,
+  *   harvested from the parquet
   *   footers the write already produced (a metadata-only read, no
   *   second data pass). [[prunedRead]] uses them to skip files whose
   *   range cannot intersect a bound — the stats side of the public
@@ -288,9 +289,12 @@ object TxLogTable {
 
   // ---------------------------------------------------------------
 
-  /** One column's file-level min/max: `kind` is long|double|string,
-    * bounds are the base64-UTF8 of the value's canonical string form
-    * (base64 keeps the line format safe for any content).
+  /** One column's file-level min/max: `kind` is
+    * long|double|string|date|ts|dec, bounds are the base64-UTF8 of the
+    * value's canonical string form (base64 keeps the line format safe
+    * for any content). Canonical forms: epoch days for date, epoch
+    * micros for ts (NTZ micros stored as-is), plain BigDecimal string
+    * for dec.
     */
   private final case class ColStats(kind: String, min: String, max: String)
 
@@ -391,18 +395,53 @@ object TxLogTable {
       case n: java.lang.Number => Some(n.doubleValue())
       case _ => None
     }
+    def asEpochDay(b: Any): Option[Long] = b match {
+      case d: java.sql.Date        => Some(d.toLocalDate.toEpochDay)
+      case d: java.time.LocalDate  => Some(d.toEpochDay)
+      case _ => None
+    }
+    // Instant-carrying bounds use real epoch micros; LocalDateTime is
+    // the NTZ bound form and compares against NTZ-stored micros (which
+    // encode the local wall-clock as-if-UTC — same axis).
+    def asMicros(b: Any): Option[Long] = b match {
+      case t: java.sql.Timestamp =>
+        Some(Math.addExact(Math.multiplyExact(t.getTime / 1000L, 1000000L),
+          (t.getNanos / 1000).toLong))
+      case i: java.time.Instant =>
+        Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+          (i.getNano / 1000).toLong))
+      case l: java.time.LocalDateTime =>
+        asMicros(l.toInstant(java.time.ZoneOffset.UTC))
+      case _ => None
+    }
+    def asBigDec(b: Any): Option[java.math.BigDecimal] = b match {
+      case d: java.math.BigDecimal => Some(d)
+      case d: scala.math.BigDecimal => Some(d.bigDecimal)
+      case n: Byte => Some(java.math.BigDecimal.valueOf(n.toLong))
+      case n: Short => Some(java.math.BigDecimal.valueOf(n.toLong))
+      case n: Int  => Some(java.math.BigDecimal.valueOf(n.toLong))
+      case n: Long => Some(java.math.BigDecimal.valueOf(n))
+      case _ => None
+    }
+    // Generic bound check over a conversion to an ordered domain: a
+    // bound of the wrong type disables pruning rather than lying.
+    def check[T](conv: Any => Option[T], parse: String => T)(
+        implicit ord: Ordering[T]): Boolean = {
+      val lo = lower.map(conv); val hi = upper.map(conv)
+      if (lo.exists(_.isEmpty) || hi.exists(_.isEmpty)) true
+      else lo.flatten.forall(b => ord.lteq(b, parse(dec(cs.max)))) &&
+        hi.flatten.forall(b => ord.gteq(b, parse(dec(cs.min))))
+    }
     cs.kind match {
-      case "long" =>
-        val lo = lower.map(asLong); val hi = upper.map(asLong)
-        // a bound of the wrong type disables pruning rather than lying
-        if (lo.exists(_.isEmpty) || hi.exists(_.isEmpty)) true
-        else lo.flatten.forall(_ <= dec(cs.max).toLong) &&
-          hi.flatten.forall(_ >= dec(cs.min).toLong)
-      case "double" =>
-        val lo = lower.map(asDouble); val hi = upper.map(asDouble)
-        if (lo.exists(_.isEmpty) || hi.exists(_.isEmpty)) true
-        else lo.flatten.forall(_ <= dec(cs.max).toDouble) &&
-          hi.flatten.forall(_ >= dec(cs.min).toDouble)
+      case "long"   => check(asLong, _.toLong)
+      case "date"   => check(asEpochDay, _.toLong)
+      case "ts"     => check(asMicros, _.toLong)
+      case "double" => check(asDouble, _.toDouble)
+      case "dec" =>
+        implicit val ord: Ordering[java.math.BigDecimal] =
+          Ordering.comparatorToOrdering(
+            java.util.Comparator.naturalOrder[java.math.BigDecimal]())
+        check(asBigDec, s => new java.math.BigDecimal(s))
       case "string" =>
         // compare UNSIGNED UTF-8 bytes — the ordering both the parquet
         // footer stats and Spark's UTF8String comparisons use (java
@@ -432,8 +471,11 @@ object TxLogTable {
 
   /** Per-top-level-column min/max from the file's parquet footer —
     * metadata only, no row read. Covered kinds: plain INT32/INT64
-    * (long), FLOAT/DOUBLE (double), UTF8 BINARY (string); decimals,
-    * dates, timestamps and nested paths are skipped (→ never pruned).
+    * (long), FLOAT/DOUBLE (double), UTF8 BINARY (string), DATE (epoch
+    * days), TIMESTAMP INT64 any unit (canonical epoch micros; NANOS
+    * floors min and ceils max so pruning stays conservative), DECIMAL
+    * over INT32/INT64/BINARY/FIXED (plain BigDecimal string).
+    * INT96 timestamps and nested paths are skipped (→ never pruned).
     * A row group with absent stats poisons the column for the whole
     * file; an all-null row group is skipped (it cannot move min/max,
     * and the residual filter discards nulls anyway).
@@ -450,17 +492,23 @@ object TxLogTable {
         val col = cc.getPath.toArray.head
         if (!poisoned.contains(col)) {
           val pt = cc.getPrimitiveType
+          // kind plus the decimal scale / timestamp unit needed to
+          // canonicalize the raw stat values
           val kind: Option[String] = pt.getPrimitiveTypeName match {
             case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
               pt.getLogicalTypeAnnotation match {
                 case null => Some("long")
                 case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => Some("long")
+                case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => Some("date")
+                case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => Some("dec")
+                case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => Some("ts")
                 case _ => None
               }
             case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => Some("double")
-            case PrimitiveTypeName.BINARY =>
+            case PrimitiveTypeName.BINARY | PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY =>
               pt.getLogicalTypeAnnotation match {
                 case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => Some("string")
+                case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => Some("dec")
                 case _ => None
               }
             case _ => None
@@ -471,13 +519,43 @@ object TxLogTable {
               val st = cc.getStatistics
               if (st == null) poisoned += col
               else if (st.hasNonNullValue) {
+                def decimalStr(v: Any): String = {
+                  val scale = pt.getLogicalTypeAnnotation
+                    .asInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+                    .getScale
+                  val unscaled = v match {
+                    case n: Number => java.math.BigInteger.valueOf(n.longValue)
+                    case b: Binary => new java.math.BigInteger(b.getBytes)
+                  }
+                  new java.math.BigDecimal(unscaled, scale).toPlainString
+                }
+                // min floors, max ceils on lossy NANOS→micros division
+                def microsStr(v: Any, ceil: Boolean): String = {
+                  val raw = v.asInstanceOf[Number].longValue
+                  val unit = pt.getLogicalTypeAnnotation
+                    .asInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+                    .getUnit
+                  (unit match {
+                    case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                      Math.multiplyExact(raw, 1000L)
+                    case LogicalTypeAnnotation.TimeUnit.MICROS => raw
+                    case LogicalTypeAnnotation.TimeUnit.NANOS =>
+                      if (ceil) Math.floorDiv(raw + 999L, 1000L)
+                      else Math.floorDiv(raw, 1000L)
+                  }).toString
+                }
                 val (mn, mx) = k match {
-                  case "long" =>
+                  case "long" | "date" =>
                     (st.genericGetMin.asInstanceOf[Number].longValue.toString,
                       st.genericGetMax.asInstanceOf[Number].longValue.toString)
+                  case "ts" =>
+                    (microsStr(st.genericGetMin, ceil = false),
+                      microsStr(st.genericGetMax, ceil = true))
                   case "double" =>
                     (st.genericGetMin.asInstanceOf[Number].doubleValue.toString,
                       st.genericGetMax.asInstanceOf[Number].doubleValue.toString)
+                  case "dec" =>
+                    (decimalStr(st.genericGetMin), decimalStr(st.genericGetMax))
                   case _ =>
                     (st.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8,
                       st.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8)
@@ -486,9 +564,12 @@ object TxLogTable {
                   case None => acc(col) = (k, mn, mx)
                   case Some((_, curMn, curMx)) =>
                     def lt(a: String, b: String): Boolean = k match {
-                      case "long"   => a.toLong < b.toLong
+                      case "long" | "date" | "ts" => a.toLong < b.toLong
                       case "double" => a.toDouble < b.toDouble
-                      case _        => utf8Compare(a, b) < 0
+                      case "dec" =>
+                        new java.math.BigDecimal(a)
+                          .compareTo(new java.math.BigDecimal(b)) < 0
+                      case _ => utf8Compare(a, b) < 0
                     }
                     acc(col) = (k, if (lt(mn, curMn)) mn else curMn,
                       if (lt(curMx, mx)) mx else curMx)

@@ -155,6 +155,51 @@ class TxLogTableSpec extends SparkSpec {
     assert(got === Set("bravo", "mike"))
   }
 
+  test("date, timestamp and decimal columns prune by footer stats") {
+    val t = freshTable()
+    // NTZ timestamps: Spark always writes them as INT64 micros, so
+    // footer stats are usable (legacy INT96 LTZ output stays
+    // conservatively unpruned — covered by the conservativeness test)
+    val mk = (day: String, ts: String, price: String, tag: String) =>
+      (java.sql.Date.valueOf(day), java.time.LocalDateTime.parse(ts),
+        new java.math.BigDecimal(price), tag)
+    TxLogTable.append(Seq(
+      mk("1996-01-05", "1996-01-05T08:00:00", "10.50", "jan"),
+      mk("1996-02-20", "1996-02-20T09:30:00", "44.25", "feb"))
+      .toDF("d", "ts", "p", "tag").coalesce(1), t)
+    TxLogTable.append(Seq(
+      mk("1997-06-01", "1997-06-01T12:00:00", "900.00", "jun"),
+      mk("1997-07-15", "1997-07-15T23:59:59", "1250.75", "jul"))
+      .toDF("d", "ts", "p", "tag").coalesce(1), t)
+
+    // date bounds (both java.sql.Date and LocalDate forms)
+    assert(TxLogTable.candidateFiles(spark, t, "d",
+      lower = Some(java.sql.Date.valueOf("1997-01-01"))).size === 1)
+    assert(TxLogTable.candidateFiles(spark, t, "d",
+      upper = Some(java.time.LocalDate.parse("1996-12-31"))).size === 1)
+    assert(TxLogTable.candidateFiles(spark, t, "d",
+      lower = Some(java.sql.Date.valueOf("1998-01-01"))).isEmpty)
+    // NTZ timestamp bounds via LocalDateTime
+    assert(TxLogTable.candidateFiles(spark, t, "ts",
+      lower = Some(java.time.LocalDateTime.parse("1997-01-01T00:00:00"))).size === 1)
+    assert(TxLogTable.candidateFiles(spark, t, "ts",
+      upper = Some(java.time.LocalDateTime.parse("1996-06-01T00:00:00"))).size === 1)
+    // decimal bounds (BigDecimal; scale-insensitive compare)
+    assert(TxLogTable.candidateFiles(spark, t, "p",
+      lower = Some(new java.math.BigDecimal("100"))).size === 1)
+    assert(TxLogTable.candidateFiles(spark, t, "p",
+      upper = Some(new java.math.BigDecimal("50.0000"))).size === 1)
+    assert(TxLogTable.candidateFiles(spark, t, "p",
+      lower = Some(new java.math.BigDecimal("2000"))).isEmpty)
+
+    // pruned read equals read+filter on a typed bound
+    val got = TxLogTable.prunedRead(spark, t, "d",
+      lower = Some(java.sql.Date.valueOf("1996-02-01")),
+      upper = Some(java.sql.Date.valueOf("1997-06-30")))
+      .collect().map(_.getString(3)).toSet
+    assert(got === Set("feb", "jun"))
+  }
+
   test("pruning is conservative: wrong-typed bounds, nulls, and stats-less commits read everything") {
     val t = rangedTable()
     // a bound whose type does not match the recorded long kind → no pruning
