@@ -72,5 +72,36 @@ object Extras21 {
                      MIN(od), MAX(k)
               FROM o WHERE price BETWEEN 50000.00 AND 100000.00
               ORDER BY part"""))
+  ,
+
+    // The SQL-facing lake surface: the TxLog table read through
+    // spark.read.format("graft-txlog") with versionAsOf time travel,
+    // where the query's own WHERE drives committed-stats file skipping
+    // inside the custom FileIndex (TxLogDataSourceSpec asserts the
+    // numFiles metric). Version 2 appends the same rows again, so
+    // reading latest instead of v1 would double every count — the
+    // oracle catches any time-travel slip.
+    QueryDef("q228_txlog_format_read",
+      (s, d) => {
+        val t = java.nio.file.Files.createTempDirectory("graft_txf")
+          .resolve("orders").toString
+        val base = table(s, d, "orders").select(
+          col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+        val v1 = graft.sink.TxLogTable.append(
+          base.repartitionByRange(4, col("k")), t)
+        graft.sink.TxLogTable.append(base.repartitionByRange(4, col("k")), t)
+        s.read.format("graft-txlog").option("versionAsOf", v1.toString)
+          .load(t)
+          .filter(col("k") >= 1000L && col("k") <= 20000L)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("price").cast(DecimalType(18, 4))).cast("double")
+              .as("turnover"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                       AS turnover,
+                     MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+              FROM orders WHERE o_orderkey BETWEEN 1000 AND 20000"""))
   )
 }

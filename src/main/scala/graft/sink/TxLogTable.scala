@@ -247,6 +247,44 @@ object TxLogTable {
   def versions(spark: SparkSession, tablePath: String): Seq[Long] =
     committedVersions(fileSystem(spark, tablePath), tablePath).sorted
 
+  /** External-reader view of a resolved snapshot (the
+    * `graft-txlog` DataSource's contract): live data-file NAMES, the
+    * committed schema, and a per-file conservative intersection test
+    * over the committed column stats.
+    */
+  private[graft] final case class ScanSnapshot(
+      files: Seq[String], schema: StructType,
+      mayRangeIntersect: (String, String, Option[Any], Option[Any]) => Boolean)
+
+  private[graft] def scanSnapshot(spark: SparkSession, tablePath: String,
+      asOfVersion: Option[Long]): ScanSnapshot = {
+    val snap = snapshot(fileSystem(spark, tablePath), tablePath, asOfVersion)
+    ScanSnapshot(snap.files, snap.schema,
+      (file, column, lower, upper) =>
+        snap.stats.get(file).flatMap(_.get(column)) match {
+          case None     => true
+          case Some(cs) => mayIntersect(cs, lower, upper)
+        })
+  }
+
+  /** The newest version whose commit landed at or before `epochMillis`
+    * (commit-file modification time — the public protocol's timestamp
+    * resolution rule). Errors if the table's first commit is younger.
+    */
+  private[graft] def versionAtTimestamp(spark: SparkSession, tablePath: String,
+      epochMillis: Long): Long = {
+    val fs = fileSystem(spark, tablePath)
+    val stamped = committedVersions(fs, tablePath).sorted.map { v =>
+      v -> fs.getFileStatus(
+        new Path(new Path(tablePath, LogDir), commitName(v))).getModificationTime
+    }
+    require(stamped.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+    stamped.filter(_._2 <= epochMillis).map(_._1).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"timestampAsOf $epochMillis predates the first commit " +
+          s"(${stamped.head._2}) of $tablePath"))
+  }
+
   /** Force a checkpoint of the latest version (normally automatic
     * every [[CheckpointInterval]] commits and on every [[compact]]);
     * returns the checkpointed version. Idempotent.

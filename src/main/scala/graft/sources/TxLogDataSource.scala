@@ -1,0 +1,194 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types._
+
+import graft.sink.TxLogTable
+
+/** `spark.read.format("graft-txlog")` — the SQL-facing surface of the
+  * version-log ACID table ([[graft.sink.TxLogTable]]), wired the way
+  * the public Delta-on-Spark design does it: a custom [[FileIndex]]
+  * resolves the commit log to the live file set and prunes it with the
+  * committed per-file min/max stats, then hands the surviving files to
+  * the ordinary [[HadoopFsRelation]] + [[ParquetFileFormat]] pipeline.
+  * Everything downstream (column pruning, parquet row-group pushdown,
+  * vectorized read, AQE) composes for free, and the skipping now
+  * reacts to the QUERY's own `WHERE` clause — `FileSourceStrategy`
+  * passes the data filters into [[FileIndex.listFiles]], so a
+  * selective predicate touches only the files whose committed range
+  * intersects, with no library-specific read API involved.
+  *
+  * Options:
+  *   - `path`            table root (also via `.load(path)`)
+  *   - `versionAsOf`     time travel to an exact committed version
+  *   - `timestampAsOf`   newest commit at or before the timestamp
+  *                       (`yyyy-MM-dd HH:mm:ss` local or ISO instant)
+  *
+  * SQL users reach time travel through
+  * `CREATE TEMPORARY VIEW v USING graft-txlog OPTIONS (path '…',
+  * versionAsOf '3')`.
+  *
+  * The write side implements [[CreatableRelationProvider]]:
+  * `df.write.format("graft-txlog").mode(...)` maps Append/Overwrite to
+  * the transactional [[TxLogTable.append]]/[[TxLogTable.overwrite]].
+  */
+final class TxLogDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-txlog"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = TxLogDataSource.pathOf(parameters)
+    val version = TxLogDataSource.resolveVersion(spark, path, parameters)
+    val index = new TxLogFileIndex(spark, path, version)
+    HadoopFsRelation(
+      location = index,
+      partitionSchema = StructType(Nil),
+      dataSchema = index.dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = parameters)(spark)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val path = TxLogDataSource.pathOf(parameters)
+    mode match {
+      case SaveMode.Append    => TxLogTable.append(data, path)
+      case SaveMode.Overwrite => TxLogTable.overwrite(data, path)
+      case other => throw new IllegalArgumentException(
+        s"graft-txlog supports SaveMode.Append/Overwrite, got $other")
+    }
+    createRelation(sqlContext, parameters)
+  }
+}
+
+private object TxLogDataSource {
+  def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-txlog: missing 'path' (pass .load(path) or OPTIONS (path '…'))"))
+
+  def resolveVersion(spark: SparkSession, path: String,
+      parameters: Map[String, String]): Option[Long] =
+    parameters.get("versionAsOf").map(_.trim.toLong).orElse(
+      parameters.get("timestampAsOf").map { raw =>
+        val t = raw.trim
+        val millis = scala.util.Try(java.sql.Timestamp.valueOf(t).getTime)
+          .orElse(scala.util.Try(java.time.Instant.parse(t).toEpochMilli))
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft-txlog: cannot parse timestampAsOf '$raw' " +
+              "(want 'yyyy-MM-dd HH:mm:ss' or an ISO instant)"))
+        TxLogTable.versionAtTimestamp(spark, path, millis)
+      })
+}
+
+/** Commit-log-backed file listing with stats pruning: the moment
+  * Catalyst hands `listFiles` the query's data filters, files whose
+  * committed min/max cannot intersect are dropped from the scan —
+  * before any parquet footer is opened. Pruning is conservative
+  * (unknown shapes, wrong types, stats-less files all pass through);
+  * the filters still run post-scan, so results are exact regardless.
+  */
+final class TxLogFileIndex(spark: SparkSession, tablePath: String,
+    asOfVersion: Option[Long]) extends FileIndex {
+
+  private val snap = TxLogTable.scanSnapshot(spark, tablePath, asOfVersion)
+  private val dataDir = new Path(tablePath, "data")
+  private val fs =
+    dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val statusByName: Map[String, FileStatus] =
+    if (!fs.exists(dataDir)) Map.empty
+    else fs.listStatus(dataDir).map(s => s.getPath.getName -> s).toMap
+
+  private def statusOf(name: String): FileStatus =
+    statusByName.getOrElse(name, throw new IllegalStateException(
+      s"committed data file missing from $dataDir: $name " +
+        "(vacuum raced a reader, or the table dir was tampered with)"))
+
+  val dataSchema: StructType = snap.schema
+
+  override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
+  override def partitionSchema: StructType = StructType(Nil)
+  override def refresh(): Unit = ()
+  override def sizeInBytes: Long = snap.files.map(statusOf(_).getLen).sum
+  override def inputFiles: Array[String] =
+    snap.files.map(f => statusOf(f).getPath.toString).toArray
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val bounds = dataFilters.flatMap(TxLogFileIndex.extractBounds)
+    val kept = snap.files.filter { f =>
+      bounds.forall { case (col, lo, hi) => snap.mayRangeIntersect(f, col, lo, hi) }
+    }
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(statusOf).toArray))
+  }
+}
+
+private object TxLogFileIndex {
+
+  /** One catalyst conjunct → an optional (column, lower, upper) bound
+    * in external value space. Strict bounds relax to inclusive ones —
+    * conservative for pruning; the residual filter keeps exactness.
+    */
+  def extractBounds(e: Expression): Option[(String, Option[Any], Option[Any])] =
+    e match {
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        ext(l).map(v => (a.name, Some(v), None))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        ext(l).map(v => (a.name, Some(v), None))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        ext(l).map(v => (a.name, None, Some(v)))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        ext(l).map(v => (a.name, None, Some(v)))
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        ext(l).map(v => (a.name, Some(v), Some(v)))
+      // literal-on-left mirrors
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        ext(l).map(v => (a.name, None, Some(v)))
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        ext(l).map(v => (a.name, None, Some(v)))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        ext(l).map(v => (a.name, Some(v), None))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        ext(l).map(v => (a.name, Some(v), None))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        ext(l).map(v => (a.name, Some(v), Some(v)))
+      case _ => None
+    }
+
+  /** Catalyst internal literal → the external bound form the stats
+    * comparator understands; None (→ no pruning) for anything else.
+    */
+  private def ext(l: Literal): Option[Any] =
+    if (l.value == null) None
+    else l.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+          DoubleType => Some(l.value)
+      case StringType => Some(l.value.toString)
+      case DateType =>
+        Some(java.time.LocalDate.ofEpochDay(l.value.asInstanceOf[Int].toLong))
+      case TimestampType =>
+        val micros = l.value.asInstanceOf[Long]
+        Some(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L))
+      case TimestampNTZType =>
+        val micros = l.value.asInstanceOf[Long]
+        Some(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC))
+      case _: DecimalType =>
+        Some(l.value.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal)
+      case _ => None
+    }
+}
