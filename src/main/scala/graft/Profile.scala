@@ -43,6 +43,44 @@ object Profile {
       spark.stop()
       return
     }
+    // stage breakdown for the q139 pipeline (dev scratch)
+    if (args.length > 2 && args(2) == "q139parts") {
+      import org.apache.spark.sql.expressions.Window
+      val tok = graft.queries.QueryDef.table(spark, sfDir, "documents")
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("tok"))
+        .distinct()
+      val ord = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+        .withColumn("trank", row_number().over(Window.orderBy(col("df"), col("tok"))))
+      val pos = tok.join(broadcast(ord), "tok")
+        .withColumn("idx",
+          row_number().over(Window.partitionBy("doc_id").orderBy("trank")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      val prefix = pos.filter(col("idx") <= expr("n - ((n * 4 + 4) div 5) + 1"))
+        .select(col("doc_id"), col("tok"), col("idx"), col("n"))
+      val cand = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.n") * 5 >= col("b.n") * 4 && col("b.n") * 5 >= col("a.n") * 4 &&
+            (least(col("a.idx"), col("b.idx"))
+              + least(col("a.n") - col("a.idx"), col("b.n") - col("b.idx"))) * 9
+              >= (col("a.n") + col("b.n")) * 4)
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+      val sets = tok.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("tok"))).as("toks"), count(lit(1)).as("n"))
+      for (r <- 1 to 2) {
+        time(s"tok rep$r")(noop(tok))
+        time(s"ord rep$r")(noop(ord))
+        time(s"pos rep$r")(noop(pos))
+        time(s"prefix rep$r")(noop(prefix))
+        time(s"cand rep$r") { println("cand rows: " + cand.count()) }
+        time(s"sets rep$r")(noop(sets))
+      }
+      spark.stop()
+      return
+    }
     // focused mode: args(2) = comma-separated query names, 3 reps each
     if (args.length > 2) {
       args(2).split(',').foreach { name =>

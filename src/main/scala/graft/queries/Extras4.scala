@@ -400,25 +400,45 @@ object Extras4 {
         // by construction — tokens, not documents)
         val ord = tok.groupBy("tok").agg(count(lit(1)).as("df"))
           .withColumn("trank", row_number().over(Window.orderBy(col("df"), col("tok"))))
-        val pos = tok.join(broadcast(ord), "tok")
+        // everything downstream runs on the integer trank, not the
+        // token string: the rank is a bijection of the vocabulary, so
+        // every join/equality/intersection count is unchanged, while
+        // the candidate equi-join keys and the per-doc posting arrays
+        // shuffled into verification shrink to ints — the verify stage
+        // moves |cand| × |doc| array cells, and at 8× data that is the
+        // dominant cost of the whole query
+        val pos = tok.join(broadcast(ord.select("tok", "trank")), "tok")
           .withColumn("idx",
             row_number().over(Window.partitionBy("doc_id").orderBy("trank")))
           .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+          .select(col("doc_id"), col("trank"), col("idx"), col("n"))
         val prefix = pos.filter(col("idx") <= expr("n - ((n * 4 + 4) div 5) + 1"))
-          .select(col("doc_id"), col("tok"), col("n"))
-        // length filter INSIDE the prefix equi-join: J >= 0.8 forces
-        // 5*min(|A|,|B|) >= 4*max (common <= min, union >= max), so
-        // incompatible-length pairs die before the distinct shuffle
-        // and the array joins — semantics-preserving, the final
-        // Jaccard filter is unchanged
+          .select(col("doc_id"), col("trank"), col("idx"), col("n"))
+        // two PPJoin filters INSIDE the prefix equi-join, both provably
+        // semantics-preserving for J >= 0.8:
+        //  - length: 5*min(|A|,|B|) >= 4*max (common <= min,
+        //    union >= max) kills incompatible-length pairs;
+        //  - positional: a shared token at ranks (i, j) of the global
+        //    df order bounds the overlap at
+        //    min(i-1, j-1) + 1 + min(|A|-i, |B|-j) — common tokens
+        //    before the match sit before it in BOTH lists (one total
+        //    order), after likewise — and J >= 0.8 needs overlap
+        //    >= 4(|A|+|B|)/9, so 9*bound >= 4*(|A|+|B|) must hold for
+        //    the pair to survive via this token. A true pair always
+        //    shares a prefix token whose bound >= the true overlap,
+        //    so no false negatives. Both run before the distinct
+        //    shuffle and the array joins.
         val cand = prefix.as("a")
           .join(prefix.as("b"),
-            col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
-              col("a.n") * 5 >= col("b.n") * 4 && col("b.n") * 5 >= col("a.n") * 4)
+            col("a.trank") === col("b.trank") && col("a.doc_id") < col("b.doc_id") &&
+              col("a.n") * 5 >= col("b.n") * 4 && col("b.n") * 5 >= col("a.n") * 4 &&
+              (least(col("a.idx"), col("b.idx"))
+                + least(col("a.n") - col("a.idx"), col("b.n") - col("b.idx"))) * 9
+                >= (col("a.n") + col("b.n")) * 4)
           .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
           .distinct()
-        val sets = tok.groupBy("doc_id")
-          .agg(sort_array(collect_list(col("tok"))).as("toks"), count(lit(1)).as("n"))
+        val sets = pos.groupBy("doc_id")
+          .agg(sort_array(collect_list(col("trank"))).as("toks"), count(lit(1)).as("n"))
         cand
           .join(sets.select(col("doc_id").as("id1"), col("toks").as("ta"), col("n").as("na")), "id1")
           .join(sets.select(col("doc_id").as("id2"), col("toks").as("tb"), col("n").as("nb")), "id2")
