@@ -304,8 +304,16 @@ object TxLogTable {
   /** Delete data files referenced by NO commit (crashed writers,
     * lost races). Every committed version stays readable — this never
     * truncates time travel. Returns the number of files removed.
+    *
+    * `olderThanMillis` is the safety window of the public lake-table
+    * recipe: a LIVE writer's files sit unreferenced in `data/` between
+    * the move and its commit claim, so reclaiming a fresh "orphan"
+    * would corrupt the commit that is about to name it. Only files
+    * whose modification time predates the window are touched; pass 0
+    * only when no writer can be in flight (tests, cold maintenance).
     */
-  def vacuum(spark: SparkSession, tablePath: String): Int = {
+  def vacuum(spark: SparkSession, tablePath: String,
+      olderThanMillis: Long = 10L * 60 * 1000): Int = {
     val fs = fileSystem(spark, tablePath)
     // checkpoints count as references too: once old commits are
     // expired (log retention), the checkpoint is the only witness
@@ -318,8 +326,11 @@ object TxLogTable {
     val dataPath = new Path(tablePath, DataDir)
     if (!fs.exists(dataPath)) 0
     else {
+      val cutoff = System.currentTimeMillis() - olderThanMillis
       val orphans = fs.listStatus(dataPath)
-        .map(_.getPath).filterNot(p => referenced.contains(p.getName))
+        .filter(st => !referenced.contains(st.getPath.getName) &&
+          st.getModificationTime <= cutoff)
+        .map(_.getPath)
       orphans.foreach(fs.delete(_, false))
       orphans.length
     }
@@ -738,41 +749,62 @@ object TxLogTable {
     result
   }
 
+  /** Serializes same-JVM commit claims: the filesystem's no-replace
+    * rename arbitrates cross-process races (the HDFS-family
+    * guarantee), but local-filesystem rename CAN silently replace, so
+    * threads of one JVM — the local[*] deployment — go through this
+    * lock for the exists-check + rename pair.
+    */
+  private val claimLock = new Object
+
+  /** Publish a commit ATOMICALLY: the full body is written to a temp
+    * file and renamed into place, so a reader can never observe a
+    * claimed-but-half-written commit (the original create-then-stream
+    * form had exactly that torn window — a lister between the create
+    * and the body write saw "corrupt commit: missing action"). The
+    * rename doubles as the claim: it only succeeds for one writer per
+    * version.
+    */
   private def claimCommit(fs: FileSystem, tablePath: String, version: Long,
       c: Commit): Unit = {
     val logPath = new Path(tablePath, LogDir)
     fs.mkdirs(logPath)
     val commitPath = new Path(logPath, commitName(version))
     if (fs.exists(commitPath)) throw new CommitConflict(version)
-    val out =
-      try fs.create(commitPath, /* overwrite = */ false)
-      catch { case _: java.io.IOException => throw new CommitConflict(version) }
-    try {
-      val action =
-        if (c.isOverwrite) "overwrite"
-        else if (c.removes.nonEmpty) "compact"
-        else "append"
-      val body = new StringBuilder()
-        .append("action=").append(action).append('\n')
-        .append("schema=").append(c.schemaDdl).append('\n')
-      c.txn.foreach { case (appId, epoch) =>
-        body.append("txnApp=").append(appId).append('\n')
-          .append("txnEpoch=").append(epoch).append('\n')
-      }
-      c.files.foreach(f => body.append("file=").append(f).append('\n'))
-      c.removes.foreach(f => body.append("remove=").append(f).append('\n'))
-      // one line per (file, column): stat=<file>|<colB64>|<kind>|<minB64>|<maxB64>
-      // (file names are writer-generated uuid forms, never contain '|')
-      for ((f, cols) <- c.stats.toSeq.sortBy(_._1);
-           (col, cs) <- cols.toSeq.sortBy(_._1)) {
-        val colB64 = Base64.getEncoder
-          .encodeToString(col.getBytes(StandardCharsets.UTF_8))
-        body.append("stat=").append(f).append('|').append(colB64).append('|')
-          .append(cs.kind).append('|').append(cs.min).append('|')
-          .append(cs.max).append('\n')
-      }
-      out.write(body.toString.getBytes(StandardCharsets.UTF_8))
-    } finally out.close()
+    val action =
+      if (c.isOverwrite) "overwrite"
+      else if (c.removes.nonEmpty) "compact"
+      else "append"
+    val body = new StringBuilder()
+      .append("action=").append(action).append('\n')
+      .append("schema=").append(c.schemaDdl).append('\n')
+    c.txn.foreach { case (appId, epoch) =>
+      body.append("txnApp=").append(appId).append('\n')
+        .append("txnEpoch=").append(epoch).append('\n')
+    }
+    c.files.foreach(f => body.append("file=").append(f).append('\n'))
+    c.removes.foreach(f => body.append("remove=").append(f).append('\n'))
+    // one line per (file, column): stat=<file>|<colB64>|<kind>|<minB64>|<maxB64>
+    // (file names are writer-generated uuid forms, never contain '|')
+    for ((f, cols) <- c.stats.toSeq.sortBy(_._1);
+         (col, cs) <- cols.toSeq.sortBy(_._1)) {
+      val colB64 = Base64.getEncoder
+        .encodeToString(col.getBytes(StandardCharsets.UTF_8))
+      body.append("stat=").append(f).append('|').append(colB64).append('|')
+        .append(cs.kind).append('|').append(cs.min).append('|')
+        .append(cs.max).append('\n')
+    }
+    val tmp = new Path(logPath, s"tmp-${java.util.UUID.randomUUID()}.commit")
+    val out = fs.create(tmp, /* overwrite = */ false)
+    try out.write(body.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val claimed = claimLock.synchronized {
+      !fs.exists(commitPath) && fs.rename(tmp, commitPath)
+    }
+    if (!claimed) {
+      fs.delete(tmp, false)
+      throw new CommitConflict(version)
+    }
   }
 
   private def parseCommit(fs: FileSystem, tablePath: String, version: Long): Commit = {

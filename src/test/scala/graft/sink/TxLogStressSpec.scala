@@ -1,0 +1,85 @@
+package graft.sink
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+
+/** Randomized multi-writer stress: threads race append (with txn
+  * idempotence and deliberate replays), compact, and vacuum against
+  * one table. The converged table must equal the sequential
+  * application of the unique (appId, epoch) batches — replays land
+  * exactly once, compaction never changes contents, vacuum (with its
+  * in-flight retention window) never reclaims a referenced or
+  * about-to-be-committed file — and every committed version must stay
+  * readable afterwards.
+  */
+class TxLogStressSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("txstress").resolve("t").toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("racing writers with replays, compaction and vacuum converge to the sequential result") {
+    for (seed <- Seq(11, 47)) {
+      val t = freshTable()
+      val nWriters = 3
+      val epochs = 5
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      def batch(app: Int, e: Int) =
+        Seq((app * 1000L + e, s"w$app-e$e")).toDF("id", "v").coalesce(1)
+
+      val threads = (1 to nWriters).map { app =>
+        new Thread(() => {
+          val rnd = new scala.util.Random(seed * 100 + app)
+          try {
+            for (e <- 1 to epochs) {
+              TxLogTable.append(batch(app, e), t, txn = Some((s"app$app", e.toLong)))
+              // replayed micro-batch: same (appId, epoch) → must no-op
+              // even while other writers race new versions in
+              if (rnd.nextInt(3) == 0)
+                TxLogTable.append(batch(app, e), t, txn = Some((s"app$app", e.toLong)))
+              // maintenance racing ingestion: a compaction losing to a
+              // concurrent compaction aborts (documented; rerunnable)
+              if (rnd.nextInt(4) == 0)
+                try TxLogTable.compact(spark, t,
+                  smallFileBytes = 1L << 20, targetFileBytes = 1L << 20)
+                catch { case _: IllegalStateException => () }
+              // vacuum with the default in-flight retention window:
+              // must never touch files a live writer staged
+              if (rnd.nextInt(4) == 0) TxLogTable.vacuum(spark, t)
+            }
+          } catch { case th: Throwable => errors.add(th) }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(errors.isEmpty,
+        s"seed=$seed writer errors: ${errors.asScala.map(_.toString).mkString("; ")}")
+
+      val want = (for (a <- 1 to nWriters; e <- 1 to epochs)
+        yield (a * 1000L + e, s"w$a-e$e")).toSet
+      assert(rows(TxLogTable.read(spark, t)) === want, s"seed=$seed final contents")
+
+      // vacuum reclaimed nothing a commit references: every committed
+      // version still reads cleanly and never shows a row outside the
+      // sequential universe
+      for (v <- TxLogTable.versions(spark, t)) {
+        val snap = rows(TxLogTable.read(spark, t, Some(v)))
+        assert(snap.subsetOf(want), s"seed=$seed version $v leaked rows")
+      }
+
+      // a cold final vacuum (no writers in flight) removes at most
+      // lost-race leftovers and must not change contents or history
+      TxLogTable.vacuum(spark, t, olderThanMillis = 0L)
+      assert(rows(TxLogTable.read(spark, t)) === want, s"seed=$seed post-vacuum")
+      for (v <- TxLogTable.versions(spark, t))
+        TxLogTable.read(spark, t, Some(v)).collect() // must not throw
+    }
+  }
+}

@@ -44,10 +44,10 @@ class TxLogTableSpec extends SparkSpec {
     fs.delete(new Path(s"$t/tmp_orphan"), true)
 
     assert(rows(TxLogTable.read(spark, t)) === Set((1L, "a")), "orphan leaked into a read")
-    assert(TxLogTable.vacuum(spark, t) === 1)
+    assert(TxLogTable.vacuum(spark, t, olderThanMillis = 0L) === 1)
     assert(!fs.exists(orphan))
     assert(rows(TxLogTable.read(spark, t)) === Set((1L, "a")))
-    assert(TxLogTable.vacuum(spark, t) === 0, "vacuum must not touch referenced files")
+    assert(TxLogTable.vacuum(spark, t, olderThanMillis = 0L) === 0, "vacuum must not touch referenced files")
   }
 
   test("a lost commit race retries under the next version without duplicating data") {
@@ -66,7 +66,7 @@ class TxLogTableSpec extends SparkSpec {
     assert(rows(TxLogTable.read(spark, t)) === Set((1L, "a"), (2L, "b")))
     // the retry re-published the SAME files under the next version:
     // nothing is duplicated and nothing was abandoned
-    assert(TxLogTable.vacuum(spark, t) === 0,
+    assert(TxLogTable.vacuum(spark, t, olderThanMillis = 0L) === 0,
       "lost-race retry left orphaned data files")
     assert(rows(TxLogTable.read(spark, t, Some(1L))) === Set((1L, "a")))
   }
@@ -247,7 +247,7 @@ class TxLogTableSpec extends SparkSpec {
     assert(rows(TxLogTable.read(spark, t, Some(2L))) ===
       Set((1L, "a"), (9L, "b"), (10L, "c"), (19L, "d")))
     // vacuum must NOT reclaim the compacted-away files (still history)
-    assert(TxLogTable.vacuum(spark, t) === 0)
+    assert(TxLogTable.vacuum(spark, t, olderThanMillis = 0L) === 0)
     assert(rows(TxLogTable.read(spark, t, Some(3L))) === before)
     // appends continue normally after a compaction
     TxLogTable.append(Seq((40L, "g")).toDF("id", "v").coalesce(1), t)
@@ -368,7 +368,7 @@ class TxLogTableSpec extends SparkSpec {
     assert(rows(TxLogTable.read(spark, t)) === expected(13))
     // files whose only remaining witness is the checkpoint are NOT
     // orphans — vacuum must keep them
-    assert(TxLogTable.vacuum(spark, t) === 0)
+    assert(TxLogTable.vacuum(spark, t, olderThanMillis = 0L) === 0)
     assert(rows(TxLogTable.read(spark, t)) === expected(13))
   }
 
