@@ -267,6 +267,24 @@ object TxLogTable {
         })
   }
 
+  /** Data files ADDED by append/overwrite commits in
+    * `(fromExclusive, toInclusive]` — the incremental-read contract of
+    * the streaming source: each commit's files appear in exactly one
+    * version range, and compaction commits are SKIPPED because they
+    * rewrite already-streamed rows (their removed originals stay on
+    * disk for time travel, so reading the originals stays correct).
+    */
+  private[graft] def addedFiles(spark: SparkSession, tablePath: String,
+      fromExclusive: Long, toInclusive: Long): Seq[String] = {
+    val fs = fileSystem(spark, tablePath)
+    committedVersions(fs, tablePath)
+      .filter(v => v > fromExclusive && v <= toInclusive).sorted
+      .flatMap { v =>
+        val c = parseCommit(fs, tablePath, v)
+        if (c.removes.nonEmpty) Nil else c.files
+      }
+  }
+
   /** The newest version whose commit landed at or before `epochMillis`
     * (commit-file modification time — the public protocol's timestamp
     * resolution rule). Errors if the table's first commit is younger.

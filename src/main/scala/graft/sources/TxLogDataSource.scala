@@ -4,9 +4,13 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.graftshim
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types._
 
 import graft.sink.TxLogTable
@@ -39,9 +43,24 @@ import graft.sink.TxLogTable
   * the transactional [[TxLogTable.append]]/[[TxLogTable.overwrite]].
   */
 final class TxLogDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-txlog"
+
+  // ---- streaming read: commits become micro-batches ---------------
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(TxLogTable.scanSnapshot(
+      sqlContext.sparkSession, TxLogDataSource.pathOf(parameters), None).schema))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new TxLogStreamSource(sqlContext.sparkSession,
+      TxLogDataSource.pathOf(parameters))
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -88,6 +107,56 @@ private object TxLogDataSource {
               "(want 'yyyy-MM-dd HH:mm:ss' or an ISO instant)"))
         TxLogTable.versionAtTimestamp(spark, path, millis)
       })
+}
+
+/** Incremental streaming source over the commit log — the read half
+  * of the lakehouse loop whose write half is the exactly-once
+  * streaming sink: offsets ARE versions, and each micro-batch reads
+  * exactly the data files added by append/overwrite commits in
+  * `(startVersion, endVersion]`. Compaction commits are skipped (they
+  * rewrite already-streamed rows; the replaced originals stay on disk
+  * for time travel, so reading them remains correct), and a replayed
+  * txn append commits nothing — so nothing is ever streamed twice.
+  * Offsets live in the query checkpoint: a restarted query resumes
+  * from its last committed version with no reprocessing.
+  */
+final class TxLogStreamSource(spark: SparkSession, tablePath: String)
+    extends Source {
+
+  override val schema: StructType =
+    TxLogTable.scanSnapshot(spark, tablePath, None).schema
+
+  override def getOffset: Option[OffsetV1] =
+    graft.sink.TxLogTable.versions(spark, tablePath)
+      .maxOption.map(LongOffset(_))
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): org.apache.spark.sql.DataFrame = {
+    val lo = start.map(version).getOrElse(0L)
+    val hi = version(end)
+    val files = TxLogTable.addedFiles(spark, tablePath, lo, hi)
+    // the engine requires isStreaming=true on the returned plan; a
+    // plain parquet read is batch-tagged, so retag its LogicalRelation
+    // (empty ranges return a streaming-tagged empty LocalRelation)
+    val attrs = schema.fields.toSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+    if (files.isEmpty)
+      graftshim.ColumnShim.ofRows(spark, LocalRelation(attrs, Nil, isStreaming = true))
+    else {
+      val df = spark.read.schema(schema)
+        .parquet(files.map(f => s"$tablePath/data/$f"): _*)
+      graftshim.ColumnShim.ofRows(spark, df.queryExecution.analyzed.transform {
+        case lr: LogicalRelation => lr.copy(isStreaming = true)
+      })
+    }
+  }
+
+  /** Offsets come back as SerializedOffset after a restart. */
+  private def version(o: OffsetV1): Long = o match {
+    case LongOffset(v) => v
+    case other         => other.json.trim.toLong
+  }
+
+  override def stop(): Unit = ()
 }
 
 /** Commit-log-backed file listing with stats pruning: the moment

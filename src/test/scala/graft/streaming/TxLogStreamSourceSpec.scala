@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sink.TxLogTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The incremental TxLog streaming SOURCE (commits → micro-batches),
+  * closing the lakehouse loop the exactly-once sink opened: appends
+  * stream exactly once, compaction adds nothing, and a restart on the
+  * same checkpoint resumes at the last version with no reprocessing.
+  */
+class TxLogStreamSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("appends become micro-batches exactly once across a restart; compaction adds nothing") {
+    val tmp = Files.createTempDirectory("graft-txsrc")
+    val table = tmp.resolve("t").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    val outTable = "txsrc_counts"
+
+    def batch(ids: Range) = ids.map(i => (i.toLong, s"r$i")).toDF("id", "v")
+
+    TxLogTable.append(batch(0 until 5).coalesce(1), table)
+    TxLogTable.append(batch(5 until 9).coalesce(1), table)
+
+    // complete-mode per-id counts: any re-streamed row shows up as a
+    // count > 1, any skipped row as a missing id
+    def start() = spark.readStream.format("graft-txlog").load(table)
+      .groupBy("id").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(outTable)
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+
+    val q1 = start()
+    q1.processAllAvailable()
+    val afterB1 = spark.table(outTable).as[(Long, Long)].collect().toMap
+    assert(afterB1.keySet === (0L until 9L).toSet)
+    assert(afterB1.values.forall(_ === 1L), s"duplicated rows: $afterB1")
+    q1.stop()
+
+    // while the query is DOWN: a replayed txn append (no-op), a
+    // compaction (rewrites old rows — must NOT re-stream), and real
+    // new appends
+    TxLogTable.append(batch(100 until 103).coalesce(1), table,
+      txn = Some(("srcApp", 1L)))
+    TxLogTable.append(batch(100 until 103).coalesce(1), table,
+      txn = Some(("srcApp", 1L))) // replay → commits nothing
+    TxLogTable.compact(spark, table,
+      smallFileBytes = 1L << 20, targetFileBytes = 1L << 20)
+    TxLogTable.append(batch(200 until 202).coalesce(1), table)
+
+    val q2 = start()
+    q2.processAllAvailable()
+    val afterB2 = spark.table(outTable).as[(Long, Long)].collect().toMap
+    q2.stop()
+
+    val want = (0L until 9L) ++ (100L until 103L) ++ (200L until 202L)
+    assert(afterB2.keySet === want.toSet)
+    assert(afterB2.values.forall(_ === 1L),
+      s"restart reprocessed or compaction re-streamed: " +
+        afterB2.filter(_._2 > 1L))
+  }
+}
