@@ -103,5 +103,40 @@ object Extras21 {
                        AS turnover,
                      MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
               FROM orders WHERE o_orderkey BETWEEN 1000 AND 20000"""))
+  ,
+
+    // The lakehouse loop under the oracle gate: customer rows land in
+    // a TxLog table across three commits, a Structured Streaming query
+    // consumes them through the incremental source (offsets = versions,
+    // one micro-batch per available range), aggregates per nation in
+    // complete mode, and the settled memory-sink table is the result.
+    // The oracle is the plain batch aggregate over the same rows —
+    // exactly-once delivery through the stream IS the assertion (any
+    // duplicated or dropped micro-batch changes the counts/sums).
+    QueryDef("q229_txlog_stream_agg",
+      (s, d) => {
+        val t = java.nio.file.Files.createTempDirectory("graft_txs")
+          .resolve("cust").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_txs_ck").toString
+        val base = table(s, d, "customer").select(
+          col("c_custkey").as("k"), col("c_nationkey").as("nation"),
+          expr("CAST(floor(c_acctbal * 100.0) AS BIGINT)").as("bal_c"))
+        for (i <- 0 until 3)
+          graft.sink.TxLogTable.append(
+            base.filter(pmod(col("k"), lit(3)) === i).repartition(2), t)
+        val sink = s"txs_agg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = s.readStream.format("graft-txlog").load(t)
+          .groupBy("nation")
+          .agg(count(lit(1)).as("n_cust"), sum(col("bal_c")).as("bal_cents"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(sink).orderBy("nation")
+      },
+      Some("""SELECT c_nationkey AS nation, COUNT(*) AS n_cust,
+                     SUM(CAST(floor(c_acctbal * 100.0) AS BIGINT)) AS bal_cents
+              FROM customer GROUP BY c_nationkey ORDER BY nation"""))
   )
 }

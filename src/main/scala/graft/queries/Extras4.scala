@@ -41,15 +41,24 @@ object Extras4 {
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         val nb = batch.agg(count(lit(1)).cast(DoubleType).as("nb"))
+        // surviving vocabulary gets a dense integer id (tiny frame,
+        // single-partition window is fine); the postings self-join —
+        // the shuffle that dominates at scale — then keys and ships
+        // ints instead of token strings, same trick as q139's
+        // verification stage. The id is a bijection of the kept
+        // vocabulary, so dot products are unchanged.
         val keep = tf.groupBy("tok").agg(count(lit(1)).as("df"))
           .crossJoin(nb)
           .filter(col("df").cast(DoubleType) <= lit(0.8) * col("nb"))
-          .select("tok")
+          .withColumn("tid",
+            row_number().over(org.apache.spark.sql.expressions.Window.orderBy("tok")))
+          .select("tok", "tid")
         val kept = tf.join(broadcast(keep), "tok")
+          .select(col("doc_id"), col("tid"), col("tf"))
         val nrm = kept.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nsq"))
         val dot = kept.as("a")
           .join(kept.as("b"),
-            col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+            col("a.tid") === col("b.tid") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
             (col("a.tf") * col("b.tf")).as("p"))
           .groupBy("id1", "id2").agg(sum("p").as("dot"))
