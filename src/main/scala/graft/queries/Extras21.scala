@@ -138,5 +138,50 @@ object Extras21 {
       Some("""SELECT c_nationkey AS nation, COUNT(*) AS n_cust,
                      SUM(CAST(floor(c_acctbal * 100.0) AS BIGINT)) AS bal_cents
               FROM customer GROUP BY c_nationkey ORDER BY nation"""))
+  ,
+
+    // Change data feed off the commit log: an append, a MERGE (upsert
+    // = copy-on-write overwrite), and another append produce a
+    // row-level insert/delete feed per version — deletes carry the
+    // pre-image, upsert inserts the post-image, untouched rows never
+    // appear. The oracle reconstructs each version's delta from the
+    // base table arithmetic, so the multiset diff (exceptAll) the
+    // feed computes is hash-verified end to end.
+    QueryDef("q230_txlog_changes",
+      (s, d) => {
+        val t = java.nio.file.Files.createTempDirectory("graft_txc")
+          .resolve("cust").toString
+        val base = table(s, d, "customer").select(
+          col("c_custkey").as("k"), col("c_nationkey").as("nation"),
+          expr("CAST(floor(c_acctbal * 100.0) AS BIGINT)").as("bal_c"))
+        graft.sink.TxLogTable.append(
+          base.filter(pmod(col("k"), lit(3)) === 0).repartition(2), t) // v1
+        val updates = base.filter(pmod(col("k"), lit(6)) === 0)
+          .withColumn("bal_c", col("bal_c") + 1000L)
+          .unionAll(base.filter(pmod(col("k"), lit(3)) === 1))
+        graft.sink.TxLogTable.merge(s, t, updates, "k")                // v2
+        graft.sink.TxLogTable.append(
+          base.filter(pmod(col("k"), lit(3)) === 2).repartition(2), t) // v3
+        graft.sink.TxLogTable.changes(s, t, 0L, 3L)
+          .groupBy(col("_commit_version").as("version"),
+            col("_change_type").as("change"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("bal_c")).as("bal_sum"))
+          .orderBy("version", "change")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS k,
+                     CAST(floor(c_acctbal * 100.0) AS BIGINT) AS bal
+                   FROM customer)
+              SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change,
+                     COUNT(*) AS n_rows, SUM(bal) AS bal_sum
+              FROM c WHERE k % 3 = 0
+              UNION ALL
+              SELECT 2, 'delete', COUNT(*), SUM(bal) FROM c WHERE k % 6 = 0
+              UNION ALL
+              SELECT 2, 'insert', COUNT(*),
+                     SUM(bal + CASE WHEN k % 6 = 0 THEN 1000 ELSE 0 END)
+              FROM c WHERE k % 6 = 0 OR k % 3 = 1
+              UNION ALL
+              SELECT 3, 'insert', COUNT(*), SUM(bal) FROM c WHERE k % 3 = 2
+              ORDER BY version, change"""))
   )
 }

@@ -267,6 +267,76 @@ object TxLogTable {
         })
   }
 
+  /** Row-level change feed between two versions — the public
+    * change-data-feed recipe reconstructed from the log, no extra
+    * write-path cost: each version in `(fromExclusive, toInclusive]`
+    * contributes its logical delta, tagged `_change_type`
+    * (insert | delete) and `_commit_version`.
+    *
+    *  - append commits: their files' rows as inserts (exactly the
+    *    streaming source's contract);
+    *  - compaction commits: nothing (rewrites, not logical changes);
+    *  - overwrite commits (incl. [[merge]], which is copy-on-write
+    *    overwrite): the multiset diff against the previous committed
+    *    snapshot — an upsert surfaces as delete(old row) +
+    *    insert(new row), untouched rows don't appear.
+    *
+    * Columns are aligned by name across the range (an overwrite may
+    * evolve the schema; missing columns null-fill). The result equals
+    * replaying the versions sequentially — `DiffSpec`-style identity:
+    * snapshot(to) == snapshot(from) + inserts - deletes as multisets.
+    */
+  def changes(spark: SparkSession, tablePath: String,
+      fromExclusive: Long, toInclusive: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val fs = fileSystem(spark, tablePath)
+    val commits = committedVersions(fs, tablePath)
+    require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+    require(commits.contains(toInclusive),
+      s"version $toInclusive does not exist; have ${commits.sorted.mkString(", ")}")
+    val inRange = commits.filter(v => v > fromExclusive && v <= toInclusive).sorted
+    val deltas = inRange.flatMap { v =>
+      val c = parseCommit(fs, tablePath, v)
+      if (c.removes.nonEmpty) None // compaction: no logical change
+      else if (!c.isOverwrite) {
+        val snapSchema = StructType.fromDDL(c.schemaDdl)
+        Some(buildFrame(spark, tablePath, c.files, snapSchema)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v)))
+      } else {
+        val cur = {
+          val s = snapshot(fs, tablePath, Some(v))
+          buildFrame(spark, tablePath, s.files, s.schema)
+        }
+        val prev = commits.filter(_ < v).sorted.lastOption match {
+          case None => cur.limit(0)
+          case Some(pv) =>
+            val s = snapshot(fs, tablePath, Some(pv))
+            buildFrame(spark, tablePath, s.files, s.schema)
+        }
+        // align by name for the diff (schema may have evolved)
+        val ins = cur.exceptAll(
+            prev.unionByName(cur.limit(0), allowMissingColumns = true)
+              .select(cur.columns.map(org.apache.spark.sql.functions.col).toSeq: _*))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v))
+        val del = prev.exceptAll(
+            cur.unionByName(prev.limit(0), allowMissingColumns = true)
+              .select(prev.columns.map(org.apache.spark.sql.functions.col).toSeq: _*))
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(v))
+        Some(ins.unionByName(del, allowMissingColumns = true))
+      }
+    }
+    deltas.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse {
+      val s = snapshot(fs, tablePath, Some(toInclusive))
+      buildFrame(spark, tablePath, Nil, s.schema)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L))
+        .limit(0)
+    }
+  }
+
   /** Data files ADDED by append/overwrite commits in
     * `(fromExclusive, toInclusive]` — the incremental-read contract of
     * the streaming source: each commit's files appear in exactly one
@@ -707,14 +777,24 @@ object TxLogTable {
         val version = if (commits.isEmpty) 1L else commits.max + 1L
         // compaction rewrites the table's own rows, so it keeps the
         // committed DDL verbatim (reading parquet back relaxes
-        // nullability, which must not masquerade as schema evolution)
+        // nullability, which must not masquerade as schema evolution).
+        // Appends match modulo nullability — a NOT NULL batch into a
+        // nullable table column is always safe (and round-tripping
+        // through parquet relaxes nullability, so merge → append would
+        // otherwise spuriously fail) — and keep the TABLE's DDL so
+        // the committed schema never flip-flops.
         var commitDdl = ddl
         if (!overwrite && commits.nonEmpty) {
           val current = parseCommit(fs, tablePath, commits.max).schemaDdl
           if (removes.nonEmpty) commitDdl = current
-          else require(current == ddl,
-            s"append schema mismatch: table has [$current], batch has [$ddl] " +
-              "— schema changes go through overwrite")
+          else {
+            def relaxed(s: String): String = StructType(
+              StructType.fromDDL(s).fields.map(_.copy(nullable = true))).toDDL
+            require(relaxed(current) == relaxed(ddl),
+              s"append schema mismatch: table has [$current], batch has [$ddl] " +
+                "— schema changes go through overwrite")
+            commitDdl = current
+          }
         }
         // compaction must not resurrect files a concurrent overwrite/
         // compaction already removed — re-validate liveness on every

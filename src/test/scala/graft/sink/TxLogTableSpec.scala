@@ -232,6 +232,38 @@ class TxLogTableSpec extends SparkSpec {
     assert(rows(TxLogTable.prunedRead(spark, t, "id", lower = Some(100L))) === Set.empty)
   }
 
+  test("changes() reconstructs the row feed: appends insert, merge diffs, compaction silent") {
+    val t = freshTable()
+    val v1 = TxLogTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), t)
+    val v2 = TxLogTable.append(Seq((3L, "c")).toDF("id", "v").coalesce(1), t)
+    val v3 = TxLogTable.merge(spark, t, Seq((2L, "B"), (4L, "d")).toDF("id", "v"), "id")
+    val v4 = TxLogTable.append(Seq((5L, "e")).toDF("id", "v").coalesce(1), t)
+    val v5 = TxLogTable.append(Seq((6L, "f")).toDF("id", "v").coalesce(1), t)
+    val v6 = TxLogTable.compact(spark, t,
+      smallFileBytes = 1L << 20, targetFileBytes = 1L << 20)
+    assert(v6 > v5, "premise: compaction must have committed a version")
+
+    def feed(from: Long, to: Long) =
+      TxLogTable.changes(spark, t, from, to)
+        .select("id", "v", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+
+    assert(feed(0L, v6) === Set(
+      (1L, "a", "insert", v1), (2L, "b", "insert", v1),
+      (3L, "c", "insert", v2),
+      (2L, "b", "delete", v3), (2L, "B", "insert", v3), (4L, "d", "insert", v3),
+      (5L, "e", "insert", v4), (6L, "f", "insert", v5)), "full-range feed")
+    assert(feed(v3, v6) === Set((5L, "e", "insert", v4), (6L, "f", "insert", v5)),
+      "compaction must contribute nothing; range must filter")
+
+    // replay identity: snapshot(from) + inserts - deletes == snapshot(to)
+    val ch = TxLogTable.changes(spark, t, v2, v6)
+    val replayed = rows(TxLogTable.read(spark, t, Some(v2))
+        .unionAll(ch.filter($"_change_type" === "insert").select("id", "v")))
+      .diff(rows(ch.filter($"_change_type" === "delete").select("id", "v")))
+    assert(replayed === rows(TxLogTable.read(spark, t, Some(v6))))
+  }
+
   // ----------------------------------------------------------------
   // compaction
 
