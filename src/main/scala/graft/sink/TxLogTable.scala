@@ -267,6 +267,30 @@ object TxLogTable {
         })
   }
 
+  /** Table history — the DESCRIBE HISTORY analog: one row per
+    * committed version with action, commit timestamp (file mtime),
+    * file/remove counts, txn identity, and schema DDL, newest first.
+    */
+  def history(spark: SparkSession, tablePath: String): DataFrame = {
+    val fs = fileSystem(spark, tablePath)
+    val commits = committedVersions(fs, tablePath)
+    require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+    val rows = commits.sorted(Ordering[Long].reverse).map { v =>
+      val c = parseCommit(fs, tablePath, v)
+      val mtime = fs.getFileStatus(
+        new Path(new Path(tablePath, LogDir), commitName(v))).getModificationTime
+      val action =
+        if (c.isOverwrite) "overwrite"
+        else if (c.removes.nonEmpty) "compact"
+        else "append"
+      (v, action, new java.sql.Timestamp(mtime), c.files.size,
+        c.removes.size, c.txn.map(_._1), c.txn.map(_._2), c.schemaDdl)
+    }
+    import spark.implicits._
+    rows.toDF("version", "action", "timestamp", "n_added_files",
+      "n_removed_files", "txn_app", "txn_epoch", "schema_ddl")
+  }
+
   /** Row-level change feed between two versions — the public
     * change-data-feed recipe reconstructed from the log, no extra
     * write-path cost: each version in `(fromExclusive, toInclusive]`

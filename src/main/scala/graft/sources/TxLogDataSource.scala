@@ -230,8 +230,50 @@ private object TxLogFileIndex {
         ext(l).map(v => (a.name, Some(v), None))
       case EqualTo(l: Literal, a: AttributeReference) =>
         ext(l).map(v => (a.name, Some(v), Some(v)))
+      // IN-list → its [min, max] envelope. Conservative: a file whose
+      // range intersects the envelope but contains no member is still
+      // read — never the other way around.
+      case In(a: AttributeReference, list) if list.nonEmpty &&
+          list.forall(_.isInstanceOf[Literal]) =>
+        val vals = list.map(e => ext(e.asInstanceOf[Literal]))
+        if (vals.exists(_.isEmpty)) None
+        else {
+          val ordered = sortBounds(vals.flatten)
+          ordered.map { sorted => (a.name, sorted.headOption, sorted.lastOption) }
+        }
+      // prefix match → lower bound only (x >= prefix); an exact upper
+      // bound needs byte-increment logic, and the lower alone already
+      // prunes files wholly before the prefix
+      case StartsWith(a: AttributeReference, Literal(p, StringType))
+          if p != null =>
+        Some((a.name, Some(p.toString), None))
       case _ => None
     }
+
+  /** Sort IN-list bound values within one runtime type; None (→ no
+    * pruning) when the list mixes unexpected types.
+    */
+  private def sortBounds(vs: Seq[Any]): Option[Seq[Any]] = vs match {
+    case _ if vs.forall(_.isInstanceOf[Number]) =>
+      Some(vs.sortBy(_.asInstanceOf[Number].doubleValue()))
+    case _ if vs.forall(_.isInstanceOf[String]) =>
+      // unsigned UTF-8 byte order — the ordering the stats comparator
+      // uses (java String order differs for supplementary characters)
+      def u8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      Some(vs.map(_.asInstanceOf[String]).sortWith { (a, b) =>
+        java.util.Arrays.compareUnsigned(u8(a), u8(b)) < 0
+      })
+    case _ if vs.forall(_.isInstanceOf[java.time.LocalDate]) =>
+      Some(vs.map(_.asInstanceOf[java.time.LocalDate]).sortBy(_.toEpochDay))
+    case _ if vs.forall(_.isInstanceOf[java.time.Instant]) =>
+      Some(vs.map(_.asInstanceOf[java.time.Instant]).sortBy(_.toEpochMilli))
+    case _ if vs.forall(_.isInstanceOf[java.time.LocalDateTime]) =>
+      Some(vs.map(_.asInstanceOf[java.time.LocalDateTime])
+        .sortBy(_.toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
+    case _ if vs.forall(_.isInstanceOf[java.math.BigDecimal]) =>
+      Some(vs.map(_.asInstanceOf[java.math.BigDecimal]).sortWith(_.compareTo(_) < 0))
+    case _ => None
+  }
 
   /** Catalyst internal literal → the external bound form the stats
     * comparator understands; None (→ no pruning) for anything else.

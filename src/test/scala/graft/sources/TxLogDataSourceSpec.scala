@@ -126,4 +126,48 @@ class TxLogDataSourceSpec extends SparkSpec {
     assert(didx.listFiles(Nil,
       Seq(GreaterThanOrEqual(d, Literal(mar, DateType)))).head.files.size === 1)
   }
+
+  test("IN-list envelope and string prefix bounds prune; mixed shapes stay conservative") {
+    val t = rangedTable() // files: ids 0-9, 10-19, 20-29
+    val idx = new TxLogFileIndex(spark, t, asOfVersion = None)
+    val id = AttributeReference("id", LongType)()
+    import org.apache.spark.sql.catalyst.expressions.{In, Literal => L, StartsWith}
+    // IN {2, 7} → envelope [2, 7] → first file only
+    assert(idx.listFiles(Nil,
+      Seq(In(id, Seq(L(2L), L(7L))))).head.files.size === 1)
+    // IN {5, 25} envelope spans everything — conservative full read
+    assert(idx.listFiles(Nil,
+      Seq(In(id, Seq(L(5L), L(25L))))).head.files.size === 3)
+
+    val ts = freshTable()
+    graft.sink.TxLogTable.append(Seq(("alpha", 1L), ("bravo", 2L)).toDF("s", "x").coalesce(1), ts)
+    graft.sink.TxLogTable.append(Seq(("mike", 3L), ("oscar", 4L)).toDF("s", "x").coalesce(1), ts)
+    val sidx = new TxLogFileIndex(spark, ts, None)
+    val sAttr = AttributeReference("s", org.apache.spark.sql.types.StringType)()
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(sidx.listFiles(Nil, Seq(StartsWith(sAttr,
+      L(UTF8String.fromString("os"), org.apache.spark.sql.types.StringType))))
+      .head.files.size === 1, "prefix lower bound should drop the alpha/bravo file")
+
+    // end-to-end: the pruned IN read equals the plain filter
+    val got = spark.read.format("graft-txlog").load(t)
+      .filter($"id".isin(2L, 7L)).collect().map(_.getLong(0)).toSet
+    assert(got === Set(2L, 7L))
+  }
+
+  test("history lists versions with actions newest-first") {
+    val t = freshTable()
+    graft.sink.TxLogTable.append(Seq((1L, "a")).toDF("id", "v").coalesce(1), t)
+    graft.sink.TxLogTable.append(Seq((2L, "b")).toDF("id", "v").coalesce(1), t,
+      txn = Some(("histApp", 7L)))
+    graft.sink.TxLogTable.overwrite(Seq((3L, "c")).toDF("id", "v"), t)
+    val h = graft.sink.TxLogTable.history(spark, t)
+      .select("version", "action", "txn_app", "txn_epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(h.toSeq === Seq(
+      (3L, "overwrite", None, None),
+      (2L, "append", Some("histApp"), Some(7L)),
+      (1L, "append", None, None)))
+  }
 }
