@@ -183,5 +183,38 @@ object Extras21 {
               UNION ALL
               SELECT 3, 'insert', COUNT(*), SUM(bal) FROM c WHERE k % 3 = 2
               ORDER BY version, change"""))
+  ,
+
+    // Pure-SQL time travel: a temporary view over the TxLog format
+    // pins versionAsOf in OPTIONS, and plain spark.sql against it
+    // aggregates version 1 — version 2 appends the same rows again,
+    // so any slip to "latest" doubles every count. This is the
+    // no-library-API surface a SQL-only user gets.
+    QueryDef("q231_txlog_sql_view",
+      (s, d) => {
+        val t = java.nio.file.Files.createTempDirectory("graft_txv")
+          .resolve("orders").toString
+        val base = table(s, d, "orders").select(
+          col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+        val v1 = graft.sink.TxLogTable.append(
+          base.repartitionByRange(4, col("k")), t)
+        graft.sink.TxLogTable.append(base.repartitionByRange(4, col("k")), t)
+        val view = s"txv_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW $view
+                  USING `graft-txlog`
+                  OPTIONS (path '$t', versionAsOf '$v1')""")
+        s.sql(s"""SELECT prio, COUNT(*) AS n_orders,
+                         CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+                           AS turnover
+                  FROM $view WHERE k <= 10000
+                  GROUP BY prio ORDER BY prio""")
+      },
+      Some("""SELECT o_orderpriority AS prio,
+                     CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                       AS turnover
+              FROM orders WHERE o_orderkey <= 10000
+              GROUP BY o_orderpriority ORDER BY prio"""))
   )
 }
