@@ -216,5 +216,44 @@ object Extras21 {
                        AS turnover
               FROM orders WHERE o_orderkey <= 10000
               GROUP BY o_orderpriority ORDER BY prio"""))
+  ,
+
+    // CDC through the format options: the same three-version feed as
+    // q230 (append, MERGE upsert, append), read back with
+    // changesFrom/changesTo instead of a library call — the surface a
+    // downstream sync job would actually script against.
+    QueryDef("q232_txlog_format_changes",
+      (s, d) => {
+        val t = java.nio.file.Files.createTempDirectory("graft_txfc")
+          .resolve("cust").toString
+        val base = table(s, d, "customer").select(
+          col("c_custkey").as("k"), col("c_nationkey").as("nation"),
+          expr("CAST(floor(c_acctbal * 100.0) AS BIGINT)").as("bal_c"))
+        graft.sink.TxLogTable.append(
+          base.filter(pmod(col("k"), lit(3)) === 0).repartition(2), t) // v1
+        val updates = base.filter(pmod(col("k"), lit(6)) === 0)
+          .withColumn("bal_c", col("bal_c") + 1000L)
+          .unionAll(base.filter(pmod(col("k"), lit(3)) === 1))
+        graft.sink.TxLogTable.merge(s, t, updates, "k")                // v2
+        graft.sink.TxLogTable.append(
+          base.filter(pmod(col("k"), lit(3)) === 2).repartition(2), t) // v3
+        // only the MERGE version's feed, bounded from both sides
+        s.read.format("graft-txlog")
+          .option("changesFrom", "1").option("changesTo", "2").load(t)
+          .groupBy(col("_change_type").as("change"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("bal_c")).as("bal_sum"))
+          .orderBy("change")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS k,
+                     CAST(floor(c_acctbal * 100.0) AS BIGINT) AS bal
+                   FROM customer)
+              SELECT 'delete' AS change, COUNT(*) AS n_rows,
+                     SUM(bal) AS bal_sum
+              FROM c WHERE k % 6 = 0
+              UNION ALL
+              SELECT 'insert', COUNT(*),
+                     SUM(bal + CASE WHEN k % 6 = 0 THEN 1000 ELSE 0 END)
+              FROM c WHERE k % 6 = 0 OR k % 3 = 1
+              ORDER BY change"""))
   )
 }

@@ -33,6 +33,11 @@ import graft.sink.TxLogTable
   *   - `versionAsOf`     time travel to an exact committed version
   *   - `timestampAsOf`   newest commit at or before the timestamp
   *                       (`yyyy-MM-dd HH:mm:ss` local or ISO instant)
+  *   - `changesFrom` [+ `changesTo`]   change-data-feed mode: the
+  *                       row-level insert/delete feed for versions in
+  *                       `(changesFrom, changesTo]` (default latest)
+  *                       via [[TxLogTable.changes]], with
+  *                       `_change_type` / `_commit_version` columns
   *
   * SQL users reach time travel through
   * `CREATE TEMPORARY VIEW v USING graft-txlog OPTIONS (path '…',
@@ -66,15 +71,32 @@ final class TxLogDataSource extends RelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val path = TxLogDataSource.pathOf(parameters)
-    val version = TxLogDataSource.resolveVersion(spark, path, parameters)
-    val index = new TxLogFileIndex(spark, path, version)
-    HadoopFsRelation(
-      location = index,
-      partitionSchema = StructType(Nil),
-      dataSchema = index.dataSchema,
-      bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
-      options = parameters)(spark)
+    // change-data-feed mode: changesFrom (exclusive) [+ changesTo,
+    // default latest] returns the row-level insert/delete feed
+    // instead of a snapshot
+    parameters.get("changesFrom") match {
+      case Some(fromRaw) =>
+        val from = fromRaw.trim.toLong
+        val to = parameters.get("changesTo").map(_.trim.toLong)
+          .getOrElse(TxLogTable.versions(spark, path).max)
+        val df = TxLogTable.changes(spark, path, from, to)
+        new BaseRelation with org.apache.spark.sql.sources.TableScan {
+          override def sqlContext: SQLContext = spark.sqlContext
+          override def schema: StructType = df.schema
+          override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+            df.rdd
+        }
+      case None =>
+        val version = TxLogDataSource.resolveVersion(spark, path, parameters)
+        val index = new TxLogFileIndex(spark, path, version)
+        HadoopFsRelation(
+          location = index,
+          partitionSchema = StructType(Nil),
+          dataSchema = index.dataSchema,
+          bucketSpec = None,
+          fileFormat = new ParquetFileFormat,
+          options = parameters)(spark)
+    }
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,

@@ -155,6 +155,24 @@ class TxLogDataSourceSpec extends SparkSpec {
     assert(got === Set(2L, 7L))
   }
 
+  test("changesFrom option serves the change feed through the format") {
+    val t = freshTable()
+    Seq((1L, "a")).toDF("id", "v").write.format("graft-txlog").mode("append").save(t)
+    Seq((2L, "b")).toDF("id", "v").write.format("graft-txlog").mode("append").save(t)
+    TxLogTable.merge(spark, t, Seq((1L, "A")).toDF("id", "v"), "id")
+    val feed = spark.read.format("graft-txlog")
+      .option("changesFrom", "1").load(t)
+      .select("id", "v", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(feed === Set(
+      (2L, "b", "insert", 2L),
+      (1L, "a", "delete", 3L), (1L, "A", "insert", 3L)))
+    // bounded range through changesTo
+    val bounded = spark.read.format("graft-txlog")
+      .option("changesFrom", "1").option("changesTo", "2").load(t)
+    assert(bounded.count() === 1L)
+  }
+
   test("history lists versions with actions newest-first") {
     val t = freshTable()
     graft.sink.TxLogTable.append(Seq((1L, "a")).toDF("id", "v").coalesce(1), t)
