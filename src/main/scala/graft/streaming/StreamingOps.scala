@@ -524,16 +524,36 @@ object StreamingOps {
     * which plain parquet `foreachBatch` appends cannot guarantee.
     * The commit itself is atomic, so a crash mid-batch leaves only
     * invisible orphan files, never a torn table.
+    *
+    * `autoCompactEvery = Some(n)` runs a small-file compaction after
+    * every n-th committed version — the maintenance a micro-batch
+    * sink otherwise needs a separate job for: without it, a long-
+    * running stream leaves one small file per trigger, and at 100 TB
+    * the table drowns in per-file open cost. The compaction commits
+    * through the same optimistic log (readers and time travel are
+    * unaffected); a conflict with a concurrent compactor just skips
+    * this round.
     */
   def txLogSink(
       stream: DataFrame,
       tablePath: String,
       appId: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      autoCompactEvery: Option[Int] = None,
+      compactSmallFileBytes: Long = 32L * 1024 * 1024,
+      compactTargetFileBytes: Long = 128L * 1024 * 1024)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.sink.TxLogTable.append(batch, tablePath, Some((appId, batchId)))
+        val v = graft.sink.TxLogTable.append(batch, tablePath, Some((appId, batchId)))
+        autoCompactEvery.foreach { n =>
+          if (n > 0 && v % n == 0)
+            try graft.sink.TxLogTable.compact(batch.sparkSession, tablePath,
+              smallFileBytes = compactSmallFileBytes,
+              targetFileBytes = compactTargetFileBytes)
+            catch { case _: IllegalStateException => () } // lost to a concurrent compactor
+        }
         ()
       }
       .start()

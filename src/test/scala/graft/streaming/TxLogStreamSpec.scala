@@ -54,4 +54,32 @@ class TxLogStreamSpec extends SparkSpec {
     TxLogTable.append(Seq(Tick(5L, "e")).toDF(), table, Some(("otherq", 0L)))
     assert(TxLogTable.read(spark, table).count() === 5L)
   }
+
+  test("autoCompactEvery folds the micro-batch small-file tail inline") {
+    val tmp = Files.createTempDirectory("graft-txauto")
+    val table = tmp.resolve("t").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    implicit val sc = spark.sqlContext
+
+    val source = MemoryStream[Tick]
+    val q = StreamingOps.txLogSink(source.toDF(), table, "autoq", ckpt,
+      autoCompactEvery = Some(4),
+      compactSmallFileBytes = 1L << 20, compactTargetFileBytes = 1L << 20)
+    try {
+      for (i <- 1 to 4) {
+        source.addData(Tick(i.toLong, s"r$i"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // 4 appends + at least one compaction landed; contents exact; the
+    // live snapshot reads fewer files than the append count
+    val acts = TxLogTable.history(spark, table)
+      .select("action").collect().map(_.getString(0))
+    assert(acts.count(_ == "append") === 4)
+    assert(acts.contains("compact"), s"no compaction in ${acts.toSeq}")
+    assert(TxLogTable.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      (1 to 4).map(i => (i.toLong, s"r$i")).toSet)
+  }
 }
