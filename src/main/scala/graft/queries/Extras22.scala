@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QueryDef.table
+
+/** Round-7 depth batch 2: row-level DML on the TxLog table and the
+  * co-location / pruning surface (bucketed joins, dynamic partition
+  * pruning, incremental view maintenance).
+  */
+object Extras22 {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Row-level DELETE + UPDATE on the ACID table, cross-engine: v1
+    // appends the customer projection, v2 deletes one segment, v3
+    // bumps every tenth key's balance — both copy-on-write rewrites
+    // that touch only files containing matches (TxLogTableSpec proves
+    // the untouched-file guarantee; at 100 TB a selective delete
+    // moves data proportional to the matching files, not the table).
+    // The output fingerprints every snapshot (time travel through
+    // the DML history) AND the change feed the two rewrites emit
+    // (delete rows for v2; delete(old)+insert(new) pairs for v3),
+    // all recomputed by the oracle straight from `customer`.
+    QueryDef("q233_txlog_delete_update",
+      (s, d) => {
+        val t = java.nio.file.Files.createTempDirectory("graft_txdml")
+          .resolve("cust").toString
+        val base = table(s, d, "customer").select(
+          col("c_custkey").as("k"),
+          col("c_mktsegment").as("seg"),
+          expr("CAST(floor(c_acctbal * 100.0) AS BIGINT)").as("bal_c"))
+        graft.sink.TxLogTable.append(base.repartition(4), t) // v1
+        val v2 = graft.sink.TxLogTable.delete(s, t, "seg = 'BUILDING'")
+        val v3 = graft.sink.TxLogTable.update(s, t, "k % 10 = 0",
+          Map("bal_c" -> "bal_c + 7"))
+        val snaps = Seq(1L, v2, v3).map { v =>
+          graft.sink.TxLogTable.read(s, t, Some(v))
+            .groupBy(lit(v).as("version"))
+            .agg(count(lit(1)).as("n_rows"), sum(col("bal_c")).as("bal_cents"),
+              min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        }.reduce(_.unionAll(_))
+        val feed = graft.sink.TxLogTable.changes(s, t, 1L, v3)
+          .groupBy((col("_commit_version") * 10 +
+            when(col("_change_type") === "insert", 1).otherwise(2))
+            .as("version"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("bal_c")).as("bal_cents"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        snaps.unionAll(feed).orderBy("version")
+      },
+      Some("""WITH b AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+                     CAST(floor(c_acctbal * 100.0) AS BIGINT) AS bal_c
+                   FROM customer),
+                   v2 AS (SELECT * FROM b WHERE seg <> 'BUILDING'),
+                   v3 AS (SELECT k, seg,
+                            bal_c + CASE WHEN k % 10 = 0 THEN 7 ELSE 0 END AS bal_c
+                          FROM v2),
+                   upd AS (SELECT * FROM v2 WHERE k % 10 = 0)
+              SELECT 1 AS version, COUNT(*) AS n_rows,
+                     CAST(SUM(bal_c) AS BIGINT) AS bal_cents,
+                     MIN(k) AS min_k, MAX(k) AS max_k FROM b
+              UNION ALL
+              SELECT 2, COUNT(*), CAST(SUM(bal_c) AS BIGINT), MIN(k), MAX(k) FROM v2
+              UNION ALL
+              SELECT 3, COUNT(*), CAST(SUM(bal_c) AS BIGINT), MIN(k), MAX(k) FROM v3
+              UNION ALL
+              SELECT 22, COUNT(*), CAST(SUM(bal_c) AS BIGINT), MIN(k), MAX(k)
+              FROM b WHERE seg = 'BUILDING'
+              UNION ALL
+              SELECT 31, COUNT(*), CAST(SUM(bal_c + 7) AS BIGINT), MIN(k), MAX(k) FROM upd
+              UNION ALL
+              SELECT 32, COUNT(*), CAST(SUM(bal_c) AS BIGINT), MIN(k), MAX(k) FROM upd
+              ORDER BY version""")),
+
+    // Bucketed co-located join: both sides written with
+    // bucketBy(8, custkey) + sortBy into catalog-backed parquet
+    // tables, then sort-merge-joined. Bucketing pre-shuffles the data
+    // ONCE at write time; every subsequent join/aggregation on the
+    // bucket key reads co-located buckets and plans NO Exchange on
+    // either side (BucketedJoinSpec pins that plan shape, with
+    // broadcast disabled so the shuffle-free claim is real). At
+    // 100 TB this converts the recurring fact-to-fact shuffle — the
+    // single most expensive stage of a repeated pipeline — into a
+    // one-time layout cost, the same contract as Hive/Iceberg bucket
+    // transforms. The merge hint keeps the exercised path SMJ even
+    // where broadcast would win at test scale.
+    QueryDef("q234_bucketed_join",
+      (s, d) => {
+        val wh = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+        s.sql("DROP TABLE IF EXISTS graft_b_orders")
+        s.sql("DROP TABLE IF EXISTS graft_b_customer")
+        table(s, d, "orders").select(col("o_custkey"),
+            expr("CAST(floor(o_totalprice * 100.0) AS BIGINT)").as("price_c"))
+          .write.format("parquet").bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$wh/orders").saveAsTable("graft_b_orders")
+        table(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+          .write.format("parquet").bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", s"$wh/cust").saveAsTable("graft_b_customer")
+        s.table("graft_b_orders").hint("merge")
+          .join(s.table("graft_b_customer").hint("merge"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"), sum(col("price_c")).as("rev_cents"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+                     COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+                       AS rev_cents
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Incremental materialized-view maintenance off the change feed:
+    // a per-customer (order count, spend) view is initialized at v1,
+    // then v2 DELETEs a slice and v3 UPDATEs prices — and the view is
+    // brought current by folding ONLY the change rows into the state
+    // (ops/Matview: per-key pre-aggregated delta, full-outer merge).
+    // No unchanged row is ever re-read: at 100 TB the view follows
+    // the table at O(changes) per commit instead of O(table) per
+    // refresh. The oracle recomputes the final view from scratch, so
+    // the hash proves maintained == recomputed exactly.
+    QueryDef("q235_matview_incremental",
+      (s, d) => {
+        val t = java.nio.file.Files.createTempDirectory("graft_mv")
+          .resolve("ord").toString
+        val base = table(s, d, "orders").select(
+          col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+          col("o_orderstatus").as("status"),
+          expr("CAST(floor(o_totalprice * 100.0) AS BIGINT)").as("price_c"))
+        graft.sink.TxLogTable.append(base.repartition(4), t) // v1
+        val sums = Map("spend_c" -> "price_c")
+        val keys = Seq("cust")
+        val state0 = graft.ops.Matview.initialize(
+          graft.sink.TxLogTable.read(s, t, Some(1L)), keys, sums)
+        val v2 = graft.sink.TxLogTable.delete(s, t, "status = 'F' AND k % 7 = 0")
+        val v3 = graft.sink.TxLogTable.update(s, t, "k % 5 = 0",
+          Map("price_c" -> "price_c + 100"))
+        val feed = graft.sink.TxLogTable.changes(s, t, 1L, v3)
+        graft.ops.Matview.applyDelta(state0, feed, keys, sums)
+          .orderBy("cust")
+      },
+      Some("""WITH b AS (SELECT o_orderkey AS k, o_custkey AS cust,
+                     o_orderstatus AS status,
+                     CAST(floor(o_totalprice * 100.0) AS BIGINT) AS price_c
+                   FROM orders),
+                   kept AS (SELECT * FROM b
+                            WHERE NOT (status = 'F' AND k % 7 = 0)),
+                   fin AS (SELECT cust,
+                             price_c + CASE WHEN k % 5 = 0 THEN 100 ELSE 0 END
+                               AS price_c
+                           FROM kept)
+              SELECT cust, COUNT(*) AS n,
+                     CAST(SUM(price_c) AS BIGINT) AS spend_c
+              FROM fin GROUP BY cust ORDER BY cust""")),
+
+    // Dynamic partition pruning: lineitem written partitioned by ship
+    // year (hive-style directory layout), then joined to a tiny dim
+    // whose filter selects two years. Catalyst plans a DPP subquery —
+    // the dim's broadcast result prunes fact PARTITION DIRECTORIES at
+    // runtime, before any parquet footer is opened (DppSpec pins the
+    // `dynamicpruning` subquery and the pruned partition count). This
+    // is THE mechanism that makes star-schema queries feasible on a
+    // date-partitioned 100 TB fact table: the scan touches selected
+    // days, not the table. The oracle filters by year directly.
+    QueryDef("q236_partition_pruning",
+      (s, d) => {
+        import s.implicits._
+        val p = java.nio.file.Files.createTempDirectory("graft_dpp")
+          .resolve("li").toString
+        table(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity"),
+            expr("CAST(floor(l_extendedprice * 100.0) AS BIGINT)").as("price_c"),
+            year(col("l_shipdate")).as("ship_year"))
+          .write.partitionBy("ship_year").parquet(p)
+        val dim = Seq((1994, "keep"), (1995, "keep"), (1996, "drop"),
+          (1997, "drop"), (1998, "drop"))
+          .toDF("yr", "tag").filter(col("tag") === "keep")
+        s.read.parquet(p)
+          .join(dim, col("ship_year") === col("yr"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"),
+            sum(col("price_c")).as("rev_cents"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+                     SUM(l_quantity) AS qty,
+                     CAST(SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+                       AS rev_cents
+              FROM lineitem
+              WHERE EXTRACT(year FROM l_shipdate) IN (1994, 1995)
+              GROUP BY l_returnflag ORDER BY l_returnflag"""))
+  )
+}

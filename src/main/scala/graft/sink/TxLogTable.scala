@@ -128,6 +128,85 @@ object TxLogTable {
     overwrite(graft.ops.Merge.upsert(current, updates, key), tablePath)
   }
 
+  /** Row-level DELETE WHERE `predicate` (a SQL boolean expression
+    * over the table's columns), copy-on-write: only the data files
+    * that actually CONTAIN a matching row are rewritten (without the
+    * matching rows); every untouched file stays in place byte-for-byte
+    * — at 100 TB a selective delete moves data proportional to the
+    * matching files, not the table. The touched set is found with one
+    * column-pruned scan (parquet reads only the predicate's columns,
+    * and the pushed-down predicate skips row groups via footer
+    * min/max), then only those files are re-read in full.
+    *
+    * Commits as `action=rewrite`: replays like a compaction
+    * (remove + add), but [[changes]] surfaces it as logical
+    * delete rows and [[history]] names it. Prior versions still
+    * time-travel to the pre-delete data. Returns the committed
+    * version — unchanged if no row matched (no commit is written).
+    */
+  def delete(spark: SparkSession, tablePath: String, predicate: String): Long = {
+    import org.apache.spark.sql.functions.{expr, input_file_name, not}
+    val fs = fileSystem(spark, tablePath)
+    val commits = committedVersions(fs, tablePath)
+    require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+    val base = commits.max
+    val snap = snapshot(fs, tablePath, Some(base))
+    if (snap.files.isEmpty) return base
+    val touched = buildFrame(spark, tablePath, snap.files, snap.schema)
+      .filter(expr(predicate))
+      .select(input_file_name().as("__f")).distinct()
+      .collect() // bounded by the snapshot's file count, never by rows
+      .map(r => new Path(r.getString(0)).getName).toSeq.sorted
+    if (touched.isEmpty) return base
+    val kept = buildFrame(spark, tablePath, touched, snap.schema)
+      .filter(not(expr(predicate)))
+    write(kept, tablePath, overwrite = false, txn = None,
+      removes = touched, actionOverride = Some("rewrite"))
+  }
+
+  /** Row-level UPDATE SET ... WHERE `where`, copy-on-write with the
+    * same touched-files-only rewrite as [[delete]]: `set` maps column
+    * name → SQL expression (evaluated against the pre-update row, as
+    * in ANSI UPDATE); rows not matching `where` inside a touched file
+    * are carried over unchanged, and assignments cast back to the
+    * column's committed type so the table schema never drifts.
+    * Commits as `action=rewrite`; [[changes]] shows each updated row
+    * as delete(old) + insert(new). Returns the committed version —
+    * unchanged if no row matched.
+    */
+  def update(spark: SparkSession, tablePath: String, where: String,
+      set: Map[String, String]): Long = {
+    import org.apache.spark.sql.functions.{col, expr, input_file_name, when}
+    require(set.nonEmpty, "update needs at least one SET assignment")
+    val fs = fileSystem(spark, tablePath)
+    val commits = committedVersions(fs, tablePath)
+    require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+    val base = commits.max
+    val snap = snapshot(fs, tablePath, Some(base))
+    val unknown = set.keySet -- snap.schema.fieldNames.toSet
+    require(unknown.isEmpty,
+      s"update assigns to column(s) not in the table: ${unknown.mkString(", ")}")
+    if (snap.files.isEmpty) return base
+    val touched = buildFrame(spark, tablePath, snap.files, snap.schema)
+      .filter(expr(where))
+      .select(input_file_name().as("__f")).distinct()
+      .collect()
+      .map(r => new Path(r.getString(0)).getName).toSeq.sorted
+    if (touched.isEmpty) return base
+    val cols = snap.schema.fields.toSeq.map { f =>
+      set.get(f.name) match {
+        case Some(e) =>
+          when(expr(where), expr(e).cast(f.dataType))
+            .otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }
+    val rewritten = buildFrame(spark, tablePath, touched, snap.schema)
+      .select(cols: _*)
+    write(rewritten, tablePath, overwrite = false, txn = None,
+      removes = touched, actionOverride = Some("rewrite"))
+  }
+
   /** Bin-pack the current snapshot's small data files into fewer
     * large ones as ONE new version — contents identical, every prior
     * version still time-travelable (the replaced files stay
@@ -279,11 +358,7 @@ object TxLogTable {
       val c = parseCommit(fs, tablePath, v)
       val mtime = fs.getFileStatus(
         new Path(new Path(tablePath, LogDir), commitName(v))).getModificationTime
-      val action =
-        if (c.isOverwrite) "overwrite"
-        else if (c.removes.nonEmpty) "compact"
-        else "append"
-      (v, action, new java.sql.Timestamp(mtime), c.files.size,
+      (v, c.action, new java.sql.Timestamp(mtime), c.files.size,
         c.removes.size, c.txn.map(_._1), c.txn.map(_._2), c.schemaDdl)
     }
     import spark.implicits._
@@ -299,11 +374,13 @@ object TxLogTable {
     *
     *  - append commits: their files' rows as inserts (exactly the
     *    streaming source's contract);
-    *  - compaction commits: nothing (rewrites, not logical changes);
+    *  - compaction commits: nothing (physical rewrites, not logical
+    *    changes);
     *  - overwrite commits (incl. [[merge]], which is copy-on-write
-    *    overwrite): the multiset diff against the previous committed
-    *    snapshot — an upsert surfaces as delete(old row) +
-    *    insert(new row), untouched rows don't appear.
+    *    overwrite) and rewrite commits ([[delete]]/[[update]]): the
+    *    multiset diff against the previous committed snapshot — an
+    *    upsert/update surfaces as delete(old row) + insert(new row),
+    *    a delete as delete rows only, untouched rows don't appear.
     *
     * Columns are aligned by name across the range (an overwrite may
     * evolve the schema; missing columns null-fill). The result equals
@@ -321,8 +398,8 @@ object TxLogTable {
     val inRange = commits.filter(v => v > fromExclusive && v <= toInclusive).sorted
     val deltas = inRange.flatMap { v =>
       val c = parseCommit(fs, tablePath, v)
-      if (c.removes.nonEmpty) None // compaction: no logical change
-      else if (!c.isOverwrite) {
+      if (c.action == "compact") None // physical rewrite: no logical change
+      else if (c.action == "append") {
         val snapSchema = StructType.fromDDL(c.schemaDdl)
         Some(buildFrame(spark, tablePath, c.files, snapSchema)
           .withColumn("_change_type", lit("insert"))
@@ -364,9 +441,12 @@ object TxLogTable {
   /** Data files ADDED by append/overwrite commits in
     * `(fromExclusive, toInclusive]` — the incremental-read contract of
     * the streaming source: each commit's files appear in exactly one
-    * version range, and compaction commits are SKIPPED because they
-    * rewrite already-streamed rows (their removed originals stay on
-    * disk for time travel, so reading the originals stays correct).
+    * version range, and commits carrying removes (compaction AND
+    * row-level rewrite) are SKIPPED because their added files hold
+    * already-streamed rows. An append-only stream cannot express a
+    * row-level delete — consumers that must see deletes read the
+    * [[changes]] feed instead (same contract as the public lake-table
+    * streaming source's delete handling).
     */
   private[graft] def addedFiles(spark: SparkSession, tablePath: String,
       fromExclusive: Long, toInclusive: Long): Seq[String] = {
@@ -459,11 +539,20 @@ object TxLogTable {
     */
   private final case class ColStats(kind: String, min: String, max: String)
 
+  /** `action` is one of append | overwrite | compact | rewrite.
+    * compact and rewrite both carry removes + adds and replay
+    * identically; they differ in MEANING — compact is a physical
+    * re-arrangement (no logical change, silent in the change feed),
+    * rewrite is a row-level DELETE/UPDATE (a logical change, surfaced
+    * by [[changes]] as delete/insert rows).
+    */
   private final case class Commit(
-      isOverwrite: Boolean, schemaDdl: String, files: Seq[String],
+      action: String, schemaDdl: String, files: Seq[String],
       txn: Option[(String, Long)] = None,
       stats: Map[String, Map[String, ColStats]] = Map.empty,
-      removes: Seq[String] = Seq.empty)
+      removes: Seq[String] = Seq.empty) {
+    def isOverwrite: Boolean = action == "overwrite"
+  }
 
   /** The live file set at a version, with schema and per-file stats. */
   private final case class Snapshot(files: Seq[String], schema: StructType,
@@ -756,7 +845,12 @@ object TxLogTable {
     else replayState(fs, tablePath, versions.max, versions).txns.get(appId)
 
   private def write(df: DataFrame, tablePath: String, overwrite: Boolean,
-      txn: Option[(String, Long)], removes: Seq[String] = Seq.empty): Long = {
+      txn: Option[(String, Long)], removes: Seq[String] = Seq.empty,
+      actionOverride: Option[String] = None): Long = {
+    val commitAction = actionOverride.getOrElse(
+      if (overwrite) "overwrite"
+      else if (removes.nonEmpty) "compact"
+      else "append")
     val spark = df.sparkSession
     val fs = fileSystem(spark, tablePath)
     val ddl = df.schema.toDDL
@@ -828,9 +922,9 @@ object TxLogTable {
           val live = snapshot(fs, tablePath, Some(commits.max)).files.toSet
           val dead = removes.filterNot(live)
           if (dead.nonEmpty) throw new IllegalStateException(
-            s"compaction conflict on $tablePath: ${dead.size} rewritten " +
+            s"rewrite conflict on $tablePath: ${dead.size} rewritten " +
               s"file(s) no longer live (e.g. ${dead.head}) — a concurrent " +
-              "overwrite or compaction landed first; rerun compact")
+              "overwrite or rewrite landed first; rerun the operation")
         }
         val names = published match {
           case Some((_, ns)) => ns // files already in data/ from a lost race
@@ -855,7 +949,7 @@ object TxLogTable {
         }
         try {
           claimCommit(fs, tablePath, version,
-            Commit(overwrite, commitDdl, names, txn, fileStats, removes))
+            Commit(commitAction, commitDdl, names, txn, fileStats, removes))
           result = version
         } catch {
           case _: CommitConflict => () // loop: re-read log, next version
@@ -893,12 +987,8 @@ object TxLogTable {
     fs.mkdirs(logPath)
     val commitPath = new Path(logPath, commitName(version))
     if (fs.exists(commitPath)) throw new CommitConflict(version)
-    val action =
-      if (c.isOverwrite) "overwrite"
-      else if (c.removes.nonEmpty) "compact"
-      else "append"
     val body = new StringBuilder()
-      .append("action=").append(action).append('\n')
+      .append("action=").append(c.action).append('\n')
       .append("schema=").append(c.schemaDdl).append('\n')
     c.txn.foreach { case (appId, epoch) =>
       body.append("txnApp=").append(appId).append('\n')
@@ -952,7 +1042,7 @@ object TxLogTable {
       f -> xs.map(x => x._2 -> x._3).toMap
     }
     Commit(
-      isOverwrite = field("action") == "overwrite",
+      action = field("action"),
       schemaDdl = field("schema"),
       files = lines.collect { case l if l.startsWith("file=") => l.substring(5) }.toSeq,
       txn = for { a <- opt("txnApp"); e <- opt("txnEpoch") } yield (a, e.toLong),

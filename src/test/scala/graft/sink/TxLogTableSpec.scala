@@ -461,4 +461,89 @@ class TxLogTableSpec extends SparkSpec {
       Set((1L, "a"), (9L, "b"), (10L, "c"), (19L, "d")),
       "pre-compaction time travel unaffected by the checkpoint")
   }
+
+  // ----------------------------------------------------------------
+  // row-level DELETE / UPDATE (copy-on-write rewrite commits)
+
+  private def liveFiles(t: String): Set[String] =
+    TxLogTable.candidateFiles(spark, t, "id").toSet
+
+  test("delete rewrites only the touched files; untouched bytes stay in place") {
+    val t = freshTable()
+    val v1 = TxLogTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), t)
+    val v2 = TxLogTable.append(Seq((3L, "c"), (4L, "d")).toDF("id", "v").coalesce(1), t)
+    val before = liveFiles(t)
+    assert(before.size === 2, "premise: two single-file appends")
+    val untouched = before -- liveFiles(t).filter { f =>
+      // the file holding id=3 is the one v2 wrote; identify it by reading
+      spark.read.parquet(s"$t/data/$f").filter($"id" === 3L).count() > 0
+    }
+    val v3 = TxLogTable.delete(spark, t, "id = 3")
+    assert(v3 === v2 + 1)
+    assert(rows(TxLogTable.read(spark, t)) === Set((1L, "a"), (2L, "b"), (4L, "d")))
+    val after = liveFiles(t)
+    assert((untouched -- after).isEmpty,
+      "the file without matches must survive the delete untouched")
+    assert(rows(TxLogTable.read(spark, t, Some(v2))) ===
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
+      "time travel to the pre-delete snapshot")
+    val hist = TxLogTable.history(spark, t)
+      .select("version", "action").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hist(v3) === "rewrite")
+    assert(hist(v1) === "append")
+    // no-match delete commits nothing
+    assert(TxLogTable.delete(spark, t, "id = 99") === v3)
+    assert(TxLogTable.versions(spark, t).max === v3)
+  }
+
+  test("delete surfaces as delete rows in the change feed; replay identity holds") {
+    val t = freshTable()
+    TxLogTable.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1), t)
+    val v2 = TxLogTable.delete(spark, t, "id >= 2")
+    val feed = TxLogTable.changes(spark, t, 1L, v2)
+      .select("id", "v", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(feed === Set((2L, "b", "delete", v2), (3L, "c", "delete", v2)))
+  }
+
+  test("update applies SET expressions to matching rows only, preserving types") {
+    val t = freshTable()
+    TxLogTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), t)
+    val v2 = TxLogTable.append(Seq((3L, "c")).toDF("id", "v").coalesce(1), t)
+    val untouched = liveFiles(t).filter { f =>
+      spark.read.parquet(s"$t/data/$f").filter($"id" === 3L).count() > 0
+    }
+    val v3 = TxLogTable.update(spark, t, "id = 2", Map("v" -> "upper(v)"))
+    assert(rows(TxLogTable.read(spark, t)) === Set((1L, "a"), (2L, "B"), (3L, "c")))
+    assert((untouched -- liveFiles(t)).isEmpty,
+      "file without matching rows must not be rewritten")
+    val feed = TxLogTable.changes(spark, t, v2, v3)
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed === Set((2L, "b", "delete"), (2L, "B", "insert")),
+      "update = delete(old) + insert(new) in the feed")
+    // SET may reference other columns and must cast back to the column type
+    val v4 = TxLogTable.update(spark, t, "v = 'a'", Map("id" -> "id + 100"))
+    assert(rows(TxLogTable.read(spark, t)) === Set((101L, "a"), (2L, "B"), (3L, "c")))
+    assert(TxLogTable.read(spark, t).schema ===
+      TxLogTable.read(spark, t, Some(v2)).schema, "schema never drifts")
+    assert(v4 === v3 + 1)
+    // unknown SET column fails loudly; no-match update commits nothing
+    intercept[IllegalArgumentException] {
+      TxLogTable.update(spark, t, "id = 1", Map("nope" -> "1"))
+    }
+    assert(TxLogTable.update(spark, t, "id = -5", Map("v" -> "'x'")) === v4)
+  }
+
+  test("deleting every row of every file leaves an empty, readable table") {
+    val t = freshTable()
+    TxLogTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), t)
+    val v2 = TxLogTable.delete(spark, t, "id > 0")
+    val now = TxLogTable.read(spark, t)
+    assert(now.count() === 0L)
+    assert(now.schema.fieldNames.toSeq === Seq("id", "v"))
+    assert(rows(TxLogTable.read(spark, t, Some(v2 - 1))) ===
+      Set((1L, "a"), (2L, "b")))
+  }
 }
