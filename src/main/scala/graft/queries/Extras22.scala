@@ -187,6 +187,82 @@ object Extras22 {
                        AS rev_cents
               FROM lineitem
               WHERE EXTRACT(year FROM l_shipdate) IN (1994, 1995)
-              GROUP BY l_returnflag ORDER BY l_returnflag"""))
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ANSI SQL DML against the lake table: DELETE FROM / UPDATE
+    // statements parsed by SPARK'S OWN parser (sql/SqlDml routes the
+    // Catalyst DeleteFromTable/UpdateTable command nodes onto the
+    // copy-on-write TxLog verbs), exercising the full expression
+    // grammar — IN lists, CASE, arithmetic — in predicates and
+    // assignments. The oracle applies the same statements' algebra
+    // directly to `orders`, proving statement semantics end to end.
+    QueryDef("q237_sql_dml",
+      (s, d) => {
+        val t = java.nio.file.Files.createTempDirectory("graft_sqldml")
+          .resolve("ords").toString
+        graft.sink.TxLogTable.append(
+          table(s, d, "orders").select(
+            col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+            expr("CAST(floor(o_totalprice * 100.0) AS BIGINT)").as("price_c"))
+            .repartition(4), t)
+        val reg = Map("ords" -> t)
+        graft.sql.SqlDml.run(s,
+          "DELETE FROM ords WHERE status = 'O' AND k % 3 = 0", reg)
+        graft.sql.SqlDml.run(s,
+          "UPDATE ords SET price_c = price_c + " +
+            "CASE WHEN k % 2 = 0 THEN 10 ELSE 1 END WHERE k % 11 = 0", reg)
+        graft.sink.TxLogTable.read(s, t)
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("price_cents"))
+          .orderBy("status")
+      },
+      Some("""WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+                     CAST(floor(o_totalprice * 100.0) AS BIGINT) AS price_c
+                   FROM orders),
+                   kept AS (SELECT * FROM b
+                            WHERE NOT (status = 'O' AND k % 3 = 0)),
+                   fin AS (SELECT status,
+                             price_c + CASE WHEN k % 11 = 0 THEN
+                               CASE WHEN k % 2 = 0 THEN 10 ELSE 1 END
+                             ELSE 0 END AS price_c
+                           FROM kept)
+              SELECT status, COUNT(*) AS n,
+                     CAST(SUM(price_c) AS BIGINT) AS price_cents
+              FROM fin GROUP BY status ORDER BY status""")),
+
+    // Schema evolution on append (mergeSchema): v1 lands half the
+    // customers WITHOUT a segment column, v2 appendEvolves the other
+    // half WITH it — the committed schema widens, v1's files
+    // null-fill the new column on read, and no old byte is rewritten
+    // (at 100 TB an ALTER TABLE ADD COLUMN must be a metadata-only
+    // operation, which is exactly what the commit log makes it).
+    // The oracle rebuilds the same union from `customer`.
+    QueryDef("q238_schema_evolution",
+      (s, d) => {
+        val t = java.nio.file.Files.createTempDirectory("graft_evolve")
+          .resolve("cust").toString
+        val base = table(s, d, "customer").select(
+          col("c_custkey").as("k"),
+          expr("CAST(floor(c_acctbal * 100.0) AS BIGINT)").as("bal_c"),
+          col("c_mktsegment").as("seg"))
+        graft.sink.TxLogTable.append(
+          base.filter(col("k") % 2 === 0).drop("seg").repartition(2), t)
+        graft.sink.TxLogTable.appendEvolve(
+          base.filter(col("k") % 2 === 1).repartition(2), t)
+        graft.sink.TxLogTable.read(s, t)
+          .groupBy(coalesce(col("seg"), lit("(pre-evolution)")).as("seg"))
+          .agg(count(lit(1)).as("n"), sum(col("bal_c")).as("bal_cents"),
+            max(col("k")).as("max_k"))
+          .orderBy("seg")
+      },
+      Some("""WITH b AS (SELECT c_custkey AS k,
+                     CAST(floor(c_acctbal * 100.0) AS BIGINT) AS bal_c,
+                     CASE WHEN c_custkey % 2 = 0 THEN '(pre-evolution)'
+                          ELSE c_mktsegment END AS seg
+                   FROM customer)
+              SELECT seg, COUNT(*) AS n,
+                     CAST(SUM(bal_c) AS BIGINT) AS bal_cents,
+                     MAX(k) AS max_k
+              FROM b GROUP BY seg ORDER BY seg"""))
   )
 }

@@ -112,6 +112,18 @@ object TxLogTable {
       txn: Option[(String, Long)] = None): Long =
     write(df, tablePath, overwrite = false, txn)
 
+  /** Append with SCHEMA EVOLUTION (the public lake-table
+    * `mergeSchema` option): columns the batch adds are appended to
+    * the committed schema (older files null-fill them on read), and
+    * columns the batch omits null-fill inside the new files. Common
+    * columns must keep their exact type — widening or narrowing is
+    * rejected, because silently coercing 100 TB of history is how
+    * lakes corrupt; a type change is an explicit [[overwrite]].
+    */
+  def appendEvolve(df: DataFrame, tablePath: String,
+      txn: Option[(String, Long)] = None): Long =
+    write(df, tablePath, overwrite = false, txn, mergeSchema = true)
+
   /** Replace the table contents with `df`; returns the version. */
   def overwrite(df: DataFrame, tablePath: String): Long =
     write(df, tablePath, overwrite = true, None)
@@ -457,6 +469,18 @@ object TxLogTable {
         val c = parseCommit(fs, tablePath, v)
         if (c.removes.nonEmpty) Nil else c.files
       }
+  }
+
+  /** Versions in `(fromExclusive, toInclusive]` that are row-level
+    * rewrites ([[delete]]/[[update]]) — the commits an append-only
+    * streaming read cannot represent.
+    */
+  private[graft] def rewriteVersions(spark: SparkSession, tablePath: String,
+      fromExclusive: Long, toInclusive: Long): Seq[Long] = {
+    val fs = fileSystem(spark, tablePath)
+    committedVersions(fs, tablePath)
+      .filter(v => v > fromExclusive && v <= toInclusive).sorted
+      .filter(v => parseCommit(fs, tablePath, v).action == "rewrite")
   }
 
   /** The newest version whose commit landed at or before `epochMillis`
@@ -846,7 +870,8 @@ object TxLogTable {
 
   private def write(df: DataFrame, tablePath: String, overwrite: Boolean,
       txn: Option[(String, Long)], removes: Seq[String] = Seq.empty,
-      actionOverride: Option[String] = None): Long = {
+      actionOverride: Option[String] = None,
+      mergeSchema: Boolean = false): Long = {
     val commitAction = actionOverride.getOrElse(
       if (overwrite) "overwrite"
       else if (removes.nonEmpty) "compact"
@@ -905,12 +930,30 @@ object TxLogTable {
         if (!overwrite && commits.nonEmpty) {
           val current = parseCommit(fs, tablePath, commits.max).schemaDdl
           if (removes.nonEmpty) commitDdl = current
-          else {
+          else if (mergeSchema) {
+            // evolution: table columns keep their order and exact
+            // type; batch-only columns append (nullable — old files
+            // null-fill them on read). Type drift on a common column
+            // is rejected, never coerced.
+            val cur = StructType.fromDDL(current)
+            val curNames = cur.fieldNames.toSet
+            val batch = df.schema
+            val batchByName = batch.fields.map(f => f.name -> f).toMap
+            for (f <- cur.fields; b <- batchByName.get(f.name))
+              require(b.dataType == f.dataType,
+                s"appendEvolve cannot change column '${f.name}' from " +
+                  s"${f.dataType.sql} to ${b.dataType.sql} — type changes " +
+                  "go through overwrite")
+            val added = batch.fields.filterNot(f => curNames.contains(f.name))
+              .map(_.copy(nullable = true))
+            commitDdl = StructType(
+              cur.fields.map(_.copy(nullable = true)) ++ added).toDDL
+          } else {
             def relaxed(s: String): String = StructType(
               StructType.fromDDL(s).fields.map(_.copy(nullable = true))).toDDL
             require(relaxed(current) == relaxed(ddl),
               s"append schema mismatch: table has [$current], batch has [$ddl] " +
-                "— schema changes go through overwrite")
+                "— schema changes go through overwrite (or appendEvolve)")
             commitDdl = current
           }
         }

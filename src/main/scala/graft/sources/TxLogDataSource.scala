@@ -65,7 +65,8 @@ final class TxLogDataSource extends RelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new TxLogStreamSource(sqlContext.sparkSession,
-      TxLogDataSource.pathOf(parameters))
+      TxLogDataSource.pathOf(parameters),
+      ignoreDeletes = parameters.get("ignoreDeletes").exists(_.trim.toBoolean))
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -142,8 +143,8 @@ private object TxLogDataSource {
   * Offsets live in the query checkpoint: a restarted query resumes
   * from its last committed version with no reprocessing.
   */
-final class TxLogStreamSource(spark: SparkSession, tablePath: String)
-    extends Source {
+final class TxLogStreamSource(spark: SparkSession, tablePath: String,
+    ignoreDeletes: Boolean = false) extends Source {
 
   override val schema: StructType =
     TxLogTable.scanSnapshot(spark, tablePath, None).schema
@@ -155,6 +156,19 @@ final class TxLogStreamSource(spark: SparkSession, tablePath: String)
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): org.apache.spark.sql.DataFrame = {
     val lo = start.map(version).getOrElse(0L)
     val hi = version(end)
+    // a row-level DELETE/UPDATE cannot be expressed by an append-only
+    // stream: silently skipping it would leave downstream state
+    // wrong, so fail loudly unless the user opted in — the public
+    // lake-table streaming source's ignoreDeletes contract
+    if (!ignoreDeletes) {
+      val rewrites = TxLogTable.rewriteVersions(spark, tablePath, lo, hi)
+      if (rewrites.nonEmpty) throw new IllegalStateException(
+        s"table $tablePath has row-level delete/update commit(s) " +
+          s"${rewrites.mkString(", ")} in the streamed range ($lo, $hi] — " +
+          "an append-only stream cannot reflect them. Either restart from " +
+          "a fresh checkpoint, read the change feed (changesFrom), or set " +
+          "option 'ignoreDeletes' = true to stream inserts only")
+    }
     val files = TxLogTable.addedFiles(spark, tablePath, lo, hi)
     // the engine requires isStreaming=true on the returned plan; a
     // plain parquet read is batch-tagged, so retag its LogicalRelation

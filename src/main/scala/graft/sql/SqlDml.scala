@@ -1,0 +1,49 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, UpdateTable}
+
+import graft.sink.TxLogTable
+
+/** ANSI DML statements against TxLog tables, parsed by SPARK'S OWN
+  * SQL parser: `DELETE FROM t WHERE …` and
+  * `UPDATE t SET c = e, … [WHERE …]` parse to Catalyst's
+  * [[DeleteFromTable]]/[[UpdateTable]] command nodes (the same nodes
+  * a DSv2 catalog receives), and this router binds the table
+  * reference through a name → table-path registry and executes the
+  * copy-on-write [[TxLogTable.delete]]/[[TxLogTable.update]].
+  *
+  * Using the real parser (not a hand-rolled one) means the full
+  * expression grammar works in predicates and assignments —
+  * arithmetic, CASE, string functions, IN lists — because the parsed
+  * expression trees are re-rendered to SQL (`Expression.sql`) and
+  * evaluated by the engine against the snapshot. Returns the
+  * committed version (unchanged when nothing matched).
+  */
+object SqlDml {
+
+  def run(spark: SparkSession, sql: String,
+      tables: Map[String, String]): Long = {
+    def pathOf(rel: LogicalPlan): String = rel match {
+      case u: UnresolvedRelation =>
+        val name = u.multipartIdentifier.mkString(".")
+        tables.getOrElse(name, throw new IllegalArgumentException(
+          s"unknown table '$name'; registered: ${tables.keys.toSeq.sorted.mkString(", ")}"))
+      case other => throw new IllegalArgumentException(
+        s"unsupported table reference: $other")
+    }
+    def bare(name: String): String = name.stripPrefix("`").stripSuffix("`")
+    spark.sessionState.sqlParser.parsePlan(sql) match {
+      case d: DeleteFromTable =>
+        TxLogTable.delete(spark, pathOf(d.table), d.condition.sql)
+      case u: UpdateTable =>
+        val where = u.condition.map(_.sql).getOrElse("true")
+        val set = u.assignments.map(a => bare(a.key.sql) -> a.value.sql).toMap
+        TxLogTable.update(spark, pathOf(u.table), where, set)
+      case other => throw new IllegalArgumentException(
+        "SqlDml handles DELETE FROM / UPDATE statements only, got: " +
+          other.getClass.getSimpleName)
+    }
+  }
+}

@@ -536,6 +536,34 @@ class TxLogTableSpec extends SparkSpec {
     assert(TxLogTable.update(spark, t, "id = -5", Map("v" -> "'x'")) === v4)
   }
 
+  test("appendEvolve adds columns (old files null-fill) and accepts narrower batches") {
+    val t = freshTable()
+    TxLogTable.append(Seq((1L, "a")).toDF("id", "v").coalesce(1), t)
+    // wider batch: new column lands, old rows read it as null
+    TxLogTable.appendEvolve(Seq((2L, "b", 7.5)).toDF("id", "v", "score")
+      .coalesce(1), t)
+    val now = TxLogTable.read(spark, t)
+    assert(now.schema.fieldNames.toSeq === Seq("id", "v", "score"))
+    assert(now.collect().map(r =>
+      (r.getLong(0), r.getString(1), Option(r.get(2)))).toSet ===
+      Set((1L, "a", None), (2L, "b", Some(7.5))))
+    // narrower batch: omitted column null-fills inside the new file
+    TxLogTable.appendEvolve(Seq((3L, "c")).toDF("id", "v").coalesce(1), t)
+    assert(TxLogTable.read(spark, t).filter($"id" === 3L)
+      .select("score").collect().head.isNullAt(0))
+    // type drift on a common column is rejected, not coerced
+    intercept[IllegalArgumentException] {
+      TxLogTable.appendEvolve(Seq((4, "d")).toDF("id", "v"), t) // id: INT not BIGINT
+    }
+    // plain append still enforces the (now evolved) schema
+    intercept[IllegalArgumentException] {
+      TxLogTable.append(Seq((5L, "e")).toDF("id", "v"), t)
+    }
+    // time travel reads v1 with its ORIGINAL two-column schema
+    assert(TxLogTable.read(spark, t, Some(1L)).schema.fieldNames.toSeq ===
+      Seq("id", "v"))
+  }
+
   test("deleting every row of every file leaves an empty, readable table") {
     val t = freshTable()
     TxLogTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), t)

@@ -103,4 +103,47 @@ class TxLogStreamSourceSpec extends SparkSpec {
       } finally readQ.stop()
     } finally writeQ.stop()
   }
+
+  test("a row-level delete fails the append-only stream unless ignoreDeletes is set") {
+    val tmp = Files.createTempDirectory("graft-txguard")
+    val table = tmp.resolve("t").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    def batch(ids: Range) = ids.map(i => (i.toLong, s"r$i")).toDF("id", "v")
+
+    TxLogTable.append(batch(0 until 4).coalesce(1), table)
+    def start(name: String, opts: Map[String, String]) = {
+      val r = spark.readStream.format("graft-txlog")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load(table)
+        .groupBy("id").agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val q1 = start("guard1", Map.empty)
+    q1.processAllAvailable()
+    q1.stop()
+
+    TxLogTable.delete(spark, table, "id = 1") // rewrite commit
+    TxLogTable.append(batch(10 until 12).coalesce(1), table)
+
+    // default: the un-streamable rewrite must fail the query loudly
+    val q2 = start("guard2", Map.empty)
+    val ex = intercept[Exception] { q2.processAllAvailable() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("delete/update")),
+      s"want the rewrite-guard message, got: ${messages(ex)}")
+    q2.stop()
+
+    // opt-in: inserts-only streaming proceeds past the rewrite
+    val q3 = start("guard3", Map("ignoreDeletes" -> "true"))
+    q3.processAllAvailable()
+    val counts = spark.table("guard3").as[(Long, Long)].collect().toMap
+    q3.stop()
+    assert(counts.keySet === Set(0L, 1L, 2L, 3L, 10L, 11L),
+      "appends after the rewrite must stream; the delete is skipped by contract")
+    assert(counts.values.forall(_ === 1L))
+  }
 }
