@@ -263,6 +263,83 @@ object Extras22 {
               SELECT seg, COUNT(*) AS n,
                      CAST(SUM(bal_c) AS BIGINT) AS bal_cents,
                      MAX(k) AS max_k
-              FROM b GROUP BY seg ORDER BY seg"""))
+              FROM b GROUP BY seg ORDER BY seg""")),
+
+    // RESTORE: v2 deletes a slice (copy-on-write rewrite), v3 rolls
+    // the table back to v1 as a METADATA-ONLY commit re-referencing
+    // v1's files — no data moves (TxLogTableSpec pins the file-set
+    // identity; at 100 TB a bad-load rollback is one log write, not
+    // a table rewrite). Fingerprints of all three versions prove the
+    // rollback and that the rolled-back version stays travelable.
+    QueryDef("q239_txlog_restore",
+      (s, d) => {
+        val t = java.nio.file.Files.createTempDirectory("graft_restore")
+          .resolve("supp").toString
+        val base = table(s, d, "supplier").select(
+          col("s_suppkey").as("k"), col("s_nationkey").as("nat"),
+          expr("CAST(floor(s_acctbal * 100.0) AS BIGINT)").as("bal_c"))
+        graft.sink.TxLogTable.append(base.repartition(3), t) // v1
+        val v2 = graft.sink.TxLogTable.delete(s, t, "nat < 5")
+        val v3 = graft.sink.TxLogTable.restore(s, t, 1L)
+        Seq(1L, v2, v3).map { v =>
+          graft.sink.TxLogTable.read(s, t, Some(v))
+            .groupBy(lit(v).as("version"))
+            .agg(count(lit(1)).as("n_rows"), sum(col("bal_c")).as("bal_cents"),
+              min(col("nat")).as("min_nat"))
+        }.reduce(_.unionAll(_)).orderBy("version")
+      },
+      Some("""WITH b AS (SELECT s_suppkey AS k, s_nationkey AS nat,
+                     CAST(floor(s_acctbal * 100.0) AS BIGINT) AS bal_c
+                   FROM supplier)
+              SELECT 1 AS version, COUNT(*) AS n_rows,
+                     CAST(SUM(bal_c) AS BIGINT) AS bal_cents,
+                     MIN(nat) AS min_nat FROM b
+              UNION ALL
+              SELECT 2, COUNT(*), CAST(SUM(bal_c) AS BIGINT), MIN(nat)
+              FROM b WHERE nat >= 5
+              UNION ALL
+              SELECT 3, COUNT(*), CAST(SUM(bal_c) AS BIGINT), MIN(nat) FROM b
+              ORDER BY version""")),
+
+    // CHECK constraints as the sink's data-quality gate: two
+    // constraints are added after a clean first batch; a corrupted
+    // batch (negated prices) is REJECTED atomically — no partial
+    // commit, the table keeps its version — and a second clean batch
+    // lands normally. The final fingerprint therefore contains
+    // exactly the two clean slices, which is what the oracle
+    // recomputes from `part`. Enforcement mechanics (NULL semantics,
+    // checkpoint survival, update gating) are TxLogTableSpec's.
+    QueryDef("q240_check_constraints",
+      (s, d) => {
+        val t = java.nio.file.Files.createTempDirectory("graft_check")
+          .resolve("part").toString
+        val base = table(s, d, "part").select(
+          col("p_partkey").as("k"), col("p_size").as("size"),
+          expr("CAST(floor(p_retailprice * 100.0) AS BIGINT)").as("price_c"))
+        graft.sink.TxLogTable.append(
+          base.filter(col("k") % 3 === 0).repartition(2), t)
+        graft.sink.TxLogTable.addConstraint(s, t, "pos_size", "size > 0")
+        graft.sink.TxLogTable.addConstraint(s, t, "pos_price", "price_c >= 0")
+        val corrupted = base.filter(col("k") % 3 === 1)
+          .withColumn("price_c", -col("price_c") - 1)
+        val rejected =
+          try { graft.sink.TxLogTable.append(corrupted.repartition(2), t); 0L }
+          catch { case _: graft.sink.TxLogTable.ConstraintViolation => 1L }
+        graft.sink.TxLogTable.append(
+          base.filter(col("k") % 3 === 2).repartition(2), t)
+        graft.sink.TxLogTable.read(s, t)
+          .groupBy((col("k") % 3).as("slice"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("price_cents"),
+            max(col("size")).as("max_size"))
+          .withColumn("batch_rejected", lit(rejected))
+          .orderBy("slice")
+      },
+      Some("""SELECT p_partkey % 3 AS slice, COUNT(*) AS n,
+                     CAST(SUM(CAST(floor(p_retailprice * 100.0) AS BIGINT)) AS BIGINT)
+                       AS price_cents,
+                     MAX(p_size) AS max_size,
+                     CAST(1 AS BIGINT) AS batch_rejected
+              FROM part WHERE p_partkey % 3 IN (0, 2)
+              GROUP BY slice ORDER BY slice"""))
   )
 }

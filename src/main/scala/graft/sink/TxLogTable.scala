@@ -219,6 +219,127 @@ object TxLogTable {
       removes = touched, actionOverride = Some("rewrite"))
   }
 
+  /** RESTORE the table to the contents of `toVersion`, committed as
+    * ONE new overwrite version that re-references that snapshot's
+    * files — METADATA-ONLY: no data file is read, copied, or
+    * rewritten (every committed file stays on disk because [[vacuum]]
+    * never reclaims committed history). At 100 TB, rolling back a bad
+    * load is a one-file log write, not a table rewrite. History is
+    * preserved — the bad versions remain time-travelable, and the
+    * change feed shows the restore as the logical diff it is.
+    * Restoring to the current version is a no-op. Returns the
+    * committed (or current) version.
+    */
+  def restore(spark: SparkSession, tablePath: String, toVersion: Long): Long = {
+    val fs = fileSystem(spark, tablePath)
+    val commits0 = committedVersions(fs, tablePath)
+    require(commits0.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+    require(commits0.contains(toVersion),
+      s"version $toVersion does not exist; have ${commits0.sorted.mkString(", ")}")
+    if (commits0.max == toVersion) return toVersion
+    val target = snapshot(fs, tablePath, Some(toVersion))
+    var attempt = 0
+    var result = -1L
+    while (result < 0) {
+      attempt += 1
+      if (attempt > MaxCommitRetries) throw new IllegalStateException(
+        s"gave up after $MaxCommitRetries restore attempts on $tablePath")
+      val version = committedVersions(fs, tablePath).max + 1L
+      try {
+        claimCommit(fs, tablePath, version,
+          Commit("overwrite", target.schema.toDDL, target.files,
+            txn = None, stats = target.stats))
+        result = version
+      } catch { case _: CommitConflict => () }
+    }
+    if (result % CheckpointInterval == 0)
+      try writeCheckpoint(fs, tablePath, result)
+      catch { case scala.util.control.NonFatal(_) => () }
+    result
+  }
+
+  final class ConstraintViolation(msg: String) extends RuntimeException(msg)
+
+  /** ADD a named CHECK constraint (a SQL boolean expression over the
+    * table's columns) — the data-quality gate of the public
+    * lake-table recipe, and exactly what a training-data pipeline
+    * wants at the sink: malformed rows fail the WRITE, loudly, instead
+    * of poisoning 100 TB of downstream state. Existing data is
+    * validated first (adding a constraint the table already violates
+    * is an error); from then on every append/overwrite/update batch is
+    * checked against all constraints before its commit is claimed —
+    * one column-pruned scan of the STAGED batch, never of the table.
+    * SQL NULL semantics: a row passes unless the expression is
+    * literally FALSE. The constraint set is a table property: it
+    * survives overwrite, folds through checkpoints, and changes only
+    * via add/drop commits (`action=setconstraint`, metadata-only).
+    */
+  def addConstraint(spark: SparkSession, tablePath: String,
+      name: String, expression: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val fs = fileSystem(spark, tablePath)
+    val commits = committedVersions(fs, tablePath)
+    require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+    val st = replayState(fs, tablePath, commits.max, commits)
+    require(!st.constraints.contains(name),
+      s"constraint '$name' already exists (drop it first to replace)")
+    val snap = snapshot(fs, tablePath, Some(commits.max))
+    val df = buildFrame(spark, tablePath, snap.files, snap.schema)
+    val bad =
+      try df.filter(coalesce(expr(expression), lit(true)) === false)
+        .limit(1).collect()
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"constraint '$name' does not resolve against the table schema " +
+            s"[${snap.schema.toDDL}]: ${e.getMessage}", e)
+      }
+    if (bad.nonEmpty) throw new ConstraintViolation(
+      s"cannot add constraint '$name' CHECK ($expression): existing data " +
+        s"violates it, e.g. ${bad.head}")
+    metadataCommit(fs, tablePath, snap.schema.toDDL,
+      adds = Map(name -> expression), drops = Nil)
+  }
+
+  /** Drop a named constraint (metadata-only commit). */
+  def dropConstraint(spark: SparkSession, tablePath: String,
+      name: String): Long = {
+    val fs = fileSystem(spark, tablePath)
+    val commits = committedVersions(fs, tablePath)
+    require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+    val st = replayState(fs, tablePath, commits.max, commits)
+    require(st.constraints.contains(name),
+      s"no such constraint '$name'; have: ${st.constraints.keys.toSeq.sorted.mkString(", ")}")
+    metadataCommit(fs, tablePath, st.ddl.get, adds = Map.empty,
+      drops = Seq(name))
+  }
+
+  /** The table's active CHECK constraints, name → expression. */
+  def constraints(spark: SparkSession, tablePath: String): Map[String, String] = {
+    val fs = fileSystem(spark, tablePath)
+    val commits = committedVersions(fs, tablePath)
+    require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+    replayState(fs, tablePath, commits.max, commits).constraints
+  }
+
+  private def metadataCommit(fs: FileSystem, tablePath: String, ddl: String,
+      adds: Map[String, String], drops: Seq[String]): Long = {
+    var attempt = 0
+    var result = -1L
+    while (result < 0) {
+      attempt += 1
+      if (attempt > MaxCommitRetries) throw new IllegalStateException(
+        s"gave up after $MaxCommitRetries metadata-commit attempts on $tablePath")
+      val version = committedVersions(fs, tablePath).max + 1L
+      try {
+        claimCommit(fs, tablePath, version,
+          Commit("setconstraint", ddl, Nil,
+            constraintAdds = adds, constraintDrops = drops))
+        result = version
+      } catch { case _: CommitConflict => () }
+    }
+    result
+  }
+
   /** Bin-pack the current snapshot's small data files into fewer
     * large ones as ONE new version — contents identical, every prior
     * version still time-travelable (the replaced files stay
@@ -410,7 +531,8 @@ object TxLogTable {
     val inRange = commits.filter(v => v > fromExclusive && v <= toInclusive).sorted
     val deltas = inRange.flatMap { v =>
       val c = parseCommit(fs, tablePath, v)
-      if (c.action == "compact") None // physical rewrite: no logical change
+      if (c.action == "compact" || c.action == "setconstraint")
+        None // physical rewrite / metadata-only: no logical change
       else if (c.action == "append") {
         val snapSchema = StructType.fromDDL(c.schemaDdl)
         Some(buildFrame(spark, tablePath, c.files, snapSchema)
@@ -574,7 +696,9 @@ object TxLogTable {
       action: String, schemaDdl: String, files: Seq[String],
       txn: Option[(String, Long)] = None,
       stats: Map[String, Map[String, ColStats]] = Map.empty,
-      removes: Seq[String] = Seq.empty) {
+      removes: Seq[String] = Seq.empty,
+      constraintAdds: Map[String, String] = Map.empty,
+      constraintDrops: Seq[String] = Seq.empty) {
     def isOverwrite: Boolean = action == "overwrite"
   }
 
@@ -588,10 +712,11 @@ object TxLogTable {
     * deduplicated across a table rewrite).
     */
   private final case class State(files: Vector[String], ddl: Option[String],
-      stats: Map[String, Map[String, ColStats]], txns: Map[String, Long])
+      stats: Map[String, Map[String, ColStats]], txns: Map[String, Long],
+      constraints: Map[String, String] = Map.empty)
 
   private val EmptyState =
-    State(Vector.empty, None, Map.empty, Map.empty)
+    State(Vector.empty, None, Map.empty, Map.empty, Map.empty)
 
   /** State at `upTo`: newest readable checkpoint ≤ `upTo`, then
     * replay of the tail commits. Checkpoints are caches — any that
@@ -616,7 +741,10 @@ object TxLogTable {
         State(base ++ c.files, Some(c.schemaDdl), baseStats ++ c.stats,
           c.txn.foldLeft(st.txns) { case (m, (a, e)) =>
             m.updated(a, math.max(e, m.getOrElse(a, Long.MinValue)))
-          })
+          },
+          // constraints are table properties: they survive overwrite
+          // (like txn identities) and change only by add/drop commits
+          st.constraints ++ c.constraintAdds -- c.constraintDrops)
       }
   }
 
@@ -895,6 +1023,42 @@ object TxLogTable {
     val staged = fs.listStatus(staging)
       .map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
 
+    // CHECK constraints gate every data-changing commit (compaction
+    // rewrites rows that already passed). Validated against the
+    // STAGED parquet — one pruned re-read of the batch, no upstream
+    // recompute, and exactly the bytes that would land.
+    if (commitAction != "compact" && staged.nonEmpty) {
+      val cons = {
+        val commits0 = committedVersions(fs, tablePath)
+        if (commits0.isEmpty) Map.empty[String, String]
+        else replayState(fs, tablePath, commits0.max, commits0).constraints
+      }
+      if (cons.nonEmpty) {
+        import org.apache.spark.sql.functions.{coalesce, expr, lit}
+        val stagedDf = spark.read.schema(df.schema)
+          .parquet(staged.map(_.toString).toSeq: _*)
+        val broken = cons.toSeq.sortBy(_._1).iterator.flatMap { case (n, e) =>
+          val bad =
+            try stagedDf.filter(coalesce(expr(e), lit(true)) === false)
+              .limit(1).collect()
+            catch { case ex: org.apache.spark.sql.AnalysisException =>
+              fs.delete(staging, true)
+              throw new IllegalArgumentException(
+                s"batch schema [${df.schema.toDDL}] breaks constraint '$n' " +
+                  s"CHECK ($e): ${ex.getMessage} — drop the constraint or fix " +
+                  "the schema", ex)
+            }
+          bad.headOption.map(r => (n, e, r))
+        }.take(1).toSeq
+        broken.headOption.foreach { case (n, e, r) =>
+          fs.delete(staging, true)
+          throw new ConstraintViolation(
+            s"write to $tablePath rejected: row $r violates constraint " +
+              s"'$n' CHECK ($e)")
+        }
+      }
+    }
+
     // 2..3. move into data/ under a version-stamped name, then race
     // for the commit file; on a lost race re-claim under the next
     // version (our files are unreferenced until a commit names them,
@@ -1039,6 +1203,11 @@ object TxLogTable {
     }
     c.files.foreach(f => body.append("file=").append(f).append('\n'))
     c.removes.foreach(f => body.append("remove=").append(f).append('\n'))
+    for ((n, e) <- c.constraintAdds.toSeq.sortBy(_._1))
+      body.append("constraintAdd=").append(b64(n)).append('|')
+        .append(b64(e)).append('\n')
+    for (n <- c.constraintDrops.sorted)
+      body.append("constraintDrop=").append(b64(n)).append('\n')
     // one line per (file, column): stat=<file>|<colB64>|<kind>|<minB64>|<maxB64>
     // (file names are writer-generated uuid forms, never contain '|')
     for ((f, cols) <- c.stats.toSeq.sortBy(_._1);
@@ -1090,8 +1259,25 @@ object TxLogTable {
       files = lines.collect { case l if l.startsWith("file=") => l.substring(5) }.toSeq,
       txn = for { a <- opt("txnApp"); e <- opt("txnEpoch") } yield (a, e.toLong),
       stats = stats,
-      removes = lines.collect { case l if l.startsWith("remove=") => l.substring(7) }.toSeq)
+      removes = lines.collect { case l if l.startsWith("remove=") => l.substring(7) }.toSeq,
+      constraintAdds = lines.collect {
+        case l if l.startsWith("constraintAdd=") =>
+          l.substring(14).split('|') match {
+            case Array(n, e) => unb64(n) -> unb64(e)
+            case _ => throw new IllegalStateException(
+              s"corrupt commit $p: bad constraintAdd line")
+          }
+      }.toMap,
+      constraintDrops = lines.collect {
+        case l if l.startsWith("constraintDrop=") => unb64(l.substring(15))
+      }.toSeq)
   }
+
+  private def b64(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+
+  private def unb64(s: String): String =
+    new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
 
   // --------------------------------------------------------------
   // checkpoints — serialized State, same line format as commits plus
@@ -1139,6 +1325,9 @@ object TxLogTable {
         .append(cs.kind).append('|').append(cs.min).append('|')
         .append(cs.max).append('\n')
     }
+    for ((n, e) <- st.constraints.toSeq.sortBy(_._1))
+      body.append("constraint=").append(b64(n)).append('|')
+        .append(b64(e)).append('\n')
     body.append("end=1\n")
     val tmp = new Path(logPath,
       s"tmp-${java.util.UUID.randomUUID()}.ckpt")
@@ -1188,7 +1377,13 @@ object TxLogTable {
     }.groupBy(_._1).map { case (f, xs) =>
       f -> xs.map(x => x._2 -> x._3).toMap
     }
-    State(files, ddl, stats, txns)
+    val constraints = lines.collect { case l if l.startsWith("constraint=") =>
+      l.substring(11).split('|') match {
+        case Array(n, e) => unb64(n) -> unb64(e)
+        case _ => throw new IllegalStateException("bad constraint line")
+      }
+    }.toMap
+    State(files, ddl, stats, txns, constraints)
   }.toOption
 
   private def commitName(version: Long): String = f"$version%020d.txt"

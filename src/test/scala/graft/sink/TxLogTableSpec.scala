@@ -564,6 +564,94 @@ class TxLogTableSpec extends SparkSpec {
       Seq("id", "v"))
   }
 
+  test("restore rolls back metadata-only: old files re-referenced, nothing moves") {
+    val t = freshTable()
+    val v1 = TxLogTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), t)
+    val v2 = TxLogTable.overwrite(Seq((3L, "c")).toDF("id", "v").coalesce(1), t)
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFilesBefore = fs.listStatus(new Path(t, "data")).map(_.getPath.getName).toSet
+    val v3 = TxLogTable.restore(spark, t, v1)
+    assert(v3 === v2 + 1)
+    assert(rows(TxLogTable.read(spark, t)) === Set((1L, "a"), (2L, "b")))
+    assert(fs.listStatus(new Path(t, "data")).map(_.getPath.getName).toSet ===
+      dataFilesBefore, "restore must not write, copy, or remove any data file")
+    assert(rows(TxLogTable.read(spark, t, Some(v2))) === Set((3L, "c")),
+      "the rolled-back version stays time-travelable")
+    // restore-to-current is a no-op; restore of a missing version fails
+    assert(TxLogTable.restore(spark, t, v3) === v3)
+    intercept[IllegalArgumentException] { TxLogTable.restore(spark, t, 99L) }
+    // the change feed shows the restore as its logical diff
+    val feed = TxLogTable.changes(spark, t, v2, v3)
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed === Set((3L, "c", "delete"),
+      (1L, "a", "insert"), (2L, "b", "insert")))
+    // stats ride along: pruning still skips after a restore
+    val t2 = freshTable()
+    (0 until 3).foreach { i =>
+      TxLogTable.append((i * 10 until i * 10 + 10).map(k => (k.toLong, s"x$k"))
+        .toDF("id", "v").coalesce(1), t2)
+    }
+    TxLogTable.overwrite(Seq((99L, "z")).toDF("id", "v").coalesce(1), t2)
+    TxLogTable.restore(spark, t2, 3L)
+    assert(TxLogTable.candidateFiles(spark, t2, "id",
+      lower = Some(25L), upper = Some(27L)).size === 1,
+      "restored stats must still prune to the one covering file")
+  }
+
+  test("CHECK constraints gate every write; NULL passes; survive overwrite and checkpoints") {
+    val t = freshTable()
+    TxLogTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), t)
+    // adding a constraint existing data violates is rejected
+    intercept[TxLogTable.ConstraintViolation] {
+      TxLogTable.addConstraint(spark, t, "big_ids", "id > 1")
+    }
+    // a non-resolving expression is rejected with guidance
+    intercept[IllegalArgumentException] {
+      TxLogTable.addConstraint(spark, t, "nope", "no_such_col > 0")
+    }
+    TxLogTable.addConstraint(spark, t, "pos_id", "id > 0")
+    TxLogTable.addConstraint(spark, t, "v_len", "length(v) <= 3")
+    assert(TxLogTable.constraints(spark, t).keySet === Set("pos_id", "v_len"))
+    // violating append fails BEFORE any commit lands; table unchanged
+    val before = TxLogTable.versions(spark, t).max
+    intercept[TxLogTable.ConstraintViolation] {
+      TxLogTable.append(Seq((-5L, "x")).toDF("id", "v").coalesce(1), t)
+    }
+    intercept[TxLogTable.ConstraintViolation] {
+      TxLogTable.append(Seq((9L, "toolong")).toDF("id", "v").coalesce(1), t)
+    }
+    assert(TxLogTable.versions(spark, t).max === before)
+    assert(rows(TxLogTable.read(spark, t)) === Set((1L, "a"), (2L, "b")))
+    // UPDATE that would break a constraint is rejected too
+    intercept[TxLogTable.ConstraintViolation] {
+      TxLogTable.update(spark, t, "id = 1", Map("id" -> "-id"))
+    }
+    // NULL result passes (SQL CHECK semantics): nullable column ok
+    TxLogTable.appendEvolve(Seq((3L, "c", null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "v", "extra").coalesce(1), t)
+    TxLogTable.addConstraint(spark, t, "extra_pos", "extra > 0")
+    TxLogTable.append(
+      Seq((4L, "d", null.asInstanceOf[java.lang.Long])).toDF("id", "v", "extra")
+        .coalesce(1), t) // extra IS NULL → passes
+    // constraints survive overwrite...
+    TxLogTable.overwrite(Seq((7L, "z", 1L)).toDF("id", "v", "extra").coalesce(1), t)
+    assert(TxLogTable.constraints(spark, t).keySet ===
+      Set("pos_id", "v_len", "extra_pos"))
+    // ...and a checkpoint (force one, then enforcement must still hold)
+    TxLogTable.checkpoint(spark, t)
+    intercept[TxLogTable.ConstraintViolation] {
+      TxLogTable.append(Seq((-1L, "y", 2L)).toDF("id", "v", "extra"), t)
+    }
+    // drop lifts the gate
+    TxLogTable.dropConstraint(spark, t, "pos_id")
+    TxLogTable.append(Seq((-1L, "y", 2L)).toDF("id", "v", "extra").coalesce(1), t)
+    assert(TxLogTable.read(spark, t).count() === 2L)
+    intercept[IllegalArgumentException] {
+      TxLogTable.dropConstraint(spark, t, "pos_id") // already gone
+    }
+  }
+
   test("deleting every row of every file leaves an empty, readable table") {
     val t = freshTable()
     TxLogTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), t)
