@@ -982,10 +982,42 @@ object TxLogTable {
           }
         }
       }
+      // the file's exact row count rides along as a reserved
+      // pseudo-column — footer metadata the write already produced.
+      // "rows" is not a prunable kind (mayIntersect's unknown-kind
+      // default keeps any real column named like this conservative),
+      // and it powers metadata-only COUNT(*) ([[fastCount]]).
+      val rows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
       (acc -- poisoned).map { case (col, (k, mn, mx)) =>
         col -> ColStats(k, enc(mn), enc(mx))
-      }.toMap
+      }.toMap + (RowCountStat -> ColStats("rows",
+        enc(rows.toString), enc(rows.toString)))
     } finally reader.close()
+  }
+
+  /** Reserved stats key carrying a file's exact row count. */
+  private val RowCountStat = "__graft_rows"
+
+  /** COUNT(*) at a version from COMMIT METADATA alone when every live
+    * file carries a recorded row count (any write since the stat was
+    * introduced) — zero data I/O, the lake-table answer to "how many
+    * rows is this 100 TB table". Falls back to an actual (columnless,
+    * parquet-footer-driven) count over exactly the files lacking the
+    * stat, so the result is always exact.
+    */
+  def fastCount(spark: SparkSession, tablePath: String,
+      asOfVersion: Option[Long] = None): Long = {
+    val snap = snapshot(fileSystem(spark, tablePath), tablePath, asOfVersion)
+    val (counted, uncounted) = snap.files.partition(f =>
+      snap.stats.get(f).exists(_.contains(RowCountStat)))
+    val fromStats = counted.iterator.map { f =>
+      new String(Base64.getDecoder.decode(
+        snap.stats(f)(RowCountStat).min), StandardCharsets.UTF_8).toLong
+    }.sum
+    val fromData =
+      if (uncounted.isEmpty) 0L
+      else buildFrame(spark, tablePath, uncounted, snap.schema).count()
+    fromStats + fromData
   }
 
   /** Highest committed epoch for `appId`, if any commit carries it

@@ -652,6 +652,23 @@ class TxLogTableSpec extends SparkSpec {
     }
   }
 
+  test("fastCount answers COUNT(*) from commit metadata and tracks DML exactly") {
+    val t = freshTable()
+    TxLogTable.append((1L to 100L).map(k => (k, s"v$k")).toDF("id", "v")
+      .repartition(3), t)
+    assert(TxLogTable.fastCount(spark, t) === 100L)
+    TxLogTable.append((101L to 130L).map(k => (k, s"v$k")).toDF("id", "v")
+      .coalesce(1), t)
+    assert(TxLogTable.fastCount(spark, t) === 130L)
+    TxLogTable.delete(spark, t, "id % 10 = 0")
+    assert(TxLogTable.fastCount(spark, t) === 117L)
+    assert(TxLogTable.fastCount(spark, t) === TxLogTable.read(spark, t).count())
+    TxLogTable.compact(spark, t, smallFileBytes = 1L << 20,
+      targetFileBytes = 1L << 20)
+    assert(TxLogTable.fastCount(spark, t) === 117L, "compaction preserves count")
+    assert(TxLogTable.fastCount(spark, t, Some(1L)) === 100L, "time travel counts")
+  }
+
   test("deleting every row of every file leaves an empty, readable table") {
     val t = freshTable()
     TxLogTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), t)
