@@ -380,7 +380,8 @@ object TxLogTable {
       targetFileBytes: Long = 128L * 1024 * 1024,
       clusterBy: Option[String] = None,
       zOrderBy: Option[(String, String)] = None,
-      zBits: Int = 20): Long = {
+      zBits: Int = 20,
+      onlyWhere: Option[(String, Option[Any], Option[Any])] = None): Long = {
     require(clusterBy.isEmpty || zOrderBy.isEmpty,
       "clusterBy and zOrderBy are mutually exclusive")
     val fs = fileSystem(spark, tablePath)
@@ -389,7 +390,18 @@ object TxLogTable {
     val base = commits.max
     val snap = snapshot(fs, tablePath, Some(base))
     val dataPath = new Path(tablePath, DataDir)
-    val small = snap.files
+    // `onlyWhere` scopes maintenance to the files whose committed
+    // stats may intersect [lower, upper] on a column — the
+    // OPTIMIZE-WHERE shape: on a date-clustered 100 TB table, daily
+    // maintenance touches the hot tail's files, not the table's.
+    // Conservative like all pruning here (stats-less files qualify),
+    // which only ever widens the rewrite, never corrupts it.
+    val inScope: Seq[String] = onlyWhere match {
+      case None => snap.files
+      case Some((column, lower, upper)) =>
+        pruneFiles(snap, column, lower, upper)
+    }
+    val small = inScope
       .map(f => f -> fs.getFileStatus(new Path(dataPath, f)).getLen)
       .filter(_._2 < smallFileBytes)
     if (small.size < 2) return base

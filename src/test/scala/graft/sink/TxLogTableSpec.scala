@@ -652,6 +652,32 @@ class TxLogTableSpec extends SparkSpec {
     }
   }
 
+  test("scoped compaction (onlyWhere) rewrites the hot range's files only") {
+    val t = freshTable()
+    // three clustered appends: key bands [0,10), [100,110), [200,210)
+    for (b <- Seq(0L, 100L, 200L))
+      TxLogTable.append((b until b + 10).map(k => (k, s"v$k")).toDF("id", "v")
+        .repartitionByRange(2, $"id"), t)
+    val before = liveFiles(t)
+    assert(before.size === 6, "premise: 2 files per band")
+    val v = TxLogTable.compact(spark, t,
+      smallFileBytes = 1L << 20, targetFileBytes = 1L << 20,
+      onlyWhere = Some(("id", Some(100L), Some(110L))))
+    assert(v > 3L, "scoped compaction must commit")
+    val after = liveFiles(t)
+    val untouchedBands = before.filter { f =>
+      val ids = spark.read.parquet(s"$t/data/$f").select("id")
+        .collect().map(_.getLong(0))
+      ids.forall(i => i < 100 || i >= 200)
+    }
+    assert((untouchedBands -- after).isEmpty,
+      "files outside the scoped range must survive untouched")
+    assert(after.size === untouchedBands.size + 1,
+      "the hot band's two files must collapse into one")
+    assert(rows(TxLogTable.read(spark, t)).map(_._1) ===
+      (0L until 10L).toSet ++ (100L until 110L) ++ (200L until 210L))
+  }
+
   test("fastCount answers COUNT(*) from commit metadata and tracks DML exactly") {
     val t = freshTable()
     TxLogTable.append((1L to 100L).map(k => (k, s"v$k")).toDF("id", "v")
