@@ -172,8 +172,16 @@ object TxLogTable {
     if (touched.isEmpty) return base
     val kept = buildFrame(spark, tablePath, touched, snap.schema)
       .filter(not(expr(predicate)))
-    write(kept, tablePath, overwrite = false, txn = None,
+    val v = write(kept, tablePath, overwrite = false, txn = None,
       removes = touched, actionOverride = Some("rewrite"))
+    // persist the exact logical diff as a change-feed cache: the
+    // deleted rows are precisely the touched rows matching the
+    // predicate — O(touched files), no snapshot diff ever needed
+    writeCdfCache(spark, tablePath, v,
+      buildFrame(spark, tablePath, touched, snap.schema)
+        .filter(expr(predicate))
+        .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")))
+    v
   }
 
   /** Row-level UPDATE SET ... WHERE `where`, copy-on-write with the
@@ -215,8 +223,41 @@ object TxLogTable {
     }
     val rewritten = buildFrame(spark, tablePath, touched, snap.schema)
       .select(cols: _*)
-    write(rewritten, tablePath, overwrite = false, txn = None,
+    val v = write(rewritten, tablePath, overwrite = false, txn = None,
       removes = touched, actionOverride = Some("rewrite"))
+    // change-feed cache: old/new images of the matched rows, with
+    // no-op assignments cancelled via multiset difference so the
+    // cached feed is EXACTLY the snapshot diff ((untouched ∪ old) \
+    // (untouched ∪ new) = old \ new, multisets) — O(touched files)
+    val matchedOld = buildFrame(spark, tablePath, touched, snap.schema)
+      .filter(expr(where))
+    val matchedNew = matchedOld.select(cols: _*)
+    writeCdfCache(spark, tablePath, v, {
+      import org.apache.spark.sql.functions.lit
+      matchedOld.exceptAll(matchedNew).withColumn("_change_type", lit("delete"))
+        .unionAll(matchedNew.exceptAll(matchedOld)
+          .withColumn("_change_type", lit("insert")))
+    })
+    v
+  }
+
+  /** Best-effort persistence of a rewrite commit's logical diff under
+    * `_cdf/<version>/` — a pure CACHE for [[changes]]: present and
+    * complete (parquet `_SUCCESS`), it serves the feed in O(diff);
+    * missing or torn (crash between commit and cache), [[changes]]
+    * falls back to the snapshot diff and the answer is identical.
+    */
+  private def writeCdfCache(spark: SparkSession, tablePath: String,
+      version: Long, diff: DataFrame): Unit =
+    try diff.write.parquet(s"$tablePath/$CdfDir/$version")
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  private val CdfDir = "_cdf"
+
+  private[graft] def cdfCached(spark: SparkSession, tablePath: String,
+      version: Long): Boolean = {
+    val fs = fileSystem(spark, tablePath)
+    fs.exists(new Path(s"$tablePath/$CdfDir/$version/_SUCCESS"))
   }
 
   /** RESTORE the table to the contents of `toVersion`, committed as
@@ -545,7 +586,12 @@ object TxLogTable {
       val c = parseCommit(fs, tablePath, v)
       if (c.action == "compact" || c.action == "setconstraint")
         None // physical rewrite / metadata-only: no logical change
-      else if (c.action == "append") {
+      else if (c.action == "rewrite" && cdfCached(spark, tablePath, v)) {
+        // DML versions carry their exact diff as a write-time cache —
+        // serve the feed in O(diff) instead of a two-snapshot compare
+        Some(spark.read.parquet(s"$tablePath/$CdfDir/$v")
+          .withColumn("_commit_version", lit(v)))
+      } else if (c.action == "append") {
         val snapSchema = StructType.fromDDL(c.schemaDdl)
         Some(buildFrame(spark, tablePath, c.files, snapSchema)
           .withColumn("_change_type", lit("insert"))

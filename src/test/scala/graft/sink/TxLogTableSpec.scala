@@ -507,6 +507,28 @@ class TxLogTableSpec extends SparkSpec {
     assert(feed === Set((2L, "b", "delete", v2), (3L, "c", "delete", v2)))
   }
 
+  test("rewrite CDF cache serves the feed; a torn cache falls back identically") {
+    val t = freshTable()
+    TxLogTable.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1), t)
+    val v2 = TxLogTable.delete(spark, t, "id >= 2")
+    assert(TxLogTable.cdfCached(spark, t, v2), "delete must leave a CDF cache")
+    def feed(from: Long, to: Long) = TxLogTable.changes(spark, t, from, to)
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed(1L, v2) === Set((2L, "b", "delete"), (3L, "c", "delete")))
+    // a no-op assignment cancels in the cached diff (multiset except)
+    val v3 = TxLogTable.update(spark, t, "id = 1", Map("v" -> "v"))
+    assert(feed(v2, v3) === Set.empty, "identity update contributes no changes")
+    // tear the cache: the snapshot-diff fallback must answer identically
+    val v4 = TxLogTable.update(spark, t, "id = 1", Map("v" -> "upper(v)"))
+    val cached = feed(v3, v4)
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new Path(s"$t/_cdf/$v4/_SUCCESS"), false))
+    assert(!TxLogTable.cdfCached(spark, t, v4))
+    assert(feed(v3, v4) === cached, "torn cache must fall back, not corrupt")
+    assert(cached === Set((1L, "a", "delete"), (1L, "A", "insert")))
+  }
+
   test("update applies SET expressions to matching rows only, preserving types") {
     val t = freshTable()
     TxLogTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), t)
