@@ -23,4 +23,26 @@ object Layout {
       shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
         .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
     }.reduce(_ bitwiseOR _)
+
+  /** N-dimensional Morton interleave: bit i of column d (of n) lands
+    * at position `i * n + (n - 1 - d)`, so every dimension's low bits
+    * are equally significant and min/max file stats prune range
+    * predicates on ANY of the clustered columns. `bits * n` must fit
+    * a long (≤ 63); with k columns you get `floor(63 / k)` usable
+    * bits each — clustering degrades gracefully for wider values
+    * (pruning always reads real footer stats, so correctness never
+    * depends on the curve). Same codegen-friendly composition of bit
+    * built-ins as the 2-D form.
+    */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, s"zValueN wants >= 2 columns, got ${cols.size}")
+    require(bits * cols.size <= 63,
+      s"bits=$bits over ${cols.size} columns exceeds a long (max ${63 / cols.size})")
+    val n = cols.size
+    (for {
+      i <- 0 until bits
+      (c, d) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + (n - 1 - d)))
+      .reduce(_ bitwiseOR _)
+  }
 }

@@ -422,9 +422,10 @@ object TxLogTable {
       clusterBy: Option[String] = None,
       zOrderBy: Option[(String, String)] = None,
       zBits: Int = 20,
-      onlyWhere: Option[(String, Option[Any], Option[Any])] = None): Long = {
-    require(clusterBy.isEmpty || zOrderBy.isEmpty,
-      "clusterBy and zOrderBy are mutually exclusive")
+      onlyWhere: Option[(String, Option[Any], Option[Any])] = None,
+      zOrderCols: Option[Seq[String]] = None): Long = {
+    require(Seq(clusterBy, zOrderBy, zOrderCols).count(_.isDefined) <= 1,
+      "clusterBy, zOrderBy and zOrderCols are mutually exclusive")
     val fs = fileSystem(spark, tablePath)
     val commits = committedVersions(fs, tablePath)
     require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
@@ -450,18 +451,23 @@ object TxLogTable {
       (small.map(_._2).sum + targetFileBytes - 1) / targetFileBytes).toInt
     val df = buildFrame(spark, tablePath, small.map(_._1), snap.schema)
     import org.apache.spark.sql.functions.col
-    val arranged = (clusterBy, zOrderBy) match {
-      case (Some(c), _) => df.repartitionByRange(nOut, col(c))
-      case (_, Some((a, b))) =>
-        // range-partition AND sort within partitions along the curve:
-        // partitioning bounds the per-file z range, the sort keeps row
-        // groups tight inside each file; the helper column never
-        // reaches the committed schema (dropped before write)
-        val z = graft.ops.Layout.zValue(col(a), col(b), zBits)
-        df.withColumn("__graft_z", z)
-          .repartitionByRange(nOut, col("__graft_z"))
-          .sortWithinPartitions("__graft_z")
-          .drop("__graft_z")
+    // range-partition AND sort within partitions along the curve:
+    // partitioning bounds the per-file z range, the sort keeps row
+    // groups tight inside each file; the helper column never
+    // reaches the committed schema (dropped before write)
+    def alongCurve(z: org.apache.spark.sql.Column) =
+      df.withColumn("__graft_z", z)
+        .repartitionByRange(nOut, col("__graft_z"))
+        .sortWithinPartitions("__graft_z")
+        .drop("__graft_z")
+    val arranged = (clusterBy, zOrderBy, zOrderCols) match {
+      case (Some(c), _, _) => df.repartitionByRange(nOut, col(c))
+      case (_, Some((a, b)), _) =>
+        alongCurve(graft.ops.Layout.zValue(col(a), col(b), zBits))
+      case (_, _, Some(cs)) =>
+        // N-dim curve: zBits is capped so the interleave fits a long
+        val bits = math.min(zBits, 63 / cs.size)
+        alongCurve(graft.ops.Layout.zValueN(cs.map(col), bits))
       case _ => df.coalesce(nOut)
     }
     write(arranged, tablePath, overwrite = false, txn = None,
@@ -719,16 +725,31 @@ object TxLogTable {
       checkpointVersions(fs, tablePath)
         .flatMap(v => loadCheckpoint(fs, tablePath, v).toSeq.flatMap(_.files))
       ).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    // CDF caches of versions whose commit has expired (log retention)
+    // serve no reader — changes() requires the commit to exist — so
+    // they are reclaimable metadata, under the same safety window
+    val commits = committedVersions(fs, tablePath).toSet
+    val cdfRoot = new Path(tablePath, CdfDir)
+    val cdfGone =
+      if (!fs.exists(cdfRoot)) 0
+      else {
+        val dead = fs.listStatus(cdfRoot).filter { st =>
+          st.getPath.getName.toLongOption.exists(!commits.contains(_)) &&
+            st.getModificationTime <= cutoff
+        }.map(_.getPath)
+        dead.foreach(fs.delete(_, true))
+        dead.length
+      }
     val dataPath = new Path(tablePath, DataDir)
-    if (!fs.exists(dataPath)) 0
+    if (!fs.exists(dataPath)) cdfGone
     else {
-      val cutoff = System.currentTimeMillis() - olderThanMillis
       val orphans = fs.listStatus(dataPath)
         .filter(st => !referenced.contains(st.getPath.getName) &&
           st.getModificationTime <= cutoff)
         .map(_.getPath)
       orphans.foreach(fs.delete(_, false))
-      orphans.length
+      orphans.length + cdfGone
     }
   }
 

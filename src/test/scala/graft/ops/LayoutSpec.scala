@@ -31,6 +31,55 @@ class LayoutSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).distinct.length === 4096)
   }
 
+  /** Driver-side N-dim Morton decode: inverse of Layout.zValueN. */
+  private def deinterleaveN(z: Long, n: Int, bits: Int): Seq[Long] =
+    (0 until n).map { d =>
+      (0 until bits).map(i => ((z >> (i * n + (n - 1 - d))) & 1L) << i)
+        .reduce(_ | _)
+    }
+
+  test("zValueN round-trips and is bijective on a 3-dim 4-bit grid") {
+    val grid = for (a <- 0L until 16L; b <- 0L until 16L; c <- 0L until 16L)
+      yield (a, b, c)
+    val rows = grid.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        Layout.zValueN(Seq(col("a"), col("b"), col("c")), 4).as("z"))
+      .collect()
+    assert(rows.length === 4096)
+    rows.foreach { r =>
+      val (a, b, c, z) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(z >= 0L && z < 4096L)
+      assert(deinterleaveN(z, 3, 4) === Seq(a, b, c),
+        s"z=$z does not decode to ($a,$b,$c)")
+    }
+    assert(rows.map(_.getLong(3)).distinct.length === 4096)
+  }
+
+  test("zValueN(2 dims) equals the dedicated 2-dim interleave") {
+    val grid = (for (a <- 0L until 32L; b <- 0L until 32L) yield (a, b)).toDF("a", "b")
+    val mismatches = grid.select(
+        Layout.zValue(col("a"), col("b"), 5).as("z2"),
+        Layout.zValueN(Seq(col("a"), col("b")), 5).as("zn"))
+      .filter(col("z2") =!= col("zn")).count()
+    assert(mismatches === 0L)
+  }
+
+  test("zValueN locality: an aligned segment bounds every dimension") {
+    // any aligned 512-value z segment covers a cube of at most 8^3
+    val rows = (for (a <- 0L until 16L; b <- 0L until 16L; c <- 0L until 16L)
+      yield (a, b, c)).toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        Layout.zValueN(Seq(col("a"), col("b"), col("c")), 4).as("z"))
+      .collect().map(r => (r.getLong(3) >> 9, r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (seg, cells) =>
+      for ((get, dim) <- Seq[((Long, Long, Long, Long)) => Long](_._2, _._3, _._4)
+          .zip(Seq("a", "b", "c"))) {
+        val vs = cells.map(get)
+        assert(vs.max - vs.min <= 7, s"segment $seg spans $dim ${vs.min}..${vs.max}")
+      }
+    }
+  }
+
   test("curve locality: one z-range segment bounds both dimensions") {
     // any aligned 64-value z segment (one q98 zbucket) covers a
     // rectangle of at most 8×8 in (a, b) space — the pruning property

@@ -334,6 +334,30 @@ class TxLogTableSpec extends SparkSpec {
       "helper z column must not leak into the table")
   }
 
+  test("3-column z-order compact prunes on every clustered dimension") {
+    val t = freshTable()
+    // 16^3 cube in 4 interleaved chunks: every file spans all dims
+    val cube = for { a <- 0 until 16; b <- 0 until 16; c <- 0 until 16 }
+      yield (a.toLong, b.toLong, c.toLong)
+    for (i <- 0 until 4)
+      TxLogTable.append(
+        cube.filter { case (a, b, c) => (a + b + c) % 4 == i }
+          .toDF("a", "b", "c").coalesce(1), t)
+    for (d <- Seq("a", "b", "c"))
+      assert(TxLogTable.candidateFiles(spark, t, d, lower = Some(14L)).size === 4)
+    val before = TxLogTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    TxLogTable.compact(spark, t, targetFileBytes = 400L,
+      zOrderCols = Some(Seq("a", "b", "c")), zBits = 20) // capped to 63/3
+    val all = TxLogTable.candidateFiles(spark, t, "a")
+    assert(all.size >= 6, "several output files expected")
+    for (d <- Seq("a", "b", "c"))
+      assert(TxLogTable.candidateFiles(spark, t, d, lower = Some(14L)).size < all.size,
+        s"3-dim z-order must prune on $d")
+    assert(TxLogTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === before)
+  }
+
   test("compact is a no-op below two small files and skips big files") {
     val t = freshTable()
     TxLogTable.append(Seq((1L, "a")).toDF("id", "v").coalesce(1), t)
