@@ -301,6 +301,53 @@ object Extras22 {
               SELECT 3, COUNT(*), CAST(SUM(bal_c) AS BIGINT), MIN(nat) FROM b
               ORDER BY version""")),
 
+    // Incremental dedup-index maintenance: the MinHash signature
+    // index over a TxLog corpus follows the table through the change
+    // feed at O(changed docs) — new crawl docs are hashed and
+    // upserted, taken-down docs drop out, and NO unchanged document
+    // is ever re-tokenized. At 100 TB re-hashing the corpus per
+    // refresh is the cost that kills naive dedup pipelines; this is
+    // the signature-index analog of q235's matview. The maintained
+    // index is hash-compared against a from-scratch recompute over
+    // the final corpus state (the oracle's own minhash algebra).
+    QueryDef("q241_incremental_lsh_index",
+      (s, d) => {
+        val t = java.nio.file.Files.createTempDirectory("graft_lshidx")
+          .resolve("docs").toString
+        val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+        graft.sink.TxLogTable.append(
+          docs.filter(col("doc_id") % 4 =!= 0).repartition(2), t) // v1: corpus
+        val idx0 = graft.ops.Dedup.minhashSignatures(
+          graft.sink.TxLogTable.read(s, t, Some(1L)),
+          "doc_id", split(col("text"), " "), 4)
+        graft.sink.TxLogTable.append(
+          docs.filter(col("doc_id") % 4 === 0).repartition(2), t) // v2: new crawl
+        val v3 = graft.sink.TxLogTable.delete(s, t, "doc_id % 7 = 0") // takedowns
+        val feed = graft.sink.TxLogTable.changes(s, t, 1L, v3)
+        // last action per doc decides membership (insert-then-delete nets out)
+        val lastAct = feed
+          .groupBy("doc_id")
+          .agg(max(struct(col("_commit_version"), col("_change_type")))
+            .getField("_change_type").as("last_act"))
+        val liveInserts = feed.filter(col("_change_type") === "insert")
+          .join(lastAct.filter(col("last_act") === "insert"), Seq("doc_id"))
+          .select("doc_id", "text")
+        graft.ops.Dedup.minhashSignatures(
+            liveInserts, "doc_id", split(col("text"), " "), 4)
+          .unionByName(
+            idx0.join(feed.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH live AS (SELECT doc_id, text FROM documents
+                            WHERE doc_id % 7 <> 0),
+                   dw AS (SELECT DISTINCT doc_id, w FROM
+                          (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                           FROM live) raw)
+              SELECT doc_id,
+                MIN(md5('0:' || w)) AS mh0, MIN(md5('1:' || w)) AS mh1,
+                MIN(md5('2:' || w)) AS mh2, MIN(md5('3:' || w)) AS mh3
+              FROM dw GROUP BY doc_id ORDER BY doc_id""")),
+
     // CHECK constraints as the sink's data-quality gate: two
     // constraints are added after a clean first batch; a corrupted
     // batch (negated prices) is REJECTED atomically — no partial

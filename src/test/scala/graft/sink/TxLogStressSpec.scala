@@ -82,4 +82,66 @@ class TxLogStressSpec extends SparkSpec {
         TxLogTable.read(spark, t, Some(v)).collect() // must not throw
     }
   }
+
+  test("row-level DML racing appends, compaction and vacuum converges per-writer") {
+    // each writer owns a disjoint id space and applies a sequential
+    // program to it: append e=1..5, DELETE its e=2 row mid-stream,
+    // UPDATE its e=4 row at the end. Cross-writer races only decide
+    // COMMIT ORDER; a delete/update losing its copy-on-write race to
+    // a concurrent compaction aborts cleanly and is retried — never
+    // committing stale data. Expected final state is therefore the
+    // per-writer sequential result, regardless of interleaving.
+    for (seed <- Seq(7, 23)) {
+      val t = freshTable()
+      val nWriters = 3
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      def batch(app: Int, e: Int) =
+        Seq((app * 1000L + e, s"w$app-e$e")).toDF("id", "v").coalesce(1)
+      def retryRewrite(op: () => Long, what: String): Unit = {
+        var done = false
+        var tries = 0
+        while (!done) {
+          tries += 1
+          if (tries > 25) throw new IllegalStateException(s"$what kept conflicting")
+          try { op(); done = true }
+          catch { case _: IllegalStateException => Thread.sleep(10) }
+        }
+      }
+      val threads = (1 to nWriters).map { app =>
+        new Thread(() => {
+          val rnd = new scala.util.Random(seed * 10 + app)
+          try {
+            for (e <- 1 to 5) {
+              TxLogTable.append(batch(app, e), t, txn = Some((s"dml$app", e.toLong)))
+              if (e == 3) retryRewrite(
+                () => TxLogTable.delete(spark, t, s"id = ${app * 1000 + 2}"),
+                s"delete w$app")
+              if (rnd.nextInt(3) == 0)
+                try TxLogTable.compact(spark, t,
+                  smallFileBytes = 1L << 20, targetFileBytes = 1L << 20)
+                catch { case _: IllegalStateException => () }
+              if (rnd.nextInt(4) == 0) TxLogTable.vacuum(spark, t)
+            }
+            retryRewrite(
+              () => TxLogTable.update(spark, t, s"id = ${app * 1000 + 4}",
+                Map("v" -> "upper(v)")),
+              s"update w$app")
+          } catch { case th: Throwable => errors.add(th) }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(errors.isEmpty,
+        s"seed=$seed writer errors: ${errors.asScala.map(_.toString).mkString("; ")}")
+      val want = (for (a <- 1 to nWriters; e <- Seq(1, 3, 4, 5)) yield {
+        val v = s"w$a-e$e"
+        (a * 1000L + e, if (e == 4) v.toUpperCase else v)
+      }).toSet
+      assert(rows(TxLogTable.read(spark, t)) === want, s"seed=$seed final contents")
+      TxLogTable.vacuum(spark, t, olderThanMillis = 0L)
+      assert(rows(TxLogTable.read(spark, t)) === want, s"seed=$seed post-vacuum")
+      for (v <- TxLogTable.versions(spark, t))
+        TxLogTable.read(spark, t, Some(v)).collect() // history stays readable
+    }
+  }
 }
