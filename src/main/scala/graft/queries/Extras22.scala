@@ -348,6 +348,34 @@ object Extras22 {
                 MIN(md5('2:' || w)) AS mh2, MIN(md5('3:' || w)) AS mh3
               FROM dw GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Semi-structured processing through Spark 4's VARIANT type:
+    // `parse_json` decodes the JSON props column ONCE into the binary
+    // variant encoding, and every subsequent `variant_get` is a typed
+    // path read — at 100 TB this replaces per-access string
+    // re-parsing (q26's get_json_object shape) with a decode-once
+    // format, the open-lakehouse answer to JSON columns. Typed
+    // extraction, null-path handling and aggregation all ride the
+    // variant; the oracle re-derives the same facts with DuckDB's
+    // JSON functions.
+    QueryDef("q242_variant_props",
+      (s, d) => table(s, d, "events")
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k"),
+          expr("variant_get(v, '$.tag', 'string')").as("tag"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(col("k")).as("n_k"),
+          sum(col("k")).as("sum_k"),
+          countDistinct(col("tag")).as("n_tags"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+                     COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+                     CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                       AS sum_k,
+                     COUNT(DISTINCT json_extract_string(props, '$.tag')) AS n_tags
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // CHECK constraints as the sink's data-quality gate: two
     // constraints are added after a clean first batch; a corrupted
     // batch (negated prices) is REJECTED atomically — no partial
