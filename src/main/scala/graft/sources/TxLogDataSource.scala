@@ -8,9 +8,9 @@ import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.graftshim
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.types._
 
 import graft.sink.TxLogTable
@@ -49,9 +49,42 @@ import graft.sink.TxLogTable
   */
 final class TxLogDataSource extends RelationProvider
     with CreatableRelationProvider with StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-txlog"
+
+  /** `df.writeStream.format("graft-txlog")` — the sink half of the
+    * lakehouse loop as a FORMAT (the library form is
+    * `StreamingOps.txLogSink`): each micro-batch appends as one
+    * transactional commit carrying `(queryName|queryId, batchId)` as
+    * its txn identity, so a batch re-delivered after a crash/restart
+    * is a no-op and table contents are exactly-once over
+    * at-least-once delivery. `option("txnApp", …)` pins the identity
+    * explicitly (recommended — survives checkpoint re-creation);
+    * otherwise the checkpoint's queryId is used.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-txlog sink does not take partitionBy (cluster via compact)")
+    val path = TxLogDataSource.pathOf(parameters)
+    val app = parameters.get("txnApp")
+    new Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        // the incoming frame is streaming-tagged; commit its rows
+        // through the normal batch writer under the txn identity
+        val rows = data.queryExecution.toRdd
+        val schema = data.schema
+        val spark = data.sparkSession
+        val batchDf = graftshim.ColumnShim.internalCreateDataFrame(
+          spark, rows, schema)
+        TxLogTable.append(batchDf, path,
+          txn = Some((app.getOrElse(s"graft-txlog-sink"), batchId)))
+      }
+      override def toString: String = s"TxLogSink[$path]"
+    }
+  }
 
   // ---- streaming read: commits become micro-batches ---------------
 

@@ -26,6 +26,19 @@ object ColumnShim {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Build a batch DataFrame from raw InternalRows (private[sql]
+    * `internalCreateDataFrame`) — the standard Sink.addBatch bridge:
+    * a streaming-tagged micro-batch frame cannot be re-planned for a
+    * batch write, but its executed rows can be re-wrapped.
+    */
+  def internalCreateDataFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rows, schema, isStreaming = false)
+
   /** Register a function on an EXISTING session's registry (the
     * extensions path only applies when a brand-new session is built).
     */

@@ -104,6 +104,43 @@ class TxLogStreamSourceSpec extends SparkSpec {
     } finally writeQ.stop()
   }
 
+  test("writeStream.format(graft-txlog) commits micro-batches exactly once") {
+    val tmp = Files.createTempDirectory("graft-fmtsink")
+    val table = tmp.resolve("t").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    implicit val sc = spark.sqlContext
+    val producer = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.Tick]
+    def start() = producer.toDF().writeStream
+      .format("graft-txlog")
+      .option("path", table)
+      .option("txnApp", "fmtsinkq")
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q1 = start()
+    try {
+      producer.addData(Tick(1L, "a"), Tick(2L, "b"))
+      q1.processAllAvailable()
+      producer.addData(Tick(3L, "c"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    def contents() = TxLogTable.read(spark, table)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(contents() === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // restart on the same checkpoint: re-delivered batches are txn
+    // no-ops; only genuinely new data lands
+    val q2 = start()
+    try {
+      producer.addData(Tick(4L, "d"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(contents() === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    val appends = TxLogTable.history(spark, table)
+      .filter($"action" === "append").count()
+    assert(appends === TxLogTable.versions(spark, table).size.toLong,
+      "every committed version must be a distinct txn append")
+  }
+
   test("a row-level delete fails the append-only stream unless ignoreDeletes is set") {
     val tmp = Files.createTempDirectory("graft-txguard")
     val table = tmp.resolve("t").toString
