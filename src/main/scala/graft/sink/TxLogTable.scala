@@ -128,16 +128,53 @@ object TxLogTable {
   def overwrite(df: DataFrame, tablePath: String): Long =
     write(df, tablePath, overwrite = true, None)
 
-  /** MERGE INTO the table: read the latest snapshot, apply `updates`
-    * with [[graft.ops.Merge.upsert]] semantics (matched keys replaced
-    * wholesale, unmatched appended), and commit the result as one new
-    * overwrite version. Readers of prior versions are unaffected —
-    * the copy-on-write MERGE shape. Returns the committed version.
+  /** MERGE INTO the table ([[graft.ops.Merge.upsert]] semantics:
+    * matched keys replaced wholesale, unmatched appended) as a KEYED
+    * copy-on-write rewrite: one column-pruned semi-join scan finds
+    * the files that contain a matched key, only those are rewritten
+    * (their unmatched rows carried over), and the update batch lands
+    * alongside — cost is O(touched files + batch), never O(table).
+    * On a key-clustered 100 TB table a CDC upsert therefore touches
+    * the keys' files, which is the entire point of MERGE INTO. The
+    * update source is pinned once (`localCheckpoint`) since it feeds
+    * the probe, the rewrite and the change-feed cache — the same
+    * source-materialization contract as the public MERGE recipes.
+    * Commits as `action=rewrite` with a write-time CDF cache (exact
+    * delete/insert diff, no-op replacements cancelled). The batch
+    * must carry the table's columns; schema evolution goes through
+    * [[overwrite]]/[[appendEvolve]]. Returns the committed version.
     */
   def merge(spark: SparkSession, tablePath: String,
       updates: DataFrame, key: String): Long = {
-    val current = read(spark, tablePath)
-    overwrite(graft.ops.Merge.upsert(current, updates, key), tablePath)
+    import org.apache.spark.sql.functions.{col, input_file_name, lit}
+    val fs = fileSystem(spark, tablePath)
+    val commits = committedVersions(fs, tablePath)
+    require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+    val snap = snapshot(fs, tablePath, Some(commits.max))
+    val order = snap.schema.fieldNames.toSeq
+    val up = updates.localCheckpoint()
+    val batch = up.select(order.map(col): _*) // loud error on missing columns
+    if (snap.files.isEmpty)
+      return write(batch, tablePath, overwrite = false, txn = None)
+    val keys = up.select(col(key)).distinct()
+    val touched = buildFrame(spark, tablePath, snap.files, snap.schema)
+      .join(keys, Seq(key), "left_semi")
+      .select(input_file_name().as("__f")).distinct()
+      .collect() // bounded by file count
+      .map(r => new Path(r.getString(0)).getName).toSeq.sorted
+    val keptTouched = buildFrame(spark, tablePath, touched, snap.schema)
+      .join(keys, Seq(key), "left_anti")
+      .select(order.map(col): _*)
+    val v = write(keptTouched.unionAll(batch), tablePath, overwrite = false,
+      txn = None, removes = touched, actionOverride = Some("rewrite"))
+    val oldMatched = buildFrame(spark, tablePath, touched, snap.schema)
+      .join(keys, Seq(key), "left_semi")
+      .select(order.map(col): _*)
+    writeCdfCache(spark, tablePath, v,
+      oldMatched.exceptAll(batch).withColumn("_change_type", lit("delete"))
+        .unionAll(batch.exceptAll(oldMatched)
+          .withColumn("_change_type", lit("insert"))))
+    v
   }
 
   /** Row-level DELETE WHERE `predicate` (a SQL boolean expression

@@ -531,6 +531,34 @@ class TxLogTableSpec extends SparkSpec {
     assert(feed === Set((2L, "b", "delete", v2), (3L, "c", "delete", v2)))
   }
 
+  test("merge rewrites only files containing matched keys; unmatched keys append") {
+    val t = freshTable()
+    TxLogTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), t)
+    val v2 = TxLogTable.append(Seq((3L, "c"), (4L, "d")).toDF("id", "v").coalesce(1), t)
+    val untouched = liveFiles(t).filter { f =>
+      spark.read.parquet(s"$t/data/$f").filter($"id" <= 2L).count() > 0
+    }
+    val v3 = TxLogTable.merge(spark, t,
+      Seq((3L, "C"), (9L, "i")).toDF("id", "v"), "id")
+    assert(v3 === v2 + 1)
+    assert(rows(TxLogTable.read(spark, t)) ===
+      Set((1L, "a"), (2L, "b"), (3L, "C"), (4L, "d"), (9L, "i")))
+    assert((untouched -- liveFiles(t)).isEmpty,
+      "the file with no matched key must survive the merge untouched")
+    assert(TxLogTable.cdfCached(spark, t, v3), "merge leaves a CDF cache")
+    val feed = TxLogTable.changes(spark, t, v2, v3)
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed === Set((3L, "c", "delete"), (3L, "C", "insert"),
+      (9L, "i", "insert")))
+    // a merge whose keys match nothing is a pure append of the batch
+    val v4 = TxLogTable.merge(spark, t, Seq((50L, "z")).toDF("id", "v"), "id")
+    assert(rows(TxLogTable.read(spark, t)).contains((50L, "z")))
+    assert(rows(TxLogTable.read(spark, t, Some(v3))).size === 5,
+      "prior version unaffected")
+    assert(v4 === v3 + 1)
+  }
+
   test("rewrite CDF cache serves the feed; a torn cache falls back identically") {
     val t = freshTable()
     TxLogTable.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1), t)
