@@ -75,6 +75,16 @@ object ScaleProbe {
     val (_, tScatter) = timed(TxLogTable.delete(spark, t, "k % 1000 = 7"))
     results("delete_scattered") = tScatter
 
+    // keyed MERGE: upsert 2k existing keys + 1k new ones (CDC shape)
+    val (_, tMerge) = timed {
+      val upd = spark.range(0, 3000).selectExpr(
+        "CASE WHEN id < 2000 THEN id * 37 + 1 ELSE 200000000 + id END AS k",
+        "CAST(id % 1000 AS BIGINT) AS cust",
+        "'M' AS status", "id AS price_c", "DATE'1997-01-01' AS od")
+      TxLogTable.merge(spark, t, upd, "k")
+    }
+    results("merge_keyed") = tMerge
+
     // update a band
     val (vUpd, tUpdate) = timed {
       TxLogTable.update(spark, t,

@@ -116,6 +116,11 @@ class TxLogStressSpec extends SparkSpec {
               if (e == 3) retryRewrite(
                 () => TxLogTable.delete(spark, t, s"id = ${app * 1000 + 2}"),
                 s"delete w$app")
+              if (e == 4) retryRewrite(
+                () => TxLogTable.merge(spark, t,
+                  Seq((app * 1000L + 1, s"w$app-e1-merged"))
+                    .toDF("id", "v"), "id"),
+                s"merge w$app")
               if (rnd.nextInt(3) == 0)
                 try TxLogTable.compact(spark, t,
                   smallFileBytes = 1L << 20, targetFileBytes = 1L << 20)
@@ -134,8 +139,12 @@ class TxLogStressSpec extends SparkSpec {
       assert(errors.isEmpty,
         s"seed=$seed writer errors: ${errors.asScala.map(_.toString).mkString("; ")}")
       val want = (for (a <- 1 to nWriters; e <- Seq(1, 3, 4, 5)) yield {
-        val v = s"w$a-e$e"
-        (a * 1000L + e, if (e == 4) v.toUpperCase else v)
+        val v = e match {
+          case 1 => s"w$a-e1-merged" // keyed merge replaced e=1 wholesale
+          case 4 => s"w$a-e4".toUpperCase
+          case _ => s"w$a-e$e"
+        }
+        (a * 1000L + e, v)
       }).toSet
       assert(rows(TxLogTable.read(spark, t)) === want, s"seed=$seed final contents")
       TxLogTable.vacuum(spark, t, olderThanMillis = 0L)
