@@ -54,4 +54,29 @@ object Skew {
         sum(col("__n")).as("n"),
         sum(col("__s")).cast(DoubleType).as("sum_value"))
   }
+
+  /** Salted shuffle join for a skewed BIG side: the big side salts
+    * each row deterministically into `buckets` sub-keys via
+    * `saltBy` (any column — typically a high-cardinality id; the
+    * salt only has to spread rows, not be meaningful), and the small
+    * side replicates ×`buckets`, so a hot join key occupies `buckets`
+    * reducers instead of one. Results equal `big.join(small, key)`
+    * exactly for any join the replicate side can express (inner /
+    * left on the big side). AQE's skew-join split handles
+    * sort-merge skew reactively; this is the proactive form for
+    * when the hot keys are known and the small side is replicable —
+    * e.g. enriching a 100 TB event stream where one tenant is 30%
+    * of traffic. Replication cost: |small| × buckets rows shuffled.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      saltBy: Column, buckets: Int = 16,
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left" ||
+      joinType == "left_outer",
+      s"salted join supports inner/left (big-side-preserving), got $joinType")
+    val b = big.withColumn("__salt", Skew.salt(saltBy, buckets))
+    val s = small.withColumn("__salt",
+      explode(array((0 until buckets).map(i => lit(i.toLong)): _*)))
+    b.join(s, Seq(key, "__salt"), joinType).drop("__salt")
+  }
 }

@@ -376,6 +376,30 @@ object Extras22 {
                      COUNT(DISTINCT json_extract_string(props, '$.tag')) AS n_tags
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Proactive salted join for known skew: l_returnflag has THREE
+    // values (one carrying ~half the fact), so a plain shuffle join
+    // on it pins each flag to ONE reducer no matter how wide the
+    // cluster — the low-cardinality hot-key join. ops/Skew.saltedJoin
+    // salts the fact into 16 sub-keys (deterministic md5 salt on the
+    // orderkey) and replicates the 3-row dim ×16, spreading each flag
+    // over 16 reducers. Result is provably identical to the plain
+    // join (this oracle); the spread property and left-join form are
+    // SkewAndBucketingSpec's.
+    QueryDef("q243_salted_join",
+      (s, d) => {
+        val li = table(s, d, "lineitem")
+        val dim = li.select(col("l_returnflag")).distinct()
+          .withColumn("flag_label", concat(lit("flag-"), col("l_returnflag")))
+        graft.ops.Skew.saltedJoin(li, dim, "l_returnflag",
+            saltBy = col("l_orderkey"), buckets = 16)
+          .groupBy("flag_label")
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+          .orderBy("flag_label")
+      },
+      Some("""SELECT concat('flag-', l_returnflag) AS flag_label,
+                     COUNT(*) AS n, SUM(l_quantity) AS qty
+              FROM lineitem GROUP BY l_returnflag ORDER BY flag_label""")),
+
     // CHECK constraints as the sink's data-quality gate: two
     // constraints are added after a clean first batch; a corrupted
     // batch (negated prices) is REJECTED atomically — no partial

@@ -55,4 +55,32 @@ class SkewAndBucketingSpec extends SparkSpec {
       assert(joined.count() === 500)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("salted join equals the plain join and spreads hot keys over buckets") {
+    import org.apache.spark.sql.functions._
+    // pathological skew: 3 join keys, one carrying 90% of rows
+    val big = spark.range(0, 30000).selectExpr(
+      "CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('cold', id % 2) END AS k",
+      "id AS v")
+    val small = Seq(("hot", 1L), ("cold0", 2L), ("cold1", 3L), ("nomatch", 4L))
+      .toDF("k", "label")
+    val plain = big.join(small, Seq("k")).groupBy("k", "label")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val salted = Skew.saltedJoin(big, small, "k", saltBy = col("v"), buckets = 8)
+      .groupBy("k", "label").agg(count(lit(1)).as("n"), sum("v").as("s"))
+    assert(salted.collect().toSet === plain.collect().toSet)
+    // left join keeps unmatched big rows exactly once
+    val bigL = Seq(("hot", 1L), ("orphan", 2L)).toDF("k", "v")
+    val left = Skew.saltedJoin(bigL, small, "k", saltBy = col("v"),
+      buckets = 4, joinType = "left")
+    assert(left.collect().map(r => (r.getString(0), Option(r.get(2)))).toSet ===
+      Set(("hot", Some(1L)), ("orphan", None)))
+    // the hot key really spreads: its rows occupy every salt bucket
+    val spread = big.filter(col("k") === "hot")
+      .select(Skew.salt(col("v"), 8).as("salt")).distinct().count()
+    assert(spread === 8L, "hot key must fan out over all 8 salt buckets")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, "k", col("v"), 4, joinType = "full_outer")
+    }
+  }
 }
