@@ -166,7 +166,8 @@ object TxLogTable {
       .join(keys, Seq(key), "left_anti")
       .select(order.map(col): _*)
     val v = write(keptTouched.unionAll(batch), tablePath, overwrite = false,
-      txn = None, removes = touched, actionOverride = Some("rewrite"))
+      txn = None, removes = touched, actionOverride = Some("rewrite"),
+      op = Some("merge"))
     val oldMatched = buildFrame(spark, tablePath, touched, snap.schema)
       .join(keys, Seq(key), "left_semi")
       .select(order.map(col): _*)
@@ -210,7 +211,8 @@ object TxLogTable {
     val kept = buildFrame(spark, tablePath, touched, snap.schema)
       .filter(not(expr(predicate)))
     val v = write(kept, tablePath, overwrite = false, txn = None,
-      removes = touched, actionOverride = Some("rewrite"))
+      removes = touched, actionOverride = Some("rewrite"),
+      op = Some("delete"))
     // persist the exact logical diff as a change-feed cache: the
     // deleted rows are precisely the touched rows matching the
     // predicate — O(touched files), no snapshot diff ever needed
@@ -261,7 +263,8 @@ object TxLogTable {
     val rewritten = buildFrame(spark, tablePath, touched, snap.schema)
       .select(cols: _*)
     val v = write(rewritten, tablePath, overwrite = false, txn = None,
-      removes = touched, actionOverride = Some("rewrite"))
+      removes = touched, actionOverride = Some("rewrite"),
+      op = Some("update"))
     // change-feed cache: old/new images of the matched rows, with
     // no-op assignments cancelled via multiset difference so the
     // cached feed is EXACTLY the snapshot diff ((untouched ∪ old) \
@@ -326,7 +329,8 @@ object TxLogTable {
       try {
         claimCommit(fs, tablePath, version,
           Commit("overwrite", target.schema.toDDL, target.files,
-            txn = None, stats = target.stats))
+            txn = None, stats = target.stats,
+            op = Some(s"restore to v$toVersion")))
         result = version
       } catch { case _: CommitConflict => () }
     }
@@ -587,11 +591,12 @@ object TxLogTable {
       val c = parseCommit(fs, tablePath, v)
       val mtime = fs.getFileStatus(
         new Path(new Path(tablePath, LogDir), commitName(v))).getModificationTime
-      (v, c.action, new java.sql.Timestamp(mtime), c.files.size,
-        c.removes.size, c.txn.map(_._1), c.txn.map(_._2), c.schemaDdl)
+      (v, c.action, c.op.getOrElse(c.action), new java.sql.Timestamp(mtime),
+        c.files.size, c.removes.size, c.txn.map(_._1), c.txn.map(_._2),
+        c.schemaDdl)
     }
     import spark.implicits._
-    rows.toDF("version", "action", "timestamp", "n_added_files",
+    rows.toDF("version", "action", "operation", "timestamp", "n_added_files",
       "n_removed_files", "txn_app", "txn_epoch", "schema_ddl")
   }
 
@@ -814,7 +819,8 @@ object TxLogTable {
       stats: Map[String, Map[String, ColStats]] = Map.empty,
       removes: Seq[String] = Seq.empty,
       constraintAdds: Map[String, String] = Map.empty,
-      constraintDrops: Seq[String] = Seq.empty) {
+      constraintDrops: Seq[String] = Seq.empty,
+      op: Option[String] = None) {
     def isOverwrite: Boolean = action == "overwrite"
   }
 
@@ -1147,7 +1153,8 @@ object TxLogTable {
   private def write(df: DataFrame, tablePath: String, overwrite: Boolean,
       txn: Option[(String, Long)], removes: Seq[String] = Seq.empty,
       actionOverride: Option[String] = None,
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false,
+      op: Option[String] = None): Long = {
     val commitAction = actionOverride.getOrElse(
       if (overwrite) "overwrite"
       else if (removes.nonEmpty) "compact"
@@ -1304,7 +1311,8 @@ object TxLogTable {
         }
         try {
           claimCommit(fs, tablePath, version,
-            Commit(commitAction, commitDdl, names, txn, fileStats, removes))
+            Commit(commitAction, commitDdl, names, txn, fileStats, removes,
+              op = op))
           result = version
         } catch {
           case _: CommitConflict => () // loop: re-read log, next version
@@ -1345,6 +1353,7 @@ object TxLogTable {
     val body = new StringBuilder()
       .append("action=").append(c.action).append('\n')
       .append("schema=").append(c.schemaDdl).append('\n')
+    c.op.foreach(o => body.append("op=").append(o).append('\n'))
     c.txn.foreach { case (appId, epoch) =>
       body.append("txnApp=").append(appId).append('\n')
         .append("txnEpoch=").append(epoch).append('\n')
@@ -1418,7 +1427,8 @@ object TxLogTable {
       }.toMap,
       constraintDrops = lines.collect {
         case l if l.startsWith("constraintDrop=") => unb64(l.substring(15))
-      }.toSeq)
+      }.toSeq,
+      op = opt("op"))
   }
 
   private def b64(s: String): String =

@@ -187,5 +187,16 @@ class TxLogDataSourceSpec extends SparkSpec {
       (3L, "overwrite", None, None),
       (2L, "append", Some("histApp"), Some(7L)),
       (1L, "append", None, None)))
+    // DML versions carry their operation name (DESCRIBE HISTORY parity)
+    graft.sink.TxLogTable.delete(spark, t, "id = 3")
+    graft.sink.TxLogTable.restore(spark, t, 3L)
+    val ops = graft.sink.TxLogTable.history(spark, t)
+      .select("version", "action", "operation").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(ops.take(2) === Seq(
+      (5L, "overwrite", "restore to v3"),
+      (4L, "rewrite", "delete")))
+    assert(ops.last === ((1L, "append", "append")),
+      "op falls back to the action for plain commits")
   }
 }
