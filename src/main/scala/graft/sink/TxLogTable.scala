@@ -154,6 +154,13 @@ object TxLogTable {
     val order = snap.schema.fieldNames.toSeq
     val up = updates.localCheckpoint()
     val batch = up.select(order.map(col): _*) // loud error on missing columns
+    // rewrite commits keep the committed DDL verbatim, so type drift
+    // must be rejected HERE — otherwise mixed-typed files fail only
+    // at read time
+    for ((f, b) <- snap.schema.fields.zip(batch.schema.fields))
+      require(b.dataType == f.dataType,
+        s"merge batch column '${f.name}' has type ${b.dataType.sql}, table " +
+          s"has ${f.dataType.sql} — schema changes go through overwrite")
     if (snap.files.isEmpty)
       return write(batch, tablePath, overwrite = false, txn = None)
     val keys = up.select(col(key)).distinct()
@@ -1190,8 +1197,23 @@ object TxLogTable {
       }
       if (cons.nonEmpty) {
         import org.apache.spark.sql.functions.{coalesce, expr, lit}
-        val stagedDf = spark.read.schema(df.schema)
+        // validate against the staged bytes, with table columns the
+        // batch omits (mergeSchema appends) null-filled — a CHECK on
+        // an omitted column sees NULL and passes, matching what the
+        // committed read will serve
+        val raw = spark.read.schema(df.schema)
           .parquet(staged.map(_.toString).toSeq: _*)
+        val stagedDf = {
+          val commits0 = committedVersions(fs, tablePath)
+          if (commits0.isEmpty) raw
+          else {
+            val have = df.schema.fieldNames.toSet
+            StructType.fromDDL(parseCommit(fs, tablePath, commits0.max).schemaDdl)
+              .fields.filterNot(f => have.contains(f.name))
+              .foldLeft(raw)((d, f) =>
+                d.withColumn(f.name, lit(null).cast(f.dataType)))
+          }
+        }
         val broken = cons.toSeq.sortBy(_._1).iterator.flatMap { case (n, e) =>
           val bad =
             try stagedDf.filter(coalesce(expr(e), lit(true)) === false)

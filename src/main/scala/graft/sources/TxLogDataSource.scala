@@ -69,7 +69,16 @@ final class TxLogDataSource extends RelationProvider
     require(partitionColumns.isEmpty,
       "graft-txlog sink does not take partitionBy (cluster via compact)")
     val path = TxLogDataSource.pathOf(parameters)
-    val app = parameters.get("txnApp")
+    // txn identity: explicit option, else derived from the query's
+    // checkpoint location — stable across restarts of the SAME query,
+    // distinct across different queries writing one table (a shared
+    // constant identity would make two queries' batchIds collide and
+    // silently no-op each other's commits)
+    val app = parameters.get("txnApp").orElse(
+      parameters.get("checkpointLocation").map { p =>
+        "graft-txlog-sink-" + java.util.UUID.nameUUIDFromBytes(
+          p.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+      })
     new Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         // the incoming frame is streaming-tagged; commit its rows
@@ -80,7 +89,7 @@ final class TxLogDataSource extends RelationProvider
         val batchDf = graftshim.ColumnShim.internalCreateDataFrame(
           spark, rows, schema)
         TxLogTable.append(batchDf, path,
-          txn = Some((app.getOrElse(s"graft-txlog-sink"), batchId)))
+          txn = Some((app.getOrElse("graft-txlog-sink"), batchId)))
       }
       override def toString: String = s"TxLogSink[$path]"
     }

@@ -551,6 +551,10 @@ class TxLogTableSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     assert(feed === Set((3L, "c", "delete"), (3L, "C", "insert"),
       (9L, "i", "insert")))
+    // type drift in the batch is rejected up front, not at read time
+    intercept[IllegalArgumentException] {
+      TxLogTable.merge(spark, t, Seq((3, "x")).toDF("id", "v"), "id") // INT id
+    }
     // a merge whose keys match nothing is a pure append of the batch
     val v4 = TxLogTable.merge(spark, t, Seq((50L, "z")).toDF("id", "v"), "id")
     assert(rows(TxLogTable.read(spark, t)).contains((50L, "z")))
@@ -717,10 +721,15 @@ class TxLogTableSpec extends SparkSpec {
     intercept[TxLogTable.ConstraintViolation] {
       TxLogTable.append(Seq((-1L, "y", 2L)).toDF("id", "v", "extra"), t)
     }
+    // a NARROWER evolve-append under a constraint on the omitted
+    // column: the column null-fills on read, NULL passes CHECK
+    TxLogTable.appendEvolve(Seq((8L, "h")).toDF("id", "v").coalesce(1), t)
+    assert(TxLogTable.read(spark, t).filter($"id" === 8L)
+      .select("extra").collect().head.isNullAt(0))
     // drop lifts the gate
     TxLogTable.dropConstraint(spark, t, "pos_id")
     TxLogTable.append(Seq((-1L, "y", 2L)).toDF("id", "v", "extra").coalesce(1), t)
-    assert(TxLogTable.read(spark, t).count() === 2L)
+    assert(TxLogTable.read(spark, t).count() === 3L) // {7,z}, {8,h}, {-1,y}
     intercept[IllegalArgumentException] {
       TxLogTable.dropConstraint(spark, t, "pos_id") // already gone
     }
