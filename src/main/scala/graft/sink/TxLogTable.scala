@@ -362,6 +362,12 @@ object TxLogTable {
     * literally FALSE. The constraint set is a table property: it
     * survives overwrite, folds through checkpoints, and changes only
     * via add/drop commits (`action=setconstraint`, metadata-only).
+    *
+    * Concurrency note: a write validates against the constraint set
+    * visible when its staging completes — a constraint added
+    * CONCURRENTLY with an in-flight write may miss that one batch
+    * (optimistic model, no global write lock). Run a post-add
+    * validation pass if the table may have racing writers.
     */
   def addConstraint(spark: SparkSession, tablePath: String,
       name: String, expression: String): Long = {

@@ -188,6 +188,11 @@ private object TxLogDataSource {
 final class TxLogStreamSource(spark: SparkSession, tablePath: String,
     ignoreDeletes: Boolean = false) extends Source {
 
+  // The schema is resolved once at source creation (the v1 Source
+  // contract): columns added by a later appendEvolve are served as
+  // absent until the query restarts — same restart-on-schema-change
+  // rule as the public lake-table streaming sources.
+
   override val schema: StructType =
     TxLogTable.scanSnapshot(spark, tablePath, None).schema
 
