@@ -400,6 +400,95 @@ object Extras22 {
                      COUNT(*) AS n, SUM(l_quantity) AS qty
               FROM lineitem GROUP BY l_returnflag ORDER BY flag_label""")),
 
+    // TPC-H Q18 (large-volume customers): the HAVING-subquery
+    // semi-join composite. The per-order quantity aggregate feeds a
+    // semi-join back onto orders (shuffle on orderkey, no broadcast —
+    // the qualifying set scales with the fact), then the customer dim
+    // joins and the final per-order aggregate re-groups. Catalyst
+    // plans agg → semi-join → join → agg with partial aggregation on
+    // every shuffle; TakeOrderedAndProject bounds the output. Money
+    // as integer cents keeps the DESC ordering engine-exact.
+    QueryDef("q244_tpch_q18",
+      (s, d) => {
+        val li = table(s, d, "lineitem")
+        val big = li.groupBy("l_orderkey")
+          .agg(sum(col("l_quantity")).as("order_qty"))
+          .filter(col("order_qty") > 250)
+        table(s, d, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(table(s, d, "customer"), col("c_custkey") === col("o_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            to_date(col("o_orderdate")).as("odate"),
+            expr("CAST(floor(o_totalprice * 100.0) AS BIGINT)").as("price_c"),
+            col("order_qty"))
+          .orderBy(col("price_c").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey,
+                     CAST(o_orderdate AS DATE) AS odate,
+                     CAST(floor(o_totalprice * 100.0) AS BIGINT) AS price_c,
+                     SUM(l_quantity) AS order_qty
+              FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem
+                GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+              GROUP BY 1, 2, 3, 4, 5
+              ORDER BY price_c DESC, o_orderkey LIMIT 100""")),
+
+    // TPC-H Q21's shape (suppliers who kept orders waiting) on this
+    // schema: late = shipped more than 60 days after the order date.
+    // The hard part is the DOUBLE correlated quantifier on the same
+    // fact — EXISTS (another supplier on the order) AND NOT EXISTS
+    // (another LATE supplier on the order) — planned as a left-semi
+    // and a left-anti join against two projections of lineitem, both
+    // shuffling on orderkey (co-partitioned with the probe; no
+    // broadcast, all sides scale with the fact). The finding: the
+    // sole supplier responsible for a multi-supplier order's delay.
+    QueryDef("q245_tpch_q21_shape",
+      (s, d) => {
+        val o = table(s, d, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val li = table(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val l1 = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL '60' DAY"))
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+          .distinct()
+        val l2 = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk2"))
+        val withOther = l1.join(
+          l2.withColumnRenamed("ok", "ok2"),
+          col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+        val lateL3 = l1.select(col("ok").as("ok3"), col("sk").as("sk3"))
+        val sole = withOther.join(lateL3,
+          col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+        sole.join(table(s, d, "supplier"), col("sk") === col("s_suppkey"))
+          .join(table(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_12"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      Some("""WITH l1 AS (
+                SELECT DISTINCT l.l_orderkey AS ok, l.l_suppkey AS sk
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderstatus = 'F'
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL '60 days')
+              SELECT s_name, COUNT(*) AS numwait
+              FROM l1
+              JOIN supplier ON sk = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_12')
+                AND EXISTS (SELECT 1 FROM lineitem l2
+                            WHERE l2.l_orderkey = l1.ok
+                              AND l2.l_suppkey <> l1.sk)
+                AND NOT EXISTS (SELECT 1 FROM l1 l3
+                                WHERE l3.ok = l1.ok AND l3.sk <> l1.sk)
+              GROUP BY s_name
+              ORDER BY numwait DESC, s_name LIMIT 100""")),
+
     // CHECK constraints as the sink's data-quality gate: two
     // constraints are added after a clean first batch; a corrupted
     // batch (negated prices) is REJECTED atomically — no partial
