@@ -164,11 +164,18 @@ object TxLogTable {
     if (snap.files.isEmpty)
       return write(batch, tablePath, overwrite = false, txn = None)
     val keys = up.select(col(key)).distinct()
-    val touched = buildFrame(spark, tablePath, snap.files, snap.schema)
-      .join(keys, Seq(key), "left_semi")
-      .select(input_file_name().as("__f")).distinct()
-      .collect() // bounded by file count
-      .map(r => new Path(r.getString(0)).getName).toSeq.sorted
+    val touched = {
+      val byPath = snap.files.map { e =>
+        new Path(dataFilePath(tablePath, e)).toUri.getPath -> e
+      }.toMap
+      buildFrame(spark, tablePath, snap.files, snap.schema)
+        .join(keys, Seq(key), "left_semi")
+        .select(input_file_name().as("__f")).distinct()
+        .collect() // bounded by file count
+        .map(r => byPath.getOrElse(new Path(r.getString(0)).toUri.getPath,
+          throw new IllegalStateException("scan returned a non-committed file")))
+        .toSeq.sorted
+    }
     val keptTouched = buildFrame(spark, tablePath, touched, snap.schema)
       .join(keys, Seq(key), "left_anti")
       .select(order.map(col): _*)
@@ -183,6 +190,29 @@ object TxLogTable {
         .unionAll(batch.exceptAll(oldMatched)
           .withColumn("_change_type", lit("insert"))))
     v
+  }
+
+  /** Entries of `snap` whose file physically CONTAINS a row matching
+    * `cond` — one column-pruned scan with pushdown. Matching is by
+    * scheme-less physical path, so bare entries (own data/) and
+    * absolute entries (shallow-clone references) both resolve back to
+    * their exact committed entry string.
+    */
+  private def touchedEntries(spark: SparkSession, tablePath: String,
+      snap: Snapshot, cond: org.apache.spark.sql.Column): Seq[String] = {
+    import org.apache.spark.sql.functions.input_file_name
+    val byPath = snap.files.map { e =>
+      new Path(dataFilePath(tablePath, e)).toUri.getPath -> e
+    }.toMap
+    buildFrame(spark, tablePath, snap.files, snap.schema)
+      .filter(cond)
+      .select(input_file_name().as("__f")).distinct()
+      .collect() // bounded by the snapshot's file count, never by rows
+      .map { r =>
+        val path = new Path(r.getString(0)).toUri.getPath
+        byPath.getOrElse(path, throw new IllegalStateException(
+          s"scanned file $path is not a committed entry of $tablePath"))
+      }.toSeq.sorted
   }
 
   /** Row-level DELETE WHERE `predicate` (a SQL boolean expression
@@ -209,11 +239,7 @@ object TxLogTable {
     val base = commits.max
     val snap = snapshot(fs, tablePath, Some(base))
     if (snap.files.isEmpty) return base
-    val touched = buildFrame(spark, tablePath, snap.files, snap.schema)
-      .filter(expr(predicate))
-      .select(input_file_name().as("__f")).distinct()
-      .collect() // bounded by the snapshot's file count, never by rows
-      .map(r => new Path(r.getString(0)).getName).toSeq.sorted
+    val touched = touchedEntries(spark, tablePath, snap, expr(predicate))
     if (touched.isEmpty) return base
     val kept = buildFrame(spark, tablePath, touched, snap.schema)
       .filter(not(expr(predicate)))
@@ -253,11 +279,7 @@ object TxLogTable {
     require(unknown.isEmpty,
       s"update assigns to column(s) not in the table: ${unknown.mkString(", ")}")
     if (snap.files.isEmpty) return base
-    val touched = buildFrame(spark, tablePath, snap.files, snap.schema)
-      .filter(expr(where))
-      .select(input_file_name().as("__f")).distinct()
-      .collect()
-      .map(r => new Path(r.getString(0)).getName).toSeq.sorted
+    val touched = touchedEntries(spark, tablePath, snap, expr(where))
     if (touched.isEmpty) return base
     val cols = snap.schema.fields.toSeq.map { f =>
       set.get(f.name) match {
@@ -345,6 +367,43 @@ object TxLogTable {
       try writeCheckpoint(fs, tablePath, result)
       catch { case scala.util.control.NonFatal(_) => () }
     result
+  }
+
+  /** SHALLOW CLONE: create `dstPath` as a new table whose first
+    * commit REFERENCES `srcPath`'s data files (absolute paths) at
+    * `srcVersion` (default latest) — zero bytes copied, stats carried
+    * so data skipping works immediately. The clone then lives its own
+    * life: appends/DML/compaction land in its own `data/` (compaction
+    * progressively materializes it), and nothing the clone does ever
+    * touches the source. Safety: the referenced files are committed
+    * source history, which the source's [[vacuum]] never reclaims —
+    * the clone stays readable as long as the source table directory
+    * exists (dropping the source breaks clones, the standard shallow-
+    * clone contract). At 100 TB this is the dev/test fork: a full
+    * copy costs a cluster-day, a shallow clone costs one log write.
+    * Returns the clone's version (always 1).
+    */
+  def shallowClone(spark: SparkSession, srcPath: String, dstPath: String,
+      srcVersion: Option[Long] = None): Long = {
+    val srcFs = fileSystem(spark, srcPath)
+    val srcCommits = committedVersions(srcFs, srcPath)
+    require(srcCommits.nonEmpty, s"not a TxLog table (no commits): $srcPath")
+    val dstFs = fileSystem(spark, dstPath)
+    require(committedVersions(dstFs, dstPath).isEmpty,
+      s"shallow clone target must be a fresh table: $dstPath already has commits")
+    val v = srcVersion.getOrElse(srcCommits.max)
+    val snap = snapshot(srcFs, srcPath, Some(v))
+    val srcData = srcFs.makeQualified(new Path(srcPath, DataDir))
+    val absolute = snap.files.map(f =>
+      if (isAbsoluteEntry(f)) f // clone of a clone keeps the original refs
+      else new Path(srcData, f).toString)
+    val stats = snap.files.zip(absolute).flatMap { case (n, a) =>
+      snap.stats.get(n).map(a -> _)
+    }.toMap
+    claimCommit(dstFs, dstPath, 1L,
+      Commit("overwrite", snap.schema.toDDL, absolute,
+        stats = stats, op = Some(s"shallow clone of $srcPath@v$v")))
+    1L
   }
 
   final class ConstraintViolation(msg: String) extends RuntimeException(msg)
@@ -498,7 +557,7 @@ object TxLogTable {
         pruneFiles(snap, column, lower, upper)
     }
     val small = inScope
-      .map(f => f -> fs.getFileStatus(new Path(dataPath, f)).getLen)
+      .map(f => f -> fs.getFileStatus(new Path(dataFilePath(tablePath, f))).getLen)
       .filter(_._2 < smallFileBytes)
     if (small.size < 2) return base
     val nOut = math.max(1L,
@@ -896,13 +955,25 @@ object TxLogTable {
         s"no schema resolvable at version $upTo of $tablePath"))), st.stats)
   }
 
+  /** Resolve a committed file entry to its physical location: plain
+    * names live under this table's `data/`; absolute entries (a
+    * shallow [[shallowClone]]'s references into its SOURCE table)
+    * are used as-is.
+    */
+  private[graft] def isAbsoluteEntry(name: String): Boolean =
+    name.startsWith("/") || name.contains(":/") // plain names are uuid-based
+
+  private[graft] def dataFilePath(tablePath: String, name: String): String =
+    if (isAbsoluteEntry(name)) name
+    else s"$tablePath/$DataDir/$name"
+
   private def buildFrame(spark: SparkSession, tablePath: String,
       files: Seq[String], schema: StructType): DataFrame =
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
       spark.read.schema(schema)
-        .parquet(files.map(f => s"$tablePath/$DataDir/$f"): _*)
+        .parquet(files.map(f => dataFilePath(tablePath, f)): _*)
     }
 
   /** Files whose recorded range can intersect `[lower, upper]`; files

@@ -226,7 +226,7 @@ final class TxLogStreamSource(spark: SparkSession, tablePath: String,
       graftshim.ColumnShim.ofRows(spark, LocalRelation(attrs, Nil, isStreaming = true))
     else {
       val df = spark.read.schema(schema)
-        .parquet(files.map(f => s"$tablePath/data/$f"): _*)
+        .parquet(files.map(f => TxLogTable.dataFilePath(tablePath, f)): _*)
       graftshim.ColumnShim.ofRows(spark, df.queryExecution.analyzed.transform {
         case lr: LogicalRelation => lr.copy(isStreaming = true)
       })
@@ -261,9 +261,16 @@ final class TxLogFileIndex(spark: SparkSession, tablePath: String,
     else fs.listStatus(dataDir).map(s => s.getPath.getName -> s).toMap
 
   private def statusOf(name: String): FileStatus =
-    statusByName.getOrElse(name, throw new IllegalStateException(
-      s"committed data file missing from $dataDir: $name " +
-        "(vacuum raced a reader, or the table dir was tampered with)"))
+    statusByName.getOrElse(name,
+      // absolute entries (shallow-clone references into the source
+      // table) resolve individually — they never live under data/
+      if (TxLogTable.isAbsoluteEntry(name)) {
+        val p = new Path(name)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+      }
+      else throw new IllegalStateException(
+        s"committed data file missing from $dataDir: $name " +
+          "(vacuum raced a reader, or the table dir was tampered with)"))
 
   val dataSchema: StructType = snap.schema
 

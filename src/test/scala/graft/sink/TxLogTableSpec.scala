@@ -761,6 +761,50 @@ class TxLogTableSpec extends SparkSpec {
       (0L until 10L).toSet ++ (100L until 110L) ++ (200L until 210L))
   }
 
+  test("shallow clone: zero-copy fork, independent life, format read resolves") {
+    val tmp = Files.createTempDirectory("graft-clone")
+    val src = tmp.resolve("src").toString
+    val dst = tmp.resolve("dst").toString
+    for (b <- Seq(0L, 100L))
+      TxLogTable.append((b until b + 10).map(k => (k, s"v$k")).toDF("id", "v")
+        .repartitionByRange(2, $"id"), src)
+    assert(TxLogTable.shallowClone(spark, src, dst) === 1L)
+    val fs = new Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(dst, "data")), "clone must copy zero bytes")
+    assert(rows(TxLogTable.read(spark, dst)) === rows(TxLogTable.read(spark, src)))
+    // stats ride along: pruning works immediately on the clone
+    assert(TxLogTable.candidateFiles(spark, dst, "id",
+      lower = Some(105L), upper = Some(107L)).size === 1)
+    // the format read resolves absolute entries through the FileIndex
+    assert(spark.read.format("graft-txlog").load(dst).count() === 20L)
+    // DML on the clone never touches the source...
+    TxLogTable.delete(spark, dst, "id >= 100")
+    assert(TxLogTable.read(spark, dst).count() === 10L)
+    assert(TxLogTable.read(spark, src).count() === 20L, "source untouched")
+    // ...and source DML never disturbs the clone (copy-on-write keeps
+    // the files the clone references; vacuum never reclaims them)
+    TxLogTable.delete(spark, src, "id < 5")
+    TxLogTable.vacuum(spark, src, olderThanMillis = 0L)
+    assert(TxLogTable.read(spark, dst).count() === 10L)
+    assert(rows(TxLogTable.read(spark, dst, Some(1L))).size === 20)
+    // the clone materializes itself through normal maintenance
+    TxLogTable.append(Seq((500L, "new")).toDF("id", "v").coalesce(1), dst)
+    TxLogTable.compact(spark, dst, smallFileBytes = 1L << 20,
+      targetFileBytes = 1L << 20)
+    assert(fs.exists(new Path(dst, "data")))
+    assert(TxLogTable.read(spark, dst).count() === 11L)
+    // clone-of-a-clone and non-empty-target guard
+    val dst2 = tmp.resolve("dst2").toString
+    TxLogTable.shallowClone(spark, dst, dst2, srcVersion = Some(1L))
+    assert(TxLogTable.read(spark, dst2).count() === 20L)
+    intercept[IllegalArgumentException] {
+      TxLogTable.shallowClone(spark, src, dst2)
+    }
+    val hist = TxLogTable.history(spark, dst)
+      .filter($"version" === 1L).select("operation").collect().head.getString(0)
+    assert(hist.startsWith("shallow clone of"))
+  }
+
   test("fastCount answers COUNT(*) from commit metadata and tracks DML exactly") {
     val t = freshTable()
     TxLogTable.append((1L to 100L).map(k => (k, s"v$k")).toDF("id", "v")
