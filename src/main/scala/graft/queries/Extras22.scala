@@ -400,6 +400,45 @@ object Extras22 {
                      COUNT(*) AS n, SUM(l_quantity) AS qty
               FROM lineitem GROUP BY l_returnflag ORDER BY flag_label""")),
 
+    // Shallow clone cross-engine: the dev-fork workflow — clone the
+    // table (ZERO bytes copied; the commit references the source's
+    // files), mutate the CLONE, and fingerprint both ends. The oracle
+    // recomputes source (unchanged) and clone (post-DML) straight
+    // from `supplier`, proving fork isolation at the data level;
+    // TxLogTableSpec proves the zero-copy/materialization mechanics.
+    QueryDef("q246_shallow_clone",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_clone")
+        val src = tmp.resolve("src").toString
+        val dst = tmp.resolve("dev").toString
+        val base = table(s, d, "supplier").select(
+          col("s_suppkey").as("k"), col("s_nationkey").as("nat"),
+          expr("CAST(floor(s_acctbal * 100.0) AS BIGINT)").as("bal_c"))
+        graft.sink.TxLogTable.append(base.repartition(3), src)
+        graft.sink.TxLogTable.shallowClone(s, src, dst)
+        graft.sink.TxLogTable.delete(s, dst, "nat >= 10")
+        graft.sink.TxLogTable.update(s, dst, "k % 2 = 0",
+          Map("bal_c" -> "bal_c + 50"))
+        def fp(side: String, t: String) = graft.sink.TxLogTable.read(s, t)
+          .groupBy(lit(side).as("side"))
+          .agg(count(lit(1)).as("n"), sum(col("bal_c")).as("bal_cents"),
+            max(col("nat")).as("max_nat"))
+        fp("clone", dst).unionAll(fp("source", src)).orderBy("side")
+      },
+      Some("""WITH b AS (SELECT s_suppkey AS k, s_nationkey AS nat,
+                     CAST(floor(s_acctbal * 100.0) AS BIGINT) AS bal_c
+                   FROM supplier),
+                   cl AS (SELECT k, nat,
+                            bal_c + CASE WHEN k % 2 = 0 THEN 50 ELSE 0 END AS bal_c
+                          FROM b WHERE nat < 10)
+              SELECT 'clone' AS side, COUNT(*) AS n,
+                     CAST(SUM(bal_c) AS BIGINT) AS bal_cents,
+                     MAX(nat) AS max_nat FROM cl
+              UNION ALL
+              SELECT 'source', COUNT(*), CAST(SUM(bal_c) AS BIGINT), MAX(nat)
+              FROM b
+              ORDER BY side""")),
+
     // TPC-H Q18 (large-volume customers): the HAVING-subquery
     // semi-join composite. The per-order quantity aggregate feeds a
     // semi-join back onto orders (shuffle on orderkey, no broadcast —
