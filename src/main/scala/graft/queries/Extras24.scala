@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QueryDef.table
+
+/** Round-7 depth batch: the SQL catalog surface. Everything here runs
+  * through `spark.sql` against the `graft` [[graft.sources.GraftCatalog]]
+  * (DSv2 TableCatalog over TxLog tables) — no library calls, no temp
+  * views — and the DuckDB oracle recomputes the same lifecycle
+  * straight from the source tables, so the hash proves the catalog's
+  * CREATE / INSERT / DELETE / time-travel semantics, not just its
+  * plumbing.
+  */
+object Extras24 {
+
+  /** One shared catalog per session (catalog plugins initialize once);
+    * table names are unique per invocation so re-runs never collide.
+    */
+  private def ensureCatalog(s: org.apache.spark.sql.SparkSession): Unit = {
+    if (s.conf.getOption("spark.sql.catalog.graft").isEmpty) {
+      val wh = java.nio.file.Files.createTempDirectory("graft_cat_wh").toString
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    }
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Catalog SQL lifecycle, cross-engine: CREATE TABLE in the graft
+    // catalog, INSERT INTO from `customer`, a second incremental
+    // INSERT, DELETE FROM with a predicate, and VERSION AS OF reads of
+    // every intermediate state — all through spark.sql against the V2
+    // TableCatalog. The output fingerprints each version (count, cents
+    // sum, key hull); the oracle recomputes the same states straight
+    // from `customer`. Version numbering: CREATE=1, the inserts are
+    // 2 and 3, the delete is 4.
+    QueryDef("q259_catalog_sql",
+      (s, d) => {
+        ensureCatalog(s)
+        val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        table(s, d, "customer").createOrReplaceTempView("cust_src")
+        s.sql(s"CREATE TABLE graft.lake.$t (k BIGINT, seg STRING, bal_c BIGINT)")
+        s.sql(s"""INSERT INTO graft.lake.$t
+                  SELECT c_custkey, c_mktsegment,
+                         CAST(floor(c_acctbal * 100.0) AS BIGINT)
+                  FROM cust_src WHERE c_custkey % 2 = 0""")
+        s.sql(s"""INSERT INTO graft.lake.$t
+                  SELECT c_custkey, c_mktsegment,
+                         CAST(floor(c_acctbal * 100.0) AS BIGINT)
+                  FROM cust_src WHERE c_custkey % 2 = 1""")
+        s.sql(s"DELETE FROM graft.lake.$t WHERE seg = 'BUILDING'")
+        val snaps = Seq(1L, 2L, 3L, 4L).map { v =>
+          s.sql(s"""SELECT $v AS version, COUNT(*) AS n_rows,
+                           COALESCE(CAST(SUM(bal_c) AS BIGINT), 0) AS bal_cents,
+                           COALESCE(MIN(k), -1) AS min_k,
+                           COALESCE(MAX(k), -1) AS max_k
+                    FROM graft.lake.$t VERSION AS OF $v""")
+        }.reduce(_.unionAll(_))
+        snaps.orderBy("version")
+      },
+      Some("""WITH b AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+                     CAST(floor(c_acctbal * 100.0) AS BIGINT) AS bal_c
+                   FROM customer),
+                   v2 AS (SELECT * FROM b WHERE k % 2 = 0),
+                   v4 AS (SELECT * FROM b WHERE seg <> 'BUILDING')
+              SELECT 1 AS version, 0 AS n_rows, 0 AS bal_cents,
+                     -1 AS min_k, -1 AS max_k
+              UNION ALL
+              SELECT 2, COUNT(*), CAST(SUM(bal_c) AS BIGINT), MIN(k), MAX(k) FROM v2
+              UNION ALL
+              SELECT 3, COUNT(*), CAST(SUM(bal_c) AS BIGINT), MIN(k), MAX(k) FROM b
+              UNION ALL
+              SELECT 4, COUNT(*), CAST(SUM(bal_c) AS BIGINT), MIN(k), MAX(k) FROM v4
+              ORDER BY version""")),
+
+    // Merge-on-read deletion vectors, cross-engine: v1 appends the
+    // customer projection as 4 files, v2 and v3 are DV deletes (a
+    // segment, then every 7th key) that move NO data bytes — each
+    // commits a (file, row index) mask and readers apply it as one
+    // anti-join — and v4 compacts, materializing the mask and
+    // retiring the vectors. The output fingerprints every version
+    // (time travel through the DV history), the post-compact state
+    // (must equal v3 exactly — version 40 row), and the change feed
+    // of both DV commits (newly-masked rows only, so a key already
+    // masked by v2 never re-appears under v3). The oracle recomputes
+    // everything from `customer`.
+    QueryDef("q260_deletion_vectors",
+      (s, d) => {
+        val t = java.nio.file.Files.createTempDirectory("graft_dv")
+          .resolve("cust").toString
+        val base = table(s, d, "customer").select(
+          col("c_custkey").as("k"),
+          col("c_mktsegment").as("seg"),
+          expr("CAST(floor(c_acctbal * 100.0) AS BIGINT)").as("bal_c"))
+        graft.sink.TxLogTable.append(base.repartition(4), t)        // v1
+        val v2 = graft.sink.TxLogTable.deleteVectors(s, t, "seg = 'MACHINERY'")
+        val v3 = graft.sink.TxLogTable.deleteVectors(s, t, "k % 7 = 0")
+        val v4 = graft.sink.TxLogTable.compact(s, t,
+          smallFileBytes = 1L << 30)                                // materialize
+        def snapAt(label: Long, v: Long) =
+          graft.sink.TxLogTable.read(s, t, Some(v))
+            .groupBy(lit(label).as("version"))
+            .agg(count(lit(1)).as("n_rows"), sum(col("bal_c")).as("bal_cents"),
+              min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        val snaps = Seq(snapAt(1L, 1L), snapAt(2L, v2), snapAt(3L, v3),
+          snapAt(40L, v4))
+        val feed = graft.sink.TxLogTable.changes(s, t, 1L, v3)
+          .groupBy((col("_commit_version") * 10 +
+            when(col("_change_type") === "insert", 1).otherwise(2))
+            .as("version"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("bal_c")).as("bal_cents"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        snaps.reduce(_.unionAll(_)).unionAll(feed).orderBy("version")
+      },
+      Some("""WITH b AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+                     CAST(floor(c_acctbal * 100.0) AS BIGINT) AS bal_c
+                   FROM customer),
+                   v2 AS (SELECT * FROM b WHERE seg <> 'MACHINERY'),
+                   v3 AS (SELECT * FROM v2 WHERE k % 7 <> 0),
+                   d2 AS (SELECT * FROM b WHERE seg = 'MACHINERY'),
+                   d3 AS (SELECT * FROM v2 WHERE k % 7 = 0)
+              SELECT 1 AS version, COUNT(*) AS n_rows,
+                     CAST(SUM(bal_c) AS BIGINT) AS bal_cents,
+                     MIN(k) AS min_k, MAX(k) AS max_k FROM b
+              UNION ALL
+              SELECT 2, COUNT(*), CAST(SUM(bal_c) AS BIGINT), MIN(k), MAX(k) FROM v2
+              UNION ALL
+              SELECT 3, COUNT(*), CAST(SUM(bal_c) AS BIGINT), MIN(k), MAX(k) FROM v3
+              UNION ALL
+              SELECT 40, COUNT(*), CAST(SUM(bal_c) AS BIGINT), MIN(k), MAX(k) FROM v3
+              UNION ALL
+              SELECT 22, COUNT(*), CAST(SUM(bal_c) AS BIGINT), MIN(k), MAX(k) FROM d2
+              UNION ALL
+              SELECT 32, COUNT(*), CAST(SUM(bal_c) AS BIGINT), MIN(k), MAX(k) FROM d3
+              ORDER BY version""")))
+}

@@ -176,13 +176,13 @@ object TxLogTable {
           throw new IllegalStateException("scan returned a non-committed file")))
         .toSeq.sorted
     }
-    val keptTouched = buildFrame(spark, tablePath, touched, snap.schema)
+    val keptTouched = snapFrame(spark, tablePath, snap, touched)
       .join(keys, Seq(key), "left_anti")
       .select(order.map(col): _*)
     val v = write(keptTouched.unionAll(batch), tablePath, overwrite = false,
       txn = None, removes = touched, actionOverride = Some("rewrite"),
       op = Some("merge"))
-    val oldMatched = buildFrame(spark, tablePath, touched, snap.schema)
+    val oldMatched = snapFrame(spark, tablePath, snap, touched)
       .join(keys, Seq(key), "left_semi")
       .select(order.map(col): _*)
     writeCdfCache(spark, tablePath, v,
@@ -241,7 +241,9 @@ object TxLogTable {
     if (snap.files.isEmpty) return base
     val touched = touchedEntries(spark, tablePath, snap, expr(predicate))
     if (touched.isEmpty) return base
-    val kept = buildFrame(spark, tablePath, touched, snap.schema)
+    // a rewrite applies the touched files' outstanding deletion
+    // vectors first — masked rows must never resurrect
+    val kept = snapFrame(spark, tablePath, snap, touched)
       .filter(not(expr(predicate)))
     val v = write(kept, tablePath, overwrite = false, txn = None,
       removes = touched, actionOverride = Some("rewrite"),
@@ -250,7 +252,7 @@ object TxLogTable {
     // deleted rows are precisely the touched rows matching the
     // predicate — O(touched files), no snapshot diff ever needed
     writeCdfCache(spark, tablePath, v,
-      buildFrame(spark, tablePath, touched, snap.schema)
+      snapFrame(spark, tablePath, snap, touched)
         .filter(expr(predicate))
         .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")))
     v
@@ -289,7 +291,7 @@ object TxLogTable {
         case None => col(f.name)
       }
     }
-    val rewritten = buildFrame(spark, tablePath, touched, snap.schema)
+    val rewritten = snapFrame(spark, tablePath, snap, touched)
       .select(cols: _*)
     val v = write(rewritten, tablePath, overwrite = false, txn = None,
       removes = touched, actionOverride = Some("rewrite"),
@@ -298,7 +300,7 @@ object TxLogTable {
     // no-op assignments cancelled via multiset difference so the
     // cached feed is EXACTLY the snapshot diff ((untouched ∪ old) \
     // (untouched ∪ new) = old \ new, multisets) — O(touched files)
-    val matchedOld = buildFrame(spark, tablePath, touched, snap.schema)
+    val matchedOld = snapFrame(spark, tablePath, snap, touched)
       .filter(expr(where))
     val matchedNew = matchedOld.select(cols: _*)
     writeCdfCache(spark, tablePath, v, {
@@ -359,7 +361,10 @@ object TxLogTable {
         claimCommit(fs, tablePath, version,
           Commit("overwrite", target.schema.toDDL, target.files,
             txn = None, stats = target.stats,
-            op = Some(s"restore to v$toVersion")))
+            op = Some(s"restore to v$toVersion"),
+            // the target's outstanding deletion vectors are part of
+            // its logical contents — the restore re-references them
+            dvAdds = target.dvs))
         result = version
       } catch { case _: CommitConflict => () }
     }
@@ -400,10 +405,71 @@ object TxLogTable {
     val stats = snap.files.zip(absolute).flatMap { case (n, a) =>
       snap.stats.get(n).map(a -> _)
     }.toMap
+    // outstanding deletion vectors travel with the referenced files —
+    // both the vector dirs and their data files resolve absolutely
+    // into the source table
+    val srcDv = srcFs.makeQualified(new Path(srcPath, DvDir))
+    val dvs = snap.files.zip(absolute).flatMap { case (n, a) =>
+      snap.dvs.get(n).map(dirs => a -> dirs.map(d =>
+        if (isAbsoluteEntry(d)) d else new Path(srcDv, d).toString))
+    }.toMap
     claimCommit(dstFs, dstPath, 1L,
       Commit("overwrite", snap.schema.toDDL, absolute,
-        stats = stats, op = Some(s"shallow clone of $srcPath@v$v")))
+        stats = stats, op = Some(s"shallow clone of $srcPath@v$v"),
+        dvAdds = dvs))
     1L
+  }
+
+  /** Create an EMPTY table: version 1 is a metadata-only commit that
+    * carries the schema and references no files — the `CREATE TABLE`
+    * of the SQL catalog surface ([[graft.sources.GraftCatalog]]).
+    * Readers of the empty table get a zero-row frame with the declared
+    * schema; the first append must match it exactly (evolution goes
+    * through [[appendEvolve]]/[[addColumns]]). Returns version 1.
+    */
+  def create(spark: SparkSession, tablePath: String,
+      schema: StructType): Long = {
+    require(schema.nonEmpty, s"cannot create a zero-column table: $tablePath")
+    val fs = fileSystem(spark, tablePath)
+    require(committedVersions(fs, tablePath).isEmpty,
+      s"table already exists: $tablePath")
+    claimCommit(fs, tablePath, 1L,
+      Commit("create", schema.toDDL, Nil, op = Some("CREATE TABLE")))
+    1L
+  }
+
+  /** ALTER TABLE ... ADD COLUMNS as a METADATA-ONLY commit: the new
+    * columns append to the committed schema (always nullable — every
+    * existing file null-fills them on read, no data moves), exactly
+    * the [[appendEvolve]] evolution rule without a batch. Name
+    * collisions are rejected. Returns the committed version.
+    */
+  def addColumns(spark: SparkSession, tablePath: String,
+      newCols: StructType): Long = {
+    val fs = fileSystem(spark, tablePath)
+    val commits = committedVersions(fs, tablePath)
+    require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+    var result = -1L
+    var attempt = 0
+    while (result < 0) {
+      attempt += 1
+      if (attempt > MaxCommitRetries) throw new IllegalStateException(
+        s"gave up after $MaxCommitRetries add-column attempts on $tablePath")
+      val latest = committedVersions(fs, tablePath).max
+      val cur = StructType.fromDDL(parseCommit(fs, tablePath, latest).schemaDdl)
+      val clash = newCols.fieldNames.filter(cur.fieldNames.contains)
+      require(clash.isEmpty,
+        s"column(s) already exist: ${clash.mkString(", ")}")
+      val evolved = StructType(cur.fields ++
+        newCols.fields.map(_.copy(nullable = true)))
+      try {
+        claimCommit(fs, tablePath, latest + 1L,
+          Commit("evolve", evolved.toDDL, Nil,
+            op = Some(s"ADD COLUMNS (${newCols.toDDL})")))
+        result = latest + 1L
+      } catch { case _: CommitConflict => () }
+    }
+    result
   }
 
   final class ConstraintViolation(msg: String) extends RuntimeException(msg)
@@ -556,13 +622,18 @@ object TxLogTable {
       case Some((column, lower, upper)) =>
         pruneFiles(snap, column, lower, upper)
     }
+    // rewrite candidates: small files, plus ANY file carrying
+    // outstanding deletion vectors — compaction is where merge-on-read
+    // debt is settled (the rewrite applies the mask and the commit
+    // retires the vectors with the file)
     val small = inScope
       .map(f => f -> fs.getFileStatus(new Path(dataFilePath(tablePath, f))).getLen)
-      .filter(_._2 < smallFileBytes)
-    if (small.size < 2) return base
+      .filter { case (f, len) => len < smallFileBytes || snap.dvs.contains(f) }
+    if (small.size < 2 && !small.exists(f => snap.dvs.contains(f._1)))
+      return base
     val nOut = math.max(1L,
       (small.map(_._2).sum + targetFileBytes - 1) / targetFileBytes).toInt
-    val df = buildFrame(spark, tablePath, small.map(_._1), snap.schema)
+    val df = snapFrame(spark, tablePath, snap, small.map(_._1))
     import org.apache.spark.sql.functions.col
     // range-partition AND sort within partitions along the curve:
     // partitioning bounds the per-file z range, the sort keeps row
@@ -591,7 +662,7 @@ object TxLogTable {
   def read(spark: SparkSession, tablePath: String,
       asOfVersion: Option[Long] = None): DataFrame = {
     val snap = snapshot(fileSystem(spark, tablePath), tablePath, asOfVersion)
-    buildFrame(spark, tablePath, snap.files, snap.schema)
+    snapFrame(spark, tablePath, snap, snap.files)
   }
 
   /** Snapshot read that SKIPS data files whose committed min/max
@@ -610,7 +681,7 @@ object TxLogTable {
       asOfVersion: Option[Long] = None): DataFrame = {
     val snap = snapshot(fileSystem(spark, tablePath), tablePath, asOfVersion)
     val keep = pruneFiles(snap, column, lower, upper)
-    val df = buildFrame(spark, tablePath, keep, snap.schema)
+    val df = snapFrame(spark, tablePath, snap, keep)
     val c = org.apache.spark.sql.functions.col(column)
     val bounded = lower.map(v => c >= org.apache.spark.sql.functions.lit(v)) ++
       upper.map(v => c <= org.apache.spark.sql.functions.lit(v))
@@ -638,7 +709,8 @@ object TxLogTable {
     */
   private[graft] final case class ScanSnapshot(
       files: Seq[String], schema: StructType,
-      mayRangeIntersect: (String, String, Option[Any], Option[Any]) => Boolean)
+      mayRangeIntersect: (String, String, Option[Any], Option[Any]) => Boolean,
+      hasDeletionVectors: Boolean = false)
 
   private[graft] def scanSnapshot(spark: SparkSession, tablePath: String,
       asOfVersion: Option[Long]): ScanSnapshot = {
@@ -648,7 +720,8 @@ object TxLogTable {
         snap.stats.get(file).flatMap(_.get(column)) match {
           case None     => true
           case Some(cs) => mayIntersect(cs, lower, upper)
-        })
+        },
+      hasDeletionVectors = snap.dvs.nonEmpty)
   }
 
   /** Table history — the DESCRIBE HISTORY analog: one row per
@@ -704,9 +777,11 @@ object TxLogTable {
     val inRange = commits.filter(v => v > fromExclusive && v <= toInclusive).sorted
     val deltas = inRange.flatMap { v =>
       val c = parseCommit(fs, tablePath, v)
-      if (c.action == "compact" || c.action == "setconstraint")
+      if (c.action == "compact" || c.action == "setconstraint" ||
+          c.action == "create" || c.action == "evolve")
         None // physical rewrite / metadata-only: no logical change
-      else if (c.action == "rewrite" && cdfCached(spark, tablePath, v)) {
+      else if ((c.action == "rewrite" || c.action == "dv") &&
+          cdfCached(spark, tablePath, v)) {
         // DML versions carry their exact diff as a write-time cache —
         // serve the feed in O(diff) instead of a two-snapshot compare
         Some(spark.read.parquet(s"$tablePath/$CdfDir/$v")
@@ -717,15 +792,17 @@ object TxLogTable {
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(v)))
       } else {
+        // generic two-snapshot diff — DV-aware on both sides, so a
+        // torn dv-commit cache falls back to the identical answer
         val cur = {
           val s = snapshot(fs, tablePath, Some(v))
-          buildFrame(spark, tablePath, s.files, s.schema)
+          snapFrame(spark, tablePath, s, s.files)
         }
         val prev = commits.filter(_ < v).sorted.lastOption match {
           case None => cur.limit(0)
           case Some(pv) =>
             val s = snapshot(fs, tablePath, Some(pv))
-            buildFrame(spark, tablePath, s.files, s.schema)
+            snapFrame(spark, tablePath, s, s.files)
         }
         // align by name for the diff (schema may have evolved)
         val ins = cur.exceptAll(
@@ -780,7 +857,10 @@ object TxLogTable {
     val fs = fileSystem(spark, tablePath)
     committedVersions(fs, tablePath)
       .filter(v => v > fromExclusive && v <= toInclusive).sorted
-      .filter(v => parseCommit(fs, tablePath, v).action == "rewrite")
+      .filter { v =>
+        val a = parseCommit(fs, tablePath, v).action
+        a == "rewrite" || a == "dv" // both are row-level deletes
+      }
   }
 
   /** The newest version whose commit landed at or before `epochMillis`
@@ -855,15 +935,36 @@ object TxLogTable {
         dead.foreach(fs.delete(_, true))
         dead.length
       }
+    // deletion-vector dirs follow the same rule as data files: any
+    // commit or checkpoint referencing one keeps it (history stays
+    // time-travelable); unreferenced dirs (a dv write that lost its
+    // commit race or aborted) reclaim after the safety window
+    val dvReferenced = (committedVersions(fs, tablePath)
+      .flatMap(v => parseCommit(fs, tablePath, v).dvAdds.values.flatten) ++
+      checkpointVersions(fs, tablePath)
+        .flatMap(v => loadCheckpoint(fs, tablePath, v).toSeq
+          .flatMap(_.dvs.values.flatten))
+      ).filterNot(isAbsoluteEntry).toSet
+    val dvRoot = new Path(tablePath, DvDir)
+    val dvGone =
+      if (!fs.exists(dvRoot)) 0
+      else {
+        val dead = fs.listStatus(dvRoot)
+          .filter(st => !dvReferenced.contains(st.getPath.getName) &&
+            st.getModificationTime <= cutoff)
+          .map(_.getPath)
+        dead.foreach(fs.delete(_, true))
+        dead.length
+      }
     val dataPath = new Path(tablePath, DataDir)
-    if (!fs.exists(dataPath)) cdfGone
+    if (!fs.exists(dataPath)) cdfGone + dvGone
     else {
       val orphans = fs.listStatus(dataPath)
         .filter(st => !referenced.contains(st.getPath.getName) &&
           st.getModificationTime <= cutoff)
         .map(_.getPath)
       orphans.foreach(fs.delete(_, false))
-      orphans.length + cdfGone
+      orphans.length + cdfGone + dvGone
     }
   }
 
@@ -892,13 +993,17 @@ object TxLogTable {
       removes: Seq[String] = Seq.empty,
       constraintAdds: Map[String, String] = Map.empty,
       constraintDrops: Seq[String] = Seq.empty,
-      op: Option[String] = None) {
+      op: Option[String] = None,
+      dvAdds: Map[String, Seq[String]] = Map.empty) {
     def isOverwrite: Boolean = action == "overwrite"
   }
 
-  /** The live file set at a version, with schema and per-file stats. */
+  /** The live file set at a version, with schema, per-file stats, and
+    * per-file deletion-vector directories (merge-on-read deletes).
+    */
   private final case class Snapshot(files: Seq[String], schema: StructType,
-      stats: Map[String, Map[String, ColStats]])
+      stats: Map[String, Map[String, ColStats]],
+      dvs: Map[String, Seq[String]] = Map.empty)
 
   /** Full materialized log state at a version — what a checkpoint
     * persists: the snapshot fields plus the per-app max txn epoch
@@ -907,10 +1012,11 @@ object TxLogTable {
     */
   private final case class State(files: Vector[String], ddl: Option[String],
       stats: Map[String, Map[String, ColStats]], txns: Map[String, Long],
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      dvs: Map[String, Seq[String]] = Map.empty)
 
   private val EmptyState =
-    State(Vector.empty, None, Map.empty, Map.empty, Map.empty)
+    State(Vector.empty, None, Map.empty, Map.empty, Map.empty, Map.empty)
 
   /** State at `upTo`: newest readable checkpoint ≤ `upTo`, then
     * replay of the tail commits. Checkpoints are caches — any that
@@ -925,20 +1031,32 @@ object TxLogTable {
     commits.filter(v => v > from && v <= upTo).sorted
       .foldLeft(start) { (st, v) =>
         val c = parseCommit(fs, tablePath, v)
-        val (base, baseStats) =
-          if (c.isOverwrite) (Vector.empty[String], Map.empty[String, Map[String, ColStats]])
-          else if (c.removes.isEmpty) (st.files, st.stats)
+        val (base, baseStats, baseDvs) =
+          if (c.isOverwrite)
+            (Vector.empty[String], Map.empty[String, Map[String, ColStats]],
+              Map.empty[String, Seq[String]])
+          else if (c.removes.isEmpty) (st.files, st.stats, st.dvs)
           else {
             val gone = c.removes.toSet
-            (st.files.filterNot(gone), st.stats -- gone)
+            // a rewritten/compacted file took its deletion vectors'
+            // effect into the rewrite — the DVs die with the file
+            (st.files.filterNot(gone), st.stats -- gone, st.dvs -- gone)
           }
+        val liveFiles = (base ++ c.files).toSet
         State(base ++ c.files, Some(c.schemaDdl), baseStats ++ c.stats,
           c.txn.foldLeft(st.txns) { case (m, (a, e)) =>
             m.updated(a, math.max(e, m.getOrElse(a, Long.MinValue)))
           },
           // constraints are table properties: they survive overwrite
           // (like txn identities) and change only by add/drop commits
-          st.constraints ++ c.constraintAdds -- c.constraintDrops)
+          st.constraints ++ c.constraintAdds -- c.constraintDrops,
+          // new deletion vectors stack onto a file's existing ones;
+          // entries for files no longer live are dropped (hygiene —
+          // readers scope DVs by live file anyway)
+          c.dvAdds.foldLeft(baseDvs) { case (m, (f, dirs)) =>
+            if (!liveFiles.contains(f)) m
+            else m.updated(f, m.getOrElse(f, Seq.empty) ++ dirs)
+          })
       }
   }
 
@@ -952,7 +1070,8 @@ object TxLogTable {
     val st = replayState(fs, tablePath, upTo, commits)
     Snapshot(st.files, StructType.fromDDL(st.ddl.getOrElse(
       throw new IllegalStateException(
-        s"no schema resolvable at version $upTo of $tablePath"))), st.stats)
+        s"no schema resolvable at version $upTo of $tablePath"))), st.stats,
+      st.dvs)
   }
 
   /** Resolve a committed file entry to its physical location: plain
@@ -975,6 +1094,146 @@ object TxLogTable {
       spark.read.schema(schema)
         .parquet(files.map(f => dataFilePath(tablePath, f)): _*)
     }
+
+  /** Like [[dataFilePath]] for deletion-vector directories: plain
+    * names live under `_dv/`, absolute entries (shallow-clone
+    * references into the source table) resolve as-is.
+    */
+  private def dvDirPath(tablePath: String, name: String): String =
+    if (isAbsoluteEntry(name)) name else s"$tablePath/$DvDir/$name"
+
+  /** The parquet scan of `files` with two helper columns identifying
+    * each physical row: `__file` (file basename — entries are
+    * uuid-named, so basenames are unique across clones too) and
+    * `__idx` (the parquet row index). This is the row-identity frame
+    * both deletion-vector WRITES (which rows matched) and READS
+    * (which rows are masked) hang off — Spark's `_metadata` hidden
+    * columns, no custom reader.
+    */
+  private def metaFrame(spark: SparkSession, tablePath: String,
+      files: Seq[String], schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    buildFrame(spark, tablePath, files, schema)
+      .withColumn("__file", col("_metadata.file_name"))
+      .withColumn("__idx", col("_metadata.row_index"))
+  }
+
+  /** Snapshot-consistent read of `files`: the plain parquet scan with
+    * the files' deletion vectors applied as ONE left-anti join on
+    * (file basename, row index). Clean files (no DVs) take the
+    * unchanged fast path. The DV side is the union of the relevant
+    * vector directories — at 100 TB this is a broadcast anti-join
+    * whose build side is the deleted-row id list, the merge-on-read
+    * cost model of the public lake formats.
+    */
+  private def snapFrame(spark: SparkSession, tablePath: String,
+      snap: Snapshot, files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val relevant = snap.dvs.filter { case (f, _) => files.contains(f) }
+    if (relevant.isEmpty) buildFrame(spark, tablePath, files, snap.schema)
+    else {
+      val dirs = relevant.values.flatten.toSeq.distinct.sorted
+      val dv = spark.read.parquet(dirs.map(dvDirPath(tablePath, _)): _*)
+        .select(col("file").as("__dv_file"), col("row_index").as("__dv_idx"))
+      metaFrame(spark, tablePath, files, snap.schema)
+        .join(dv, col("__file") === col("__dv_file") &&
+          col("__idx") === col("__dv_idx"), "left_anti")
+        .drop("__file", "__idx")
+    }
+  }
+
+  private val DvDir = "_dv"
+
+  /** Row-level DELETE WHERE `predicate` as a MERGE-ON-READ deletion
+    * vector — the write-cheap sibling of the copy-on-write [[delete]]:
+    * instead of rewriting every file that contains a match, commit a
+    * parquet list of the matched rows' (file, row index) identities
+    * and let readers mask them with one anti-join. A scattered delete
+    * over a 100 TB table costs O(matched rows) bytes written instead
+    * of O(files containing matches) bytes rewritten; the read-side
+    * tax lasts until the next [[compact]], which applies and retires
+    * the vectors (files it rewrites drop their DVs in the same
+    * commit). All readers are DV-aware: [[read]]/[[prunedRead]]/
+    * [[changes]]/[[fastCount]], the format and catalog surfaces
+    * (which fall back to a correctness-first bridged scan while
+    * vectors are outstanding), and every DML rewrite applies a file's
+    * vectors before touching it, so DV'd rows can never resurrect.
+    * The change feed sees exactly the newly-masked rows (write-time
+    * CDF cache, already-deleted rows excluded). Commits as
+    * `action=dv`; append-only streams fail loudly unless
+    * `ignoreDeletes` (same contract as [[delete]]). Returns the
+    * committed version — unchanged if no live row matched.
+    */
+  def deleteVectors(spark: SparkSession, tablePath: String,
+      predicate: String): Long = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val fs = fileSystem(spark, tablePath)
+    val commits = committedVersions(fs, tablePath)
+    require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+    val base = commits.max
+    val snap = snapshot(fs, tablePath, Some(base))
+    if (snap.files.isEmpty) return base
+    // candidate files by committed stats would also work; the matched
+    // scan below already pushes the predicate into parquet row groups
+    val liveMeta = {
+      val all = metaFrame(spark, tablePath, snap.files, snap.schema)
+      if (snap.dvs.isEmpty) all
+      else {
+        val dirs = snap.dvs.values.flatten.toSeq.distinct.sorted
+        val dv = spark.read.parquet(dirs.map(dvDirPath(tablePath, _)): _*)
+          .select(col("file").as("__dv_file"), col("row_index").as("__dv_idx"))
+        all.join(dv, col("__file") === col("__dv_file") &&
+          col("__idx") === col("__dv_idx"), "left_anti")
+      }
+    }
+    val matched = liveMeta.filter(expr(predicate))
+    val dvName = java.util.UUID.randomUUID().toString
+    val dvPath = new Path(tablePath, s"$DvDir/$dvName")
+    matched.select(col("__file").as("file"), col("__idx").as("row_index"))
+      .write.parquet(dvPath.toString)
+    val written = spark.read.parquet(dvPath.toString)
+    val touchedNames = written.select("file").distinct()
+      .collect().map(_.getString(0)).toSet // bounded by file count
+    if (touchedNames.isEmpty) { fs.delete(dvPath, true); return base }
+    val byName = snap.files.map(e =>
+      new Path(dataFilePath(tablePath, e)).getName -> e).toMap
+    val touched = touchedNames.toSeq.sorted.map(n => byName.getOrElse(n,
+      throw new IllegalStateException(
+        s"matched file $n is not a committed entry of $tablePath")))
+    var attempt = 0
+    var result = -1L
+    while (result < 0) {
+      attempt += 1
+      if (attempt > MaxCommitRetries) throw new IllegalStateException(
+        s"gave up after $MaxCommitRetries dv-commit attempts on $tablePath")
+      val latest = committedVersions(fs, tablePath).max
+      // the vectors were computed against `base`'s rows: if a
+      // concurrent rewrite/overwrite replaced a touched file, those
+      // row indexes no longer mean anything — abort, never corrupt
+      val liveNow = snapshot(fs, tablePath, Some(latest)).files.toSet
+      val gone = touched.filterNot(liveNow)
+      if (gone.nonEmpty) {
+        fs.delete(dvPath, true)
+        throw new IllegalStateException(
+          s"deleteVectors conflict on $tablePath: ${gone.size} matched " +
+            s"file(s) no longer live (e.g. ${gone.head}) — a concurrent " +
+            "rewrite landed first; rerun the delete")
+      }
+      try {
+        claimCommit(fs, tablePath, latest + 1L,
+          Commit("dv", snap.schema.toDDL, Nil,
+            op = Some("delete (vectors)"),
+            dvAdds = touched.map(f => f -> Seq(dvName)).toMap))
+        result = latest + 1L
+      } catch { case _: CommitConflict => () }
+    }
+    // exact O(diff) change feed: the newly-masked rows are the delete
+    // rows of this version, already computed
+    writeCdfCache(spark, tablePath, result,
+      liveMeta.filter(expr(predicate)).drop("__file", "__idx")
+        .withColumn("_change_type", lit("delete")))
+    result
+  }
 
   /** Files whose recorded range can intersect `[lower, upper]`; files
     * with no usable stats for `column` (or a bound whose type does not
@@ -1214,15 +1473,18 @@ object TxLogTable {
   def fastCount(spark: SparkSession, tablePath: String,
       asOfVersion: Option[Long] = None): Long = {
     val snap = snapshot(fileSystem(spark, tablePath), tablePath, asOfVersion)
-    val (counted, uncounted) = snap.files.partition(f =>
+    // files with outstanding deletion vectors count exactly (masked
+    // scan); clean files keep the metadata-only path
+    val (dvFiles, clean) = snap.files.partition(snap.dvs.contains)
+    val (counted, uncounted) = clean.partition(f =>
       snap.stats.get(f).exists(_.contains(RowCountStat)))
     val fromStats = counted.iterator.map { f =>
       new String(Base64.getDecoder.decode(
         snap.stats(f)(RowCountStat).min), StandardCharsets.UTF_8).toLong
     }.sum
     val fromData =
-      if (uncounted.isEmpty) 0L
-      else buildFrame(spark, tablePath, uncounted, snap.schema).count()
+      if (uncounted.isEmpty && dvFiles.isEmpty) 0L
+      else snapFrame(spark, tablePath, snap, uncounted ++ dvFiles).count()
     fromStats + fromData
   }
 
@@ -1464,6 +1726,11 @@ object TxLogTable {
         .append(b64(e)).append('\n')
     for (n <- c.constraintDrops.sorted)
       body.append("constraintDrop=").append(b64(n)).append('\n')
+    // one line per (data file, dv dir): dvadd=<fileB64>|<dirB64>
+    // (base64 keeps absolute clone-reference paths line-format safe)
+    for ((f, dirs) <- c.dvAdds.toSeq.sortBy(_._1); dir <- dirs)
+      body.append("dvadd=").append(b64(f)).append('|')
+        .append(b64(dir)).append('\n')
     // one line per (file, column): stat=<file>|<colB64>|<kind>|<minB64>|<maxB64>
     // (file names are writer-generated uuid forms, never contain '|')
     for ((f, cols) <- c.stats.toSeq.sortBy(_._1);
@@ -1527,7 +1794,15 @@ object TxLogTable {
       constraintDrops = lines.collect {
         case l if l.startsWith("constraintDrop=") => unb64(l.substring(15))
       }.toSeq,
-      op = opt("op"))
+      op = opt("op"),
+      dvAdds = lines.collect {
+        case l if l.startsWith("dvadd=") =>
+          l.substring(6).split('|') match {
+            case Array(f, dir) => unb64(f) -> unb64(dir)
+            case _ => throw new IllegalStateException(
+              s"corrupt commit $p: bad dvadd line")
+          }
+      }.groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).toSeq })
   }
 
   private def b64(s: String): String =
@@ -1585,6 +1860,9 @@ object TxLogTable {
     for ((n, e) <- st.constraints.toSeq.sortBy(_._1))
       body.append("constraint=").append(b64(n)).append('|')
         .append(b64(e)).append('\n')
+    for ((f, dirs) <- st.dvs.toSeq.sortBy(_._1); dir <- dirs)
+      body.append("dv=").append(b64(f)).append('|')
+        .append(b64(dir)).append('\n')
     body.append("end=1\n")
     val tmp = new Path(logPath,
       s"tmp-${java.util.UUID.randomUUID()}.ckpt")
@@ -1640,7 +1918,13 @@ object TxLogTable {
         case _ => throw new IllegalStateException("bad constraint line")
       }
     }.toMap
-    State(files, ddl, stats, txns, constraints)
+    val dvs = lines.collect { case l if l.startsWith("dv=") =>
+      l.substring(3).split('|') match {
+        case Array(f, dir) => unb64(f) -> unb64(dir)
+        case _ => throw new IllegalStateException("bad dv line")
+      }
+    }.groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).toSeq }
+    State(files, ddl, stats, txns, constraints, dvs)
   }.toOption
 
   private def commitName(version: Long): String = f"$version%020d.txt"

@@ -131,14 +131,29 @@ final class TxLogDataSource extends RelationProvider
         }
       case None =>
         val version = TxLogDataSource.resolveVersion(spark, path, parameters)
-        val index = new TxLogFileIndex(spark, path, version)
-        HadoopFsRelation(
-          location = index,
-          partitionSchema = StructType(Nil),
-          dataSchema = index.dataSchema,
-          bucketSpec = None,
-          fileFormat = new ParquetFileFormat,
-          options = parameters)(spark)
+        if (TxLogTable.scanSnapshot(spark, path, version).hasDeletionVectors) {
+          // outstanding merge-on-read deletion vectors: the file-level
+          // scan cannot express the row mask, so serve the DV-applying
+          // library plan through a bridged relation — correctness
+          // first, at a per-row conversion cost that lasts only until
+          // compact() materializes the vectors
+          val df = TxLogTable.read(spark, path, version)
+          new BaseRelation with org.apache.spark.sql.sources.TableScan {
+            override def sqlContext: SQLContext = spark.sqlContext
+            override def schema: StructType = df.schema
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+              df.rdd
+          }
+        } else {
+          val index = new TxLogFileIndex(spark, path, version)
+          HadoopFsRelation(
+            location = index,
+            partitionSchema = StructType(Nil),
+            dataSchema = index.dataSchema,
+            bucketSpec = None,
+            fileFormat = new ParquetFileFormat,
+            options = parameters)(spark)
+        }
     }
   }
 
