@@ -45,4 +45,42 @@ object Layout {
     } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + (n - 1 - d)))
       .reduce(_ bitwiseOR _)
   }
+
+  /** Hilbert-curve distance of point `(a, b)` on the `bits`-order
+    * curve (each coordinate uses its low `bits` bits; `2 * bits` must
+    * fit a long). The Hilbert curve never takes the long diagonal
+    * jumps Morton order does, so consecutive curve positions are
+    * always ADJACENT cells — range-partitioned files carry tighter
+    * per-dimension min/max envelopes than Z-order at the same file
+    * count, i.e. strictly better stats pruning for the same layout
+    * cost. The classic xy→d walk (top-down quadrant fold with
+    * rotation) unrolls to a fixed `bits`-step chain of integer
+    * when/shift/xor built-ins — no UDF, stays inside whole-stage
+    * codegen like [[zValue]].
+    */
+  def hilbertValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && 2 * bits <= 63,
+      s"bits=$bits out of range (need 1 <= bits and 2*bits <= 63)")
+    // the classic top-down quadrant fold: extract the quadrant bit
+    // pair, accumulate s*s along the curve, then rotate/reflect the
+    // frame (flip against the FULL side n-1 — coordinates stay in
+    // [0, n) throughout, so the when-chains never go negative)
+    val n = 1L << bits
+    var x = a.bitwiseAND(lit(n - 1))
+    var y = b.bitwiseAND(lit(n - 1))
+    var d: Column = lit(0L)
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      val rx = shiftright(x, i).bitwiseAND(lit(1L))
+      val ry = shiftright(y, i).bitwiseAND(lit(1L))
+      d = d + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)
+      val fx = when(ry === 0L,
+        when(rx === 1L, lit(n - 1) - y).otherwise(y)).otherwise(x)
+      val fy = when(ry === 0L,
+        when(rx === 1L, lit(n - 1) - x).otherwise(x)).otherwise(y)
+      x = fx
+      y = fy
+    }
+    d
+  }
 }

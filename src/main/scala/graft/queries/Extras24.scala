@@ -133,5 +133,51 @@ object Extras24 {
               SELECT 22, COUNT(*), CAST(SUM(bal_c) AS BIGINT), MIN(k), MAX(k) FROM d2
               UNION ALL
               SELECT 32, COUNT(*), CAST(SUM(bal_c) AS BIGINT), MIN(k), MAX(k) FROM d3
-              ORDER BY version""")))
+              ORDER BY version""")),
+
+    // Quality-classifier INFERENCE at corpus scale — the fasttext-ish
+    // shape every training-data pipeline runs: hashed bag-of-bigram
+    // features, a linear model whose weight for feature f is a pure
+    // hash (portable md5 → [-500, 500], standing in for trained
+    // weights), document score = sum of feature weights, label =
+    // sign. Map-only per document (no shuffle until the tiny
+    // lang×source aggregate), codegen-friendly higher-order functions,
+    // integer arithmetic end to end — at 100 TB this is one pass over
+    // the corpus with a 25-row result. The oracle recomputes the
+    // same model in DuckDB list comprehensions.
+    QueryDef("q261_quality_classifier",
+      (s, d) => {
+        table(s, d, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("feats", expr(
+            "CASE WHEN size(w) < 2 THEN array() " +
+              "ELSE transform(sequence(0, size(w) - 2), " +
+              "i -> concat(w[i], '_', w[i + 1])) END"))
+          .withColumn("wsum", expr(
+            "aggregate(feats, CAST(0 AS BIGINT), (acc, f) -> acc + " +
+              "(CAST(conv(substring(md5(f), 1, 4), 16, 10) AS BIGINT) % 1001) - 500)"))
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("wsum") > 0, 1L).otherwise(0L)).as("pos_docs"),
+            sum(col("wsum")).as("weight_sum"),
+            sum(size(col("feats")).cast("long")).as("n_feats"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH f AS (
+                SELECT lang, source,
+                       COALESCE(list_sum(list_transform(feats,
+                         f -> CAST(CAST('0x' || substr(md5(f), 1, 4) AS INTEGER)
+                                AS BIGINT) % 1001 - 500)), 0) AS wsum,
+                       len(feats) AS nf
+                FROM (SELECT lang, source,
+                        [w[i] || '_' || w[i + 1]
+                         for i in range(1, len(w))] AS feats
+                      FROM (SELECT lang, source,
+                              string_split(text, ' ') AS w
+                            FROM documents)))
+              SELECT lang, source, COUNT(*) AS n_docs,
+                     SUM(CASE WHEN wsum > 0 THEN 1 ELSE 0 END) AS pos_docs,
+                     CAST(SUM(wsum) AS BIGINT) AS weight_sum,
+                     CAST(SUM(nf) AS BIGINT) AS n_feats
+              FROM f GROUP BY 1, 2 ORDER BY lang, source""")))
 }

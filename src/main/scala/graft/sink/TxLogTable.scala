@@ -602,9 +602,11 @@ object TxLogTable {
       zOrderBy: Option[(String, String)] = None,
       zBits: Int = 20,
       onlyWhere: Option[(String, Option[Any], Option[Any])] = None,
-      zOrderCols: Option[Seq[String]] = None): Long = {
-    require(Seq(clusterBy, zOrderBy, zOrderCols).count(_.isDefined) <= 1,
-      "clusterBy, zOrderBy and zOrderCols are mutually exclusive")
+      zOrderCols: Option[Seq[String]] = None,
+      hilbertBy: Option[(String, String)] = None): Long = {
+    require(Seq(clusterBy, zOrderBy, zOrderCols, hilbertBy)
+        .count(_.isDefined) <= 1,
+      "clusterBy, zOrderBy, zOrderCols and hilbertBy are mutually exclusive")
     val fs = fileSystem(spark, tablePath)
     val commits = committedVersions(fs, tablePath)
     require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
@@ -644,14 +646,20 @@ object TxLogTable {
         .repartitionByRange(nOut, col("__graft_z"))
         .sortWithinPartitions("__graft_z")
         .drop("__graft_z")
-    val arranged = (clusterBy, zOrderBy, zOrderCols) match {
-      case (Some(c), _, _) => df.repartitionByRange(nOut, col(c))
-      case (_, Some((a, b)), _) =>
+    val arranged = (clusterBy, zOrderBy, zOrderCols, hilbertBy) match {
+      case (Some(c), _, _, _) => df.repartitionByRange(nOut, col(c))
+      case (_, Some((a, b)), _, _) =>
         alongCurve(graft.ops.Layout.zValue(col(a), col(b), zBits))
-      case (_, _, Some(cs)) =>
+      case (_, _, Some(cs), _) =>
         // N-dim curve: zBits is capped so the interleave fits a long
         val bits = math.min(zBits, 63 / cs.size)
         alongCurve(graft.ops.Layout.zValueN(cs.map(col), bits))
+      case (_, _, _, Some((a, b))) =>
+        // Hilbert keeps consecutive curve positions in adjacent
+        // cells, so each range-partitioned file covers a compact
+        // blob — tighter min/max envelopes than the Z diagonal jumps
+        alongCurve(graft.ops.Layout.hilbertValue(col(a), col(b),
+          math.min(zBits, 31)))
       case _ => df.coalesce(nOut)
     }
     write(arranged, tablePath, overwrite = false, txn = None,

@@ -97,4 +97,57 @@ class LayoutSpec extends SparkSpec {
       assert(bs.max - bs.min <= 7, s"zbucket $bucket spans b-range ${bs.min}..${bs.max}")
     }
   }
+
+  test("hilbertValue is a bijection onto [0, 4^bits) on the full grid") {
+    val bits = 5
+    val side = 1L << bits
+    val grid = for (a <- 0L until side; b <- 0L until side) yield (a, b)
+    val rows = grid.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Layout.hilbertValue(col("a"), col("b"), bits).as("h"))
+      .collect()
+    val hs = rows.map(_.getLong(2))
+    assert(hs.min === 0L && hs.max === side * side - 1)
+    assert(hs.distinct.length === (side * side).toInt)
+  }
+
+  test("hilbert adjacency: consecutive curve positions are adjacent cells") {
+    // THE Hilbert property (Morton order fails it): |Δx| + |Δy| == 1
+    // for every consecutive pair, so range-partitioned files cover
+    // compact blobs with no diagonal jumps
+    val bits = 5
+    val side = 1L << bits
+    val grid = for (a <- 0L until side; b <- 0L until side) yield (a, b)
+    val byD = grid.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Layout.hilbertValue(col("a"), col("b"), bits).as("h"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1).map(_._2)
+    byD.sliding(2).foreach { case Array((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"jump from ($x1,$y1) to ($x2,$y2)")
+    }
+  }
+
+  test("hilbert file envelopes are no looser than z-order on the same grid") {
+    // lay the same 64x64 grid out in 16 files along each curve and
+    // compare the summed per-file bounding-box area — the standard
+    // clustering-quality metric (smaller boxes => tighter min/max
+    // stats => better pruning)
+    val bits = 6
+    val side = 1L << bits
+    val grid = (for (a <- 0L until side; b <- 0L until side) yield (a, b))
+      .toDF("a", "b")
+    def area(curve: org.apache.spark.sql.Column): Long =
+      grid.withColumn("c", curve)
+        .withColumn("f", ntile(16).over(
+          org.apache.spark.sql.expressions.Window.orderBy("c")))
+        .groupBy("f")
+        .agg(((max("a") - min("a") + 1) * (max("b") - min("b") + 1)).as("box"))
+        .agg(sum("box")).head().getLong(0)
+    val hilbert = area(Layout.hilbertValue(col("a"), col("b"), bits))
+    val morton = area(Layout.zValue(col("a"), col("b"), bits))
+    assert(hilbert <= morton,
+      s"hilbert total box area $hilbert should not exceed z-order $morton")
+  }
 }

@@ -334,6 +334,34 @@ class TxLogTableSpec extends SparkSpec {
       "helper z column must not leak into the table")
   }
 
+  test("hilbert compact restores skipping on BOTH dimensions") {
+    val t = freshTable()
+    val grid = for { a <- 0 until 32; b <- 0 until 32 } yield (a.toLong, b.toLong)
+    for (i <- 0 until 4)
+      TxLogTable.append(
+        grid.filter { case (a, b) => (a + b) % 4 == i }
+          .toDF("a", "b").coalesce(1), t)
+    assert(TxLogTable.candidateFiles(spark, t, "a", lower = Some(30L)).size === 4)
+    val before = TxLogTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    intercept[IllegalArgumentException](TxLogTable.compact(spark, t,
+      zOrderBy = Some(("a", "b")), hilbertBy = Some(("a", "b"))))
+    TxLogTable.compact(spark, t, targetFileBytes = 800L,
+      hilbertBy = Some(("a", "b")), zBits = 5)
+    val all = TxLogTable.candidateFiles(spark, t, "a")
+    assert(all.size >= 6, "several output files expected")
+    val hitA = TxLogTable.candidateFiles(spark, t, "a", lower = Some(30L))
+    val hitB = TxLogTable.candidateFiles(spark, t, "b", lower = Some(30L))
+    assert(hitA.size < all.size, "hilbert layout must prune on a")
+    assert(hitB.size < all.size, "hilbert layout must prune on b")
+    val band = TxLogTable.prunedRead(spark, t, "b", lower = Some(30L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(band === before.filter(_._2 >= 30L))
+    assert(TxLogTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === before,
+      "helper curve column must not leak into the table")
+  }
+
   test("3-column z-order compact prunes on every clustered dimension") {
     val t = freshTable()
     // 16^3 cube in 4 interleaved chunks: every file spans all dims
