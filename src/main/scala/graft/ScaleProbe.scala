@@ -72,8 +72,38 @@ object ScaleProbe {
     results("delete_band") = tBandDelete
 
     // scattered delete: hits every file (the honest worst case)
+    val fsp = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirMb(sub: String): Double = {
+      val p = new org.apache.hadoop.fs.Path(s"$t/$sub")
+      if (!fsp.exists(p)) 0.0
+      else fsp.getContentSummary(p).getLength / 1e6
+    }
+    val dataMb0 = dirMb("data")
     val (_, tScatter) = timed(TxLogTable.delete(spark, t, "k % 1000 = 7"))
     results("delete_scattered") = tScatter
+    // bytes a copy-on-write scattered delete physically rewrites
+    results("delete_scattered_mb") = dirMb("data") - dataMb0
+
+    // the SAME scattered shape as a merge-on-read deletion vector:
+    // commits a (file, row index) mask, no data file moves — the
+    // written bytes are the mask, O(matched rows) instead of
+    // O(files containing matches)
+    val dvMb0 = dirMb("_dv")
+    val (_, tDvDelete) = timed(
+      TxLogTable.deleteVectors(spark, t, "k % 1000 = 8"))
+    results("dv_delete_scattered") = tDvDelete
+    results("dv_delete_mb") = dirMb("_dv") - dvMb0
+    // the read-side tax while the mask is outstanding…
+    val (nMasked, tMaskedRead) = timed(TxLogTable.read(spark, t).count())
+    results("read_masked") = tMaskedRead
+    // …and compaction retiring it (materialize = rewrite DV'd files)
+    val (_, tMaterialize) = timed(
+      TxLogTable.compact(spark, t, smallFileBytes = 1L))
+    results("dv_materialize") = tMaterialize
+    val (nClean, tCleanRead) = timed(TxLogTable.read(spark, t).count())
+    results("read_clean") = tCleanRead
+    require(nMasked == nClean, s"materialize changed contents: $nMasked vs $nClean")
 
     // keyed MERGE: upsert 2k existing keys + 1k new ones (CDC shape)
     val (_, tMerge) = timed {

@@ -1152,6 +1152,24 @@ object TxLogTable {
 
   private val DvDir = "_dv"
 
+  /** The snapshot's LIVE rows with the `__file`/`__idx` row-identity
+    * columns — the masked [[metaFrame]], shared by the deletion-vector
+    * writers (which rows match) and their CDF caches.
+    */
+  private def liveMetaFrame(spark: SparkSession, tablePath: String,
+      snap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val all = metaFrame(spark, tablePath, snap.files, snap.schema)
+    if (snap.dvs.isEmpty) all
+    else {
+      val dirs = snap.dvs.values.flatten.toSeq.distinct.sorted
+      val dv = spark.read.parquet(dirs.map(dvDirPath(tablePath, _)): _*)
+        .select(col("file").as("__dv_file"), col("row_index").as("__dv_idx"))
+      all.join(dv, col("__file") === col("__dv_file") &&
+        col("__idx") === col("__dv_idx"), "left_anti")
+    }
+  }
+
   /** Row-level DELETE WHERE `predicate` as a MERGE-ON-READ deletion
     * vector — the write-cheap sibling of the copy-on-write [[delete]]:
     * instead of rewriting every file that contains a match, commit a
@@ -1183,17 +1201,7 @@ object TxLogTable {
     if (snap.files.isEmpty) return base
     // candidate files by committed stats would also work; the matched
     // scan below already pushes the predicate into parquet row groups
-    val liveMeta = {
-      val all = metaFrame(spark, tablePath, snap.files, snap.schema)
-      if (snap.dvs.isEmpty) all
-      else {
-        val dirs = snap.dvs.values.flatten.toSeq.distinct.sorted
-        val dv = spark.read.parquet(dirs.map(dvDirPath(tablePath, _)): _*)
-          .select(col("file").as("__dv_file"), col("row_index").as("__dv_idx"))
-        all.join(dv, col("__file") === col("__dv_file") &&
-          col("__idx") === col("__dv_idx"), "left_anti")
-      }
-    }
+    val liveMeta = liveMetaFrame(spark, tablePath, snap)
     val matched = liveMeta.filter(expr(predicate))
     val dvName = java.util.UUID.randomUUID().toString
     val dvPath = new Path(tablePath, s"$DvDir/$dvName")
@@ -1241,6 +1249,63 @@ object TxLogTable {
       liveMeta.filter(expr(predicate)).drop("__file", "__idx")
         .withColumn("_change_type", lit("delete")))
     result
+  }
+
+  /** Row-level UPDATE as MERGE-ON-READ: one commit that masks the
+    * matched rows with a deletion vector AND appends their updated
+    * images — the write cost is O(matched rows) (the mask plus the
+    * new images), never a rewrite of the files that contain them.
+    * SET expressions evaluate against the pre-update row and cast
+    * back to the column's committed type, exactly like the
+    * copy-on-write [[update]]; the change feed gets the precise
+    * delete(old)+insert(new) pairs (no-op assignments cancelled); the
+    * read-side anti-join tax retires at the next [[compact]]. Returns
+    * the committed version — unchanged if no live row matched.
+    */
+  def updateVectors(spark: SparkSession, tablePath: String, where: String,
+      set: Map[String, String]): Long = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    require(set.nonEmpty, "update needs at least one SET assignment")
+    val fs = fileSystem(spark, tablePath)
+    val commits = committedVersions(fs, tablePath)
+    require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+    val base = commits.max
+    val snap = snapshot(fs, tablePath, Some(base))
+    val unknown = set.keySet -- snap.schema.fieldNames.toSet
+    require(unknown.isEmpty,
+      s"update assigns to column(s) not in the table: ${unknown.mkString(", ")}")
+    if (snap.files.isEmpty) return base
+    val matched = liveMetaFrame(spark, tablePath, snap).filter(expr(where))
+    val dvName = java.util.UUID.randomUUID().toString
+    val dvPath = new Path(tablePath, s"$DvDir/$dvName")
+    matched.select(col("__file").as("file"), col("__idx").as("row_index"))
+      .write.parquet(dvPath.toString)
+    val touchedNames = spark.read.parquet(dvPath.toString)
+      .select("file").distinct()
+      .collect().map(_.getString(0)).toSet // bounded by file count
+    if (touchedNames.isEmpty) { fs.delete(dvPath, true); return base }
+    val byName = snap.files.map(e =>
+      new Path(dataFilePath(tablePath, e)).getName -> e).toMap
+    val touched = touchedNames.toSeq.sorted.map(n => byName.getOrElse(n,
+      throw new IllegalStateException(
+        s"matched file $n is not a committed entry of $tablePath")))
+    val oldImages = matched.drop("__file", "__idx")
+    val newImages = oldImages.select(snap.schema.fields.toSeq.map { f =>
+      set.get(f.name) match {
+        case Some(e) => expr(e).cast(f.dataType).as(f.name)
+        case None    => col(f.name)
+      }
+    }: _*)
+    val v =
+      try write(newImages, tablePath, overwrite = false, txn = None,
+        actionOverride = Some("dv"), op = Some("update (vectors)"),
+        dvAdds = touched.map(f => f -> Seq(dvName)).toMap)
+      catch { case e: Throwable => fs.delete(dvPath, true); throw e }
+    writeCdfCache(spark, tablePath, v,
+      oldImages.exceptAll(newImages).withColumn("_change_type", lit("delete"))
+        .unionAll(newImages.exceptAll(oldImages)
+          .withColumn("_change_type", lit("insert"))))
+    v
   }
 
   /** Files whose recorded range can intersect `[lower, upper]`; files
@@ -1508,7 +1573,8 @@ object TxLogTable {
       txn: Option[(String, Long)], removes: Seq[String] = Seq.empty,
       actionOverride: Option[String] = None,
       mergeSchema: Boolean = false,
-      op: Option[String] = None): Long = {
+      op: Option[String] = None,
+      dvAdds: Map[String, Seq[String]] = Map.empty): Long = {
     val commitAction = actionOverride.getOrElse(
       if (overwrite) "overwrite"
       else if (removes.nonEmpty) "compact"
@@ -1649,9 +1715,10 @@ object TxLogTable {
         // compaction already removed — re-validate liveness on every
         // attempt; on violation the staged rewrite is abandoned as a
         // vacuumable orphan rather than committing stale data
-        if (removes.nonEmpty) {
+        if (removes.nonEmpty || dvAdds.nonEmpty) {
           val live = snapshot(fs, tablePath, Some(commits.max)).files.toSet
-          val dead = removes.filterNot(live)
+          val dead = removes.filterNot(live) ++
+            dvAdds.keys.filterNot(live) // vector row indexes are per-file
           if (dead.nonEmpty) throw new IllegalStateException(
             s"rewrite conflict on $tablePath: ${dead.size} rewritten " +
               s"file(s) no longer live (e.g. ${dead.head}) — a concurrent " +
@@ -1681,7 +1748,7 @@ object TxLogTable {
         try {
           claimCommit(fs, tablePath, version,
             Commit(commitAction, commitDdl, names, txn, fileStats, removes,
-              op = op))
+              op = op, dvAdds = dvAdds))
           result = version
         } catch {
           case _: CommitConflict => () // loop: re-read log, next version

@@ -94,6 +94,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def tableDir(ident: Identifier): Path =
     new Path(dirOf(ident.namespace().toSeq), ident.name())
 
+  /** The table-root path an identifier maps to — the bridge for
+    * library verbs ([[graft.sql.SqlDml]], TxLogTable maintenance) to
+    * operate on catalog tables without a separate path registry.
+    */
+  def tablePathOf(ident: Identifier): String = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    dir.toString
+  }
+
   /** A directory IS a table iff it carries a commit log. */
   private def isTable(p: Path): Boolean = fs.exists(new Path(p, "_txlog"))
 

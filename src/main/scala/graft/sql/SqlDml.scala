@@ -23,13 +23,31 @@ import graft.sink.TxLogTable
   */
 object SqlDml {
 
+  /** Catalog-qualified form: `UPDATE graft.ns.t SET …` resolves the
+    * table path through the registered [[graft.sources.GraftCatalog]]
+    * — no name→path map needed (DELETE already works as plain
+    * `spark.sql` via SupportsDeleteV2; this closes UPDATE too).
+    */
+  def run(spark: SparkSession, sql: String): Long =
+    run(spark, sql, Map.empty)
+
   def run(spark: SparkSession, sql: String,
       tables: Map[String, String]): Long = {
+    def catalogPath(parts: Seq[String]): Option[String] =
+      if (parts.size < 2) None
+      else scala.util.Try(spark.sessionState.catalogManager
+          .catalog(parts.head)).toOption.collect {
+        case g: graft.sources.GraftCatalog =>
+          g.tablePathOf(org.apache.spark.sql.connector.catalog.Identifier.of(
+            parts.tail.init.toArray, parts.last))
+      }
     def pathOf(rel: LogicalPlan): String = rel match {
       case u: UnresolvedRelation =>
         val name = u.multipartIdentifier.mkString(".")
-        tables.getOrElse(name, throw new IllegalArgumentException(
-          s"unknown table '$name'; registered: ${tables.keys.toSeq.sorted.mkString(", ")}"))
+        tables.get(name)
+          .orElse(catalogPath(u.multipartIdentifier))
+          .getOrElse(throw new IllegalArgumentException(
+            s"unknown table '$name'; registered: ${tables.keys.toSeq.sorted.mkString(", ")}"))
       case other => throw new IllegalArgumentException(
         s"unsupported table reference: $other")
     }

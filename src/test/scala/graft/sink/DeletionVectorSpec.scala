@@ -149,6 +149,56 @@ class DeletionVectorSpec extends SparkSpec {
     assert(keys(TxLogTable.read(spark, t)) === expectV4)
   }
 
+  test("updateVectors masks old images and appends new ones in one commit") {
+    val t = rangedTable()
+    val filesBefore = dataFiles(t)
+    val v = TxLogTable.updateVectors(spark, t, "k % 10 = 3",
+      Map("v" -> "concat(v, '!')", "k" -> "k + 100"))
+    assert(v === 4L)
+    // no pre-existing file rewritten; exactly the new-image files added
+    assert(filesBefore.subsetOf(dataFiles(t)))
+    val got = TxLogTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val expect = (0L until 30L).map {
+      case k if k % 10 == 3 => (k + 100, s"r$k!")
+      case k                => (k, s"r$k")
+    }.toSet
+    assert(got === expect)
+    // stacking on top of a delete vector; both masks compose
+    TxLogTable.deleteVectors(spark, t, "k = 5")
+    TxLogTable.updateVectors(spark, t, "k = 103", Map("v" -> "'again'"))
+    val got2 = TxLogTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got2 === expect - ((5L, "r5")) - ((103L, "r3!")) + ((103L, "again")))
+    // change feed of the update: delete(old) + insert(new) pairs
+    val feed = TxLogTable.changes(spark, t, 3L, 4L)
+      .select("_change_type", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(feed === Set(("delete", 3L), ("delete", 13L), ("delete", 23L),
+      ("insert", 103L), ("insert", 113L), ("insert", 123L)))
+    // compact materializes everything; contents unchanged
+    TxLogTable.compact(spark, t, smallFileBytes = 1L << 30)
+    assert(!TxLogTable.scanSnapshot(spark, t, None).hasDeletionVectors)
+    assert(TxLogTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === got2)
+  }
+
+  test("SqlDml resolves catalog-qualified UPDATE/DELETE without a path map") {
+    val wh = Files.createTempDirectory("dml_cat_wh").toString
+    spark.conf.set("spark.sql.catalog.gdml", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdml.ns")
+    spark.sql("CREATE TABLE gdml.ns.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdml.ns.t SELECT id, concat('x', id) FROM range(0, 20)")
+    graft.sql.SqlDml.run(spark, "UPDATE gdml.ns.t SET v = 'upd' WHERE k < 3")
+    graft.sql.SqlDml.run(spark, "DELETE FROM gdml.ns.t WHERE k >= 15")
+    val got = spark.sql("SELECT k, v FROM gdml.ns.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length === 15)
+    assert(got.take(3).forall(_._2 == "upd"))
+    assert(got.drop(3).forall { case (k, v) => v == s"x$k" })
+  }
+
   test("append-only stream fails loudly on a dv commit unless ignoreDeletes") {
     val t = rangedTable()
     val ckpt = Files.createTempDirectory("dv_ckpt").toString
