@@ -43,6 +43,18 @@ object Profile {
       spark.stop()
       return
     }
+    // `only:<prefix,...>` mode: cold+warm for a targeted subset
+    if (args.length > 2 && args(2).startsWith("only:")) {
+      val prefixes = args(2).stripPrefix("only:").split(',').toSeq
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => prefixes.exists(n.startsWith) }
+        .foreach { case (name, fn) =>
+          time(s"$name cold")(noop(fn(spark, sfDir)))
+          time(s"$name warm")(noop(fn(spark, sfDir)))
+        }
+      spark.stop()
+      return
+    }
     // stage breakdown for the q139 pipeline (dev scratch)
     if (args.length > 2 && args(2) == "q139parts") {
       import org.apache.spark.sql.expressions.Window

@@ -181,7 +181,7 @@ object TxLogTable {
       .select(order.map(col): _*)
     val v = write(keptTouched.unionAll(batch), tablePath, overwrite = false,
       txn = None, removes = touched, actionOverride = Some("rewrite"),
-      op = Some("merge"))
+      op = Some("merge"), expectDvs = snap.dvs)
     val oldMatched = snapFrame(spark, tablePath, snap, touched)
       .join(keys, Seq(key), "left_semi")
       .select(order.map(col): _*)
@@ -247,7 +247,7 @@ object TxLogTable {
       .filter(not(expr(predicate)))
     val v = write(kept, tablePath, overwrite = false, txn = None,
       removes = touched, actionOverride = Some("rewrite"),
-      op = Some("delete"))
+      op = Some("delete"), expectDvs = snap.dvs)
     // persist the exact logical diff as a change-feed cache: the
     // deleted rows are precisely the touched rows matching the
     // predicate — O(touched files), no snapshot diff ever needed
@@ -295,7 +295,7 @@ object TxLogTable {
       .select(cols: _*)
     val v = write(rewritten, tablePath, overwrite = false, txn = None,
       removes = touched, actionOverride = Some("rewrite"),
-      op = Some("update"))
+      op = Some("update"), expectDvs = snap.dvs)
     // change-feed cache: old/new images of the matched rows, with
     // no-op assignments cancelled via multiset difference so the
     // cached feed is EXACTLY the snapshot diff ((untouched ∪ old) \
@@ -663,7 +663,7 @@ object TxLogTable {
       case _ => df.coalesce(nOut)
     }
     write(arranged, tablePath, overwrite = false, txn = None,
-      removes = small.map(_._1))
+      removes = small.map(_._1), expectDvs = snap.dvs)
   }
 
   /** Snapshot read at `asOfVersion` (default: latest). */
@@ -1226,7 +1226,8 @@ object TxLogTable {
       // the vectors were computed against `base`'s rows: if a
       // concurrent rewrite/overwrite replaced a touched file, those
       // row indexes no longer mean anything — abort, never corrupt
-      val liveNow = snapshot(fs, tablePath, Some(latest)).files.toSet
+      val now = snapshot(fs, tablePath, Some(latest))
+      val liveNow = now.files.toSet
       val gone = touched.filterNot(liveNow)
       if (gone.nonEmpty) {
         fs.delete(dvPath, true)
@@ -1234,6 +1235,18 @@ object TxLogTable {
           s"deleteVectors conflict on $tablePath: ${gone.size} matched " +
             s"file(s) no longer live (e.g. ${gone.head}) — a concurrent " +
             "rewrite landed first; rerun the delete")
+      }
+      // a concurrent dv landing on the same files keeps the mask
+      // correct (masks are additive) but would make OUR matched set —
+      // and the change-feed cache — stale; abort and recompute
+      val drift = touched.filter(f =>
+        now.dvs.getOrElse(f, Seq.empty) != snap.dvs.getOrElse(f, Seq.empty))
+      if (drift.nonEmpty) {
+        fs.delete(dvPath, true)
+        throw new IllegalStateException(
+          s"deleteVectors conflict on $tablePath: concurrent vectors landed " +
+            s"on ${drift.size} matched file(s) (e.g. ${drift.head}); " +
+            "rerun the delete")
       }
       try {
         claimCommit(fs, tablePath, latest + 1L,
@@ -1299,7 +1312,8 @@ object TxLogTable {
     val v =
       try write(newImages, tablePath, overwrite = false, txn = None,
         actionOverride = Some("dv"), op = Some("update (vectors)"),
-        dvAdds = touched.map(f => f -> Seq(dvName)).toMap)
+        dvAdds = touched.map(f => f -> Seq(dvName)).toMap,
+        expectDvs = snap.dvs)
       catch { case e: Throwable => fs.delete(dvPath, true); throw e }
     writeCdfCache(spark, tablePath, v,
       oldImages.exceptAll(newImages).withColumn("_change_type", lit("delete"))
@@ -1574,7 +1588,8 @@ object TxLogTable {
       actionOverride: Option[String] = None,
       mergeSchema: Boolean = false,
       op: Option[String] = None,
-      dvAdds: Map[String, Seq[String]] = Map.empty): Long = {
+      dvAdds: Map[String, Seq[String]] = Map.empty,
+      expectDvs: Map[String, Seq[String]] = Map.empty): Long = {
     val commitAction = actionOverride.getOrElse(
       if (overwrite) "overwrite"
       else if (removes.nonEmpty) "compact"
@@ -1716,13 +1731,24 @@ object TxLogTable {
         // attempt; on violation the staged rewrite is abandoned as a
         // vacuumable orphan rather than committing stale data
         if (removes.nonEmpty || dvAdds.nonEmpty) {
-          val live = snapshot(fs, tablePath, Some(commits.max)).files.toSet
+          val cur = snapshot(fs, tablePath, Some(commits.max))
+          val live = cur.files.toSet
           val dead = removes.filterNot(live) ++
             dvAdds.keys.filterNot(live) // vector row indexes are per-file
           if (dead.nonEmpty) throw new IllegalStateException(
             s"rewrite conflict on $tablePath: ${dead.size} rewritten " +
               s"file(s) no longer live (e.g. ${dead.head}) — a concurrent " +
               "overwrite or rewrite landed first; rerun the operation")
+          // a deletion vector that landed AFTER this rewrite was
+          // computed would be silently retired by the remove — the
+          // rewritten bytes never applied it, so its masked rows
+          // would resurrect. Abort instead (stress-caught race).
+          val drift = (removes ++ dvAdds.keys).filter(f =>
+            cur.dvs.getOrElse(f, Seq.empty) != expectDvs.getOrElse(f, Seq.empty))
+          if (drift.nonEmpty) throw new IllegalStateException(
+            s"rewrite conflict on $tablePath: deletion vectors changed on " +
+              s"${drift.size} rewritten file(s) (e.g. ${drift.head}) since " +
+              "this rewrite was computed; rerun the operation")
         }
         val names = published match {
           case Some((_, ns)) => ns // files already in data/ from a lost race

@@ -153,4 +153,68 @@ class TxLogStressSpec extends SparkSpec {
         TxLogTable.read(spark, t, Some(v)).collect() // history stays readable
     }
   }
+
+  test("merge-on-read DML racing appends, compaction and vacuum converges per-writer") {
+    // same per-writer program as the copy-on-write race, but the
+    // row-level ops are DELETION VECTORS (deleteVectors/updateVectors)
+    // while random compactions MATERIALIZE outstanding masks
+    // mid-stream. A vector computed against a snapshot whose files a
+    // concurrent rewrite replaced aborts cleanly (row indexes are
+    // per-file) and is retried; masked rows must never resurrect
+    // through any interleaving, and vacuum must never reclaim a
+    // referenced vector directory.
+    for (seed <- Seq(13, 31)) {
+      val t = freshTable()
+      val nWriters = 3
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      def batch(app: Int, e: Int) =
+        Seq((app * 1000L + e, s"w$app-e$e")).toDF("id", "v").coalesce(1)
+      def retryRewrite(op: () => Long, what: String): Unit = {
+        var done = false
+        var tries = 0
+        while (!done) {
+          tries += 1
+          if (tries > 25) throw new IllegalStateException(s"$what kept conflicting")
+          try { op(); done = true }
+          catch { case _: IllegalStateException => Thread.sleep(10) }
+        }
+      }
+      val threads = (1 to nWriters).map { app =>
+        new Thread(() => {
+          val rnd = new scala.util.Random(seed * 10 + app)
+          try {
+            for (e <- 1 to 5) {
+              TxLogTable.append(batch(app, e), t, txn = Some((s"dv$app", e.toLong)))
+              if (e == 3) retryRewrite(
+                () => TxLogTable.deleteVectors(spark, t, s"id = ${app * 1000 + 2}"),
+                s"dv-delete w$app")
+              if (rnd.nextInt(3) == 0)
+                try TxLogTable.compact(spark, t,
+                  smallFileBytes = 1L << 20, targetFileBytes = 1L << 20)
+                catch { case _: IllegalStateException => () }
+              if (rnd.nextInt(4) == 0) TxLogTable.vacuum(spark, t)
+            }
+            retryRewrite(
+              () => TxLogTable.updateVectors(spark, t, s"id = ${app * 1000 + 4}",
+                Map("v" -> "upper(v)")),
+              s"dv-update w$app")
+          } catch { case th: Throwable => errors.add(th) }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(errors.isEmpty,
+        s"seed=$seed writer errors: ${errors.asScala.map(_.toString).mkString("; ")}")
+      val want = (for (a <- 1 to nWriters; e <- Seq(1, 3, 4, 5)) yield {
+        val v = if (e == 4) s"w$a-e4".toUpperCase else s"w$a-e$e"
+        (a * 1000L + e, v)
+      }).toSet
+      assert(rows(TxLogTable.read(spark, t)) === want, s"seed=$seed final contents")
+      TxLogTable.compact(spark, t, smallFileBytes = 1L << 30) // settle any mask
+      TxLogTable.vacuum(spark, t, olderThanMillis = 0L)
+      assert(rows(TxLogTable.read(spark, t)) === want, s"seed=$seed post-settle")
+      for (v <- TxLogTable.versions(spark, t))
+        TxLogTable.read(spark, t, Some(v)).collect() // history stays readable
+    }
+  }
 }
