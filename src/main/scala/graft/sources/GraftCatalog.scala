@@ -261,6 +261,7 @@ final class GraftTable(tablePath: String, ident: Identifier,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def properties(): util.Map[String, String] =
@@ -294,7 +295,11 @@ final class GraftTable(tablePath: String, ident: Identifier,
       }
     } else {
       val index = new TxLogCatalogFileIndex(spark, tablePath, asOfVersion)
-      ParquetScanBuilder(spark, index, schema, index.dataSchema, options)
+      new GraftScanBuilder(
+        ParquetScanBuilder(spark, index, schema, index.dataSchema, options),
+        spark, tablePath, schema,
+        ignoreDeletes = Option(options.get("ignoreDeletes"))
+          .exists(_.trim.toBoolean))
     }
   }
 
@@ -341,6 +346,137 @@ final class GraftTable(tablePath: String, ident: Identifier,
     TxLogTable.overwrite(empty, tablePath)
     true
   }
+}
+
+/** Delegating ScanBuilder that keeps [[ParquetScanBuilder]]'s pushdown
+  * surface (column pruning, catalyst filters, aggregate pushdown) and
+  * wraps the built scan so the catalog table ALSO streams:
+  * `spark.readStream.table("graft.ns.t")` plans micro-batches off the
+  * commit log through [[Scan.toMicroBatchStream]].
+  */
+final class GraftScanBuilder(inner: ParquetScanBuilder,
+    sparkSession: SparkSession, tablePath: String, tableSchema: StructType,
+    ignoreDeletes: Boolean)
+  extends ScanBuilder
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    inner.pushFilters(filters)
+  override def pushedFilters: Array[Predicate] = inner.pushedFilters
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    inner.pruneColumns(requiredSchema)
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    inner.supportCompletePushDown(agg)
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    inner.pushAggregation(agg)
+
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new GraftScan(inner.build(), sparkSession, tablePath, tableSchema,
+      ignoreDeletes)
+}
+
+/** The built scan: batch reads delegate untouched to the vectorized
+  * [[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]];
+  * streaming reads serve commits as micro-batches with the SAME
+  * vectorized reader factory.
+  */
+final class GraftScan(inner: org.apache.spark.sql.connector.read.Scan,
+    sparkSession: SparkSession, tablePath: String, tableSchema: StructType,
+    ignoreDeletes: Boolean)
+  extends org.apache.spark.sql.connector.read.Scan {
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def description(): String = inner.description()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    inner.toBatch
+  override def columnarSupportMode()
+      : org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    inner.supportedCustomMetrics()
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    inner.reportDriverMetrics()
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(sparkSession, tablePath,
+      // the inner (vectorized parquet) scan prepares its own reader
+      // factory — broadcast conf pre-populated with read support,
+      // requested schema, timezone — so streaming batches decode
+      // through the identical path as batch scans
+      () => inner.toBatch.createReaderFactory(),
+      ignoreDeletes)
+}
+
+/** Micro-batch stream off the commit log through the V2 connector
+  * API — `spark.readStream.table("graft.ns.t")`. Offsets ARE
+  * versions (same contract as the format-based [[TxLogStreamSource]]):
+  * each batch reads exactly the data files added by commits in
+  * `(start, end]`, compaction/replayed commits contribute nothing,
+  * and row-level delete commits fail the append-only stream loudly
+  * unless `ignoreDeletes`. The reader factory is Spark's own
+  * vectorized parquet one, so streaming batches decode with the same
+  * columnar path as batch scans.
+  */
+final class GraftMicroBatchStream(sparkSession: SparkSession,
+    tablePath: String,
+    batchFactory: () => org.apache.spark.sql.connector.read.PartitionReaderFactory,
+    ignoreDeletes: Boolean)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+
+  private case class VersionOffset(v: Long) extends Offset {
+    override def json(): String = v.toString
+  }
+
+  override def initialOffset(): Offset = VersionOffset(0L)
+
+  override def latestOffset(): Offset =
+    VersionOffset(TxLogTable.versions(sparkSession, tablePath).max)
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val lo = start.asInstanceOf[VersionOffset].v
+    val hi = end.asInstanceOf[VersionOffset].v
+    if (!ignoreDeletes) {
+      val rewrites = TxLogTable.rewriteVersions(sparkSession, tablePath, lo, hi)
+      if (rewrites.nonEmpty) throw new IllegalStateException(
+        s"table $tablePath has row-level delete/update commit(s) " +
+          s"${rewrites.mkString(", ")} in the streamed range ($lo, $hi] — " +
+          "an append-only stream cannot reflect them. Either restart from " +
+          "a fresh checkpoint, read the change feed, or set option " +
+          "'ignoreDeletes' = true to stream inserts only")
+    }
+    val conf = sparkSession.sparkContext.hadoopConfiguration
+    val files = TxLogTable.addedFiles(sparkSession, tablePath, lo, hi).map { f =>
+      val p = new Path(TxLogTable.dataFilePath(tablePath, f))
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      PartitionedFile(
+        org.apache.spark.sql.catalyst.InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPath(st.getPath),
+        0L, st.getLen, Array.empty[String], st.getModificationTime, st.getLen)
+    }
+    FilePartition.getFilePartitions(sparkSession, files,
+      sparkSession.sessionState.conf.filesMaxPartitionBytes).toArray
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    batchFactory()
 }
 
 /** The commit-log file index in the shape [[ParquetScanBuilder]]

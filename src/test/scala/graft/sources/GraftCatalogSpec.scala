@@ -136,6 +136,40 @@ class GraftCatalogSpec extends SparkSpec {
     assert(filesRead(all) === 3L)
   }
 
+  test("spark.readStream.table streams commits as micro-batches, resumes on restart") {
+    warehouse
+    spark.sql("CREATE TABLE graft.lake.str (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.lake.str VALUES (1, 'a'), (2, 'b')")
+    val ckpt = Files.createTempDirectory("gcat_ckpt").toString
+    val out = Files.createTempDirectory("gcat_out").resolve("o").toString
+    def run(): Unit = {
+      val q = spark.readStream.table("graft.lake.str")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out).start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    assert(spark.read.parquet(out).count() === 2L)
+    spark.sql("INSERT INTO graft.lake.str VALUES (3, 'c')")
+    run() // restart on the same checkpoint: only the new commit streams
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length === 3, s"exactly-once resume, got ${got.mkString(",")}")
+    assert(got.toSet === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // a row-level delete fails the append-only stream loudly
+    spark.sql("DELETE FROM graft.lake.str WHERE k = 1")
+    spark.sql("INSERT INTO graft.lake.str VALUES (4, 'd')")
+    val q2 = spark.readStream.table("graft.lake.str")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(err.getMessage.contains("delete/update commit") ||
+      Option(err.getCause).exists(_.getMessage.contains("delete/update commit")))
+  }
+
   test("rename and listTables") {
     warehouse
     spark.sql("CREATE TABLE graft.lake.rn1 (k BIGINT)")
