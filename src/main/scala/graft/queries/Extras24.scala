@@ -179,5 +179,48 @@ object Extras24 {
                      SUM(CASE WHEN wsum > 0 THEN 1 ELSE 0 END) AS pos_docs,
                      CAST(SUM(wsum) AS BIGINT) AS weight_sum,
                      CAST(SUM(nf) AS BIGINT) AS n_feats
-              FROM f GROUP BY 1, 2 ORDER BY lang, source""")))
+              FROM f GROUP BY 1, 2 ORDER BY lang, source""")),
+
+    // Hilbert-curve layout key, verified through its CONTRACT (the
+    // q66/q67 pattern): over the full 64×64 grid the curve must be a
+    // bijection onto [0, 4096) — checked by exact integer moments —
+    // and every consecutive pair of curve positions must be ADJACENT
+    // cells (|Δx|+|Δy| = 1, the property that makes Hilbert files
+    // carry tighter min/max envelopes than Morton's diagonal jumps;
+    // computed Spark-side with one lag window and asserted TRUE by
+    // the oracle). Any wrong rotation/reflection in the walk breaks
+    // adjacency within the first few cells.
+    QueryDef("q262_hilbert_curve",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val grid = s.range(0, 4096L).select(
+          (col("id") / 64L).cast("long").as("x"),
+          (col("id") % 64L).as("y"))
+        val h = grid.select(col("x"), col("y"),
+          graft.ops.Layout.hilbertValue(col("x"), col("y"), 6).as("hv"))
+        val w = Window.orderBy("hv")
+        h.select(col("hv"), col("x"), col("y"),
+            lag("x", 1).over(w).as("px"), lag("y", 1).over(w).as("py"))
+          .agg(
+            count(lit(1)).as("n_cells"),
+            countDistinct(col("hv")).as("n_distinct"),
+            min(col("hv")).as("min_h"), max(col("hv")).as("max_h"),
+            sum(col("hv")).as("sum_h"),
+            min(when(col("px").isNotNull,
+              abs(col("x") - col("px")) + abs(col("y") - col("py")))
+              .otherwise(lit(1L))).as("min_step"),
+            max(when(col("px").isNotNull,
+              abs(col("x") - col("px")) + abs(col("y") - col("py")))
+              .otherwise(lit(1L))).as("max_step"))
+          .withColumn("is_bijection",
+            col("n_distinct") === 4096L && col("min_h") === 0L &&
+              col("max_h") === 4095L && col("sum_h") === lit(4096L * 4095L / 2))
+          .withColumn("all_steps_adjacent",
+            col("min_step") === 1L && col("max_step") === 1L)
+      },
+      Some("""SELECT 4096 AS n_cells, 4096 AS n_distinct,
+                     0 AS min_h, 4095 AS max_h,
+                     CAST(4096 * 4095 / 2 AS BIGINT) AS sum_h,
+                     1 AS min_step, 1 AS max_step,
+                     TRUE AS is_bijection, TRUE AS all_steps_adjacent""")))
 }

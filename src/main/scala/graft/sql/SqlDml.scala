@@ -2,7 +2,8 @@ package graft.sql
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.EqualTo
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
 
 import graft.sink.TxLogTable
 
@@ -59,8 +60,43 @@ object SqlDml {
         val where = u.condition.map(_.sql).getOrElse("true")
         val set = u.assignments.map(a => bare(a.key.sql) -> a.value.sql).toMap
         TxLogTable.update(spark, pathOf(u.table), where, set)
+      // the canonical CDC upsert: MERGE INTO t USING src ON t.k = src.k
+      // WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * —
+      // routed to the keyed copy-on-write [[TxLogTable.merge]] (only
+      // files containing matched keys rewrite). The source may be any
+      // relation or subquery the session can resolve.
+      case m: MergeIntoTable =>
+        def unalias(p: LogicalPlan): LogicalPlan = p match {
+          case SubqueryAlias(_, child) => unalias(child)
+          case other                   => other
+        }
+        val upsertStar =
+          m.matchedActions.forall {
+            case UpdateStarAction(None) => true; case _ => false } &&
+          m.matchedActions.nonEmpty &&
+          m.notMatchedActions.forall {
+            case InsertStarAction(None) => true; case _ => false } &&
+          m.notMatchedActions.nonEmpty &&
+          m.notMatchedBySourceActions.isEmpty
+        require(upsertStar,
+          "SqlDml MERGE supports the upsert-star form only (WHEN MATCHED " +
+            "THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *); use the " +
+            "TxLogTable API for bespoke merge actions")
+        val key = m.mergeCondition match {
+          case EqualTo(l, r) =>
+            val ln = bare(l.sql).split('.').last
+            val rn = bare(r.sql).split('.').last
+            require(ln == rn, s"MERGE condition must equate the same-named " +
+              s"key on both sides, got ${l.sql} = ${r.sql}")
+            ln
+          case other => throw new IllegalArgumentException(
+            s"MERGE condition must be a single key equality, got ${other.sql}")
+        }
+        val source = org.apache.spark.sql.graftshim.ColumnShim.ofRows(
+          spark, unalias(m.sourceTable))
+        TxLogTable.merge(spark, pathOf(unalias(m.targetTable)), source, key)
       case other => throw new IllegalArgumentException(
-        "SqlDml handles DELETE FROM / UPDATE statements only, got: " +
+        "SqlDml handles DELETE FROM / UPDATE / MERGE INTO statements only, got: " +
           other.getClass.getSimpleName)
     }
   }

@@ -58,4 +58,34 @@ class SqlDmlSpec extends SparkSpec {
       SqlDml.run(spark, "SELECT 1", Map("tbl" -> t))
     }
   }
+
+  test("MERGE INTO routes the upsert-star form to the keyed merge") {
+    val t = fresh()
+    TxLogTable.append(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1), t)
+    Seq((2L, "B!"), (9L, "i")).toDF("id", "v")
+      .createOrReplaceTempView("dml_merge_src")
+    SqlDml.run(spark,
+      """MERGE INTO t USING dml_merge_src s ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""",
+      Map("t" -> t))
+    assert(rows(TxLogTable.read(spark, t)) ===
+      Set((1L, "a"), (2L, "B!"), (3L, "c"), (9L, "i")))
+    // subquery source works too (analyzed by the session)
+    SqlDml.run(spark,
+      """MERGE INTO t USING (SELECT id + 100 AS id, upper(v) AS v
+                             FROM dml_merge_src) s ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""",
+      Map("t" -> t))
+    assert(rows(TxLogTable.read(spark, t)) ===
+      Set((1L, "a"), (2L, "B!"), (3L, "c"), (9L, "i"),
+        (102L, "B!"), (109L, "I")))
+    // bespoke actions are rejected loudly
+    intercept[IllegalArgumentException](SqlDml.run(spark,
+      """MERGE INTO t USING dml_merge_src s ON t.id = s.id
+         WHEN MATCHED THEN DELETE""",
+      Map("t" -> t)))
+  }
 }
