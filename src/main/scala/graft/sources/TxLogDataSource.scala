@@ -99,16 +99,24 @@ final class TxLogDataSource extends RelationProvider
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(TxLogTable.scanSnapshot(
-      sqlContext.sparkSession, TxLogDataSource.pathOf(parameters), None).schema))
+      parameters: Map[String, String]): (String, StructType) = {
+    val base = schema.getOrElse(TxLogTable.scanSnapshot(
+      sqlContext.sparkSession, TxLogDataSource.pathOf(parameters), None).schema)
+    val withFeed =
+      if (!parameters.get("readChangeFeed").exists(_.trim.toBoolean)) base
+      else StructType(base.fields ++ Seq(
+        StructField("_change_type", StringType, nullable = true),
+        StructField("_commit_version", LongType, nullable = true)))
+    (shortName(), withFeed)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new TxLogStreamSource(sqlContext.sparkSession,
       TxLogDataSource.pathOf(parameters),
-      ignoreDeletes = parameters.get("ignoreDeletes").exists(_.trim.toBoolean))
+      ignoreDeletes = parameters.get("ignoreDeletes").exists(_.trim.toBoolean),
+      readChangeFeed = parameters.get("readChangeFeed").exists(_.trim.toBoolean))
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -201,15 +209,21 @@ private object TxLogDataSource {
   * from its last committed version with no reprocessing.
   */
 final class TxLogStreamSource(spark: SparkSession, tablePath: String,
-    ignoreDeletes: Boolean = false) extends Source {
+    ignoreDeletes: Boolean = false,
+    readChangeFeed: Boolean = false) extends Source {
 
   // The schema is resolved once at source creation (the v1 Source
   // contract): columns added by a later appendEvolve are served as
   // absent until the query restarts — same restart-on-schema-change
   // rule as the public lake-table streaming sources.
 
-  override val schema: StructType =
-    TxLogTable.scanSnapshot(spark, tablePath, None).schema
+  override val schema: StructType = {
+    val base = TxLogTable.scanSnapshot(spark, tablePath, None).schema
+    if (!readChangeFeed) base
+    else StructType(base.fields ++ Seq(
+      StructField("_change_type", StringType, nullable = true),
+      StructField("_commit_version", LongType, nullable = true)))
+  }
 
   override def getOffset: Option[OffsetV1] =
     graft.sink.TxLogTable.versions(spark, tablePath)
@@ -218,6 +232,22 @@ final class TxLogStreamSource(spark: SparkSession, tablePath: String,
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): org.apache.spark.sql.DataFrame = {
     val lo = start.map(version).getOrElse(0L)
     val hi = version(end)
+    // CHANGE-FEED mode: the micro-batch is the row-level
+    // insert/delete feed for the version range — deletes are first-
+    // class rows here, so DML commits stream instead of failing the
+    // query (the streaming half of the CDC loop; the batch half is
+    // the changesFrom read). The feed plan is re-tagged through the
+    // executed-rows bridge (same pattern as the streaming sink).
+    if (readChangeFeed) {
+      val feed = TxLogTable.changes(spark, tablePath, lo, hi)
+      val aligned = feed.select(schema.fieldNames.toSeq.map { n =>
+        if (feed.columns.contains(n)) org.apache.spark.sql.functions.col(n)
+        else org.apache.spark.sql.functions.lit(null)
+          .cast(schema(n).dataType).as(n)
+      }: _*)
+      return graftshim.ColumnShim.internalCreateDataFrame(
+        spark, aligned.queryExecution.toRdd, schema, isStreaming = true)
+    }
     // a row-level DELETE/UPDATE cannot be expressed by an append-only
     // stream: silently skipping it would leave downstream state
     // wrong, so fail loudly unless the user opted in — the public

@@ -34,10 +34,11 @@ object ColumnShim {
   def internalCreateDataFrame(
       spark: org.apache.spark.sql.SparkSession,
       rows: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
-      schema: org.apache.spark.sql.types.StructType)
+      schema: org.apache.spark.sql.types.StructType,
+      isStreaming: Boolean = false)
       : org.apache.spark.sql.DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .internalCreateDataFrame(rows, schema, isStreaming = false)
+      .internalCreateDataFrame(rows, schema, isStreaming)
 
   /** Register a function on an EXISTING session's registry (the
     * extensions path only applies when a brand-new session is built).

@@ -183,4 +183,38 @@ class TxLogStreamSourceSpec extends SparkSpec {
       "appends after the rewrite must stream; the delete is skipped by contract")
     assert(counts.values.forall(_ === 1L))
   }
+
+  test("readChangeFeed streams the row-level CDC feed incl. deletes, resumes on restart") {
+    val t = Files.createTempDirectory("cdfstream").resolve("t").toString
+    TxLogTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), t)
+    val ckpt = Files.createTempDirectory("cdf_ckpt").toString
+    val out = Files.createTempDirectory("cdf_out").resolve("o").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-txlog")
+        .option("readChangeFeed", "true").load(t)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out).start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    def feed(): Set[(Long, String, String, Long)] =
+      spark.read.parquet(out).collect().map(r => (
+        r.getAs[Long]("id"), r.getAs[String]("v"),
+        r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version"))).toSet
+    assert(feed() === Set((1L, "a", "insert", 1L), (2L, "b", "insert", 1L)))
+    // a DELETE streams as a delete ROW (no failure), an update as a
+    // delete+insert pair; restart picks up only the new versions
+    TxLogTable.delete(spark, t, "id = 1")                       // v2
+    TxLogTable.updateVectors(spark, t, "id = 2",
+      Map("v" -> "'b2'"))                                       // v3 (MOR)
+    run()
+    assert(feed() === Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (1L, "a", "delete", 2L),
+      (2L, "b", "delete", 3L), (2L, "b2", "insert", 3L)))
+    // compaction is silent in the feed
+    TxLogTable.compact(spark, t, smallFileBytes = 1L << 30)     // v4
+    run()
+    assert(feed().size === 5, "compaction must add nothing to the feed")
+  }
 }
