@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization for embedding columns.
+  *
+  * The classic PQ recipe (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011): split each d-dim vector
+  * into `m` contiguous subvectors of `d/m` dims, quantize every
+  * subvector against a per-subspace codebook of `k` centroids, and
+  * answer queries with asymmetric distance computation (ADC) — a
+  * per-query lookup table of query-subvector → centroid squared
+  * distances, so each database vector costs `m` table lookups + adds
+  * instead of a d-dim float scan.
+  *
+  * Codebook choice here is the deterministic seeded variant: the
+  * first `k` vectors by id ARE the codebook (one row per subspace).
+  * A learned codebook (k-means per subspace — the machinery q142
+  * already has) drops in by swapping [[codebook]]; the encode/ADC
+  * plumbing is identical, and determinism is what lets the DuckDB
+  * oracle recompute every code and distance bit-for-bit.
+  *
+  * Scale posture: the codebook is `m × k` rows (constant) and is
+  * BROADCAST; encoding is then a map-side join + per-row argmin —
+  * no shuffle at all over the corpus until the caller aggregates.
+  * At 100 TB the codes table is ~m bytes/vector vs 4·d — a 32×
+  * compression that makes the exhaustive ADC scan the baseline ANN
+  * path, with IVF (q80) composing on top for sublinear probes.
+  */
+object Pq {
+
+  /** Double-precision inner product of two float-array columns,
+    * summed in index order (parity with DuckDB's list_inner_product
+    * at oracle rounding).
+    */
+  private def ip(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, x) -> acc + x)"
+
+  /** One row per (vec_id, subspace j) with the double-cast subvector. */
+  def subvectors(emb: DataFrame, m: Int, ds: Int): DataFrame =
+    emb.select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("j"),
+        col("embedding"))
+      .withColumn("sv",
+        expr(s"transform(slice(embedding, j * $ds + 1, $ds), x -> CAST(x AS DOUBLE))"))
+      .select("vec_id", "j", "sv")
+
+  /** The seeded codebook: subvectors of the first `k` ids, keyed
+    * (c, j). Constant-size (m × k rows) — always broadcast.
+    */
+  def codebook(emb: DataFrame, m: Int, ds: Int, k: Int): DataFrame =
+    subvectors(emb.filter(col("vec_id") < k), m, ds)
+      .select(col("vec_id").as("c"), col("j").as("cj"), col("sv").as("cv"))
+
+  /** PQ codes: one row per (vec_id, j) with the argmin centroid id.
+    * Ties break to the smallest centroid id (struct min orders by
+    * distance first, then id). Map-only over the corpus: broadcast
+    * codebook join + per-row reduce, no corpus shuffle.
+    */
+  def encode(emb: DataFrame, m: Int, ds: Int, k: Int): DataFrame = {
+    val sub = subvectors(emb, m, ds)
+    val cb = codebook(emb, m, ds, k)
+    sub.join(broadcast(cb), col("j") === col("cj"))
+      .withColumn("d2",
+        expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
+      .groupBy("vec_id", "j")
+      .agg(min(struct(col("d2"), col("c"))).as("best"))
+      .select(col("vec_id"), col("j"), col("best.c").as("code"))
+  }
+
+  /** ADC lookup table for one query vector: (j, c) → squared L2
+    * between the query's j-th subvector and centroid c. Computed as
+    * qq − 2qc + cc from inner products (same decomposition the
+    * oracle uses, so the doubles agree at oracle rounding). m × k
+    * rows — broadcast by every consumer.
+    */
+  def adcLut(emb: DataFrame, m: Int, ds: Int, k: Int, queryVecId: Long): DataFrame = {
+    val cb = codebook(emb, m, ds, k)
+    val q = subvectors(emb.filter(col("vec_id") === queryVecId), m, ds)
+      .select(col("j").as("qj"), col("sv").as("qv"))
+    cb.join(q, col("cj") === col("qj"))
+      .withColumn("d2",
+        expr(ip("qv", "qv")) - lit(2.0) * expr(ip("qv", "cv")) + expr(ip("cv", "cv")))
+      .select(col("cj").as("j"), col("c"), col("d2"))
+  }
+
+  /** ADC top-k: approximate nearest neighbours of `queryVecId` by
+    * summed per-subspace table lookups over the codes. The scan is
+    * codes ⋈ broadcast(LUT) + a groupBy(vec_id) sum — the cheap
+    * exhaustive pass PQ exists for.
+    */
+  def adcTopK(emb: DataFrame, m: Int, ds: Int, k: Int,
+      queryVecId: Long, topK: Int): DataFrame = {
+    val enc = encode(emb, m, ds, k)
+    val lut = adcLut(emb, m, ds, k, queryVecId)
+    enc.filter(col("vec_id") >= k && col("vec_id") =!= queryVecId)
+      .join(broadcast(lut), Seq("j"), "inner")
+      .filter(col("code") === col("c"))
+      .groupBy("vec_id")
+      .agg(sum(col("d2")).as("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(topK)
+  }
+}

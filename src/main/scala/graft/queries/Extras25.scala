@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Pq
+import QueryDef.table
+
+/** Round-7 batch: exact duplicated-substring spans (the suffix-array
+  * dedup of "Deduplicating Training Data Makes Language Models
+  * Better", Lee et al. 2022, re-expressed as distributed window
+  * hashing) and product quantization (Jégou et al. 2011) with every
+  * code and ADC distance hash-verified cross-engine.
+  */
+object Extras25 {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Maximal duplicated token spans across documents — the exact-
+    // substring dedup a suffix array gives on one machine, re-shaped
+    // for a cluster: hash every W-token sliding window (W=8 here;
+    // production uses ~50 — the testdata docs are themselves short),
+    // keep hashes seen in >= 2 DISTINCT docs, then merge each doc's
+    // overlapping duplicated windows into maximal spans (consecutive
+    // window starts = overlapping windows = one span).
+    //
+    // Scale posture: the per-doc token array is bounded by doc length
+    // (chunk pathological docs upstream with q71's chunker); window
+    // hashes are computed map-side once per doc (transform over the
+    // array, THEN posexplode — the array is not replicated per
+    // window). The only corpus-wide shuffles are the hash groupBy
+    // and the win⋈dup equi-join (dup is NOT broadcast — duplicated
+    // hashes grow with corpus size). The island merge is a per-doc
+    // window over *marked* starts only. No all-pairs anywhere: two
+    // docs sharing a span never meet directly, only through the
+    // hash key — 100 TB-safe by construction.
+    QueryDef("q263_dup_spans",
+      (s, d) => {
+        val tokd = table(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("n", size(col("toks")))
+          .filter(col("n") >= 8)
+        val win = tokd
+          .select(col("doc_id"), posexplode(
+            expr("transform(sequence(1, n - 7), i -> md5(concat_ws(' ', slice(toks, i, 8))))")))
+          .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("wstart"),
+            col("col").as("h"))
+        val dup = win.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("h")
+        val marked = win.join(dup, "h").select("doc_id", "wstart")
+        val w = Window.partitionBy("doc_id").orderBy("wstart")
+        marked
+          .withColumn("grp", col("wstart") - row_number().over(w))
+          .groupBy("doc_id", "grp")
+          .agg(min(col("wstart")).as("span_start"),
+            (max(col("wstart")) + 7).as("span_end"),
+            count(lit(1)).as("n_windows"),
+            (max(col("wstart")) - min(col("wstart")) + 8).as("span_len"))
+          .select("doc_id", "span_start", "span_end", "n_windows", "span_len")
+          .orderBy("doc_id", "span_start")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              win AS (
+                SELECT doc_id, CAST(t.i AS BIGINT) AS wstart,
+                       md5(array_to_string(toks[t.i:t.i+7], ' ')) AS h
+                FROM tok, UNNEST(generate_series(1, len(toks) - 7)) AS t(i)
+                WHERE len(toks) >= 8),
+              dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+              marked AS (SELECT w.doc_id, w.wstart FROM win w JOIN dup USING (h)),
+              isl AS (SELECT doc_id, wstart,
+                        wstart - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wstart) AS grp
+                      FROM marked)
+              SELECT doc_id, MIN(wstart) AS span_start, MAX(wstart) + 7 AS span_end,
+                     COUNT(*) AS n_windows, MAX(wstart) - MIN(wstart) + 8 AS span_len
+              FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""")),
+
+    // Product quantization, encode side: 64-dim embeddings → m=4
+    // subspaces × 16 dims, k=16 deterministic centroids per subspace
+    // (the first 16 vectors — see ops/Pq.scala for why seeded).
+    // Output is the per-subspace code histogram: 64 rows that pin
+    // EVERY vector's argmin assignment — a single flipped code moves
+    // two histogram cells, so the hash check covers the full encode.
+    // The corpus side is map-only (broadcast codebook + per-row
+    // argmin); the histogram is the only shuffle.
+    QueryDef("q264_pq_codes",
+      (s, d) => Pq.encode(table(s, d, "embeddings"), m = 4, ds = 16, k = 16)
+        .groupBy(col("j").cast(LongType).as("subspace"),
+          col("code").cast(LongType).as("code"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy("subspace", "code"),
+      Some("""WITH sub AS (
+                SELECT vec_id, t.j,
+                       list_transform(embedding[(t.j*16+1):(t.j*16+16)],
+                                      x -> CAST(x AS DOUBLE)) AS sv
+                FROM embeddings, UNNEST([0,1,2,3]) AS t(j)),
+              cb AS (SELECT vec_id AS c, j, sv AS cv FROM sub WHERE vec_id < 16),
+              dist AS (
+                SELECT s.vec_id, s.j, cb.c, list_distance(s.sv, cb.cv) AS dst
+                FROM sub s JOIN cb ON s.j = cb.j),
+              enc AS (
+                SELECT vec_id, j, c AS code
+                FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                                   ORDER BY dst, c) AS rn
+                      FROM dist)
+                WHERE rn = 1)
+              SELECT CAST(j AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code,
+                     COUNT(*) AS n_vectors
+              FROM enc GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Product quantization, query side: ADC top-10 for probe vector
+    // 0 — a 64-entry lookup table (query subvector → centroid squared
+    // L2, broadcast), then codes ⋈ LUT + per-vector sum. The oracle
+    // recomputes the same qq−2qc+cc decomposition, so the doubles
+    // agree at oracle rounding; ranks are hash-verified, making this
+    // the fully-verified PQ twin of the contract-checked sketches.
+    QueryDef("q265_pq_adc_topk",
+      (s, d) => Pq.adcTopK(table(s, d, "embeddings"), m = 4, ds = 16, k = 16,
+        queryVecId = 0L, topK = 10),
+      Some("""WITH sub AS (
+                SELECT vec_id, t.j,
+                       list_transform(embedding[(t.j*16+1):(t.j*16+16)],
+                                      x -> CAST(x AS DOUBLE)) AS sv
+                FROM embeddings, UNNEST([0,1,2,3]) AS t(j)),
+              cb AS (SELECT vec_id AS c, j, sv AS cv FROM sub WHERE vec_id < 16),
+              dist AS (
+                SELECT s.vec_id, s.j, cb.c, list_distance(s.sv, cb.cv) AS dst
+                FROM sub s JOIN cb ON s.j = cb.j),
+              enc AS (
+                SELECT vec_id, j, c AS code
+                FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                                   ORDER BY dst, c) AS rn
+                      FROM dist)
+                WHERE rn = 1),
+              lut AS (
+                SELECT cb.j, cb.c,
+                       list_inner_product(q.sv, q.sv)
+                         - 2 * list_inner_product(q.sv, cb.cv)
+                         + list_inner_product(cb.cv, cb.cv) AS d2
+                FROM cb JOIN (SELECT j, sv FROM sub WHERE vec_id = 0) q
+                  ON q.j = cb.j)
+              SELECT e.vec_id, SUM(l.d2) AS adc_d2
+              FROM enc e JOIN lut l ON e.j = l.j AND e.code = l.c
+              WHERE e.vec_id >= 16
+              GROUP BY e.vec_id ORDER BY adc_d2, vec_id LIMIT 10"""))
+  )
+}
