@@ -142,6 +142,66 @@ object Extras25 {
               SELECT e.vec_id, SUM(l.d2) AS adc_d2
               FROM enc e JOIN lut l ON e.j = l.j AND e.code = l.c
               WHERE e.vec_id >= 16
-              GROUP BY e.vec_id ORDER BY adc_d2, vec_id LIMIT 10"""))
+              GROUP BY e.vec_id ORDER BY adc_d2, vec_id LIMIT 10""")),
+
+    // Column mapping, cross-engine: RENAME COLUMN is a metadata-only
+    // commit (no data bytes move — the physical parquet keeps its
+    // original column names forever; reads re-label at the boundary).
+    // The lifecycle exercises rename → append under the NEW name →
+    // DELETE with a logical predicate → second rename, and
+    // fingerprints every version's LOGICAL view (row count, exact
+    // cents sum, key hull, and the served column names). The oracle
+    // recomputes each state straight from `customer` — the hash
+    // proves both the data and the per-version name visibility that
+    // time travel must preserve.
+    QueryDef("q266_column_mapping",
+      (s, d) => {
+        import graft.sink.TxLogTable
+        val t = java.nio.file.Files.createTempDirectory("graft_cm_q")
+          .resolve("t").toString
+        val cust = table(s, d, "customer").select(
+          col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+          expr("CAST(floor(c_acctbal * 100.0) AS BIGINT)").as("bal_c"))
+        TxLogTable.append(cust.filter(col("k") % 2 === 0), t)      // v1
+        TxLogTable.renameColumn(s, t, "bal_c", "cents")            // v2
+        TxLogTable.append(cust.filter(col("k") % 2 === 1)
+          .withColumnRenamed("bal_c", "cents"), t)                 // v3
+        TxLogTable.delete(s, t, "seg = 'BUILDING'")                // v4
+        TxLogTable.renameColumn(s, t, "k", "cust_id")              // v5
+        val snaps = (1L to 5L).map { v =>
+          val df = TxLogTable.read(s, t, Some(v))
+          val keyCol = df.columns.head // k before v5, cust_id after
+          val balCol = if (df.columns.contains("cents")) "cents" else "bal_c"
+          df.agg(count(lit(1)).as("n_rows"),
+              sum(col(balCol)).as("cents_sum"),
+              min(col(keyCol)).as("min_k"), max(col(keyCol)).as("max_k"))
+            .select(lit(v).as("version"), col("n_rows"),
+              col("cents_sum"), col("min_k"), col("max_k"),
+              lit(df.columns.mkString(",")).as("cols"))
+        }.reduce(_.unionAll(_))
+        snaps.orderBy("version")
+      },
+      Some("""WITH b AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+                     CAST(floor(c_acctbal * 100.0) AS BIGINT) AS cents
+                   FROM customer),
+                   ev AS (SELECT * FROM b WHERE k % 2 = 0),
+                   v4 AS (SELECT * FROM b WHERE seg <> 'BUILDING')
+              SELECT 1 AS version, COUNT(*) AS n_rows,
+                     CAST(SUM(cents) AS BIGINT) AS cents_sum,
+                     MIN(k) AS min_k, MAX(k) AS max_k,
+                     'k,seg,bal_c' AS cols FROM ev
+              UNION ALL
+              SELECT 2, COUNT(*), CAST(SUM(cents) AS BIGINT), MIN(k), MAX(k),
+                     'k,seg,cents' FROM ev
+              UNION ALL
+              SELECT 3, COUNT(*), CAST(SUM(cents) AS BIGINT), MIN(k), MAX(k),
+                     'k,seg,cents' FROM b
+              UNION ALL
+              SELECT 4, COUNT(*), CAST(SUM(cents) AS BIGINT), MIN(k), MAX(k),
+                     'k,seg,cents' FROM v4
+              UNION ALL
+              SELECT 5, COUNT(*), CAST(SUM(cents) AS BIGINT), MIN(k), MAX(k),
+                     'cust_id,seg,cents' FROM v4
+              ORDER BY version"""))
   )
 }

@@ -151,40 +151,46 @@ object TxLogTable {
     val commits = committedVersions(fs, tablePath)
     require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
     val snap = snapshot(fs, tablePath, Some(commits.max))
-    val order = snap.schema.fieldNames.toSeq
+    // the batch arrives under LOGICAL names; internal frames and the
+    // staged bytes are physical (see the column-mapping notes above)
+    val order = snap.logicalSchema.fieldNames.toSeq
     val up = updates.localCheckpoint()
-    val batch = up.select(order.map(col): _*) // loud error on missing columns
+    val batch = toPhysicalDf(
+      up.select(order.map(col): _*), snap.renames) // loud error on missing columns
     // rewrite commits keep the committed DDL verbatim, so type drift
     // must be rejected HERE — otherwise mixed-typed files fail only
     // at read time
-    for ((f, b) <- snap.schema.fields.zip(batch.schema.fields))
+    for ((f, b) <- snap.logicalSchema.fields.zip(
+        toLogicalDf(batch, snap.renames).schema.fields))
       require(b.dataType == f.dataType,
         s"merge batch column '${f.name}' has type ${b.dataType.sql}, table " +
           s"has ${f.dataType.sql} — schema changes go through overwrite")
     if (snap.files.isEmpty)
       return write(batch, tablePath, overwrite = false, txn = None)
-    val keys = up.select(col(key)).distinct()
+    val pkey = physicalNameOf(snap.renames, key)
+    val keys = up.select(col(key).as(pkey)).distinct()
     val touched = {
       val byPath = snap.files.map { e =>
         new Path(dataFilePath(tablePath, e)).toUri.getPath -> e
       }.toMap
       buildFrame(spark, tablePath, snap.files, snap.schema)
-        .join(keys, Seq(key), "left_semi")
+        .join(keys, Seq(pkey), "left_semi")
         .select(input_file_name().as("__f")).distinct()
         .collect() // bounded by file count
         .map(r => byPath.getOrElse(new Path(r.getString(0)).toUri.getPath,
           throw new IllegalStateException("scan returned a non-committed file")))
         .toSeq.sorted
     }
+    val porder = snap.schema.fieldNames.toSeq
     val keptTouched = snapFrame(spark, tablePath, snap, touched)
-      .join(keys, Seq(key), "left_anti")
-      .select(order.map(col): _*)
+      .join(keys, Seq(pkey), "left_anti")
+      .select(porder.map(col): _*)
     val v = write(keptTouched.unionAll(batch), tablePath, overwrite = false,
       txn = None, removes = touched, actionOverride = Some("rewrite"),
       op = Some("merge"), expectDvs = snap.dvs)
     val oldMatched = snapFrame(spark, tablePath, snap, touched)
-      .join(keys, Seq(key), "left_semi")
-      .select(order.map(col): _*)
+      .join(keys, Seq(pkey), "left_semi")
+      .select(porder.map(col): _*)
     writeCdfCache(spark, tablePath, v,
       oldMatched.exceptAll(batch).withColumn("_change_type", lit("delete"))
         .unionAll(batch.exceptAll(oldMatched)
@@ -204,7 +210,9 @@ object TxLogTable {
     val byPath = snap.files.map { e =>
       new Path(dataFilePath(tablePath, e)).toUri.getPath -> e
     }.toMap
-    buildFrame(spark, tablePath, snap.files, snap.schema)
+    // `cond` is user-authored (LOGICAL names) — alias before filtering
+    toLogicalDf(buildFrame(spark, tablePath, snap.files, snap.schema),
+        snap.renames)
       .filter(cond)
       .select(input_file_name().as("__f")).distinct()
       .collect() // bounded by the snapshot's file count, never by rows
@@ -242,19 +250,22 @@ object TxLogTable {
     val touched = touchedEntries(spark, tablePath, snap, expr(predicate))
     if (touched.isEmpty) return base
     // a rewrite applies the touched files' outstanding deletion
-    // vectors first — masked rows must never resurrect
-    val kept = snapFrame(spark, tablePath, snap, touched)
-      .filter(not(expr(predicate)))
+    // vectors first — masked rows must never resurrect. The predicate
+    // is user-authored (logical names); write() maps back to physical.
+    val lf = toLogicalDf(snapFrame(spark, tablePath, snap, touched),
+      snap.renames)
+    val kept = toPhysicalDf(lf.filter(not(expr(predicate))), snap.renames)
     val v = write(kept, tablePath, overwrite = false, txn = None,
       removes = touched, actionOverride = Some("rewrite"),
       op = Some("delete"), expectDvs = snap.dvs)
     // persist the exact logical diff as a change-feed cache: the
     // deleted rows are precisely the touched rows matching the
-    // predicate — O(touched files), no snapshot diff ever needed
+    // predicate — O(touched files), no snapshot diff ever needed.
+    // Caches store PHYSICAL names (disk is physical everywhere).
     writeCdfCache(spark, tablePath, v,
-      snapFrame(spark, tablePath, snap, touched)
-        .filter(expr(predicate))
-        .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")))
+      toPhysicalDf(lf.filter(expr(predicate))
+        .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")),
+        snap.renames))
     v
   }
 
@@ -277,13 +288,15 @@ object TxLogTable {
     require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
     val base = commits.max
     val snap = snapshot(fs, tablePath, Some(base))
-    val unknown = set.keySet -- snap.schema.fieldNames.toSet
+    // SET names and the WHERE predicate are user-authored → logical
+    val lsch = snap.logicalSchema
+    val unknown = set.keySet -- lsch.fieldNames.toSet
     require(unknown.isEmpty,
       s"update assigns to column(s) not in the table: ${unknown.mkString(", ")}")
     if (snap.files.isEmpty) return base
     val touched = touchedEntries(spark, tablePath, snap, expr(where))
     if (touched.isEmpty) return base
-    val cols = snap.schema.fields.toSeq.map { f =>
+    val cols = lsch.fields.toSeq.map { f =>
       set.get(f.name) match {
         case Some(e) =>
           when(expr(where), expr(e).cast(f.dataType))
@@ -291,23 +304,26 @@ object TxLogTable {
         case None => col(f.name)
       }
     }
-    val rewritten = snapFrame(spark, tablePath, snap, touched)
-      .select(cols: _*)
+    val lf = toLogicalDf(snapFrame(spark, tablePath, snap, touched),
+      snap.renames)
+    val rewritten = toPhysicalDf(lf.select(cols: _*), snap.renames)
     val v = write(rewritten, tablePath, overwrite = false, txn = None,
       removes = touched, actionOverride = Some("rewrite"),
       op = Some("update"), expectDvs = snap.dvs)
     // change-feed cache: old/new images of the matched rows, with
     // no-op assignments cancelled via multiset difference so the
     // cached feed is EXACTLY the snapshot diff ((untouched ∪ old) \
-    // (untouched ∪ new) = old \ new, multisets) — O(touched files)
-    val matchedOld = snapFrame(spark, tablePath, snap, touched)
-      .filter(expr(where))
+    // (untouched ∪ new) = old \ new, multisets) — O(touched files).
+    // Caches store PHYSICAL names.
+    val matchedOld = lf.filter(expr(where))
     val matchedNew = matchedOld.select(cols: _*)
     writeCdfCache(spark, tablePath, v, {
       import org.apache.spark.sql.functions.lit
-      matchedOld.exceptAll(matchedNew).withColumn("_change_type", lit("delete"))
-        .unionAll(matchedNew.exceptAll(matchedOld)
-          .withColumn("_change_type", lit("insert")))
+      toPhysicalDf(
+        matchedOld.exceptAll(matchedNew).withColumn("_change_type", lit("delete"))
+          .unionAll(matchedNew.exceptAll(matchedOld)
+            .withColumn("_change_type", lit("insert"))),
+        snap.renames)
     })
     v
   }
@@ -364,7 +380,10 @@ object TxLogTable {
             op = Some(s"restore to v$toVersion"),
             // the target's outstanding deletion vectors are part of
             // its logical contents — the restore re-references them
-            dvAdds = target.dvs))
+            dvAdds = target.dvs,
+            // so is its column mapping (overwrite replay resets it,
+            // this commit re-establishes the target's)
+            renames = target.renames))
         result = version
       } catch { case _: CommitConflict => () }
     }
@@ -416,7 +435,9 @@ object TxLogTable {
     claimCommit(dstFs, dstPath, 1L,
       Commit("overwrite", snap.schema.toDDL, absolute,
         stats = stats, op = Some(s"shallow clone of $srcPath@v$v"),
-        dvAdds = dvs))
+        dvAdds = dvs,
+        // the source's column mapping travels with its files
+        renames = snap.renames))
     1L
   }
 
@@ -457,7 +478,10 @@ object TxLogTable {
         s"gave up after $MaxCommitRetries add-column attempts on $tablePath")
       val latest = committedVersions(fs, tablePath).max
       val cur = StructType.fromDDL(parseCommit(fs, tablePath, latest).schemaDdl)
-      val clash = newCols.fieldNames.filter(cur.fieldNames.contains)
+      val logical = replayState(fs, tablePath, latest,
+        committedVersions(fs, tablePath)).renames.values.toSet
+      val clash = newCols.fieldNames.filter(n =>
+        cur.fieldNames.contains(n) || logical.contains(n))
       require(clash.isEmpty,
         s"column(s) already exist: ${clash.mkString(", ")}")
       val evolved = StructType(cur.fields ++
@@ -504,14 +528,16 @@ object TxLogTable {
     require(!st.constraints.contains(name),
       s"constraint '$name' already exists (drop it first to replace)")
     val snap = snapshot(fs, tablePath, Some(commits.max))
-    val df = buildFrame(spark, tablePath, snap.files, snap.schema)
+    // constraints are authored and validated in LOGICAL terms
+    val df = toLogicalDf(
+      buildFrame(spark, tablePath, snap.files, snap.schema), snap.renames)
     val bad =
       try df.filter(coalesce(expr(expression), lit(true)) === false)
         .limit(1).collect()
       catch { case e: org.apache.spark.sql.AnalysisException =>
         throw new IllegalArgumentException(
           s"constraint '$name' does not resolve against the table schema " +
-            s"[${snap.schema.toDDL}]: ${e.getMessage}", e)
+            s"[${snap.logicalSchema.toDDL}]: ${e.getMessage}", e)
       }
     if (bad.nonEmpty) throw new ConstraintViolation(
       s"cannot add constraint '$name' CHECK ($expression): existing data " +
@@ -622,7 +648,7 @@ object TxLogTable {
     val inScope: Seq[String] = onlyWhere match {
       case None => snap.files
       case Some((column, lower, upper)) =>
-        pruneFiles(snap, column, lower, upper)
+        pruneFiles(snap, physicalNameOf(snap.renames, column), lower, upper)
     }
     // rewrite candidates: small files, plus ANY file carrying
     // outstanding deletion vectors — compaction is where merge-on-read
@@ -646,19 +672,22 @@ object TxLogTable {
         .repartitionByRange(nOut, col("__graft_z"))
         .sortWithinPartitions("__graft_z")
         .drop("__graft_z")
+    // cluster columns are user-facing (logical); the rewrite frame is
+    // physical — translate before building the layout expressions
+    def pcol(c: String) = col(physicalNameOf(snap.renames, c))
     val arranged = (clusterBy, zOrderBy, zOrderCols, hilbertBy) match {
-      case (Some(c), _, _, _) => df.repartitionByRange(nOut, col(c))
+      case (Some(c), _, _, _) => df.repartitionByRange(nOut, pcol(c))
       case (_, Some((a, b)), _, _) =>
-        alongCurve(graft.ops.Layout.zValue(col(a), col(b), zBits))
+        alongCurve(graft.ops.Layout.zValue(pcol(a), pcol(b), zBits))
       case (_, _, Some(cs), _) =>
         // N-dim curve: zBits is capped so the interleave fits a long
         val bits = math.min(zBits, 63 / cs.size)
-        alongCurve(graft.ops.Layout.zValueN(cs.map(col), bits))
+        alongCurve(graft.ops.Layout.zValueN(cs.map(pcol), bits))
       case (_, _, _, Some((a, b))) =>
         // Hilbert keeps consecutive curve positions in adjacent
         // cells, so each range-partitioned file covers a compact
         // blob — tighter min/max envelopes than the Z diagonal jumps
-        alongCurve(graft.ops.Layout.hilbertValue(col(a), col(b),
+        alongCurve(graft.ops.Layout.hilbertValue(pcol(a), pcol(b),
           math.min(zBits, 31)))
       case _ => df.coalesce(nOut)
     }
@@ -666,11 +695,14 @@ object TxLogTable {
       removes = small.map(_._1), expectDvs = snap.dvs)
   }
 
-  /** Snapshot read at `asOfVersion` (default: latest). */
+  /** Snapshot read at `asOfVersion` (default: latest). Serves the
+    * LOGICAL schema — renamed columns under their current names (as of
+    * the version read), via one aliasing Project over the scan.
+    */
   def read(spark: SparkSession, tablePath: String,
       asOfVersion: Option[Long] = None): DataFrame = {
     val snap = snapshot(fileSystem(spark, tablePath), tablePath, asOfVersion)
-    snapFrame(spark, tablePath, snap, snap.files)
+    toLogicalDf(snapFrame(spark, tablePath, snap, snap.files), snap.renames)
   }
 
   /** Snapshot read that SKIPS data files whose committed min/max
@@ -688,8 +720,10 @@ object TxLogTable {
       lower: Option[Any] = None, upper: Option[Any] = None,
       asOfVersion: Option[Long] = None): DataFrame = {
     val snap = snapshot(fileSystem(spark, tablePath), tablePath, asOfVersion)
-    val keep = pruneFiles(snap, column, lower, upper)
-    val df = snapFrame(spark, tablePath, snap, keep)
+    // `column` is the LOGICAL name; stats are keyed physical
+    val keep = pruneFiles(snap, physicalNameOf(snap.renames, column),
+      lower, upper)
+    val df = toLogicalDf(snapFrame(spark, tablePath, snap, keep), snap.renames)
     val c = org.apache.spark.sql.functions.col(column)
     val bounded = lower.map(v => c >= org.apache.spark.sql.functions.lit(v)) ++
       upper.map(v => c <= org.apache.spark.sql.functions.lit(v))
@@ -703,7 +737,7 @@ object TxLogTable {
       lower: Option[Any] = None, upper: Option[Any] = None,
       asOfVersion: Option[Long] = None): Seq[String] = {
     val snap = snapshot(fileSystem(spark, tablePath), tablePath, asOfVersion)
-    pruneFiles(snap, column, lower, upper)
+    pruneFiles(snap, physicalNameOf(snap.renames, column), lower, upper)
   }
 
   /** Committed versions, ascending. */
@@ -718,18 +752,26 @@ object TxLogTable {
   private[graft] final case class ScanSnapshot(
       files: Seq[String], schema: StructType,
       mayRangeIntersect: (String, String, Option[Any], Option[Any]) => Boolean,
-      hasDeletionVectors: Boolean = false)
+      hasDeletionVectors: Boolean = false,
+      renames: Map[String, String] = Map.empty) {
+    /** The user-facing schema (physical fields re-labelled). */
+    def logicalSchema: StructType = TxLogTable.logicalSchema(schema, renames)
+  }
 
   private[graft] def scanSnapshot(spark: SparkSession, tablePath: String,
       asOfVersion: Option[Long]): ScanSnapshot = {
     val snap = snapshot(fileSystem(spark, tablePath), tablePath, asOfVersion)
     ScanSnapshot(snap.files, snap.schema,
+      // callers pass the LOGICAL column name (the only name a query
+      // can mention); stats are keyed by physical name
       (file, column, lower, upper) =>
-        snap.stats.get(file).flatMap(_.get(column)) match {
+        snap.stats.get(file)
+            .flatMap(_.get(physicalNameOf(snap.renames, column))) match {
           case None     => true
           case Some(cs) => mayIntersect(cs, lower, upper)
         },
-      hasDeletionVectors = snap.dvs.nonEmpty)
+      hasDeletionVectors = snap.dvs.nonEmpty,
+      renames = snap.renames)
   }
 
   /** Table history — the DESCRIBE HISTORY analog: one row per
@@ -786,7 +828,8 @@ object TxLogTable {
     val deltas = inRange.flatMap { v =>
       val c = parseCommit(fs, tablePath, v)
       if (c.action == "compact" || c.action == "setconstraint" ||
-          c.action == "create" || c.action == "evolve")
+          c.action == "create" || c.action == "evolve" ||
+          c.action == "rename")
         None // physical rewrite / metadata-only: no logical change
       else if ((c.action == "rewrite" || c.action == "dv") &&
           cdfCached(spark, tablePath, v)) {
@@ -826,13 +869,20 @@ object TxLogTable {
         Some(ins.unionByName(del, allowMissingColumns = true))
       }
     }
-    deltas.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse {
-      val s = snapshot(fs, tablePath, Some(toInclusive))
-      buildFrame(spark, tablePath, Nil, s.schema)
-        .withColumn("_change_type", lit(""))
-        .withColumn("_commit_version", lit(0L))
-        .limit(0)
-    }
+    // the feed's rows (files, caches, snapshot diffs) are all
+    // PHYSICAL-named; serve the LOGICAL names as of `toInclusive` —
+    // one alias layer over the whole feed, the same retroactive-rename
+    // semantics a snapshot read has
+    val renAtTo = snapshot(fs, tablePath, Some(toInclusive)).renames
+    toLogicalDf(
+      deltas.reduceOption(_.unionByName(_, allowMissingColumns = true))
+        .getOrElse {
+          val s = snapshot(fs, tablePath, Some(toInclusive))
+          buildFrame(spark, tablePath, Nil, s.schema)
+            .withColumn("_change_type", lit(""))
+            .withColumn("_commit_version", lit(0L))
+            .limit(0)
+        }, renAtTo)
   }
 
   /** Data files ADDED by append/overwrite commits in
@@ -1002,16 +1052,23 @@ object TxLogTable {
       constraintAdds: Map[String, String] = Map.empty,
       constraintDrops: Seq[String] = Seq.empty,
       op: Option[String] = None,
-      dvAdds: Map[String, Seq[String]] = Map.empty) {
+      dvAdds: Map[String, Seq[String]] = Map.empty,
+      renames: Map[String, String] = Map.empty) {
     def isOverwrite: Boolean = action == "overwrite"
   }
 
-  /** The live file set at a version, with schema, per-file stats, and
-    * per-file deletion-vector directories (merge-on-read deletes).
+  /** The live file set at a version, with schema, per-file stats,
+    * per-file deletion-vector directories (merge-on-read deletes), and
+    * the column-mapping renames (PHYSICAL file column → LOGICAL
+    * user-facing name; only differing entries present).
     */
   private final case class Snapshot(files: Seq[String], schema: StructType,
       stats: Map[String, Map[String, ColStats]],
-      dvs: Map[String, Seq[String]] = Map.empty)
+      dvs: Map[String, Seq[String]] = Map.empty,
+      renames: Map[String, String] = Map.empty) {
+    /** The user-facing schema: physical fields re-labelled. */
+    def logicalSchema: StructType = TxLogTable.logicalSchema(schema, renames)
+  }
 
   /** Full materialized log state at a version — what a checkpoint
     * persists: the snapshot fields plus the per-app max txn epoch
@@ -1021,10 +1078,12 @@ object TxLogTable {
   private final case class State(files: Vector[String], ddl: Option[String],
       stats: Map[String, Map[String, ColStats]], txns: Map[String, Long],
       constraints: Map[String, String] = Map.empty,
-      dvs: Map[String, Seq[String]] = Map.empty)
+      dvs: Map[String, Seq[String]] = Map.empty,
+      renames: Map[String, String] = Map.empty)
 
   private val EmptyState =
-    State(Vector.empty, None, Map.empty, Map.empty, Map.empty, Map.empty)
+    State(Vector.empty, None, Map.empty, Map.empty, Map.empty, Map.empty,
+      Map.empty)
 
   /** State at `upTo`: newest readable checkpoint ≤ `upTo`, then
     * replay of the tail commits. Checkpoints are caches — any that
@@ -1064,7 +1123,13 @@ object TxLogTable {
           c.dvAdds.foldLeft(baseDvs) { case (m, (f, dirs)) =>
             if (!liveFiles.contains(f)) m
             else m.updated(f, m.getOrElse(f, Seq.empty) ++ dirs)
-          })
+          },
+          // column mapping: a rename commit REPLACES the map; an
+          // overwrite resets it to whatever the commit carries (empty
+          // for a plain overwrite — the new schema is its own physical
+          // truth; restore/clone carry their source snapshot's map)
+          if (c.isOverwrite || c.action == "rename") c.renames
+          else st.renames)
       }
   }
 
@@ -1079,7 +1144,7 @@ object TxLogTable {
     Snapshot(st.files, StructType.fromDDL(st.ddl.getOrElse(
       throw new IllegalStateException(
         s"no schema resolvable at version $upTo of $tablePath"))), st.stats,
-      st.dvs)
+      st.dvs, st.renames)
   }
 
   /** Resolve a committed file entry to its physical location: plain
@@ -1093,6 +1158,118 @@ object TxLogTable {
   private[graft] def dataFilePath(tablePath: String, name: String): String =
     if (isAbsoluteEntry(name)) name
     else s"$tablePath/$DataDir/$name"
+
+  // --------------------------------------------------------------
+  // column mapping: data files keep their PHYSICAL column names
+  // forever (set at create/overwrite time); RENAME COLUMN is a
+  // metadata-only commit that re-labels a physical column with a new
+  // LOGICAL name. Readers alias physical → logical at the public
+  // boundary (one Project over the scan — pushdown and pruning
+  // compose through it), writers map logical → physical before
+  // staging, and stats stay keyed by physical name. This is the
+  // public column-mapping recipe (Delta protocol `renameColumn`)
+  // minus parquet field-ids: the physical name IS the stable id.
+
+  /** Physical schema re-labelled with logical names. */
+  private def logicalSchema(schema: StructType,
+      renames: Map[String, String]): StructType =
+    if (renames.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      f.copy(name = renames.getOrElse(f.name, f.name))))
+
+  /** The physical column behind a logical name (identity if unmapped). */
+  private def physicalNameOf(renames: Map[String, String],
+      logical: String): String =
+    renames.collectFirst { case (p, l) if l == logical => p }
+      .getOrElse(logical)
+
+  /** Re-label a physical-named frame with logical names. All-at-once
+    * (one select), so a future swap-shaped mapping can never collide
+    * mid-rename; non-table columns (`__file` etc.) pass through.
+    */
+  private def toLogicalDf(df: DataFrame,
+      renames: Map[String, String]): DataFrame =
+    if (renames.isEmpty) df
+    else df.select(df.columns.toSeq.map(c =>
+      org.apache.spark.sql.functions.col(c)
+        .as(renames.getOrElse(c, c))): _*)
+
+  /** Re-label a logical-named frame with physical names (the write
+    * direction). Columns not in the mapping pass through.
+    */
+  private def toPhysicalDf(df: DataFrame,
+      renames: Map[String, String]): DataFrame =
+    if (renames.isEmpty) df
+    else {
+      val rev = renames.map { case (p, l) => l -> p }
+      df.select(df.columns.toSeq.map(c =>
+        org.apache.spark.sql.functions.col(c)
+          .as(rev.getOrElse(c, c))): _*)
+    }
+
+  /** ALTER TABLE ... RENAME COLUMN as a METADATA-ONLY commit (the
+    * public column-mapping recipe): no data file is read or rewritten
+    * — the commit re-labels the column's physical name with the new
+    * logical one, and every read surface serves the new name from the
+    * next snapshot on. Time travel is faithful: versions before the
+    * rename serve the old name. At 100 TB this is the difference
+    * between a one-file log write and rewriting the table.
+    *
+    * Restrictions (all loud): `from` must be a current column, `to`
+    * must not collide with an existing column, and a column referenced
+    * by a CHECK constraint cannot be renamed (drop the constraint
+    * first — its stored expression would silently stop resolving).
+    * Returns the committed version.
+    */
+  def renameColumn(spark: SparkSession, tablePath: String,
+      from: String, to: String): Long = {
+    val fs = fileSystem(spark, tablePath)
+    require(from != to, s"rename to the same name is a no-op: $from")
+    var result = -1L
+    var attempt = 0
+    while (result < 0) {
+      attempt += 1
+      if (attempt > MaxCommitRetries) throw new IllegalStateException(
+        s"gave up after $MaxCommitRetries rename attempts on $tablePath")
+      val commits = committedVersions(fs, tablePath)
+      require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+      val st = replayState(fs, tablePath, commits.max, commits)
+      val phys = StructType.fromDDL(st.ddl.get)
+      val logical = logicalSchema(phys, st.renames).fieldNames.toSeq
+      require(logical.contains(from),
+        s"no such column '$from'; table has: ${logical.mkString(", ")}")
+      require(!logical.contains(to),
+        s"column '$to' already exists; rename it away first")
+      val word = ("\\b" + java.util.regex.Pattern.quote(from) + "\\b").r
+      val inConstraint = st.constraints.collect {
+        case (n, e) if word.findFirstIn(e).isDefined => n
+      }
+      require(inConstraint.isEmpty,
+        s"column '$from' is referenced by CHECK constraint(s) " +
+          s"${inConstraint.mkString(", ")} — drop them before renaming")
+      val p = physicalNameOf(st.renames, from)
+      val updated = (st.renames - p) ++
+        (if (p == to) Map.empty[String, String] else Map(p -> to))
+      try {
+        claimCommit(fs, tablePath, commits.max + 1L,
+          Commit("rename", st.ddl.get, Nil,
+            op = Some(s"RENAME COLUMN $from TO $to"), renames = updated))
+        result = commits.max + 1L
+      } catch { case _: CommitConflict => () }
+    }
+    result
+  }
+
+  /** The table's active column mapping, physical → logical (empty when
+    * no column has been renamed).
+    */
+  def columnMapping(spark: SparkSession,
+      tablePath: String): Map[String, String] = {
+    val fs = fileSystem(spark, tablePath)
+    val commits = committedVersions(fs, tablePath)
+    require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+    replayState(fs, tablePath, commits.max, commits).renames
+  }
 
   private def buildFrame(spark: SparkSession, tablePath: String,
       files: Seq[String], schema: StructType): DataFrame =
@@ -1200,8 +1377,10 @@ object TxLogTable {
     val snap = snapshot(fs, tablePath, Some(base))
     if (snap.files.isEmpty) return base
     // candidate files by committed stats would also work; the matched
-    // scan below already pushes the predicate into parquet row groups
-    val liveMeta = liveMetaFrame(spark, tablePath, snap)
+    // scan below already pushes the predicate into parquet row groups.
+    // Predicates are user-authored → filter under logical names.
+    val liveMeta = toLogicalDf(liveMetaFrame(spark, tablePath, snap),
+      snap.renames)
     val matched = liveMeta.filter(expr(predicate))
     val dvName = java.util.UUID.randomUUID().toString
     val dvPath = new Path(tablePath, s"$DvDir/$dvName")
@@ -1257,10 +1436,10 @@ object TxLogTable {
       } catch { case _: CommitConflict => () }
     }
     // exact O(diff) change feed: the newly-masked rows are the delete
-    // rows of this version, already computed
+    // rows of this version, already computed (cached physical)
     writeCdfCache(spark, tablePath, result,
-      liveMeta.filter(expr(predicate)).drop("__file", "__idx")
-        .withColumn("_change_type", lit("delete")))
+      toPhysicalDf(liveMeta.filter(expr(predicate)).drop("__file", "__idx")
+        .withColumn("_change_type", lit("delete")), snap.renames))
     result
   }
 
@@ -1284,11 +1463,13 @@ object TxLogTable {
     require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
     val base = commits.max
     val snap = snapshot(fs, tablePath, Some(base))
-    val unknown = set.keySet -- snap.schema.fieldNames.toSet
+    val lsch = snap.logicalSchema // SET/WHERE are user-authored → logical
+    val unknown = set.keySet -- lsch.fieldNames.toSet
     require(unknown.isEmpty,
       s"update assigns to column(s) not in the table: ${unknown.mkString(", ")}")
     if (snap.files.isEmpty) return base
-    val matched = liveMetaFrame(spark, tablePath, snap).filter(expr(where))
+    val matched = toLogicalDf(liveMetaFrame(spark, tablePath, snap),
+      snap.renames).filter(expr(where))
     val dvName = java.util.UUID.randomUUID().toString
     val dvPath = new Path(tablePath, s"$DvDir/$dvName")
     matched.select(col("__file").as("file"), col("__idx").as("row_index"))
@@ -1303,22 +1484,23 @@ object TxLogTable {
       throw new IllegalStateException(
         s"matched file $n is not a committed entry of $tablePath")))
     val oldImages = matched.drop("__file", "__idx")
-    val newImages = oldImages.select(snap.schema.fields.toSeq.map { f =>
+    val newImages = oldImages.select(lsch.fields.toSeq.map { f =>
       set.get(f.name) match {
         case Some(e) => expr(e).cast(f.dataType).as(f.name)
         case None    => col(f.name)
       }
     }: _*)
     val v =
-      try write(newImages, tablePath, overwrite = false, txn = None,
+      try write(toPhysicalDf(newImages, snap.renames), tablePath,
+        overwrite = false, txn = None,
         actionOverride = Some("dv"), op = Some("update (vectors)"),
         dvAdds = touched.map(f => f -> Seq(dvName)).toMap,
         expectDvs = snap.dvs)
       catch { case e: Throwable => fs.delete(dvPath, true); throw e }
-    writeCdfCache(spark, tablePath, v,
+    writeCdfCache(spark, tablePath, v, toPhysicalDf(
       oldImages.exceptAll(newImages).withColumn("_change_type", lit("delete"))
         .unionAll(newImages.exceptAll(oldImages)
-          .withColumn("_change_type", lit("insert"))))
+          .withColumn("_change_type", lit("insert"))), snap.renames))
     v
   }
 
@@ -1583,7 +1765,7 @@ object TxLogTable {
     if (versions.isEmpty) None
     else replayState(fs, tablePath, versions.max, versions).txns.get(appId)
 
-  private def write(df: DataFrame, tablePath: String, overwrite: Boolean,
+  private def write(df0: DataFrame, tablePath: String, overwrite: Boolean,
       txn: Option[(String, Long)], removes: Seq[String] = Seq.empty,
       actionOverride: Option[String] = None,
       mergeSchema: Boolean = false,
@@ -1594,8 +1776,40 @@ object TxLogTable {
       if (overwrite) "overwrite"
       else if (removes.nonEmpty) "compact"
       else "append")
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
     val fs = fileSystem(spark, tablePath)
+    // column mapping: batches arrive under LOGICAL names; files and
+    // the committed DDL stay physical, so map before staging. An
+    // overwrite replaces the schema (and resets the mapping), so its
+    // batch IS the new physical truth — no translation. Internal
+    // rewrites pass physical-named frames, for which this is a no-op.
+    val curRenames =
+      if (overwrite) Map.empty[String, String]
+      else {
+        val commits0 = committedVersions(fs, tablePath)
+        if (commits0.isEmpty) Map.empty[String, String]
+        else replayState(fs, tablePath, commits0.max, commits0).renames
+      }
+    // a batch addressing a renamed column by its RETIRED name is a
+    // stale producer — fail loudly instead of silently writing to the
+    // physical slot (internal rewrites carry physical frames on
+    // purpose and commit under compact/rewrite/dv actions)
+    if (curRenames.nonEmpty && commitAction == "append") {
+      val logicalNames = curRenames.values.toSet
+      val stale = df0.schema.fieldNames
+        .filter(n => curRenames.contains(n) && !logicalNames.contains(n))
+      require(stale.isEmpty,
+        s"append schema mismatch: column(s) ${stale.mkString(", ")} were " +
+          s"renamed (current name(s): ${stale.map(curRenames).mkString(", ")})" +
+          " — write under the current logical names")
+    }
+    // translate ONLY the user-facing append path: internal rewrites
+    // (compact/rewrite/dv) hand PHYSICAL frames already, and a second
+    // application would un-swap a swap-shaped mapping
+    val df =
+      if (actionOverride.isEmpty && removes.isEmpty && !overwrite)
+        toPhysicalDf(df0, curRenames)
+      else df0
     val ddl = df.schema.toDDL
 
     // replayed transaction: the epoch is already in the log — skip
@@ -1631,7 +1845,7 @@ object TxLogTable {
         // committed read will serve
         val raw = spark.read.schema(df.schema)
           .parquet(staged.map(_.toString).toSeq: _*)
-        val stagedDf = {
+        val stagedDf = toLogicalDf({
           val commits0 = committedVersions(fs, tablePath)
           if (commits0.isEmpty) raw
           else {
@@ -1641,7 +1855,7 @@ object TxLogTable {
               .foldLeft(raw)((d, f) =>
                 d.withColumn(f.name, lit(null).cast(f.dataType)))
           }
-        }
+        }, curRenames) // constraints are written in LOGICAL terms
         val broken = cons.toSeq.sortBy(_._1).iterator.flatMap { case (n, e) =>
           val bad =
             try stagedDf.filter(coalesce(expr(e), lit(true)) === false)
@@ -1715,6 +1929,13 @@ object TxLogTable {
                   "go through overwrite")
             val added = batch.fields.filterNot(f => curNames.contains(f.name))
               .map(_.copy(nullable = true))
+            // under column mapping, a new column must not shadow a
+            // LOGICAL name either (its physical slot is taken)
+            val logicalClash = added.map(_.name)
+              .filter(curRenames.values.toSet)
+            require(logicalClash.isEmpty,
+              s"appendEvolve cannot add column(s) ${logicalClash.mkString(", ")}" +
+                " — the name is in use by a renamed column")
             commitDdl = StructType(
               cur.fields.map(_.copy(nullable = true)) ++ added).toDDL
           } else {
@@ -1832,6 +2053,10 @@ object TxLogTable {
     for ((f, dirs) <- c.dvAdds.toSeq.sortBy(_._1); dir <- dirs)
       body.append("dvadd=").append(b64(f)).append('|')
         .append(b64(dir)).append('\n')
+    // one line per column-mapping entry: rename=<physB64>|<logB64>
+    for ((p, l) <- c.renames.toSeq.sortBy(_._1))
+      body.append("rename=").append(b64(p)).append('|')
+        .append(b64(l)).append('\n')
     // one line per (file, column): stat=<file>|<colB64>|<kind>|<minB64>|<maxB64>
     // (file names are writer-generated uuid forms, never contain '|')
     for ((f, cols) <- c.stats.toSeq.sortBy(_._1);
@@ -1903,7 +2128,15 @@ object TxLogTable {
             case _ => throw new IllegalStateException(
               s"corrupt commit $p: bad dvadd line")
           }
-      }.groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).toSeq })
+      }.groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).toSeq },
+      renames = lines.collect {
+        case l if l.startsWith("rename=") =>
+          l.substring(7).split('|') match {
+            case Array(ph, lg) => unb64(ph) -> unb64(lg)
+            case _ => throw new IllegalStateException(
+              s"corrupt commit $p: bad rename line")
+          }
+      }.toMap)
   }
 
   private def b64(s: String): String =
@@ -1964,6 +2197,9 @@ object TxLogTable {
     for ((f, dirs) <- st.dvs.toSeq.sortBy(_._1); dir <- dirs)
       body.append("dv=").append(b64(f)).append('|')
         .append(b64(dir)).append('\n')
+    for ((p, l) <- st.renames.toSeq.sortBy(_._1))
+      body.append("rename=").append(b64(p)).append('|')
+        .append(b64(l)).append('\n')
     body.append("end=1\n")
     val tmp = new Path(logPath,
       s"tmp-${java.util.UUID.randomUUID()}.ckpt")
@@ -2025,7 +2261,13 @@ object TxLogTable {
         case _ => throw new IllegalStateException("bad dv line")
       }
     }.groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).toSeq }
-    State(files, ddl, stats, txns, constraints, dvs)
+    val renames = lines.collect { case l if l.startsWith("rename=") =>
+      l.substring(7).split('|') match {
+        case Array(p, lg) => unb64(p) -> unb64(lg)
+        case _ => throw new IllegalStateException("bad rename line")
+      }
+    }.toMap
+    State(files, ddl, stats, txns, constraints, dvs, renames)
   }.toOption
 
   private def commitName(version: Long): String = f"$version%020d.txt"

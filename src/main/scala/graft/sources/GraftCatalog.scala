@@ -172,12 +172,26 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         org.apache.spark.sql.types
           .StructField(a.fieldNames().head, a.dataType(), nullable = true)
     }
-    val unsupported = changes.filterNot(_.isInstanceOf[TableChange.AddColumn])
+    val colRenames = changes.collect {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          "graft catalog supports renaming top-level columns only, got " +
+            r.fieldNames().mkString("."))
+        r.fieldNames().head -> r.newName()
+    }
+    val unsupported = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.AddColumn] ||
+        c.isInstanceOf[TableChange.RenameColumn])
     require(unsupported.isEmpty,
       s"unsupported ALTER TABLE change(s): ${unsupported.mkString(", ")} " +
-        "(supported: ADD COLUMNS; constraints via TxLogTable.addConstraint)")
+        "(supported: ADD COLUMNS, RENAME COLUMN; constraints via " +
+        "TxLogTable.addConstraint)")
     if (adds.nonEmpty)
       TxLogTable.addColumns(spark, dir.toString, StructType(adds))
+    // metadata-only column mapping — see TxLogTable.renameColumn
+    colRenames.foreach { case (from, to) =>
+      TxLogTable.renameColumn(spark, dir.toString, from, to)
+    }
     new GraftTable(dir.toString, ident, None)
   }
 
@@ -257,7 +271,7 @@ final class GraftTable(tablePath: String, ident: Identifier,
   override def name(): String = ident.toString
 
   override lazy val schema: StructType =
-    TxLogTable.scanSnapshot(spark, tablePath, asOfVersion).schema
+    TxLogTable.scanSnapshot(spark, tablePath, asOfVersion).logicalSchema
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
@@ -269,12 +283,13 @@ final class GraftTable(tablePath: String, ident: Identifier,
       asOfVersion.map(v => "versionAsOf" -> v.toString)).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    if (TxLogTable.scanSnapshot(spark, tablePath, asOfVersion)
-        .hasDeletionVectors) {
-      // outstanding merge-on-read deletion vectors: a file-level V2
-      // scan cannot express the row mask, so bridge the DV-applying
-      // library plan through the V1Scan fallback — correct always,
-      // and the tax retires at the next compact()
+    val snap = TxLogTable.scanSnapshot(spark, tablePath, asOfVersion)
+    if (snap.hasDeletionVectors || snap.renames.nonEmpty) {
+      // outstanding merge-on-read deletion vectors (a file-level V2
+      // scan cannot express the row mask) or an active column mapping
+      // (the vectorized scan serves physical file names): bridge the
+      // library plan through the V1Scan fallback — correct always;
+      // the DV tax retires at the next compact()
       val s = spark
       val snapshotSchema = schema
       new ScanBuilder {

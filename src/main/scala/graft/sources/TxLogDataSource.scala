@@ -101,7 +101,8 @@ final class TxLogDataSource extends RelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val base = schema.getOrElse(TxLogTable.scanSnapshot(
-      sqlContext.sparkSession, TxLogDataSource.pathOf(parameters), None).schema)
+      sqlContext.sparkSession, TxLogDataSource.pathOf(parameters), None)
+      .logicalSchema)
     val withFeed =
       if (!parameters.get("readChangeFeed").exists(_.trim.toBoolean)) base
       else StructType(base.fields ++ Seq(
@@ -139,12 +140,15 @@ final class TxLogDataSource extends RelationProvider
         }
       case None =>
         val version = TxLogDataSource.resolveVersion(spark, path, parameters)
-        if (TxLogTable.scanSnapshot(spark, path, version).hasDeletionVectors) {
-          // outstanding merge-on-read deletion vectors: the file-level
-          // scan cannot express the row mask, so serve the DV-applying
-          // library plan through a bridged relation — correctness
-          // first, at a per-row conversion cost that lasts only until
-          // compact() materializes the vectors
+        val snap = TxLogTable.scanSnapshot(spark, path, version)
+        if (snap.hasDeletionVectors || snap.renames.nonEmpty) {
+          // outstanding merge-on-read deletion vectors (the file-level
+          // scan cannot express the row mask) or an active column
+          // mapping (files carry physical names the relation cannot
+          // re-label): serve the library plan through a bridged
+          // relation — correctness first; the DV tax retires at the
+          // next compact(), the mapping tax when the table is
+          // overwritten under its logical names
           val df = TxLogTable.read(spark, path, version)
           new BaseRelation with org.apache.spark.sql.sources.TableScan {
             override def sqlContext: SQLContext = spark.sqlContext
@@ -217,8 +221,13 @@ final class TxLogStreamSource(spark: SparkSession, tablePath: String,
   // absent until the query restarts — same restart-on-schema-change
   // rule as the public lake-table streaming sources.
 
+  // resolved once at source creation: the PHYSICAL schema reads the
+  // parquet bytes, the LOGICAL one (with the mapping as of creation)
+  // is what the stream serves
+  private val snap0 = TxLogTable.scanSnapshot(spark, tablePath, None)
+
   override val schema: StructType = {
-    val base = TxLogTable.scanSnapshot(spark, tablePath, None).schema
+    val base = snap0.logicalSchema
     if (!readChangeFeed) base
     else StructType(base.fields ++ Seq(
       StructField("_change_type", StringType, nullable = true),
@@ -270,8 +279,14 @@ final class TxLogStreamSource(spark: SparkSession, tablePath: String,
     if (files.isEmpty)
       graftshim.ColumnShim.ofRows(spark, LocalRelation(attrs, Nil, isStreaming = true))
     else {
-      val df = spark.read.schema(schema)
+      // read the parquet bytes under their PHYSICAL names, serve the
+      // stream's logical schema via one aliasing projection
+      val raw = spark.read.schema(snap0.schema)
         .parquet(files.map(f => TxLogTable.dataFilePath(tablePath, f)): _*)
+      val df = raw.select(snap0.schema.fieldNames.toSeq.map { p =>
+        org.apache.spark.sql.functions.col(p)
+          .as(snap0.renames.getOrElse(p, p))
+      }: _*)
       graftshim.ColumnShim.ofRows(spark, df.queryExecution.analyzed.transform {
         case lr: LogicalRelation => lr.copy(isStreaming = true)
       })
