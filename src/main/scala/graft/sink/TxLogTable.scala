@@ -381,9 +381,9 @@ object TxLogTable {
             // the target's outstanding deletion vectors are part of
             // its logical contents — the restore re-references them
             dvAdds = target.dvs,
-            // so is its column mapping (overwrite replay resets it,
-            // this commit re-establishes the target's)
-            renames = target.renames))
+            // so are its column mapping and drop tombstones (overwrite
+            // replay resets them, this commit re-establishes them)
+            renames = target.renames, dropped = target.dropped))
         result = version
       } catch { case _: CommitConflict => () }
     }
@@ -436,8 +436,9 @@ object TxLogTable {
       Commit("overwrite", snap.schema.toDDL, absolute,
         stats = stats, op = Some(s"shallow clone of $srcPath@v$v"),
         dvAdds = dvs,
-        // the source's column mapping travels with its files
-        renames = snap.renames))
+        // the source's column mapping and drop tombstones travel with
+        // its files
+        renames = snap.renames, dropped = snap.dropped))
     1L
   }
 
@@ -477,19 +478,34 @@ object TxLogTable {
       if (attempt > MaxCommitRetries) throw new IllegalStateException(
         s"gave up after $MaxCommitRetries add-column attempts on $tablePath")
       val latest = committedVersions(fs, tablePath).max
-      val cur = StructType.fromDDL(parseCommit(fs, tablePath, latest).schemaDdl)
-      val logical = replayState(fs, tablePath, latest,
-        committedVersions(fs, tablePath)).renames.values.toSet
+      val st = replayState(fs, tablePath, latest,
+        committedVersions(fs, tablePath))
+      val cur = StructType.fromDDL(st.ddl.get)
+      val logical = st.renames.values.toSet
       val clash = newCols.fieldNames.filter(n =>
         cur.fieldNames.contains(n) || logical.contains(n))
       require(clash.isEmpty,
         s"column(s) already exist: ${clash.mkString(", ")}")
-      val evolved = StructType(cur.fields ++
-        newCols.fields.map(_.copy(nullable = true)))
+      // a logical name whose physical slot was DROPPED re-adds under
+      // a FRESH physical name via the column mapping — live files may
+      // still carry the old bytes, which must never resurrect
+      val taken = cur.fieldNames.toSet ++ st.dropped ++ st.renames.keySet
+      var mapping = st.renames
+      val physCols = newCols.fields.map { f =>
+        if (!st.dropped.contains(f.name)) f.copy(nullable = true)
+        else {
+          val fresh = Iterator.from(latest.toInt + 1)
+            .map(v => s"${f.name}__r$v").filterNot(taken).next()
+          mapping = mapping + (fresh -> f.name)
+          f.copy(name = fresh, nullable = true)
+        }
+      }
+      val evolved = StructType(cur.fields ++ physCols)
       try {
         claimCommit(fs, tablePath, latest + 1L,
           Commit("evolve", evolved.toDDL, Nil,
-            op = Some(s"ADD COLUMNS (${newCols.toDDL})")))
+            op = Some(s"ADD COLUMNS (${newCols.toDDL})"),
+            renames = if (mapping == st.renames) Map.empty else mapping))
         result = latest + 1L
       } catch { case _: CommitConflict => () }
     }
@@ -753,7 +769,11 @@ object TxLogTable {
       files: Seq[String], schema: StructType,
       mayRangeIntersect: (String, String, Option[Any], Option[Any]) => Boolean,
       hasDeletionVectors: Boolean = false,
-      renames: Map[String, String] = Map.empty) {
+      renames: Map[String, String] = Map.empty,
+      // (file, LOGICAL column) → (exact null count, exact row count)
+      // when both were recorded at write time; None → no null pruning
+      nullCounts: (String, String) => Option[(Long, Long)] =
+        (_, _) => None) {
     /** The user-facing schema (physical fields re-labelled). */
     def logicalSchema: StructType = TxLogTable.logicalSchema(schema, renames)
   }
@@ -771,7 +791,20 @@ object TxLogTable {
           case Some(cs) => mayIntersect(cs, lower, upper)
         },
       hasDeletionVectors = snap.dvs.nonEmpty,
-      renames = snap.renames)
+      renames = snap.renames,
+      nullCounts = (file, column) => {
+        def statLong(key: String, kind: String): Option[Long] =
+          snap.stats.get(file).flatMap(_.get(key))
+            .filter(_.kind == kind)
+            .flatMap(cs => scala.util.Try(new String(
+              Base64.getDecoder.decode(cs.min),
+              StandardCharsets.UTF_8).toLong).toOption)
+        for {
+          n <- statLong(
+            NullCountPrefix + physicalNameOf(snap.renames, column), "nulls")
+          rows <- statLong(RowCountStat, "rows")
+        } yield (n, rows)
+      })
   }
 
   /** Table history — the DESCRIBE HISTORY analog: one row per
@@ -1053,7 +1086,8 @@ object TxLogTable {
       constraintDrops: Seq[String] = Seq.empty,
       op: Option[String] = None,
       dvAdds: Map[String, Seq[String]] = Map.empty,
-      renames: Map[String, String] = Map.empty) {
+      renames: Map[String, String] = Map.empty,
+      dropped: Set[String] = Set.empty) {
     def isOverwrite: Boolean = action == "overwrite"
   }
 
@@ -1065,7 +1099,8 @@ object TxLogTable {
   private final case class Snapshot(files: Seq[String], schema: StructType,
       stats: Map[String, Map[String, ColStats]],
       dvs: Map[String, Seq[String]] = Map.empty,
-      renames: Map[String, String] = Map.empty) {
+      renames: Map[String, String] = Map.empty,
+      dropped: Set[String] = Set.empty) {
     /** The user-facing schema: physical fields re-labelled. */
     def logicalSchema: StructType = TxLogTable.logicalSchema(schema, renames)
   }
@@ -1079,11 +1114,12 @@ object TxLogTable {
       stats: Map[String, Map[String, ColStats]], txns: Map[String, Long],
       constraints: Map[String, String] = Map.empty,
       dvs: Map[String, Seq[String]] = Map.empty,
-      renames: Map[String, String] = Map.empty)
+      renames: Map[String, String] = Map.empty,
+      dropped: Set[String] = Set.empty)
 
   private val EmptyState =
     State(Vector.empty, None, Map.empty, Map.empty, Map.empty, Map.empty,
-      Map.empty)
+      Map.empty, Set.empty)
 
   /** State at `upTo`: newest readable checkpoint ≤ `upTo`, then
     * replay of the tail commits. Checkpoints are caches — any that
@@ -1124,12 +1160,22 @@ object TxLogTable {
             if (!liveFiles.contains(f)) m
             else m.updated(f, m.getOrElse(f, Seq.empty) ++ dirs)
           },
-          // column mapping: a rename commit REPLACES the map; an
-          // overwrite resets it to whatever the commit carries (empty
-          // for a plain overwrite — the new schema is its own physical
-          // truth; restore/clone carry their source snapshot's map)
-          if (c.isOverwrite || c.action == "rename") c.renames
-          else st.renames)
+          // column mapping: a rename/dropcolumn commit REPLACES the
+          // map; an overwrite resets it to whatever the commit carries
+          // (empty for a plain overwrite — the new schema is its own
+          // physical truth; restore/clone carry their source's map)
+          if (c.isOverwrite || c.action == "rename" ||
+            c.action == "dropcolumn") c.renames
+          // an evolve commit re-adding a dropped logical name carries
+          // the FULL updated map (fresh physical slot); plain commits
+          // carry none and keep the current map
+          else if (c.renames.nonEmpty) c.renames
+          else st.renames,
+          // dropped-column tombstones (retired PHYSICAL names): same
+          // replacement rule — live files may still carry the bytes,
+          // so a re-added logical name must get a FRESH physical slot
+          if (c.isOverwrite || c.action == "dropcolumn") c.dropped
+          else st.dropped)
       }
   }
 
@@ -1144,7 +1190,7 @@ object TxLogTable {
     Snapshot(st.files, StructType.fromDDL(st.ddl.getOrElse(
       throw new IllegalStateException(
         s"no schema resolvable at version $upTo of $tablePath"))), st.stats,
-      st.dvs, st.renames)
+      st.dvs, st.renames, st.dropped)
   }
 
   /** Resolve a committed file entry to its physical location: plain
@@ -1254,6 +1300,57 @@ object TxLogTable {
         claimCommit(fs, tablePath, commits.max + 1L,
           Commit("rename", st.ddl.get, Nil,
             op = Some(s"RENAME COLUMN $from TO $to"), renames = updated))
+        result = commits.max + 1L
+      } catch { case _: CommitConflict => () }
+    }
+    result
+  }
+
+  /** ALTER TABLE ... DROP COLUMN as a METADATA-ONLY commit: the new
+    * physical schema simply omits the field — no data file is read or
+    * rewritten (parquet readers project by name, so the retired bytes
+    * are never decoded again, and compaction sheds them physically
+    * over time). The physical name is TOMBSTONED: live files still
+    * carry its bytes, so a later [[addColumns]] of the same logical
+    * name allocates a FRESH physical slot through the column mapping —
+    * the one rule that makes drop-then-re-add safe without parquet
+    * field ids. Time travel is faithful (old versions still serve the
+    * column); a column referenced by a CHECK constraint cannot be
+    * dropped; the last column cannot be dropped. Returns the
+    * committed version.
+    */
+  def dropColumn(spark: SparkSession, tablePath: String,
+      name: String): Long = {
+    val fs = fileSystem(spark, tablePath)
+    var result = -1L
+    var attempt = 0
+    while (result < 0) {
+      attempt += 1
+      if (attempt > MaxCommitRetries) throw new IllegalStateException(
+        s"gave up after $MaxCommitRetries drop-column attempts on $tablePath")
+      val commits = committedVersions(fs, tablePath)
+      require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+      val st = replayState(fs, tablePath, commits.max, commits)
+      val phys = StructType.fromDDL(st.ddl.get)
+      val logical = logicalSchema(phys, st.renames).fieldNames.toSeq
+      require(logical.contains(name),
+        s"no such column '$name'; table has: ${logical.mkString(", ")}")
+      require(phys.fields.length > 1,
+        s"cannot drop the only column of $tablePath")
+      val word = ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+      val inConstraint = st.constraints.collect {
+        case (n, e) if word.findFirstIn(e).isDefined => n
+      }
+      require(inConstraint.isEmpty,
+        s"column '$name' is referenced by CHECK constraint(s) " +
+          s"${inConstraint.mkString(", ")} — drop them before the column")
+      val p = physicalNameOf(st.renames, name)
+      val newDdl = StructType(phys.fields.filterNot(_.name == p)).toDDL
+      try {
+        claimCommit(fs, tablePath, commits.max + 1L,
+          Commit("dropcolumn", newDdl, Nil,
+            op = Some(s"DROP COLUMN $name"),
+            renames = st.renames - p, dropped = st.dropped + p))
         result = commits.max + 1L
       } catch { case _: CommitConflict => () }
     }
@@ -1623,9 +1720,20 @@ object TxLogTable {
     try {
       val acc = scala.collection.mutable.Map.empty[String, (String, String, String)]
       val poisoned = scala.collection.mutable.Set.empty[String]
+      // per-column null counts (for IS NULL / IS NOT NULL / all-null
+      // skipping) — tracked independently of min/max poisoning: a
+      // column whose VALUES are unprunable (e.g. nested logical type)
+      // still has an exact null count
+      val nulls = scala.collection.mutable.Map.empty[String, Long]
+      val nullsPoisoned = scala.collection.mutable.Set.empty[String]
       for (block <- reader.getFooter.getBlocks.asScala;
            cc <- block.getColumns.asScala if cc.getPath.size == 1) {
         val col = cc.getPath.toArray.head
+        if (!nullsPoisoned.contains(col)) {
+          val st0 = cc.getStatistics
+          if (st0 == null || !st0.isNumNullsSet) nullsPoisoned += col
+          else nulls(col) = nulls.getOrElse(col, 0L) + st0.getNumNulls
+        }
         if (!poisoned.contains(col)) {
           val pt = cc.getPrimitiveType
           // kind plus the decimal scale / timestamp unit needed to
@@ -1724,13 +1832,25 @@ object TxLogTable {
       val rows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
       (acc -- poisoned).map { case (col, (k, mn, mx)) =>
         col -> ColStats(k, enc(mn), enc(mx))
-      }.toMap + (RowCountStat -> ColStats("rows",
-        enc(rows.toString), enc(rows.toString)))
+      }.toMap ++
+        // exact per-column null counts under a reserved derived key
+        // (kind "nulls" — never interpreted as a value range). A real
+        // column whose name collides with the prefix opts out.
+        (nulls -- nullsPoisoned).collect {
+          case (col, n) if !col.contains(NullCountPrefix) =>
+            (NullCountPrefix + col) -> ColStats("nulls",
+              enc(n.toString), enc(n.toString))
+        } +
+        (RowCountStat -> ColStats("rows",
+          enc(rows.toString), enc(rows.toString)))
     } finally reader.close()
   }
 
   /** Reserved stats key carrying a file's exact row count. */
   private val RowCountStat = "__graft_rows"
+
+  /** Reserved stats-key prefix carrying a column's exact null count. */
+  private val NullCountPrefix = "__graft_nulls__"
 
   /** COUNT(*) at a version from COMMIT METADATA alone when every live
     * file carries a recorded row count (any write since the stat was
@@ -1783,12 +1903,15 @@ object TxLogTable {
     // overwrite replaces the schema (and resets the mapping), so its
     // batch IS the new physical truth — no translation. Internal
     // rewrites pass physical-named frames, for which this is a no-op.
-    val curRenames =
-      if (overwrite) Map.empty[String, String]
+    val (curRenames, curDropped) =
+      if (overwrite) (Map.empty[String, String], Set.empty[String])
       else {
         val commits0 = committedVersions(fs, tablePath)
-        if (commits0.isEmpty) Map.empty[String, String]
-        else replayState(fs, tablePath, commits0.max, commits0).renames
+        if (commits0.isEmpty) (Map.empty[String, String], Set.empty[String])
+        else {
+          val st0 = replayState(fs, tablePath, commits0.max, commits0)
+          (st0.renames, st0.dropped)
+        }
       }
     // a batch addressing a renamed column by its RETIRED name is a
     // stale producer — fail loudly instead of silently writing to the
@@ -1936,6 +2059,13 @@ object TxLogTable {
             require(logicalClash.isEmpty,
               s"appendEvolve cannot add column(s) ${logicalClash.mkString(", ")}" +
                 " — the name is in use by a renamed column")
+            // and a DROPPED name needs a fresh physical slot, which
+            // only the metadata-only path can allocate
+            val tombstoned = added.map(_.name).filter(curDropped)
+            require(tombstoned.isEmpty,
+              s"appendEvolve cannot re-add dropped column(s) " +
+                s"${tombstoned.mkString(", ")} — use addColumns (it " +
+                "allocates a fresh physical slot), then append")
             commitDdl = StructType(
               cur.fields.map(_.copy(nullable = true)) ++ added).toDDL
           } else {
@@ -2057,6 +2187,9 @@ object TxLogTable {
     for ((p, l) <- c.renames.toSeq.sortBy(_._1))
       body.append("rename=").append(b64(p)).append('|')
         .append(b64(l)).append('\n')
+    // one line per dropped-column tombstone: droppedcol=<physB64>
+    for (p <- c.dropped.toSeq.sorted)
+      body.append("droppedcol=").append(b64(p)).append('\n')
     // one line per (file, column): stat=<file>|<colB64>|<kind>|<minB64>|<maxB64>
     // (file names are writer-generated uuid forms, never contain '|')
     for ((f, cols) <- c.stats.toSeq.sortBy(_._1);
@@ -2136,7 +2269,10 @@ object TxLogTable {
             case _ => throw new IllegalStateException(
               s"corrupt commit $p: bad rename line")
           }
-      }.toMap)
+      }.toMap,
+      dropped = lines.collect {
+        case l if l.startsWith("droppedcol=") => unb64(l.substring(11))
+      }.toSet)
   }
 
   private def b64(s: String): String =
@@ -2200,6 +2336,8 @@ object TxLogTable {
     for ((p, l) <- st.renames.toSeq.sortBy(_._1))
       body.append("rename=").append(b64(p)).append('|')
         .append(b64(l)).append('\n')
+    for (p <- st.dropped.toSeq.sorted)
+      body.append("droppedcol=").append(b64(p)).append('\n')
     body.append("end=1\n")
     val tmp = new Path(logPath,
       s"tmp-${java.util.UUID.randomUUID()}.ckpt")
@@ -2267,7 +2405,10 @@ object TxLogTable {
         case _ => throw new IllegalStateException("bad rename line")
       }
     }.toMap
-    State(files, ddl, stats, txns, constraints, dvs, renames)
+    val droppedCols = lines.collect {
+      case l if l.startsWith("droppedcol=") => unb64(l.substring(11))
+    }.toSet
+    State(files, ddl, stats, txns, constraints, dvs, renames, droppedCols)
   }.toOption
 
   private def commitName(version: Long): String = f"$version%020d.txt"

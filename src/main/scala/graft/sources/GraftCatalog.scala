@@ -179,19 +179,28 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
             r.fieldNames().mkString("."))
         r.fieldNames().head -> r.newName()
     }
+    val colDrops = changes.collect {
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          "graft catalog supports dropping top-level columns only, got " +
+            d.fieldNames().mkString("."))
+        d.fieldNames().head
+    }
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
-        c.isInstanceOf[TableChange.RenameColumn])
+        c.isInstanceOf[TableChange.RenameColumn] ||
+        c.isInstanceOf[TableChange.DeleteColumn])
     require(unsupported.isEmpty,
       s"unsupported ALTER TABLE change(s): ${unsupported.mkString(", ")} " +
-        "(supported: ADD COLUMNS, RENAME COLUMN; constraints via " +
-        "TxLogTable.addConstraint)")
+        "(supported: ADD COLUMNS, RENAME COLUMN, DROP COLUMN; " +
+        "constraints via TxLogTable.addConstraint)")
     if (adds.nonEmpty)
       TxLogTable.addColumns(spark, dir.toString, StructType(adds))
     // metadata-only column mapping — see TxLogTable.renameColumn
     colRenames.foreach { case (from, to) =>
       TxLogTable.renameColumn(spark, dir.toString, from, to)
     }
+    colDrops.foreach(TxLogTable.dropColumn(spark, dir.toString, _))
     new GraftTable(dir.toString, ident, None)
   }
 

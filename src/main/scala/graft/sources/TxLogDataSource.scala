@@ -344,8 +344,20 @@ final class TxLogFileIndex(spark: SparkSession, tablePath: String,
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val bounds = dataFilters.flatMap(TxLogFileIndex.extractBounds)
+    val nullChecks = dataFilters.flatMap(TxLogFileIndex.extractNullCheck)
     val kept = snap.files.filter { f =>
-      bounds.forall { case (col, lo, hi) => snap.mayRangeIntersect(f, col, lo, hi) }
+      bounds.forall { case (col, lo, hi) =>
+        snap.mayRangeIntersect(f, col, lo, hi) &&
+          // a value comparison can never match an ALL-NULL chunk —
+          // the one case min/max stats (absent for such files) miss
+          !snap.nullCounts(f, col).exists { case (n, rows) => n == rows }
+      } &&
+      nullChecks.forall { case (col, wantNull) =>
+        snap.nullCounts(f, col) match {
+          case None => true // no recorded counts → conservative read
+          case Some((n, rows)) => if (wantNull) n > 0 else n < rows
+        }
+      }
     }
     Seq(PartitionDirectory(InternalRow.empty, kept.map(statusOf).toArray))
   }
@@ -397,6 +409,18 @@ private object TxLogFileIndex {
       case StartsWith(a: AttributeReference, Literal(p, StringType))
           if p != null =>
         Some((a.name, Some(p.toString), None))
+      case _ => None
+    }
+
+  /** One catalyst conjunct → an optional (column, wantNull) null
+    * check. `IS NULL` prunes files with zero recorded nulls;
+    * `IS NOT NULL` (which Spark injects under most filters) prunes
+    * all-null files.
+    */
+  def extractNullCheck(e: Expression): Option[(String, Boolean)] =
+    e match {
+      case IsNull(a: AttributeReference)    => Some((a.name, true))
+      case IsNotNull(a: AttributeReference) => Some((a.name, false))
       case _ => None
     }
 

@@ -224,6 +224,78 @@ class ColumnMappingSpec extends SparkSpec {
     assert(spark.sql(s"SELECT COUNT(*) FROM graft.cm.$name").head().getLong(0) === 1L)
   }
 
+  test("drop column is metadata-only; re-add gets a fresh physical slot") {
+    val t = freshTable()
+    TxLogTable.append(Seq((1L, "A", 10L), (2L, "B", 20L))
+      .toDF("k", "seg", "bal"), t)
+    val before = dataFiles(t)
+    val v = TxLogTable.dropColumn(spark, t, "bal")
+    assert(v === 2L)
+    assert(dataFiles(t) === before, "drop moved data bytes")
+    assert(TxLogTable.read(spark, t).columns.toSeq === Seq("k", "seg"))
+    // time travel still serves the column
+    assert(TxLogTable.read(spark, t, Some(1L)).columns.toSeq ===
+      Seq("k", "seg", "bal"))
+    // appends now use the narrower schema
+    TxLogTable.append(Seq((3L, "C")).toDF("k", "seg"), t)
+    assert(TxLogTable.read(spark, t).count() === 3L)
+    // re-adding 'bal' allocates a FRESH physical slot: the old bytes
+    // (10, 20) must NOT resurrect — all rows read NULL
+    TxLogTable.addColumns(spark, t,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bal",
+          org.apache.spark.sql.types.LongType))))
+    val re = TxLogTable.read(spark, t)
+    assert(re.columns.toSeq === Seq("k", "seg", "bal"))
+    assert(re.filter(col("bal").isNotNull).count() === 0L,
+      "dropped bytes resurrected into the re-added column")
+    // the fresh slot is real: writes land under it and read back
+    TxLogTable.append(Seq((4L, "D", 40L)).toDF("k", "seg", "bal"), t)
+    assert(TxLogTable.read(spark, t).filter(col("bal") === 40L).count() === 1L)
+    // and the physical parquet never carries the logical name 'bal'
+    val physCols = dataFiles(t).flatMap(n =>
+      spark.read.parquet(s"$t/data/$n").columns.toSeq)
+    assert(physCols.count(_ == "bal") === 1, // only the ORIGINAL v1 file
+      s"expected exactly the pre-drop file to carry 'bal': $physCols")
+    // appendEvolve refuses to re-add a tombstoned name itself
+    TxLogTable.dropColumn(spark, t, "bal")
+    val e = intercept[IllegalArgumentException] {
+      TxLogTable.appendEvolve(Seq((5L, "E", 50L)).toDF("k", "seg", "bal"), t)
+    }
+    assert(e.getMessage.contains("fresh physical slot"))
+  }
+
+  test("drop validations and SQL DROP COLUMN through the catalog") {
+    val t = freshTable()
+    TxLogTable.append(Seq((1L, "A")).toDF("k", "seg"), t)
+    TxLogTable.addConstraint(spark, t, "seg_set", "seg IS NOT NULL")
+    assert(intercept[IllegalArgumentException](
+      TxLogTable.dropColumn(spark, t, "seg"))
+      .getMessage.contains("seg_set"))
+    assert(intercept[IllegalArgumentException](
+      TxLogTable.dropColumn(spark, t, "nope"))
+      .getMessage.contains("no such column"))
+    // dropping a RENAMED column tombstones its PHYSICAL slot
+    TxLogTable.renameColumn(spark, t, "k", "id")
+    TxLogTable.dropColumn(spark, t, "id")
+    assert(TxLogTable.read(spark, t).columns.toSeq === Seq("seg"))
+    assert(TxLogTable.columnMapping(spark, t) === Map.empty)
+    // catalog SQL surface
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty) {
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft.warehouse",
+        Files.createTempDirectory("colmap_wh2").toString)
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cm2")
+    val name = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE TABLE graft.cm2.$name (k BIGINT, v STRING, w BIGINT)")
+    spark.sql(s"INSERT INTO graft.cm2.$name VALUES (1, 'x', 7)")
+    spark.sql(s"ALTER TABLE graft.cm2.$name DROP COLUMN w")
+    val out = spark.sql(s"SELECT * FROM graft.cm2.$name")
+    assert(out.columns.toSeq === Seq("k", "v"))
+    assert(out.head().getLong(0) === 1L)
+  }
+
   test("evolution cannot shadow a logical name; compact keeps the mapping") {
     val t = freshTable()
     TxLogTable.append(Seq((1L, "A")).toDF("k", "seg"), t)
