@@ -101,4 +101,65 @@ object Pq {
       .orderBy(col("adc_d2"), col("vec_id"))
       .limit(topK)
   }
+
+  /** Full-vector double cast, for the coarse (IVF) quantizer. */
+  private def fullVec(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+
+  /** IVF coarse assignment: nearest of `nlist` centroids (the vectors
+    * with ids `coarseBase until coarseBase+nlist`), full-dimension L2,
+    * ties to the smaller cell. Broadcast-argmin like [[encode]] —
+    * map-only over the corpus.
+    */
+  def coarseAssign(emb: DataFrame, nlist: Int, coarseBase: Long): DataFrame = {
+    val cc = fullVec(emb.filter(col("vec_id") >= coarseBase &&
+        col("vec_id") < coarseBase + nlist))
+      .select((col("vec_id") - coarseBase).as("cell"), col("v").as("cv"))
+    fullVec(emb).crossJoin(broadcast(cc))
+      .withColumn("d2",
+        expr("aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"))
+  }
+
+  /** IVF-PQ (non-residual form): the coarse quantizer routes the
+    * query to its `nprobe` nearest inverted lists, and only vectors
+    * in those cells are ranked — by PQ ADC lookups, never a raw
+    * float scan. At scale this is the standard two-level ANN layout:
+    * the cell id is a partitioning key (each probe touches ~nprobe /
+    * nlist of the corpus), and the per-vector cost inside a probed
+    * cell is m byte-lookups. Candidates start above the id range the
+    * codebooks occupy.
+    */
+  def ivfAdcTopK(emb: DataFrame, m: Int, ds: Int, k: Int,
+      nlist: Int, coarseBase: Long, queryVecId: Long,
+      nprobe: Int, topK: Int): DataFrame = {
+    val cc = fullVec(emb.filter(col("vec_id") >= coarseBase &&
+        col("vec_id") < coarseBase + nlist))
+      .select((col("vec_id") - coarseBase).as("cell"), col("v").as("cv"))
+    // nprobe nearest cells for the query — nlist rows, driver-free
+    val probed = fullVec(emb.filter(col("vec_id") === queryVecId))
+      .crossJoin(broadcast(cc))
+      .withColumn("d2",
+        expr("aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
+      .orderBy(col("d2"), col("cell"))
+      .limit(nprobe)
+      .select("cell")
+    val cand = coarseAssign(emb, nlist, coarseBase)
+      .filter(col("vec_id") >= coarseBase + nlist)
+      .join(broadcast(probed), Seq("cell"))
+    val enc = encode(emb, m, ds, k)
+    val lut = adcLut(emb, m, ds, k, queryVecId)
+    enc.join(cand, Seq("vec_id"))
+      .join(broadcast(lut), Seq("j"), "inner")
+      .filter(col("code") === col("c"))
+      .groupBy("vec_id", "cell")
+      .agg(sum(col("d2")).as("adc_d2"))
+      .select(col("vec_id"), col("cell").cast(org.apache.spark.sql.types.LongType).as("cell"),
+        col("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(topK)
+  }
 }

@@ -202,6 +202,62 @@ object Extras25 {
               UNION ALL
               SELECT 5, COUNT(*), CAST(SUM(cents) AS BIGINT), MIN(k), MAX(k),
                      'cust_id,seg,cents' FROM v4
-              ORDER BY version"""))
+              ORDER BY version""")),
+
+    // IVF-PQ (non-residual): coarse quantizer (8 cells, full-vector
+    // L2 argmin) routes the query to its 2 nearest inverted lists,
+    // and only vectors in probed cells are ranked — by the q264/q265
+    // PQ machinery (ADC lookups), never a raw float scan. This is the
+    // standard two-level ANN layout at 100 TB: cell id as partition
+    // key bounds each probe to ~nprobe/nlist of the corpus, and the
+    // per-candidate cost is m byte lookups. Every cell assignment and
+    // ADC distance is recomputed by the oracle — hash-verified, like
+    // its building blocks.
+    QueryDef("q267_ivfpq_topk",
+      (s, d) => Pq.ivfAdcTopK(table(s, d, "embeddings"), m = 4, ds = 16,
+        k = 16, nlist = 8, coarseBase = 16L, queryVecId = 0L,
+        nprobe = 2, topK = 10),
+      Some("""WITH emb AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+              cc AS (SELECT vec_id - 16 AS cell, v AS cv FROM emb
+                     WHERE vec_id BETWEEN 16 AND 23),
+              asg AS (SELECT vec_id, cell FROM (
+                  SELECT e.vec_id, cc.cell,
+                         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_distance(e.v, cc.cv), cc.cell) AS rn
+                  FROM emb e JOIN cc ON TRUE) WHERE rn = 1),
+              probe AS (SELECT cell FROM (
+                  SELECT cc.cell, ROW_NUMBER() OVER (
+                           ORDER BY list_distance(q.v, cc.cv), cc.cell) AS rn
+                  FROM cc JOIN (SELECT v FROM emb WHERE vec_id = 0) q ON TRUE)
+                  WHERE rn <= 2),
+              sub AS (
+                SELECT vec_id, t.j,
+                       list_transform(embedding[(t.j*16+1):(t.j*16+16)],
+                                      x -> CAST(x AS DOUBLE)) AS sv
+                FROM embeddings, UNNEST([0,1,2,3]) AS t(j)),
+              cb AS (SELECT vec_id AS c, j, sv AS cv FROM sub WHERE vec_id < 16),
+              dist AS (SELECT s.vec_id, s.j, cb.c,
+                              list_distance(s.sv, cb.cv) AS dst
+                       FROM sub s JOIN cb ON s.j = cb.j),
+              enc AS (SELECT vec_id, j, c AS code
+                      FROM (SELECT *, ROW_NUMBER() OVER (
+                              PARTITION BY vec_id, j ORDER BY dst, c) AS rn
+                            FROM dist) WHERE rn = 1),
+              lut AS (SELECT cb.j, cb.c,
+                             list_inner_product(q.sv, q.sv)
+                               - 2 * list_inner_product(q.sv, cb.cv)
+                               + list_inner_product(cb.cv, cb.cv) AS d2
+                      FROM cb JOIN (SELECT j, sv FROM sub WHERE vec_id = 0) q
+                        ON q.j = cb.j)
+              SELECT e.vec_id AS vec_id, CAST(a.cell AS BIGINT) AS cell,
+                     SUM(l.d2) AS adc_d2
+              FROM enc e
+              JOIN lut l ON e.j = l.j AND e.code = l.c
+              JOIN asg a ON a.vec_id = e.vec_id
+              JOIN probe p ON p.cell = a.cell
+              WHERE e.vec_id >= 24
+              GROUP BY e.vec_id, a.cell ORDER BY adc_d2, vec_id LIMIT 10"""))
   )
 }

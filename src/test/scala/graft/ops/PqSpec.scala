@@ -71,6 +71,37 @@ class PqSpec extends SparkSpec {
     assert(ds2 == ds2.sorted)
   }
 
+  test("IVF-PQ candidates come only from the query's probed cells") {
+    def d2(a: scala.collection.Seq[Double], b: scala.collection.Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val full = Pq.subvectors(emb, 1, m * ds).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](r.fieldIndex("sv"))).toMap
+    val nlist = 4
+    val base = 4L
+    val probed = (0 until nlist)
+      .map(c => (d2(full(0L), full(base + c)), c.toLong)).sorted.take(2)
+      .map(_._2).toSet
+    val asg = Pq.coarseAssign(emb, nlist, base).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    // every vector's cell is the true full-vector argmin
+    asg.foreach { case (v, cell) =>
+      val mine = d2(full(v), full(base + cell))
+      (0L until nlist.toLong).foreach(o =>
+        assert(mine <= d2(full(v), full(base + o)) + 1e-12))
+    }
+    val top = Pq.ivfAdcTopK(emb, m, ds, k, nlist, base, queryVecId = 0L,
+      nprobe = 2, topK = 5).collect()
+    assert(top.nonEmpty)
+    top.foreach { r =>
+      val (v, cell) = (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"))
+      assert(v >= base + nlist, "codebook/centroid ids must not be candidates")
+      assert(cell === asg(v), "reported cell must be the vector's own")
+      assert(probed.contains(cell), s"candidate from unprobed cell $cell")
+    }
+    val adcs = top.map(_.getAs[Double]("adc_d2")).toSeq
+    assert(adcs == adcs.sorted)
+  }
+
   test("encode plan broadcasts the codebook — no corpus-side shuffle before the argmin") {
     val plan = Pq.encode(emb, m, ds, k).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
