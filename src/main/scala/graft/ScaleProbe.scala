@@ -150,6 +150,31 @@ object ScaleProbe {
     results("matview_recompute") = tRecompute
     require(mv == rc, s"maintained != recomputed: $mv vs $rc")
 
+    // metadata-only schema surgery at scale: rename and drop move
+    // ZERO data bytes whatever the table size (the 100 TB claim the
+    // column-mapping design makes — here measured, not asserted)
+    val dataMbPreRename = dirMb("data")
+    val (_, tRename) = timed(
+      TxLogTable.renameColumn(spark, t, "status", "state"))
+    results("rename_column") = tRename
+    results("rename_mb_moved") = dirMb("data") - dataMbPreRename
+    val (nRen, tLogicalRead) = timed(
+      TxLogTable.read(spark, t).filter(col("state") === "M").count())
+    results("read_renamed_filter") = tLogicalRead
+    results("renamed_filter_rows") = nRen.toDouble
+    // committed-stats skipping keeps working through the mapping
+    TxLogTable.renameColumn(spark, t, "od", "order_date")
+    val (cand, tCand) = timed(TxLogTable.candidateFiles(spark, t,
+      "order_date", Some(java.time.LocalDate.parse("1995-06-01")),
+      Some(java.time.LocalDate.parse("1995-06-30"))))
+    results("renamed_prune_candidates") = cand.size.toDouble
+    results("renamed_prune_all_files") =
+      TxLogTable.candidateFiles(spark, t, "order_date").size.toDouble
+    results("renamed_prune_s") = tCand
+    val (_, tDrop) = timed(TxLogTable.dropColumn(spark, t, "cust"))
+    results("drop_column") = tDrop
+    results("drop_mb_moved") = dirMb("data") - dataMbPreRename
+
     // forced snapshot-diff fallback LAST (tears the cache for good)
     val fs = new org.apache.hadoop.fs.Path(t)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

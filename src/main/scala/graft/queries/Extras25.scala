@@ -258,6 +258,34 @@ object Extras25 {
               JOIN asg a ON a.vec_id = e.vec_id
               JOIN probe p ON p.cell = a.cell
               WHERE e.vec_id >= 24
-              GROUP BY e.vec_id, a.cell ORDER BY adc_d2, vec_id LIMIT 10"""))
+              GROUP BY e.vec_id, a.cell ORDER BY adc_d2, vec_id LIMIT 10""")),
+
+    // ORC round-trip: the second columnar lake format Spark ships
+    // (vectorized reader, predicate pushdown, zlib default). The
+    // query writes a pruned lineitem projection as ORC, reads it back
+    // with a pushed-down filter, and aggregates — the oracle computes
+    // the same logical result straight from the parquet, so the hash
+    // proves the ORC writer/reader preserve values exactly (integer
+    // cents, no float drift). A lake ingesting from ORC-producing
+    // upstreams (Hive warehouses) needs exactly this path.
+    QueryDef("q268_orc_roundtrip",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_orc")
+          .resolve("li").toString
+        table(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity"),
+            expr("CAST(floor(l_extendedprice * 100.0) AS BIGINT)").as("price_c"))
+          .write.mode("overwrite").orc(dir)
+        s.read.orc(dir)
+          .filter(col("l_quantity") >= 25.0)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("cents"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+                     CAST(SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM lineitem WHERE l_quantity >= 25.0
+              GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

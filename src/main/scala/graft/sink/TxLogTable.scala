@@ -481,18 +481,20 @@ object TxLogTable {
       val st = replayState(fs, tablePath, latest,
         committedVersions(fs, tablePath))
       val cur = StructType.fromDDL(st.ddl.get)
-      val logical = st.renames.values.toSet
-      val clash = newCols.fieldNames.filter(n =>
-        cur.fieldNames.contains(n) || logical.contains(n))
+      // collision is judged against the LOGICAL view — the only one a
+      // user can see
+      val logicalNow = logicalSchema(cur, st.renames).fieldNames.toSet
+      val clash = newCols.fieldNames.filter(logicalNow.contains)
       require(clash.isEmpty,
         s"column(s) already exist: ${clash.mkString(", ")}")
-      // a logical name whose physical slot was DROPPED re-adds under
-      // a FRESH physical name via the column mapping — live files may
-      // still carry the old bytes, which must never resurrect
+      // a new logical name whose PHYSICAL slot is occupied — dropped
+      // earlier (tombstone: live files may still carry old bytes) or
+      // held by a renamed-away column — lands in a FRESH physical
+      // slot via the column mapping
       val taken = cur.fieldNames.toSet ++ st.dropped ++ st.renames.keySet
       var mapping = st.renames
       val physCols = newCols.fields.map { f =>
-        if (!st.dropped.contains(f.name)) f.copy(nullable = true)
+        if (!taken.contains(f.name)) f.copy(nullable = true)
         else {
           val fresh = Iterator.from(latest.toInt + 1)
             .map(v => s"${f.name}__r$v").filterNot(taken).next()

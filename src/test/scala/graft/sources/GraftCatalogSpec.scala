@@ -18,13 +18,20 @@ class GraftCatalogSpec extends SparkSpec {
 
   import spark.implicits._
 
+  // V2 catalogs are CACHED per session at first instantiation —
+  // whichever suite touches `graft` first pins its warehouse conf, so
+  // every suite must use the if-unset pattern and read the effective
+  // value back (setting a different warehouse later would silently
+  // not apply)
   private lazy val warehouse = {
-    val wh = Files.createTempDirectory("graft_cat_wh").toString
-    spark.conf.set("spark.sql.catalog.graft",
-      classOf[GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty) {
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft.warehouse",
+        Files.createTempDirectory("graft_cat_wh").toString)
+    }
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
-    wh
+    spark.conf.get("spark.sql.catalog.graft.warehouse")
   }
 
   private def batchScans(p: SparkPlan): Seq[BatchScanExec] = p.collect {
