@@ -585,6 +585,62 @@ object TxLogTable {
     replayState(fs, tablePath, commits.max, commits).constraints
   }
 
+  /** SET TBLPROPERTIES: upsert key → value pairs as one metadata-only
+    * commit. Properties are table-level metadata like constraints —
+    * they survive overwrite/restore, fold through checkpoints, and
+    * surface through the catalog (`SHOW TBLPROPERTIES`). Returns the
+    * committed version.
+    */
+  def setProperties(spark: SparkSession, tablePath: String,
+      props: Map[String, String]): Long = {
+    require(props.nonEmpty, "setProperties needs at least one pair")
+    propertiesCommit(spark, tablePath, sets = props, drops = Nil)
+  }
+
+  /** UNSET TBLPROPERTIES (missing keys are a no-op, like SQL's
+    * IF EXISTS form). Returns the committed version.
+    */
+  def unsetProperties(spark: SparkSession, tablePath: String,
+      keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "unsetProperties needs at least one key")
+    propertiesCommit(spark, tablePath, sets = Map.empty, drops = keys)
+  }
+
+  /** The table's current properties (empty if none set). */
+  def properties(spark: SparkSession,
+      tablePath: String): Map[String, String] = {
+    val fs = fileSystem(spark, tablePath)
+    val commits = committedVersions(fs, tablePath)
+    require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+    replayState(fs, tablePath, commits.max, commits).props
+  }
+
+  private def propertiesCommit(spark: SparkSession, tablePath: String,
+      sets: Map[String, String], drops: Seq[String]): Long = {
+    val fs = fileSystem(spark, tablePath)
+    var attempt = 0
+    var result = -1L
+    while (result < 0) {
+      attempt += 1
+      if (attempt > MaxCommitRetries) throw new IllegalStateException(
+        s"gave up after $MaxCommitRetries property-commit attempts on $tablePath")
+      val commits = committedVersions(fs, tablePath)
+      require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+      val version = commits.max + 1L
+      val ddl = parseCommit(fs, tablePath, commits.max).schemaDdl
+      try {
+        claimCommit(fs, tablePath, version,
+          Commit("setprops", ddl, Nil,
+            op = Some(if (sets.nonEmpty)
+              s"SET TBLPROPERTIES (${sets.keys.toSeq.sorted.mkString(", ")})"
+            else s"UNSET TBLPROPERTIES (${drops.sorted.mkString(", ")})"),
+            propSets = sets, propDrops = drops))
+        result = version
+      } catch { case _: CommitConflict => () }
+    }
+    result
+  }
+
   private def metadataCommit(fs: FileSystem, tablePath: String, ddl: String,
       adds: Map[String, String], drops: Seq[String]): Long = {
     var attempt = 0
@@ -819,9 +875,12 @@ object TxLogTable {
     require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
     val rows = commits.sorted(Ordering[Long].reverse).map { v =>
       val c = parseCommit(fs, tablePath, v)
-      val mtime = fs.getFileStatus(
-        new Path(new Path(tablePath, LogDir), commitName(v))).getModificationTime
-      (v, c.action, c.op.getOrElse(c.action), new java.sql.Timestamp(mtime),
+      // in-commit timestamp when recorded (monotonic, survives file
+      // copies); commit-file mtime for pre-feature history
+      val millis = c.ts.getOrElse(fs.getFileStatus(
+        new Path(new Path(tablePath, LogDir), commitName(v)))
+        .getModificationTime)
+      (v, c.action, c.op.getOrElse(c.action), new java.sql.Timestamp(millis),
         c.files.size, c.removes.size, c.txn.map(_._1), c.txn.map(_._2),
         c.schemaDdl)
     }
@@ -864,7 +923,8 @@ object TxLogTable {
       val c = parseCommit(fs, tablePath, v)
       if (c.action == "compact" || c.action == "setconstraint" ||
           c.action == "create" || c.action == "evolve" ||
-          c.action == "rename")
+          c.action == "rename" || c.action == "dropcolumn" ||
+          c.action == "setprops")
         None // physical rewrite / metadata-only: no logical change
       else if ((c.action == "rewrite" || c.action == "dv") &&
           cdfCached(spark, tablePath, v)) {
@@ -964,8 +1024,9 @@ object TxLogTable {
       epochMillis: Long): Long = {
     val fs = fileSystem(spark, tablePath)
     val stamped = committedVersions(fs, tablePath).sorted.map { v =>
-      v -> fs.getFileStatus(
-        new Path(new Path(tablePath, LogDir), commitName(v))).getModificationTime
+      v -> parseCommit(fs, tablePath, v).ts.getOrElse(fs.getFileStatus(
+        new Path(new Path(tablePath, LogDir), commitName(v)))
+        .getModificationTime)
     }
     require(stamped.nonEmpty, s"not a TxLog table (no commits): $tablePath")
     stamped.filter(_._2 <= epochMillis).map(_._1).lastOption.getOrElse(
@@ -1089,7 +1150,10 @@ object TxLogTable {
       op: Option[String] = None,
       dvAdds: Map[String, Seq[String]] = Map.empty,
       renames: Map[String, String] = Map.empty,
-      dropped: Set[String] = Set.empty) {
+      dropped: Set[String] = Set.empty,
+      propSets: Map[String, String] = Map.empty,
+      propDrops: Seq[String] = Seq.empty,
+      ts: Option[Long] = None) {
     def isOverwrite: Boolean = action == "overwrite"
   }
 
@@ -1117,11 +1181,12 @@ object TxLogTable {
       constraints: Map[String, String] = Map.empty,
       dvs: Map[String, Seq[String]] = Map.empty,
       renames: Map[String, String] = Map.empty,
-      dropped: Set[String] = Set.empty)
+      dropped: Set[String] = Set.empty,
+      props: Map[String, String] = Map.empty)
 
   private val EmptyState =
     State(Vector.empty, None, Map.empty, Map.empty, Map.empty, Map.empty,
-      Map.empty, Set.empty)
+      Map.empty, Set.empty, Map.empty)
 
   /** State at `upTo`: newest readable checkpoint ≤ `upTo`, then
     * replay of the tail commits. Checkpoints are caches — any that
@@ -1177,7 +1242,11 @@ object TxLogTable {
           // replacement rule — live files may still carry the bytes,
           // so a re-added logical name must get a FRESH physical slot
           if (c.isOverwrite || c.action == "dropcolumn") c.dropped
-          else st.dropped)
+          else st.dropped,
+          // table properties: survive overwrite (table-level metadata,
+          // like constraints and txn identities), change only by
+          // set/unset commits
+          st.props ++ c.propSets -- c.propDrops)
       }
   }
 
@@ -2165,9 +2234,19 @@ object TxLogTable {
     fs.mkdirs(logPath)
     val commitPath = new Path(logPath, commitName(version))
     if (fs.exists(commitPath)) throw new CommitConflict(version)
+    // IN-COMMIT timestamp (the public protocol's inCommitTimestamp):
+    // recorded in the commit body, monotonic past the previous
+    // version, so time travel by timestamp survives file copies,
+    // clock skew between writers, and mtime-rewriting storage.
+    val prevTs = if (version <= 1L) None
+      else scala.util.Try(
+        parseCommit(fs, tablePath, version - 1).ts).toOption.flatten
+    val commitTs = math.max(System.currentTimeMillis(),
+      prevTs.map(_ + 1L).getOrElse(Long.MinValue))
     val body = new StringBuilder()
       .append("action=").append(c.action).append('\n')
       .append("schema=").append(c.schemaDdl).append('\n')
+      .append("ts=").append(commitTs).append('\n')
     c.op.foreach(o => body.append("op=").append(o).append('\n'))
     c.txn.foreach { case (appId, epoch) =>
       body.append("txnApp=").append(appId).append('\n')
@@ -2192,6 +2271,12 @@ object TxLogTable {
     // one line per dropped-column tombstone: droppedcol=<physB64>
     for (p <- c.dropped.toSeq.sorted)
       body.append("droppedcol=").append(b64(p)).append('\n')
+    // table properties: propSet=<kB64>|<vB64> / propDrop=<kB64>
+    for ((k, v) <- c.propSets.toSeq.sortBy(_._1))
+      body.append("propSet=").append(b64(k)).append('|')
+        .append(b64(v)).append('\n')
+    for (k <- c.propDrops.sorted)
+      body.append("propDrop=").append(b64(k)).append('\n')
     // one line per (file, column): stat=<file>|<colB64>|<kind>|<minB64>|<maxB64>
     // (file names are writer-generated uuid forms, never contain '|')
     for ((f, cols) <- c.stats.toSeq.sortBy(_._1);
@@ -2274,7 +2359,19 @@ object TxLogTable {
       }.toMap,
       dropped = lines.collect {
         case l if l.startsWith("droppedcol=") => unb64(l.substring(11))
-      }.toSet)
+      }.toSet,
+      propSets = lines.collect {
+        case l if l.startsWith("propSet=") =>
+          l.substring(8).split('|') match {
+            case Array(k, v) => unb64(k) -> unb64(v)
+            case _ => throw new IllegalStateException(
+              s"corrupt commit $p: bad propSet line")
+          }
+      }.toMap,
+      propDrops = lines.collect {
+        case l if l.startsWith("propDrop=") => unb64(l.substring(9))
+      }.toSeq,
+      ts = opt("ts").flatMap(_.toLongOption))
   }
 
   private def b64(s: String): String =
@@ -2340,6 +2437,9 @@ object TxLogTable {
         .append(b64(l)).append('\n')
     for (p <- st.dropped.toSeq.sorted)
       body.append("droppedcol=").append(b64(p)).append('\n')
+    for ((k, v) <- st.props.toSeq.sortBy(_._1))
+      body.append("prop=").append(b64(k)).append('|')
+        .append(b64(v)).append('\n')
     body.append("end=1\n")
     val tmp = new Path(logPath,
       s"tmp-${java.util.UUID.randomUUID()}.ckpt")
@@ -2410,7 +2510,14 @@ object TxLogTable {
     val droppedCols = lines.collect {
       case l if l.startsWith("droppedcol=") => unb64(l.substring(11))
     }.toSet
-    State(files, ddl, stats, txns, constraints, dvs, renames, droppedCols)
+    val props = lines.collect { case l if l.startsWith("prop=") =>
+      l.substring(5).split('|') match {
+        case Array(k, v) => unb64(k) -> unb64(v)
+        case _ => throw new IllegalStateException("bad prop line")
+      }
+    }.toMap
+    State(files, ddl, stats, txns, constraints, dvs, renames, droppedCols,
+      props)
   }.toOption
 
   private def commitName(version: Long): String = f"$version%020d.txt"

@@ -157,6 +157,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val ns = dirOf(ident.namespace().toSeq)
     if (!fs.exists(ns)) throw new NoSuchNamespaceException(ident.namespace())
     TxLogTable.create(spark, dir.toString, schema)
+    // CREATE TABLE ... TBLPROPERTIES: persist user keys (engine-
+    // reserved ones like provider/location/owner are synthesized)
+    val reserved = Set("provider", "location", "owner", "external")
+    val userProps = properties.asScala.toMap
+      .filter { case (k, _) => !reserved.contains(k) && !k.startsWith("option.") }
+    if (userProps.nonEmpty)
+      TxLogTable.setProperties(spark, dir.toString, userProps)
     new GraftTable(dir.toString, ident, None)
   }
 
@@ -186,14 +193,22 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
             d.fieldNames().mkString("."))
         d.fieldNames().head
     }
+    val propSets = changes.collect {
+      case p: TableChange.SetProperty => p.property() -> p.value()
+    }.toMap
+    val propDrops = changes.collect {
+      case p: TableChange.RemoveProperty => p.property()
+    }
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.RenameColumn] ||
-        c.isInstanceOf[TableChange.DeleteColumn])
+        c.isInstanceOf[TableChange.DeleteColumn] ||
+        c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])
     require(unsupported.isEmpty,
       s"unsupported ALTER TABLE change(s): ${unsupported.mkString(", ")} " +
-        "(supported: ADD COLUMNS, RENAME COLUMN, DROP COLUMN; " +
-        "constraints via TxLogTable.addConstraint)")
+        "(supported: ADD COLUMNS, RENAME COLUMN, DROP COLUMN, " +
+        "SET/UNSET TBLPROPERTIES; constraints via TxLogTable.addConstraint)")
     if (adds.nonEmpty)
       TxLogTable.addColumns(spark, dir.toString, StructType(adds))
     // metadata-only column mapping — see TxLogTable.renameColumn
@@ -201,6 +216,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       TxLogTable.renameColumn(spark, dir.toString, from, to)
     }
     colDrops.foreach(TxLogTable.dropColumn(spark, dir.toString, _))
+    if (propSets.nonEmpty)
+      TxLogTable.setProperties(spark, dir.toString, propSets)
+    if (propDrops.nonEmpty)
+      TxLogTable.unsetProperties(spark, dir.toString, propDrops)
     new GraftTable(dir.toString, ident, None)
   }
 
@@ -288,7 +307,8 @@ final class GraftTable(tablePath: String, ident: Identifier,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def properties(): util.Map[String, String] =
-    (Map("provider" -> "graft-txlog", "location" -> tablePath) ++
+    (TxLogTable.properties(spark, tablePath) ++
+      Map("provider" -> "graft-txlog", "location" -> tablePath) ++
       asOfVersion.map(v => "versionAsOf" -> v.toString)).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
