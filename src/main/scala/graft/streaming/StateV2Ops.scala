@@ -128,4 +128,71 @@ object StateV2Ops {
       .transformWithState(new FirstSeenProcessor(ttl),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
+
+  // ---- event-time sessions (watermark-driven timers) ---------------
+
+  final case class TsEvent(userId: Long, ts: java.sql.Timestamp, value: Long)
+
+  final case class SessionClosed(userId: Long, nEvents: Long, total: Long,
+      sessionEndMs: Long)
+
+  /** Event-time sessionization with explicit EVENT-TIME timers: each
+    * input extends the session and re-arms a timer at
+    * `lastEventTs + gapMs`; the timer fires when the WATERMARK passes
+    * it — so emission is driven by data completeness, not wall-clock,
+    * and a stalled source never closes sessions early. Unlike the
+    * ProcessingTime mode, batches only run on data (watermarks only
+    * advance with input), so the op composes with
+    * `processAllAvailable`-style draining.
+    */
+  final class EventSessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, TsEvent, SessionClosed] {
+
+    @transient private var agg: ValueState[(Long, Long)] = _
+    @transient private var deadline: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      agg = getHandle.getValueState[(Long, Long)]("agg",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+      deadline = getHandle.getValueState[Long]("deadline",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TsEvent],
+        tv: TimerValues): Iterator[SessionClosed] = {
+      var (n, tot) = if (agg.exists()) agg.get() else (0L, 0L)
+      var maxTs = if (deadline.exists()) deadline.get() - gapMs else Long.MinValue
+      rows.foreach { e =>
+        n += 1; tot += e.value
+        maxTs = math.max(maxTs, e.ts.getTime)
+      }
+      agg.update((n, tot))
+      if (deadline.exists()) getHandle.deleteTimer(deadline.get())
+      val at = maxTs + gapMs
+      getHandle.registerTimer(at) // event-time: fires when watermark >= at
+      deadline.update(at)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionClosed] = {
+      val out =
+        if (agg.exists()) {
+          val (n, tot) = agg.get()
+          Iterator.single(SessionClosed(key, n, tot, info.getExpiryTimeInMs()))
+        } else Iterator.empty
+      agg.clear()
+      deadline.clear()
+      out
+    }
+  }
+
+  def eventTimeSessions(events: Dataset[TsEvent], gapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[SessionClosed] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.userId)
+      .transformWithState(new EventSessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -96,6 +96,41 @@ class StateV2OpsSpec extends SparkSpec {
     }
   }
 
+  test("event-time sessions close when the watermark passes the gap, not wall-clock") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      import StateV2Ops.{SessionClosed, TsEvent}
+      def ev(u: Long, sec: Long, v: Long) =
+        TsEvent(u, new java.sql.Timestamp(sec * 1000L), v)
+      val source = MemoryStream[TsEvent]
+      val q = StateV2Ops.eventTimeSessions(source.toDS(), gapMs = 5000L)
+        .writeStream.format("memory").queryName("sess_out")
+        .outputMode("append").start()
+      try {
+        // u1 at t=10s,12s; u2 at t=11s → deadlines 17s / 16s
+        source.addData(ev(1L, 10L, 5L), ev(1L, 12L, 7L), ev(2L, 11L, 1L))
+        q.processAllAvailable()
+        assert(spark.table("sess_out").isEmpty,
+          "sessions must not close before the watermark reaches the gap")
+        // wall-clock passing changes nothing — only the watermark counts
+        Thread.sleep(1500L)
+        source.addData(ev(99L, 13L, 0L)) // watermark after batch: 13s
+        q.processAllAvailable()
+        assert(spark.table("sess_out").isEmpty)
+        // an event at t=30s pushes the watermark past both deadlines;
+        // the NEXT batch evaluates timers against it
+        source.addData(ev(98L, 30L, 0L))
+        q.processAllAvailable()
+        source.addData(ev(97L, 31L, 0L))
+        q.processAllAvailable()
+        val got = spark.table("sess_out").as[SessionClosed].collect()
+          .map(s => s.userId -> ((s.nEvents, s.total, s.sessionEndMs))).toMap
+        assert(got(1L) === ((2L, 12L, 17000L)))
+        assert(got(2L) === ((1L, 1L, 16000L)))
+      } finally q.stop()
+    }
+  }
+
   test("first-seen TTL dedup: duplicates suppressed, key revives after eviction") {
     withRocksDb {
       implicit val sc = spark.sqlContext
