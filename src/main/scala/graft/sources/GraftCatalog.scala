@@ -306,10 +306,14 @@ final class GraftTable(tablePath: String, ident: Identifier,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
-  override def properties(): util.Map[String, String] =
+  // resolved once per Table instance — Spark calls properties()
+  // several times during planning and the stored set replays the log
+  private lazy val resolvedProperties: util.Map[String, String] =
     (TxLogTable.properties(spark, tablePath) ++
       Map("provider" -> "graft-txlog", "location" -> tablePath) ++
       asOfVersion.map(v => "versionAsOf" -> v.toString)).asJava
+
+  override def properties(): util.Map[String, String] = resolvedProperties
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val snap = TxLogTable.scanSnapshot(spark, tablePath, asOfVersion)
