@@ -1428,6 +1428,29 @@ object TxLogTable {
     result
   }
 
+  /** MATERIALIZE the column mapping: one overwrite commit that
+    * rewrites the current snapshot under its LOGICAL names, clearing
+    * the mapping and the drop tombstones — after it, file bytes match
+    * the user-facing schema again and the format/catalog surfaces
+    * leave the bridged plan for the vectorized V2 fast path. This is
+    * the one mapping operation that DOES move data (O(table)); run it
+    * as scheduled maintenance when the read-side bridge tax matters,
+    * exactly like compact() retires deletion-vector debt. Constraints,
+    * properties and txn identities survive (table-level metadata);
+    * prior versions still time-travel with their historical names.
+    * No-op (returns the current version) when no mapping is active.
+    */
+  def materializeColumns(spark: SparkSession, tablePath: String): Long = {
+    val fs = fileSystem(spark, tablePath)
+    val commits = committedVersions(fs, tablePath)
+    require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+    val snap = snapshot(fs, tablePath, Some(commits.max))
+    if (snap.renames.isEmpty && snap.dropped.isEmpty) return commits.max
+    overwrite(
+      toLogicalDf(snapFrame(spark, tablePath, snap, snap.files), snap.renames),
+      tablePath)
+  }
+
   /** The table's active column mapping, physical → logical (empty when
     * no column has been renamed).
     */

@@ -296,6 +296,44 @@ class ColumnMappingSpec extends SparkSpec {
     assert(out.head().getLong(0) === 1L)
   }
 
+  test("materializeColumns clears the mapping and restores the V2 fast path") {
+    val t = freshTable()
+    TxLogTable.append(Seq((1L, "A", 10L), (2L, "B", 20L))
+      .toDF("k", "seg", "bal"), t)
+    TxLogTable.renameColumn(spark, t, "bal", "cents")
+    TxLogTable.addConstraint(spark, t, "pos", "cents >= 0")
+    TxLogTable.setProperties(spark, t, Map("tier" -> "gold"))
+    // mapped table: format read is the bridged (non-file-scan) plan
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    assert(!planOf(spark.read.format("graft-txlog").load(t))
+      .contains("FileScan"), "mapped table must bridge")
+    val preV = TxLogTable.versions(spark, t).max
+    val v = TxLogTable.materializeColumns(spark, t)
+    assert(v === preV + 1)
+    // mapping + tombstones gone; contents identical under logical names
+    assert(TxLogTable.columnMapping(spark, t) === Map.empty)
+    val re = TxLogTable.read(spark, t)
+    assert(re.columns.toSeq === Seq("k", "seg", "cents"))
+    assert(re.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet === Set((1L, "A", 10L), (2L, "B", 20L)))
+    // fast path returns: the format read is a real file scan again
+    assert(planOf(spark.read.format("graft-txlog").load(t))
+      .contains("FileScan"), "materialized table must take the fast path")
+    // table-level metadata survived the rewrite
+    assert(TxLogTable.constraints(spark, t) === Map("pos" -> "cents >= 0"))
+    assert(TxLogTable.properties(spark, t) === Map("tier" -> "gold"))
+    // the constraint still gates under the (now physical) logical name
+    intercept[TxLogTable.ConstraintViolation] {
+      TxLogTable.append(Seq((3L, "C", -1L)).toDF("k", "seg", "cents"), t)
+    }
+    // history preserved: the pre-materialize version serves old names
+    assert(TxLogTable.read(spark, t, Some(1L)).columns.toSeq ===
+      Seq("k", "seg", "bal"))
+    // no-op on an unmapped table
+    assert(TxLogTable.materializeColumns(spark, t) === v)
+  }
+
   test("evolution cannot shadow a logical name; compact keeps the mapping") {
     val t = freshTable()
     TxLogTable.append(Seq((1L, "A")).toDF("k", "seg"), t)
