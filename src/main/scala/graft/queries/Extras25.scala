@@ -286,6 +286,75 @@ object Extras25 {
                      CAST(SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT))
                           AS BIGINT) AS cents
               FROM lineitem WHERE l_quantity >= 25.0
-              GROUP BY l_returnflag ORDER BY l_returnflag"""))
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Schema-surgery lifecycle, cross-engine: rename → DROP COLUMN →
+    // re-add the same logical name (fresh physical slot — the dropped
+    // values must come back as NULL, never as the old bytes) → append
+    // under the evolved schema → materializeColumns (rewrite under
+    // logical names, clearing the mapping). Each version's fingerprint
+    // (rows, exact cents sum, NON-NULL count of the re-added column,
+    // served column names) is recomputed by the oracle — the
+    // `n_seg = 0` rows after the re-add are the hash-verified proof
+    // that tombstoned bytes never resurrect, and v6 == v5 proves the
+    // materializing rewrite is content-neutral.
+    QueryDef("q269_schema_surgery",
+      (s, d) => {
+        import graft.sink.TxLogTable
+        val t = java.nio.file.Files.createTempDirectory("graft_ss_q")
+          .resolve("t").toString
+        val cust = table(s, d, "customer").select(
+          col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+          expr("CAST(floor(c_acctbal * 100.0) AS BIGINT)").as("bal_c"))
+        TxLogTable.append(cust.filter(col("k") % 2 === 0), t)        // v1
+        TxLogTable.renameColumn(s, t, "bal_c", "cents")              // v2
+        TxLogTable.dropColumn(s, t, "seg")                           // v3
+        TxLogTable.addColumns(s, t,                                  // v4
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("seg",
+              org.apache.spark.sql.types.StringType))))
+        TxLogTable.append(cust.filter(col("k") % 2 === 1)            // v5
+          .select(col("k"), col("bal_c").as("cents"), lit("NEW").as("seg")), t)
+        TxLogTable.materializeColumns(s, t)                          // v6
+        val snaps = (1L to 6L).map { v =>
+          val df = TxLogTable.read(s, t, Some(v))
+          val balCol = if (df.columns.contains("cents")) "cents" else "bal_c"
+          val segCnt =
+            if (df.columns.contains("seg")) count(col("seg"))
+            else lit(0L)
+          df.agg(count(lit(1)).as("n_rows"),
+              sum(col(balCol)).as("cents_sum"), segCnt.as("n_seg"))
+            .select(lit(v).as("version"), col("n_rows"),
+              col("cents_sum"), col("n_seg").cast(LongType).as("n_seg"),
+              lit(df.columns.mkString(",")).as("cols"))
+        }.reduce(_.unionAll(_))
+        snaps.orderBy("version")
+      },
+      Some("""WITH b AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+                     CAST(floor(c_acctbal * 100.0) AS BIGINT) AS cents
+                   FROM customer),
+                   ev AS (SELECT * FROM b WHERE k % 2 = 0),
+                   al AS (SELECT * FROM b)
+              SELECT 1 AS version, COUNT(*) AS n_rows,
+                     CAST(SUM(cents) AS BIGINT) AS cents_sum,
+                     COUNT(*) AS n_seg, 'k,seg,bal_c' AS cols FROM ev
+              UNION ALL
+              SELECT 2, COUNT(*), CAST(SUM(cents) AS BIGINT), COUNT(*),
+                     'k,seg,cents' FROM ev
+              UNION ALL
+              SELECT 3, COUNT(*), CAST(SUM(cents) AS BIGINT), 0,
+                     'k,cents' FROM ev
+              UNION ALL
+              SELECT 4, COUNT(*), CAST(SUM(cents) AS BIGINT), 0,
+                     'k,cents,seg' FROM ev
+              UNION ALL
+              SELECT 5, COUNT(*), CAST(SUM(cents) AS BIGINT),
+                     (SELECT COUNT(*) FROM b WHERE k % 2 = 1),
+                     'k,cents,seg' FROM al
+              UNION ALL
+              SELECT 6, COUNT(*), CAST(SUM(cents) AS BIGINT),
+                     (SELECT COUNT(*) FROM b WHERE k % 2 = 1),
+                     'k,cents,seg' FROM al
+              ORDER BY version"""))
   )
 }
