@@ -831,7 +831,12 @@ object TxLogTable {
       // (file, LOGICAL column) → (exact null count, exact row count)
       // when both were recorded at write time; None → no null pruning
       nullCounts: (String, String) => Option[(Long, Long)] =
-        (_, _) => None) {
+        (_, _) => None,
+      // (file, LOGICAL column, candidate value) → false ⇒ the value
+      // is certainly absent (per-file bloom); conservative true when
+      // no bloom was recorded
+      mayContainEq: (String, String, Any) => Boolean =
+        (_, _, _) => true) {
     /** The user-facing schema (physical fields re-labelled). */
     def logicalSchema: StructType = TxLogTable.logicalSchema(schema, renames)
   }
@@ -862,7 +867,15 @@ object TxLogTable {
             NullCountPrefix + physicalNameOf(snap.renames, column), "nulls")
           rows <- statLong(RowCountStat, "rows")
         } yield (n, rows)
-      })
+      },
+      mayContainEq = (file, column, value) =>
+        snap.stats.get(file)
+          .flatMap(_.get(BloomStatPrefix + physicalNameOf(snap.renames, column)))
+          .filter(_.kind == "bloom") match {
+          case None     => true
+          case Some(cs) =>
+            scala.util.Try(bloomMayContain(cs.min, value)).getOrElse(true)
+        })
   }
 
   /** Table history — the DESCRIBE HISTORY analog: one row per
@@ -1370,7 +1383,10 @@ object TxLogTable {
       try {
         claimCommit(fs, tablePath, commits.max + 1L,
           Commit("rename", st.ddl.get, Nil,
-            op = Some(s"RENAME COLUMN $from TO $to"), renames = updated))
+            op = Some(s"RENAME COLUMN $from TO $to"), renames = updated,
+            // properties that NAME columns follow the rename in the
+            // same commit (the bloom-index column list)
+            propSets = renamedBloomProp(st.props, from, Some(to))))
         result = commits.max + 1L
       } catch { case _: CommitConflict => () }
     }
@@ -1421,7 +1437,9 @@ object TxLogTable {
         claimCommit(fs, tablePath, commits.max + 1L,
           Commit("dropcolumn", newDdl, Nil,
             op = Some(s"DROP COLUMN $name"),
-            renames = st.renames - p, dropped = st.dropped + p))
+            renames = st.renames - p, dropped = st.dropped + p,
+            // column-naming properties shed the dropped column
+            propSets = renamedBloomProp(st.props, name, None)))
         result = commits.max + 1L
       } catch { case _: CommitConflict => () }
     }
@@ -1946,6 +1964,120 @@ object TxLogTable {
   /** Reserved stats-key prefix carrying a column's exact null count. */
   private val NullCountPrefix = "__graft_nulls__"
 
+  // --------------------------------------------------------------
+  // per-file bloom filters — the point-lookup index of the public
+  // lake recipes. Opt-in per column via the table property
+  // `graft.bloom.columns` (comma-separated LOGICAL names); every
+  // write then records a 1 KiB bloom (8192 bits, 4 hashes) per
+  // (file, column) in the commit stats, and equality / IN-list
+  // predicates skip files whose bloom proves the value absent —
+  // min/max ranges can't help a needle-in-100 TB key lookup on an
+  // unclustered column, a bloom can. Values canonicalize through
+  // CAST(... AS STRING) before xxhash64, so the write- and read-side
+  // hashes agree for long/int/string/date columns (the point-lookup
+  // types); the filter is conservative like every stat here — no
+  // bloom, unknown type, or a false positive only ever means the
+  // file is read.
+
+  /** Table property naming the bloom-indexed columns. */
+  val BloomColumnsProperty = "graft.bloom.columns"
+
+  /** The bloom-column list with `from` renamed to `to` (or removed,
+    * `to = None`); empty map when the property is absent/unchanged —
+    * piggybacked onto rename/dropcolumn commits.
+    */
+  private def renamedBloomProp(props: Map[String, String], from: String,
+      to: Option[String]): Map[String, String] =
+    props.get(BloomColumnsProperty) match {
+      case None => Map.empty
+      case Some(v) =>
+        val cols = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        if (!cols.contains(from)) Map.empty
+        else Map(BloomColumnsProperty ->
+          cols.flatMap(c => if (c == from) to else Some(c)).mkString(","))
+    }
+
+  private val BloomBits = 8192
+  private val BloomK = 4
+
+  /** Reserved stats-key prefix carrying a column's bloom bitmap. */
+  private val BloomStatPrefix = "__graft_bloom__"
+
+  /** Build blooms for the just-written files and merge them into the
+    * commit stats. One column-pruned scan of the batch; the collect is
+    * bounded by files × BloomBits distinct positions — commit-metadata
+    * scale, like the footer harvest above it.
+    */
+  private def addBloomStats(spark: SparkSession, tablePath: String,
+      names: Seq[String], schema: StructType,
+      props: Map[String, String], renames: Map[String, String],
+      stats: Map[String, Map[String, ColStats]])
+      : Map[String, Map[String, ColStats]] = {
+    import org.apache.spark.sql.functions.{array, col, explode, input_file_name, lit, pmod, xxhash64}
+    val cols = props.get(BloomColumnsProperty).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      .map(l => physicalNameOf(renames, l))
+      .filter(schema.fieldNames.contains)
+    if (cols.isEmpty || names.isEmpty) return stats
+    val scan = spark.read.schema(schema)
+      .parquet(names.map(n => dataFilePath(tablePath, n)): _*)
+    val byName = names.map(n =>
+      new Path(dataFilePath(tablePath, n)).getName -> n).toMap
+    cols.foldLeft(stats) { (acc, c) =>
+      val positions = scan.filter(col(c).isNotNull)
+        .select(input_file_name().as("__f"),
+          explode(array((0 until BloomK).map(i =>
+            pmod(xxhash64(lit(i), col(c).cast(org.apache.spark.sql.types.StringType)),
+              lit(BloomBits.toLong)).cast(org.apache.spark.sql.types.IntegerType)): _*))
+            .as("p"))
+        .distinct()
+        .collect() // bounded by files × BloomBits
+      val byFile = positions.groupBy(r =>
+        new Path(r.getString(0)).getName).view.mapValues(_.map(_.getInt(1)))
+      byFile.foldLeft(acc) { case (m, (base, pos)) =>
+        byName.get(base) match {
+          case None => m
+          case Some(entry) =>
+            val bits = new java.util.BitSet(BloomBits)
+            pos.foreach(bits.set)
+            val b64 = Base64.getEncoder.encodeToString(bits.toByteArray)
+            val cur = m.getOrElse(entry, Map.empty)
+            m.updated(entry,
+              cur + ((BloomStatPrefix + c) -> ColStats("bloom", b64, b64)))
+        }
+      }
+    }
+  }
+
+  /** Read-side bloom test: false ⇒ the value is certainly absent from
+    * the file. Hash must mirror the write side exactly —
+    * xxhash64(salt, CAST(value AS STRING)) evaluated through the same
+    * catalyst expression.
+    */
+  private def bloomMayContain(b64bits: String, value: Any): Boolean = {
+    val bits = java.util.BitSet.valueOf(Base64.getDecoder.decode(b64bits))
+    // only types whose external toString equals Spark's CAST AS STRING
+    // participate; anything else (timestamps, floats — engine-specific
+    // rendering) degrades to a conservative read, never a wrong skip
+    val s = value match {
+      case d: java.time.LocalDate => d.toString
+      case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+          _: java.lang.Byte => value.toString
+      case str: String => str
+      case _ => return true
+    }
+    val utf8 = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    (0 until BloomK).forall { i =>
+      val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal(i),
+          org.apache.spark.sql.catalyst.expressions.Literal(utf8,
+            org.apache.spark.sql.types.StringType))).eval(null)
+        .asInstanceOf[Long]
+      val p = (((h % BloomBits) + BloomBits) % BloomBits).toInt
+      bits.get(p)
+    }
+  }
+
   /** COUNT(*) at a version from COMMIT METADATA alone when every live
     * file carries a recorded row count (any write since the stat was
     * introduced) — zero data I/O, the lake-table answer to "how many
@@ -1997,16 +2129,19 @@ object TxLogTable {
     // overwrite replaces the schema (and resets the mapping), so its
     // batch IS the new physical truth — no translation. Internal
     // rewrites pass physical-named frames, for which this is a no-op.
-    val (curRenames, curDropped) =
-      if (overwrite) (Map.empty[String, String], Set.empty[String])
+    val (curRenames, curDropped, curProps) = {
+      val commits0 = committedVersions(fs, tablePath)
+      if (commits0.isEmpty)
+        (Map.empty[String, String], Set.empty[String],
+          Map.empty[String, String])
       else {
-        val commits0 = committedVersions(fs, tablePath)
-        if (commits0.isEmpty) (Map.empty[String, String], Set.empty[String])
-        else {
-          val st0 = replayState(fs, tablePath, commits0.max, commits0)
-          (st0.renames, st0.dropped)
-        }
+        val st0 = replayState(fs, tablePath, commits0.max, commits0)
+        // an overwrite resets the mapping/tombstones but properties
+        // survive it (bloom columns keep applying to the new data)
+        if (overwrite) (Map.empty[String, String], Set.empty[String], st0.props)
+        else (st0.renames, st0.dropped, st0.props)
       }
+    }
     // a batch addressing a renamed column by its RETIRED name is a
     // stale producer — fail loudly instead of silently writing to the
     // physical slot (internal rewrites carry physical frames on
@@ -2213,6 +2348,11 @@ object TxLogTable {
             fileStats = ns.map { n =>
               n -> footerStats(conf, new Path(dataPath, n))
             }.filter(_._2.nonEmpty).toMap
+            // per-file BLOOM filters for the opted-in point-lookup
+            // columns (property graft.bloom.columns) — one extra
+            // column-pruned pass over the batch just written
+            fileStats = addBloomStats(spark, tablePath, ns, df.schema,
+              curProps, curRenames, fileStats)
             published = Some((version, ns))
             ns
         }

@@ -345,6 +345,7 @@ final class TxLogFileIndex(spark: SparkSession, tablePath: String,
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val bounds = dataFilters.flatMap(TxLogFileIndex.extractBounds)
     val nullChecks = dataFilters.flatMap(TxLogFileIndex.extractNullCheck)
+    val equalities = dataFilters.flatMap(TxLogFileIndex.extractEqualities)
     val kept = snap.files.filter { f =>
       bounds.forall { case (col, lo, hi) =>
         snap.mayRangeIntersect(f, col, lo, hi) &&
@@ -357,6 +358,11 @@ final class TxLogFileIndex(spark: SparkSession, tablePath: String,
           case None => true // no recorded counts → conservative read
           case Some((n, rows)) => if (wantNull) n > 0 else n < rows
         }
+      } &&
+      // bloom skipping: `c = v` keeps the file only if the bloom may
+      // contain v; an IN-list keeps it if ANY member may be present
+      equalities.forall { case (col, values) =>
+        values.exists(v => snap.mayContainEq(f, col, v))
       }
     }
     Seq(PartitionDirectory(InternalRow.empty, kept.map(statusOf).toArray))
@@ -421,6 +427,23 @@ private object TxLogFileIndex {
     e match {
       case IsNull(a: AttributeReference)    => Some((a.name, true))
       case IsNotNull(a: AttributeReference) => Some((a.name, false))
+      case _ => None
+    }
+
+  /** One catalyst conjunct → (column, candidate values) for bloom
+    * membership tests: equality (either orientation) and all-literal
+    * IN-lists.
+    */
+  def extractEqualities(e: Expression): Option[(String, Seq[Any])] =
+    e match {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        ext(l).map(v => (a.name, Seq(v)))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        ext(l).map(v => (a.name, Seq(v)))
+      case In(a: AttributeReference, list) if list.nonEmpty &&
+          list.forall(_.isInstanceOf[Literal]) =>
+        val vals = list.map(e => ext(e.asInstanceOf[Literal]))
+        if (vals.exists(_.isEmpty)) None else Some((a.name, vals.flatten))
       case _ => None
     }
 
