@@ -37,7 +37,7 @@ object Extras21 {
               .repartitionByRange(4, col("od")), t)
         def band(part: String, df: org.apache.spark.sql.DataFrame) =
           df.agg(lit(part).as("part"), count(lit(1)).as("n_rows"),
-            sum(col("price")).cast(DecimalType(20, 2)).as("turnover"),
+            sum(col("price")).cast(DecimalType(18, 2)).as("turnover"),
             min(col("od")).as("min_od"), max(col("k")).as("max_k"))
         val dateBand = band("date_band", graft.sink.TxLogTable.prunedRead(
           s, t, "od",
@@ -59,16 +59,16 @@ object Extras21 {
                           AS DECIMAL(16,0)) / 100 AS DECIMAL(14,2)) AS price
                    FROM orders)
               SELECT 'date_band' AS part, COUNT(*) AS n_rows,
-                     CAST(SUM(price) AS DECIMAL(20,2)) AS turnover,
+                     CAST(SUM(price) AS DECIMAL(18,2)) AS turnover,
                      MIN(od) AS min_od, MAX(k) AS max_k
               FROM o WHERE od BETWEEN DATE '1996-03-01' AND DATE '1996-08-31'
               UNION ALL
-              SELECT 'ts_band', COUNT(*), CAST(SUM(price) AS DECIMAL(20,2)),
+              SELECT 'ts_band', COUNT(*), CAST(SUM(price) AS DECIMAL(18,2)),
                      MIN(od), MAX(k)
               FROM o WHERE ots BETWEEN TIMESTAMP '1997-01-01 00:00:00'
                                    AND TIMESTAMP '1997-03-31 23:59:59'
               UNION ALL
-              SELECT 'dec_band', COUNT(*), CAST(SUM(price) AS DECIMAL(20,2)),
+              SELECT 'dec_band', COUNT(*), CAST(SUM(price) AS DECIMAL(18,2)),
                      MIN(od), MAX(k)
               FROM o WHERE price BETWEEN 50000.00 AND 100000.00
               ORDER BY part"""))
@@ -136,7 +136,8 @@ object Extras21 {
         s.table(sink).orderBy("nation")
       },
       Some("""SELECT c_nationkey AS nation, COUNT(*) AS n_cust,
-                     SUM(CAST(floor(c_acctbal * 100.0) AS BIGINT)) AS bal_cents
+                     CAST(SUM(CAST(floor(c_acctbal * 100.0) AS BIGINT))
+                          AS BIGINT) AS bal_cents
               FROM customer GROUP BY c_nationkey ORDER BY nation"""))
   ,
 
@@ -172,16 +173,19 @@ object Extras21 {
                      CAST(floor(c_acctbal * 100.0) AS BIGINT) AS bal
                    FROM customer)
               SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change,
-                     COUNT(*) AS n_rows, SUM(bal) AS bal_sum
+                     COUNT(*) AS n_rows, CAST(SUM(bal) AS BIGINT) AS bal_sum
               FROM c WHERE k % 3 = 0
               UNION ALL
-              SELECT 2, 'delete', COUNT(*), SUM(bal) FROM c WHERE k % 6 = 0
+              SELECT 2, 'delete', COUNT(*), CAST(SUM(bal) AS BIGINT)
+              FROM c WHERE k % 6 = 0
               UNION ALL
               SELECT 2, 'insert', COUNT(*),
-                     SUM(bal + CASE WHEN k % 6 = 0 THEN 1000 ELSE 0 END)
+                     CAST(SUM(bal + CASE WHEN k % 6 = 0 THEN 1000 ELSE 0 END)
+                          AS BIGINT)
               FROM c WHERE k % 6 = 0 OR k % 3 = 1
               UNION ALL
-              SELECT 3, 'insert', COUNT(*), SUM(bal) FROM c WHERE k % 3 = 2
+              SELECT 3, 'insert', COUNT(*), CAST(SUM(bal) AS BIGINT)
+              FROM c WHERE k % 3 = 2
               ORDER BY version, change"""))
   ,
 
@@ -248,11 +252,12 @@ object Extras21 {
                      CAST(floor(c_acctbal * 100.0) AS BIGINT) AS bal
                    FROM customer)
               SELECT 'delete' AS change, COUNT(*) AS n_rows,
-                     SUM(bal) AS bal_sum
+                     CAST(SUM(bal) AS BIGINT) AS bal_sum
               FROM c WHERE k % 6 = 0
               UNION ALL
               SELECT 'insert', COUNT(*),
-                     SUM(bal + CASE WHEN k % 6 = 0 THEN 1000 ELSE 0 END)
+                     CAST(SUM(bal + CASE WHEN k % 6 = 0 THEN 1000 ELSE 0 END)
+                          AS BIGINT)
               FROM c WHERE k % 6 = 0 OR k % 3 = 1
               ORDER BY change"""))
   )

@@ -32,14 +32,7 @@ import QueryDef.table
   */
 object Extras23 {
 
-  private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
-  private def DSUM(e: String): String =
-    s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
-
-  /** Per-line floored cents — exact BIGINT, safe to sum in any order. */
-  private def cents(c: org.apache.spark.sql.Column) =
-    floor(c * lit(100.0)).cast(LongType)
+  import Money.{dsum, DSUM, cents}
 
   private def ts(s: String) = lit(s).cast(TimestampType)
 
@@ -184,10 +177,10 @@ object Extras23 {
           .orderBy("o_year")
       },
       Some("""SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
-                     SUM(CASE WHEN n2.n_name = 'NATION_7'
+                     CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
                          THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)
-                         ELSE 0 END) AS nation_c,
-                     SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS total_c,
+                         ELSE 0 END) AS BIGINT) AS nation_c,
+                     CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS total_c,
                      CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
                          THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)
                          ELSE 0 END) AS DOUBLE) /
@@ -233,8 +226,8 @@ object Extras23 {
           .orderBy(col("nation"), col("o_year").desc)
       },
       Some("""SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
-                     SUM(CAST(floor((l_extendedprice * (1.0 - l_discount)
-                         - 0.6 * p_retailprice * l_quantity) * 100.0) AS BIGINT)) AS profit_c,
+                     CAST(SUM(CAST(floor((l_extendedprice * (1.0 - l_discount)
+                         - 0.6 * p_retailprice * l_quantity) * 100.0) AS BIGINT)) AS BIGINT) AS profit_c,
                      COUNT(*) AS n_lines
               FROM lineitem
                 JOIN part ON l_partkey = p_partkey
@@ -271,7 +264,7 @@ object Extras23 {
       },
       Some("""WITH v AS (
                 SELECT l_partkey,
-                       SUM(CAST(floor(l_quantity * p_retailprice * 100.0) AS BIGINT)) AS value_c
+                       CAST(SUM(CAST(floor(l_quantity * p_retailprice * 100.0) AS BIGINT)) AS BIGINT) AS value_c
                 FROM lineitem JOIN part ON l_partkey = p_partkey
                 WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)
                 GROUP BY 1)
@@ -300,10 +293,10 @@ object Extras23 {
           .orderBy("l_returnflag")
       },
       Some("""SELECT l_returnflag,
-                     SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                              THEN 1 ELSE 0 END) AS high_line_count,
-                     SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                              THEN 0 ELSE 1 END) AS low_line_count
+                     CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                     CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               WHERE l_shipdate >= TIMESTAMP '1998-01-01'
                 AND l_shipdate < TIMESTAMP '1999-01-01'
@@ -360,7 +353,7 @@ object Extras23 {
       },
       Some("""WITH rev AS (
                 SELECT l_suppkey,
-                       SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS total_c
+                       CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS total_c
                 FROM lineitem
                 WHERE l_shipdate >= TIMESTAMP '1998-01-01'
                   AND l_shipdate < TIMESTAMP '1998-04-01'
@@ -396,7 +389,7 @@ object Extras23 {
                                  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
                                  COUNT(*) AS cnt
                           FROM lineitem GROUP BY 1)
-              SELECT SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS rev_c,
+              SELECT CAST(SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_c,
                      COUNT(*) AS n_lines
               FROM lineitem
                 JOIN part ON l_partkey = p_partkey
@@ -427,7 +420,7 @@ object Extras23 {
           .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
             .as("rev_c"), count(lit(1)).as("n_lines"))
       },
-      Some("""SELECT SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS rev_c,
+      Some("""SELECT CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS rev_c,
                      COUNT(*) AS n_lines
               FROM lineitem JOIN part ON l_partkey = p_partkey
               WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5

@@ -176,7 +176,8 @@ object Extras24 {
                               string_split(text, ' ') AS w
                             FROM documents)))
               SELECT lang, source, COUNT(*) AS n_docs,
-                     SUM(CASE WHEN wsum > 0 THEN 1 ELSE 0 END) AS pos_docs,
+                     CAST(SUM(CASE WHEN wsum > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS pos_docs,
                      CAST(SUM(wsum) AS BIGINT) AS weight_sum,
                      CAST(SUM(nf) AS BIGINT) AS n_feats
               FROM f GROUP BY 1, 2 ORDER BY lang, source""")),

@@ -6,17 +6,58 @@ Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 Reads every <verifyOutDir>/<name>/ parquet result written by
 graft.Verify, runs the matching oracle SQL from oracle_sql.json in
 DuckDB against the same parquet tables, and compares: row count,
-column names (sorted), and a hash over values with columns sorted by
-name and rows in result order. Float columns are compared with
-rounding tolerance via repr at 10 significant digits.
+column names (sorted), per-column dtype KIND, and a hash over values
+with columns sorted by name and rows in result order. Float columns
+are compared with rounding tolerance via repr at 10 significant
+digits.
+
+Dtype guard (round-8 hardening): the round-7 driver gate went red on
+11 queries whose oracle SQL had a bare integer SUM — DuckDB types
+those HUGEINT (int128, surfaced as arrow decimal128(38,0)), which the
+driver normalizes differently than BIGINT even when every value is
+equal.  str()-based cell comparison can never see that, so this
+replica now (a) hard-fails any oracle column whose arrow type is an
+int128-backed decimal (precision > 18) unless the Spark side is the
+identical decimal type, and (b) fails any column whose dtype KIND
+differs between the Spark parquet and the DuckDB result (int family
+vs decimal vs float vs string...).  Fix is always in the oracle SQL:
+wrap the aggregate in CAST(... AS BIGINT) / DECIMAL(<=18,s) / DOUBLE.
 """
 import sys, os, json, math
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pyarrow.dataset as ds
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def kind(t):
+    """Canonical dtype kind for comparison. int8..int64 collapse to one
+    family; decimals keep (precision, scale) so an int128-backed
+    HUGEINT (decimal128(38,0)) can never alias a BIGINT."""
+    if pa.types.is_integer(t):
+        return ("int",)
+    if pa.types.is_floating(t):
+        return ("float",)
+    if pa.types.is_decimal(t):
+        return ("decimal", t.precision, t.scale)
+    if pa.types.is_boolean(t):
+        return ("bool",)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return ("string",)
+    if pa.types.is_date(t):
+        return ("date",)
+    if pa.types.is_timestamp(t):
+        return ("timestamp",)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return ("binary",)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return ("list", kind(t.value_type))
+    if pa.types.is_struct(t):
+        return ("struct",) + tuple(kind(f.type) for f in t)
+    return ("other", str(t))
 
 
 def norm_cell(v):
@@ -28,6 +69,8 @@ def norm_cell(v):
         return f"{v:.10g}"
     if isinstance(v, bytes):
         return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
 
 
@@ -55,6 +98,7 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         spark_cols = tbl.column_names
+        spark_kinds = {f.name: kind(f.type) for f in tbl.schema}
         spark_rows = [tuple(tbl.column(c)[i].as_py() for c in spark_cols)
                       for i in range(tbl.num_rows)]
         if name not in oracle:
@@ -63,15 +107,32 @@ def main(sf_dir, out_dir):
             n_rowsonly += 1
             continue
         try:
-            duck = con.execute(oracle[name])
-            duck_cols = [d[0] for d in duck.description]
-            duck_rows = duck.fetchall()
+            atbl = con.execute(oracle[name]).arrow()
+            if hasattr(atbl, "read_all"):  # RecordBatchReader on new duckdb
+                atbl = atbl.read_all()
+            duck_cols = atbl.column_names
+            duck_kinds = {f.name: kind(f.type) for f in atbl.schema}
+            duck_rows = [tuple(atbl.column(c)[i].as_py() for c in duck_cols)
+                         for i in range(atbl.num_rows)]
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
         if sorted(spark_cols) != sorted(duck_cols):
             print(f"FAIL  {name}: columns spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+            n_fail += 1
+            continue
+        # -- dtype guard --------------------------------------------------
+        bad = []
+        for c in duck_cols:
+            dk, sk = duck_kinds[c], spark_kinds[c]
+            if dk[0] == "decimal" and dk[1] > 18 and dk != sk:
+                bad.append(f"{c}: oracle HUGEINT/wide-decimal {dk} vs spark "
+                           f"{sk} — CAST the aggregate in the oracle SQL")
+            elif dk != sk:
+                bad.append(f"{c}: dtype kind spark={sk} duck={dk}")
+        if bad:
+            print(f"FAIL  {name}: dtype guard: " + "; ".join(bad))
             n_fail += 1
             continue
         a = frame_rows(spark_cols, spark_rows)
