@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Scale-safe exact per-group ranking.
   *
@@ -12,24 +13,34 @@ import org.apache.spark.sql.functions._
   * This operator computes the same global per-group `row_number` with
   * parallelism proportional to the partition count instead:
   *
-  *  1. sample boundary keys with a CONTENT-hash filter
-  *     (`xxhash64(key) % p == 0`) — deterministic per row value, so
-  *     the sample is identical regardless of input partitioning, and
-  *     the scan is pruned to the key columns;
-  *  2. broadcast the sorted boundaries as literal structs and assign
+  *  1. project the input ONCE to a narrow `(group, key...)` frame and
+  *     persist it (MEMORY_AND_DISK) — every sizing / sampling /
+  *     counting job below reads that cache instead of re-executing
+  *     the input plan. The round-7 design recomputed the input ~4×
+  *     (count, boundary sample, bucket counts, final pass), which is
+  *     pathological when the input is itself an expensive derived
+  *     frame (a tokenizing cross-join ran 4× per ranking);
+  *  2. sample boundary keys from the cached frame with a CONTENT-hash
+  *     filter (`xxhash64(key) % p == 0`) — deterministic per row
+  *     value, so the sample is identical regardless of input
+  *     partitioning;
+  *  3. broadcast the sorted boundaries as literal structs and assign
   *     each row `__pid` = number of boundaries <= its key — a pure
-  *     row-level function, so every consumer recomputes the SAME
-  *     placement and nothing needs to be pinned or materialized
-  *     (the previous design `localCheckpoint`ed the whole ranged
-  *     relation because `repartitionByRange` re-samples per
-  *     execution; at 100 TB that materializes the table to executor
-  *     storage);
-  *  3. per-(__pid, group) counts roll up into per-bucket rank offsets
+  *     row-level function, so the final pass recomputes the SAME
+  *     placement without pinning the full-width input;
+  *  4. per-(__pid, group) counts roll up into per-bucket rank offsets
   *     via a prefix-sum window over the TINY count frame
-  *     (numPartitions x numGroups rows — never data-sized);
-  *  4. local ranks come from a window partitioned by
+  *     (numPartitions x numGroups rows — never data-sized). The
+  *     offsets are collected and rebuilt as a LOCAL DataFrame, so the
+  *     final pass has no lineage into the cached key frame and the
+  *     cache is unpersisted before this function even returns;
+  *  5. local ranks come from a window partitioned by
   *     (__pid, group) — cardinality scales with the cluster — and the
   *     broadcast offset lifts them to global ranks.
+  *
+  * Net executions of the input plan: exactly 2 (narrow cache build +
+  * final full-width pass) — the minimum for any rank that needs both
+  * a global view of the keys and every input column in its output.
   *
   * Ranks of tied values are assigned arbitrarily within the tie run
   * (as with any `row_number` without a total tie-break), but equal
@@ -39,30 +50,34 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
-  /** Sampled boundary keys for (group, orderCols), as literal structs
-    * comparable against `keyStruct`: one count job (parquet
-    * count-pushdown cheap) sizes the hash filter, one pruned scan
-    * collects ~parts*128 keys, and every (parts-1)-quantile of the
-    * sorted sample becomes a boundary. Boundaries containing nulls are
-    * dropped — null keys compare as null and fall through to bucket 0,
-    * matching nulls-first range order.
+  /** Offset rows (numPartitions x numGroups) above this are not
+    * collected to the driver; the lazy broadcast-join path is kept
+    * instead (and the key-frame cache is left to LRU eviction). The
+    * operator targets low-cardinality groups, so this is a backstop,
+    * not a working mode. */
+  private val MaxCollectedOffsets = 1 << 20
+
+  /** Sampled boundary keys over the cached narrow key frame, as
+    * literal structs comparable against the key struct: one cached
+    * count sizes the hash filter, one cached scan collects
+    * ~parts*128 keys, and every (parts-1)-quantile of the sorted
+    * sample becomes a boundary. Boundaries containing nulls are
+    * dropped — null keys compare as null and fall through to bucket
+    * 0, matching nulls-first range order.
     */
   private def boundaryStructs(
-      df: DataFrame, keyCols: Seq[Column], parts: Int): Seq[Column] = {
-    val keyed = df.select(keyCols.zipWithIndex.map {
-      case (c, i) => c.as(s"f$i")
-    }: _*)
+      keyed: DataFrame, keyNames: Seq[String], parts: Int): Seq[Column] = {
     val n = keyed.count()
     if (n == 0) return Seq.empty
     val target = parts * 128L
     val p = math.max(1L, n / target)
-    val names = keyed.columns.toSeq
     val sample = keyed
-      .where(pmod(xxhash64(names.map(col): _*), lit(p)) === 0)
-      .sort(names.map(col): _*)
+      .select(keyNames.map(col): _*)
+      .where(pmod(xxhash64(keyNames.map(col): _*), lit(p)) === 0)
+      .sort(keyNames.map(col): _*)
       .collect()
     if (sample.isEmpty) return Seq.empty
-    val schema = keyed.schema
+    val schema = keyed.select(keyNames.map(col): _*).schema
     (1 until parts)
       .map(i => sample(((i.toLong * sample.length) / parts).toInt.min(sample.length - 1)))
       .distinct
@@ -78,16 +93,19 @@ object Ranks {
     * of boundaries at or below it. Null comparisons yield null ->
     * counted 0, so null keys land in bucket 0 (nulls-first).
     */
-  private def withPid(
-      df: DataFrame, keyCols: Seq[Column], parts: Int): DataFrame = {
-    val keyStruct = struct(keyCols.zipWithIndex.map {
-      case (c, i) => c.as(s"f$i")
-    }: _*)
-    val bounds = boundaryStructs(df, keyCols, parts)
-    val pid = bounds.foldLeft(lit(0)) { (acc, b) =>
+  private def pidExpr(keyStruct: Column, bounds: Seq[Column]): Column =
+    bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(keyStruct >= b, 1).otherwise(0)
     }
-    df.withColumn("__pid", pid)
+
+  /** Collect the tiny offsets frame and rebuild it as a LOCAL
+    * DataFrame (no lineage), or keep the lazy frame when unexpectedly
+    * large. Returns (frame, collected). */
+  private def localized(offsets: DataFrame): (DataFrame, Boolean) = {
+    val probe = offsets.limit(MaxCollectedOffsets + 1).collect()
+    if (probe.length > MaxCollectedOffsets) (offsets, false)
+    else (offsets.sparkSession.createDataFrame(
+      java.util.Arrays.asList(probe: _*), offsets.schema), true)
   }
 
   /** Adds `rn` (1-based global rank of the row within its group,
@@ -101,27 +119,37 @@ object Ranks {
     val spark = df.sparkSession
     val orderCols = (value +: ties).map(col)
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val keyCols = col(group) +: orderCols
+    val named = keyCols.zipWithIndex.map { case (c, i) => c.as(s"f$i") }
+    val keyNames = named.indices.map(i => s"f$i")
 
-    val ranged = withPid(df, col(group) +: orderCols, parts)
+    val keyed = df.select(named: _*).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bounds = boundaryStructs(keyed, keyNames, parts)
+      val pidK = pidExpr(struct(keyNames.map(col): _*), bounds)
+      val counts = keyed.withColumn("__pid", pidK)
+        .groupBy(col("__pid"), col("f0")).agg(count(lit(1)).as("__c"))
+      val prior = Window.partitionBy("f0").orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val (offsets, collected) = localized(counts.select(
+        col("__pid").as("__pid2"), col("f0").as("__grp2"),
+        coalesce(sum("__c").over(prior), lit(0L)).as("__off"),
+        sum("__c").over(Window.partitionBy("f0")).as("n")))
+      if (collected) keyed.unpersist(false)
 
-    val counts = ranged.groupBy("__pid", group).agg(count(lit(1)).as("__c"))
-    val prior = Window.partitionBy(group).orderBy("__pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts.select(
-      col("__pid"), col(group),
-      coalesce(sum("__c").over(prior), lit(0L)).as("__off"),
-      sum("__c").over(Window.partitionBy(group)).as("n"))
-
-    val local = Window.partitionBy(col("__pid"), col(group)).orderBy(orderCols: _*)
-    // null-SAFE group match: an equi-join would silently drop rows of
-    // a NULL group (null never equals null), losing data instead of
-    // ranking the null group like any other
-    ranged
-      .join(broadcast(offsets.withColumnRenamed("__pid", "__pid2")
-          .withColumnRenamed(group, "__grp2")),
-        col("__pid") === col("__pid2") && col(group) <=> col("__grp2"))
-      .withColumn("rn", row_number().over(local).cast("long") + col("__off"))
-      .drop("__pid", "__pid2", "__grp2", "__off")
+      val dfStruct = struct(named: _*)
+      val local = Window.partitionBy(col("__pid"), col(group)).orderBy(orderCols: _*)
+      // null-SAFE group match: an equi-join would silently drop rows of
+      // a NULL group (null never equals null), losing data instead of
+      // ranking the null group like any other
+      df.withColumn("__pid", pidExpr(dfStruct, bounds))
+        .join(broadcast(offsets),
+          col("__pid") === col("__pid2") && col(group) <=> col("__grp2"))
+        .withColumn("rn", row_number().over(local).cast("long") + col("__off"))
+        .drop("__pid", "__pid2", "__grp2", "__off")
+    } catch {
+      case t: Throwable => keyed.unpersist(false); throw t
+    }
   }
 
   /** Adds `rn`, `n` (as [[groupRanked]]) and `rsum` — the INCLUSIVE
@@ -146,28 +174,39 @@ object Ranks {
     val spark = df.sparkSession
     val orderCols = (order +: ties).map(col)
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val keyCols = col(group) +: orderCols
+    val named = keyCols.zipWithIndex.map { case (c, i) => c.as(s"f$i") }
+    val keyNames = named.indices.map(i => s"f$i")
 
-    val ranged = withPid(df, col(group) +: orderCols, parts)
+    val keyed = df.select(named :+ col(value).as("__v"): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bounds = boundaryStructs(keyed, keyNames, parts)
+      val pidK = pidExpr(struct(keyNames.map(col): _*), bounds)
+      val counts = keyed.withColumn("__pid", pidK)
+        .groupBy(col("__pid"), col("f0"))
+        .agg(count(lit(1)).as("__c"), sum(col("__v")).as("__s"))
+      val prior = Window.partitionBy("f0").orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val (offsets, collected) = localized(counts.select(
+        col("__pid").as("__pid2"), col("f0").as("__grp2"),
+        coalesce(sum("__c").over(prior), lit(0L)).as("__off"),
+        coalesce(sum("__s").over(prior), lit(0L)).as("__soff"),
+        sum("__c").over(Window.partitionBy("f0")).as("n")))
+      if (collected) keyed.unpersist(false)
 
-    val counts = ranged.groupBy("__pid", group)
-      .agg(count(lit(1)).as("__c"), sum(col(value)).as("__s"))
-    val prior = Window.partitionBy(group).orderBy("__pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts.select(
-      col("__pid"), col(group),
-      coalesce(sum("__c").over(prior), lit(0L)).as("__off"),
-      coalesce(sum("__s").over(prior), lit(0L)).as("__soff"),
-      sum("__c").over(Window.partitionBy(group)).as("n"))
-
-    val local = Window.partitionBy(col("__pid"), col(group)).orderBy(orderCols: _*)
-    // null-safe group match — see groupRanked
-    ranged
-      .join(broadcast(offsets.withColumnRenamed("__pid", "__pid2")
-          .withColumnRenamed(group, "__grp2")),
-        col("__pid") === col("__pid2") && col(group) <=> col("__grp2"))
-      .withColumn("rn", row_number().over(local).cast("long") + col("__off"))
-      .withColumn("rsum",
-        sum(col(value)).over(local.rowsBetween(Window.unboundedPreceding, 0)) + col("__soff"))
-      .drop("__pid", "__pid2", "__grp2", "__off", "__soff")
+      val dfStruct = struct(named: _*)
+      val local = Window.partitionBy(col("__pid"), col(group)).orderBy(orderCols: _*)
+      // null-safe group match — see groupRanked
+      df.withColumn("__pid", pidExpr(dfStruct, bounds))
+        .join(broadcast(offsets),
+          col("__pid") === col("__pid2") && col(group) <=> col("__grp2"))
+        .withColumn("rn", row_number().over(local).cast("long") + col("__off"))
+        .withColumn("rsum",
+          sum(col(value)).over(local.rowsBetween(Window.unboundedPreceding, 0)) + col("__soff"))
+        .drop("__pid", "__pid2", "__grp2", "__off", "__soff")
+    } catch {
+      case t: Throwable => keyed.unpersist(false); throw t
+    }
   }
 }

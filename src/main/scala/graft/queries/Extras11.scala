@@ -18,10 +18,7 @@ import QueryDef.table
   */
 object Extras11 {
 
-  private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
-  private def DSUM(e: String): String =
-    s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+  import Money.{dsum, DSUM}
 
   val all: Seq[QueryDef] = Seq(
 
@@ -273,11 +270,15 @@ object Extras11 {
         val docs = table(s, d, "documents")
         val qTokens = docs.filter(col("doc_id") === 0)
           .select(array_distinct(split(col("text"), " ")).as("__qt"))
+        // localCheckpoint pins the narrow (doc_id, overlap) frame so the
+        // tokenizing cross-join runs ONCE — the rank pass (cache build +
+        // final pass) reads the materialized rows, not the text plan
         val lexical = docs.filter(col("doc_id") =!= 0)
           .crossJoin(broadcast(qTokens))
           .select(col("doc_id"),
             size(array_intersect(array_distinct(split(col("text"), " ")),
               col("__qt"))).cast(LongType).as("overlap"))
+          .localCheckpoint()
         val lrank = graft.ops.Ranks.groupRanked(
             lexical.withColumn("g", lit("all"))
               .withColumn("negov", -col("overlap")),
@@ -288,6 +289,7 @@ object Extras11 {
         val vec = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
           .select(col("vec_id").as("doc_id"),
             graft.functions.VectorExprs.cosineSim(col("embedding"), col("__qv")).as("cos"))
+          .localCheckpoint()
         val vrank = graft.ops.Ranks.groupRanked(
             vec.withColumn("g", lit("all")).withColumn("negcos", -col("cos")),
             "g", "negcos", Seq("doc_id"))

@@ -195,11 +195,15 @@ object Extras13 {
               .as("c"))
           .select(expr("sec div 604800").as("week"), col("l_partkey"), col("c"))
           .groupBy("week", "l_partkey").agg(sum("c").as("rev_c"))
+        // the top-10-per-week frame is ~10 rows/week; localCheckpoint
+        // pins it so the self-join (current vs previous week) doesn't
+        // re-execute the lineitem aggregation + rank pass twice
         val ranked = graft.ops.Ranks.groupRanked(
             wk.withColumn("negrev", -col("rev_c")),
             "week", "negrev", Seq("l_partkey"))
           .filter(col("rn") <= 10)
           .select(col("week"), col("l_partkey"), col("rev_c"), col("rn").as("rank"))
+          .localCheckpoint()
         val prev = ranked.select(col("week").as("pw"),
           col("l_partkey").as("pk"), col("rank").as("prev_rank"))
         ranked
