@@ -15,11 +15,7 @@ import QueryDef.table
   */
 object Extended {
 
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
-  private def DSUM(expr: String): String = s"CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS DOUBLE)"
-  /** Higher-scale decimal sum for squared/product terms. */
-  private def dsum8(c: Column): Column = sum(c.cast(DecimalType(30, 8))).cast(DoubleType)
-  private def DSUM8(expr: String): String = s"CAST(SUM(CAST($expr AS DECIMAL(30,8))) AS DOUBLE)"
+  import Money.{dsum, DSUM, dsum8, DSUM8}
 
   val all: Seq[QueryDef] = Seq(
 

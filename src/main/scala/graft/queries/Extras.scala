@@ -19,8 +19,7 @@ import QueryDef.table
   */
 object Extras {
 
-  private def DSUM(expr: String): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS DOUBLE)"
+  import Money.DSUM
 
   /** Oracle fragment: word 3-gram shingles with whole-text fallback —
     * mirrors Dedup.shingles (same as PipelineOps.shinglesSql).

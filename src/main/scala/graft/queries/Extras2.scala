@@ -22,8 +22,7 @@ import QueryDef.table
   */
 object Extras2 {
 
-  private def DSUM(expr: String): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS DOUBLE)"
+  import Money.DSUM
 
   /** 12-bit uniform in [0,4096) from the first three md5 hex nibbles
     * of column `h` — pure string ops, evaluates identically in Spark

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QueryDef.table
+import graft.ops.Pq
+
+/** Round-8 batch: quality evaluation for the IVF-PQ ANN path.
+  *
+  * q267 proved the IVF-PQ *mechanics* (cell assignment, ADC
+  * distances) hash-exact; this batch quantifies its *accuracy* — the
+  * recall-vs-nprobe trade-off that decides how many inverted lists a
+  * 100 TB deployment must probe. The q97 pattern extended to the
+  * two-level index: recall@10 of the IVF-PQ top-10 against the exact
+  * full-vector top-10, at nprobe ∈ {1, 2, 4} of 8 cells, all from ONE
+  * scoring pass (the nprobe=p candidate set is just `cell_rank <= p`,
+  * so the per-nprobe lists share the ADC scores instead of re-scoring
+  * 3×).
+  */
+object Extras26 {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // IVF-PQ recall@10 vs nprobe. Same index geometry as q267
+    // (m=4 subspaces × 16 dims, 16 PQ centroids, 8 IVF cells, ids
+    // 0..15 = PQ codebook, 16..23 = coarse centroids, >= 24 =
+    // corpus). The ADC scores and cell assignments are computed ONCE
+    // over the corpus; each nprobe's ANN list is a filter
+    // (cell_rank <= p) + top-10, and recall joins against the exact
+    // top-10 (full-vector L2, TakeOrderedAndProject — never a global
+    // sort). The checkpointed frames are 10 and ~corpus/2 narrow rows
+    // (cells ranked 1..4 only) — the expensive encode/assign plans run
+    // exactly once.
+    QueryDef("q270_ivfpq_recall",
+      (s, d) => {
+        val m = 4; val ds = 16; val k = 16
+        val nlist = 8; val coarseBase = 16L; val qid = 0L
+        val emb = table(s, d, "embeddings")
+        val fv = emb.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val qv = fv.filter(col("vec_id") === qid).select(col("v").as("qv"))
+        val sq = "aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+        // exact top-10 by full-vector L2 — the ground truth (10 rows,
+        // pinned: it joins against every nprobe's list)
+        val exact = fv.filter(col("vec_id") >= coarseBase + nlist)
+          .crossJoin(broadcast(qv))
+          .withColumn("d2", expr(sq.format("v", "qv")))
+          .orderBy(col("d2"), col("vec_id")).limit(10)
+          .select(col("vec_id").as("xid"))
+          .localCheckpoint()
+        // the 8 cells ranked by distance to the query (8 rows; the
+        // no-partition window is over the broadcast centroid set only)
+        val cc = fv.filter(col("vec_id") >= coarseBase &&
+            col("vec_id") < coarseBase + nlist)
+          .select((col("vec_id") - coarseBase).as("cell"), col("v").as("cv"))
+        val cellRank = fv.filter(col("vec_id") === qid)
+          .crossJoin(broadcast(cc))
+          .withColumn("d2", expr(sq.format("v", "cv")))
+          .withColumn("cr", row_number().over(
+            Window.orderBy(col("d2"), col("cell"))))
+          .select(col("cell"), col("cr"))
+        // ONE ADC scoring + coarse-assignment pass over the corpus;
+        // cr <= 4 (the largest nprobe evaluated) bounds the pinned
+        // candidate frame to the probed half of the corpus
+        val adc = Pq.encode(emb, m, ds, k)
+          .filter(col("vec_id") >= coarseBase + nlist)
+          .join(broadcast(Pq.adcLut(emb, m, ds, k, qid)), Seq("j"))
+          .filter(col("code") === col("c"))
+          .groupBy("vec_id").agg(sum(col("d2")).as("adc_d2"))
+        val cand = adc
+          .join(Pq.coarseAssign(emb, nlist, coarseBase), Seq("vec_id"))
+          .join(broadcast(cellRank), Seq("cell"))
+          .filter(col("cr") <= 4)
+          .select("vec_id", "adc_d2", "cr")
+          .localCheckpoint()
+        def at(p: Int) = cand.filter(col("cr") <= p)
+          .orderBy(col("adc_d2"), col("vec_id")).limit(10)
+          .join(exact, col("vec_id") === col("xid"), "left")
+          .agg(count(lit(1)).as("n_ann"), count(col("xid")).as("n_hit"))
+          .select(lit(p).as("nprobe"), col("n_ann"), col("n_hit"),
+            (col("n_hit").cast("double") / 10.0).as("recall_at_10"))
+        at(1).unionAll(at(2)).unionAll(at(4)).orderBy("nprobe")
+      },
+      Some("""WITH emb AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+              cc AS (SELECT vec_id - 16 AS cell, v AS cv FROM emb
+                     WHERE vec_id BETWEEN 16 AND 23),
+              q AS (SELECT v FROM emb WHERE vec_id = 0),
+              exact AS (SELECT vec_id FROM (
+                  SELECT e.vec_id, ROW_NUMBER() OVER (
+                           ORDER BY list_distance(e.v, q.v), e.vec_id) AS rn
+                  FROM emb e JOIN q ON TRUE WHERE e.vec_id >= 24)
+                  WHERE rn <= 10),
+              cellrank AS (
+                  SELECT cc.cell, ROW_NUMBER() OVER (
+                           ORDER BY list_distance(q.v, cc.cv), cc.cell) AS cr
+                  FROM cc JOIN q ON TRUE),
+              asg AS (SELECT vec_id, cell FROM (
+                  SELECT e.vec_id, cc.cell,
+                         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_distance(e.v, cc.cv), cc.cell) AS rn
+                  FROM emb e JOIN cc ON TRUE) WHERE rn = 1),
+              sub AS (
+                SELECT vec_id, t.j,
+                       list_transform(embedding[(t.j*16+1):(t.j*16+16)],
+                                      x -> CAST(x AS DOUBLE)) AS sv
+                FROM embeddings, UNNEST([0,1,2,3]) AS t(j)),
+              cb AS (SELECT vec_id AS c, j, sv AS cv FROM sub WHERE vec_id < 16),
+              enc AS (SELECT vec_id, j, c AS code
+                      FROM (SELECT s.vec_id, s.j, cb.c, ROW_NUMBER() OVER (
+                              PARTITION BY s.vec_id, s.j
+                              ORDER BY list_distance(s.sv, cb.cv), cb.c) AS rn
+                            FROM sub s JOIN cb ON s.j = cb.j) WHERE rn = 1),
+              lut AS (SELECT cb.j, cb.c,
+                             list_inner_product(qs.sv, qs.sv)
+                               - 2 * list_inner_product(qs.sv, cb.cv)
+                               + list_inner_product(cb.cv, cb.cv) AS d2
+                      FROM cb JOIN (SELECT j, sv FROM sub WHERE vec_id = 0) qs
+                        ON qs.j = cb.j),
+              adc AS (SELECT e.vec_id, SUM(l.d2) AS adc_d2
+                      FROM enc e JOIN lut l ON e.j = l.j AND e.code = l.c
+                      WHERE e.vec_id >= 24 GROUP BY e.vec_id),
+              cand AS (SELECT a.vec_id, a.adc_d2, r.cr
+                       FROM adc a JOIN asg s ON s.vec_id = a.vec_id
+                       JOIN cellrank r ON r.cell = s.cell
+                       WHERE r.cr <= 4),
+              ann AS (
+                SELECT 1 AS nprobe, vec_id FROM (
+                  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY adc_d2, vec_id) AS rn
+                  FROM cand WHERE cr <= 1) WHERE rn <= 10
+                UNION ALL
+                SELECT 2, vec_id FROM (
+                  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY adc_d2, vec_id) AS rn
+                  FROM cand WHERE cr <= 2) WHERE rn <= 10
+                UNION ALL
+                SELECT 4, vec_id FROM (
+                  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY adc_d2, vec_id) AS rn
+                  FROM cand WHERE cr <= 4) WHERE rn <= 10)
+              SELECT a.nprobe, COUNT(*) AS n_ann,
+                     COUNT(x.vec_id) AS n_hit,
+                     CAST(COUNT(x.vec_id) AS DOUBLE) / 10.0 AS recall_at_10
+              FROM ann a LEFT JOIN exact x ON x.vec_id = a.vec_id
+              GROUP BY a.nprobe ORDER BY a.nprobe"""))
+  )
+}

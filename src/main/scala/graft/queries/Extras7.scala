@@ -16,10 +16,7 @@ import QueryDef.table
   */
 object Extras7 {
 
-  private def dsum8(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(c.cast(DecimalType(30, 8))).cast(DoubleType)
-  private def DSUM8(e: String): String =
-    s"CAST(SUM(CAST($e AS DECIMAL(30,8))) AS DOUBLE)"
+  import Money.{dsum8, DSUM8}
 
   val all: Seq[QueryDef] = Seq(
 

@@ -16,7 +16,7 @@ import QueryDef.table
   */
 object PipelineOps {
 
-  private def DSUM8(expr: String): String = s"CAST(SUM(CAST($expr AS DECIMAL(30,8))) AS DOUBLE)"
+  import Money.DSUM8
 
   /** Oracle fragment: word 3-gram shingles with the whole-text
     * fallback for short docs — mirrors [[graft.ops.Dedup.shingles]]

@@ -30,8 +30,7 @@ object Relational {
     * quotient `exact_double / count` is IEEE-identical too — so emit
     * those directly, unrounded.
     */
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
-  private def DSUM(expr: String): String = s"CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS DOUBLE)"
+  import Money.{dsum, DSUM}
 
   val all: Seq[QueryDef] = Seq(
 

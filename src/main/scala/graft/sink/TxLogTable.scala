@@ -165,8 +165,14 @@ object TxLogTable {
       require(b.dataType == f.dataType,
         s"merge batch column '${f.name}' has type ${b.dataType.sql}, table " +
           s"has ${f.dataType.sql} — schema changes go through overwrite")
+    // empty-snapshot short-circuit hands write() the LOGICAL frame —
+    // write() performs the single logical→physical translation for a
+    // plain append; passing the already-physical `batch` would
+    // translate twice (rejected or, for a swap-shaped mapping,
+    // silently un-swapped under the wrong physical columns)
     if (snap.files.isEmpty)
-      return write(batch, tablePath, overwrite = false, txn = None)
+      return write(up.select(order.map(col): _*), tablePath,
+        overwrite = false, txn = None)
     val pkey = physicalNameOf(snap.renames, key)
     val keys = up.select(col(key).as(pkey)).distinct()
     val touched = {
@@ -432,13 +438,19 @@ object TxLogTable {
       snap.dvs.get(n).map(dirs => a -> dirs.map(d =>
         if (isAbsoluteEntry(d)) d else new Path(srcDv, d).toString))
     }.toMap
+    // table properties travel too — a clone of a bloom-indexed /
+    // constrained table must keep maintaining blooms and constraints
+    // on NEW writes, not just prune on the copied stats
+    val srcProps = replayState(srcFs, srcPath, v,
+      committedVersions(srcFs, srcPath)).props
     claimCommit(dstFs, dstPath, 1L,
       Commit("overwrite", snap.schema.toDDL, absolute,
         stats = stats, op = Some(s"shallow clone of $srcPath@v$v"),
         dvAdds = dvs,
         // the source's column mapping and drop tombstones travel with
         // its files
-        renames = snap.renames, dropped = snap.dropped))
+        renames = snap.renames, dropped = snap.dropped,
+        propSets = srcProps))
     1L
   }
 
@@ -450,13 +462,18 @@ object TxLogTable {
     * through [[appendEvolve]]/[[addColumns]]). Returns version 1.
     */
   def create(spark: SparkSession, tablePath: String,
-      schema: StructType): Long = {
+      schema: StructType, props: Map[String, String] = Map.empty): Long = {
     require(schema.nonEmpty, s"cannot create a zero-column table: $tablePath")
     val fs = fileSystem(spark, tablePath)
     require(committedVersions(fs, tablePath).isEmpty,
       s"table already exists: $tablePath")
+    // TBLPROPERTIES ride the create commit itself — a second
+    // properties commit would leave a crash window where the table
+    // exists without its declared properties (bloom columns,
+    // constraints-adjacent metadata)
     claimCommit(fs, tablePath, 1L,
-      Commit("create", schema.toDDL, Nil, op = Some("CREATE TABLE")))
+      Commit("create", schema.toDDL, Nil, op = Some("CREATE TABLE"),
+        propSets = props))
     1L
   }
 
@@ -1036,12 +1053,20 @@ object TxLogTable {
   private[graft] def versionAtTimestamp(spark: SparkSession, tablePath: String,
       epochMillis: Long): Long = {
     val fs = fileSystem(spark, tablePath)
-    val stamped = committedVersions(fs, tablePath).sorted.map { v =>
+    val raw = committedVersions(fs, tablePath).sorted.map { v =>
       v -> parseCommit(fs, tablePath, v).ts.getOrElse(fs.getFileStatus(
         new Path(new Path(tablePath, LogDir), commitName(v)))
         .getModificationTime)
     }
-    require(stamped.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+    require(raw.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+    // mixing in-commit timestamps (new commits) with commit-file
+    // mtimes (pre-feature commits) can be non-monotonic — a file copy
+    // rewrites mtimes. Normalize to a running maximum, mirroring the
+    // monotonicity claimCommit enforces on the write side, so the
+    // <=epoch scan can never resolve past an out-of-order stamp.
+    val stamped = raw.scanLeft((0L, Long.MinValue)) { case ((_, m), (v, t)) =>
+      (v, math.max(m, t))
+    }.tail
     stamped.filter(_._2 <= epochMillis).map(_._1).lastOption.getOrElse(
       throw new IllegalArgumentException(
         s"timestampAsOf $epochMillis predates the first commit " +

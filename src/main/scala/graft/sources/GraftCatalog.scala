@@ -156,14 +156,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     val ns = dirOf(ident.namespace().toSeq)
     if (!fs.exists(ns)) throw new NoSuchNamespaceException(ident.namespace())
-    TxLogTable.create(spark, dir.toString, schema)
     // CREATE TABLE ... TBLPROPERTIES: persist user keys (engine-
     // reserved ones like provider/location/owner are synthesized)
+    // atomically WITH the create commit — no crash window where the
+    // table exists but its declared properties are absent
     val reserved = Set("provider", "location", "owner", "external")
     val userProps = properties.asScala.toMap
       .filter { case (k, _) => !reserved.contains(k) && !k.startsWith("option.") }
-    if (userProps.nonEmpty)
-      TxLogTable.setProperties(spark, dir.toString, userProps)
+    TxLogTable.create(spark, dir.toString, schema, userProps)
     new GraftTable(dir.toString, ident, None)
   }
 

@@ -154,6 +154,74 @@ class TxLogStressSpec extends SparkSpec {
     }
   }
 
+  test("commit contention at volume: 4 writers, 100+ commits with DVs and compaction interleaved") {
+    // the round-7 write-write race fix, exercised at commit-log scale
+    // rather than toy size: 4 writers × 25 epochs = 100 appends (every
+    // one a contended claimCommit), with deletion vectors landing
+    // every 5th epoch and compactions materializing masks mid-stream.
+    // Every claim conflict must resolve to a unique version, replays
+    // (txn idempotence) must stay exactly-once under contention, and
+    // the converged table must equal the per-writer sequential result.
+    val t = freshTable()
+    val nWriters = 4
+    val epochs = 25
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def batch(app: Int, e: Int) =
+      Seq((app * 1000L + e, s"w$app-e$e")).toDF("id", "v").coalesce(1)
+    def retryRewrite(op: () => Long, what: String): Unit = {
+      var done = false
+      var tries = 0
+      while (!done) {
+        tries += 1
+        if (tries > 40) throw new IllegalStateException(s"$what kept conflicting")
+        try { op(); done = true }
+        catch { case _: IllegalStateException => Thread.sleep(10) }
+      }
+    }
+    val threads = (1 to nWriters).map { app =>
+      new Thread(() => {
+        val rnd = new scala.util.Random(1000 + app)
+        try {
+          for (e <- 1 to epochs) {
+            TxLogTable.append(batch(app, e), t, txn = Some((s"vol$app", e.toLong)))
+            // replay under contention: must no-op exactly-once
+            if (rnd.nextInt(5) == 0)
+              TxLogTable.append(batch(app, e), t, txn = Some((s"vol$app", e.toLong)))
+            // merge-on-read delete of the previous multiple-of-5 epoch
+            if (e % 5 == 0) retryRewrite(
+              () => TxLogTable.deleteVectors(spark, t, s"id = ${app * 1000 + e}"),
+              s"vol-dv w$app-e$e")
+            if (rnd.nextInt(8) == 0)
+              try TxLogTable.compact(spark, t,
+                smallFileBytes = 1L << 20, targetFileBytes = 1L << 20)
+              catch { case _: IllegalStateException => () }
+          }
+        } catch { case th: Throwable => errors.add(th) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errors.isEmpty,
+      s"writer errors: ${errors.asScala.map(_.toString).mkString("; ")}")
+
+    val versions = TxLogTable.versions(spark, t)
+    assert(versions.size >= 100,
+      s"expected >= 100 committed versions, got ${versions.size}")
+    // versions are a gap-free claim sequence — no lost or double claim
+    assert(versions.sorted === (1L to versions.size.toLong),
+      "committed versions are not a contiguous 1..n sequence")
+
+    val want = (for (a <- 1 to nWriters; e <- 1 to epochs if e % 5 != 0)
+      yield (a * 1000L + e, s"w$a-e$e")).toSet
+    assert(rows(TxLogTable.read(spark, t)) === want, "final contents")
+
+    // history stays readable and inside the sequential universe
+    TxLogTable.vacuum(spark, t, olderThanMillis = 0L)
+    assert(rows(TxLogTable.read(spark, t)) === want, "post-vacuum contents")
+    for (v <- versions)
+      TxLogTable.read(spark, t, Some(v)).collect() // must not throw
+  }
+
   test("merge-on-read DML racing appends, compaction and vacuum converges per-writer") {
     // same per-writer program as the copy-on-write race, but the
     // row-level ops are DELETION VECTORS (deleteVectors/updateVectors)
