@@ -141,6 +141,129 @@ object Extras26 {
                      COUNT(x.vec_id) AS n_hit,
                      CAST(COUNT(x.vec_id) AS DOUBLE) / 10.0 AS recall_at_10
               FROM ann a LEFT JOIN exact x ON x.vec_id = a.vec_id
-              GROUP BY a.nprobe ORDER BY a.nprobe"""))
+              GROUP BY a.nprobe ORDER BY a.nprobe""")),
+
+    // IVF-PQ + exact re-rank: the standard production recipe when PQ
+    // quantization error displaces true neighbors (q270 measures
+    // recall 0.1-0.4 with the seeded codebook) — fetch the top-C
+    // candidates by ADC, then re-rank ONLY those C with full-vector
+    // L2. Cost at 100 TB: the cheap ADC scan stays the corpus pass;
+    // the exact pass touches C vectors (a broadcast-sized candidate
+    // set), so recall is bought for O(C·d) extra flops, not a second
+    // corpus scan. Measured at C ∈ {10, 50, 200} under nprobe=4: the
+    // recall-vs-rerank-depth curve, whose C=10 row equals pure ADC
+    // (re-ordering a 10-set cannot change the set) and whose ceiling
+    // is the fraction of true neighbors inside the probed cells.
+    QueryDef("q271_ivfpq_rerank",
+      (s, d) => {
+        val m = 4; val ds = 16; val k = 16
+        val nlist = 8; val coarseBase = 16L; val qid = 0L
+        val emb = table(s, d, "embeddings")
+        val fv = emb.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val qv = fv.filter(col("vec_id") === qid).select(col("v").as("qv"))
+        val sq = "aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+        val exact = fv.filter(col("vec_id") >= coarseBase + nlist)
+          .crossJoin(broadcast(qv))
+          .withColumn("d2", expr(sq.format("v", "qv")))
+          .orderBy(col("d2"), col("vec_id")).limit(10)
+          .select(col("vec_id").as("xid"))
+          .localCheckpoint()
+        val cc = fv.filter(col("vec_id") >= coarseBase &&
+            col("vec_id") < coarseBase + nlist)
+          .select((col("vec_id") - coarseBase).as("cell"), col("v").as("cv"))
+        val probed = fv.filter(col("vec_id") === qid)
+          .crossJoin(broadcast(cc))
+          .withColumn("d2", expr(sq.format("v", "cv")))
+          .orderBy(col("d2"), col("cell")).limit(4)
+          .select("cell")
+        val cand = Pq.encode(emb, m, ds, k)
+          .filter(col("vec_id") >= coarseBase + nlist)
+          .join(broadcast(Pq.adcLut(emb, m, ds, k, qid)), Seq("j"))
+          .filter(col("code") === col("c"))
+          .groupBy("vec_id").agg(sum(col("d2")).as("adc_d2"))
+          .join(Pq.coarseAssign(emb, nlist, coarseBase), Seq("vec_id"))
+          .join(broadcast(probed), Seq("cell"))
+          .select("vec_id", "adc_d2")
+          .localCheckpoint()
+        def at(c: Int) = cand
+          .orderBy(col("adc_d2"), col("vec_id")).limit(c)
+          .join(fv, Seq("vec_id")).crossJoin(broadcast(qv))
+          .withColumn("d2x", expr(sq.format("v", "qv")))
+          .orderBy(col("d2x"), col("vec_id")).limit(10)
+          .join(exact, col("vec_id") === col("xid"), "left")
+          .agg(count(lit(1)).as("n_ann"), count(col("xid")).as("n_hit"))
+          .select(lit(c).as("rerank_depth"), col("n_ann"), col("n_hit"),
+            (col("n_hit").cast("double") / 10.0).as("recall_at_10"))
+        at(10).unionAll(at(50)).unionAll(at(200)).orderBy("rerank_depth")
+      },
+      Some("""WITH emb AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+              cc AS (SELECT vec_id - 16 AS cell, v AS cv FROM emb
+                     WHERE vec_id BETWEEN 16 AND 23),
+              q AS (SELECT v FROM emb WHERE vec_id = 0),
+              exact AS (SELECT vec_id FROM (
+                  SELECT e.vec_id, ROW_NUMBER() OVER (
+                           ORDER BY list_distance(e.v, q.v), e.vec_id) AS rn
+                  FROM emb e JOIN q ON TRUE WHERE e.vec_id >= 24)
+                  WHERE rn <= 10),
+              probe AS (SELECT cell FROM (
+                  SELECT cc.cell, ROW_NUMBER() OVER (
+                           ORDER BY list_distance(q.v, cc.cv), cc.cell) AS rn
+                  FROM cc JOIN q ON TRUE) WHERE rn <= 4),
+              asg AS (SELECT vec_id, cell FROM (
+                  SELECT e.vec_id, cc.cell,
+                         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_distance(e.v, cc.cv), cc.cell) AS rn
+                  FROM emb e JOIN cc ON TRUE) WHERE rn = 1),
+              sub AS (
+                SELECT vec_id, t.j,
+                       list_transform(embedding[(t.j*16+1):(t.j*16+16)],
+                                      x -> CAST(x AS DOUBLE)) AS sv
+                FROM embeddings, UNNEST([0,1,2,3]) AS t(j)),
+              cb AS (SELECT vec_id AS c, j, sv AS cv FROM sub WHERE vec_id < 16),
+              enc AS (SELECT vec_id, j, c AS code
+                      FROM (SELECT s.vec_id, s.j, cb.c, ROW_NUMBER() OVER (
+                              PARTITION BY s.vec_id, s.j
+                              ORDER BY list_distance(s.sv, cb.cv), cb.c) AS rn
+                            FROM sub s JOIN cb ON s.j = cb.j) WHERE rn = 1),
+              lut AS (SELECT cb.j, cb.c,
+                             list_inner_product(qs.sv, qs.sv)
+                               - 2 * list_inner_product(qs.sv, cb.cv)
+                               + list_inner_product(cb.cv, cb.cv) AS d2
+                      FROM cb JOIN (SELECT j, sv FROM sub WHERE vec_id = 0) qs
+                        ON qs.j = cb.j),
+              cand AS (SELECT e2.vec_id, SUM(l.d2) AS adc_d2
+                       FROM enc e2 JOIN lut l ON e2.j = l.j AND e2.code = l.c
+                       JOIN asg a ON a.vec_id = e2.vec_id
+                       JOIN probe p ON p.cell = a.cell
+                       WHERE e2.vec_id >= 24 GROUP BY e2.vec_id),
+              rr AS (
+                SELECT 10 AS rerank_depth, vec_id FROM (
+                  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY adc_d2, vec_id) AS rn
+                  FROM cand) WHERE rn <= 10
+                UNION ALL
+                SELECT 50, vec_id FROM (
+                  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY adc_d2, vec_id) AS rn
+                  FROM cand) WHERE rn <= 50
+                UNION ALL
+                SELECT 200, vec_id FROM (
+                  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY adc_d2, vec_id) AS rn
+                  FROM cand) WHERE rn <= 200),
+              rex AS (SELECT r.rerank_depth, r.vec_id,
+                             list_distance(e.v, q.v) AS dist
+                      FROM rr r JOIN emb e ON e.vec_id = r.vec_id
+                      JOIN q ON TRUE),
+              top AS (SELECT rerank_depth, vec_id FROM (
+                  SELECT rerank_depth, vec_id, ROW_NUMBER() OVER (
+                           PARTITION BY rerank_depth
+                           ORDER BY dist, vec_id) AS rn
+                  FROM rex) WHERE rn <= 10)
+              SELECT t.rerank_depth, COUNT(*) AS n_ann,
+                     COUNT(x.vec_id) AS n_hit,
+                     CAST(COUNT(x.vec_id) AS DOUBLE) / 10.0 AS recall_at_10
+              FROM top t LEFT JOIN exact x ON x.vec_id = t.vec_id
+              GROUP BY t.rerank_depth ORDER BY t.rerank_depth"""))
   )
 }
