@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, SimHash64}
+import graft.functions.{CosineSim, HilbertIndex, SimHash64}
 
 /** Session extensions exposing the engine's native expressions to SQL:
   *
@@ -46,6 +46,21 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "cosine_sim(a, b) takes two arguments")
         CosineSim(children.head, children(1))
+      }),
+    ("hilbert_index",
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "hilbert_index(x, y, bits) takes three arguments (bits a literal int)")
+        val bits = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hilbert_index bits must be a literal int, got $other")
+        }
+        HilbertIndex(
+          org.apache.spark.sql.catalyst.expressions.Cast(children.head, org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.catalyst.expressions.Cast(children(1), org.apache.spark.sql.types.LongType),
+          bits)
       }))
 
   /** Register on an already-running session (extensions only apply to

@@ -54,33 +54,16 @@ object Layout {
     * per-dimension min/max envelopes than Z-order at the same file
     * count, i.e. strictly better stats pruning for the same layout
     * cost. The classic xy→d walk (top-down quadrant fold with
-    * rotation) unrolls to a fixed `bits`-step chain of integer
-    * when/shift/xor built-ins — no UDF, stays inside whole-stage
-    * codegen like [[zValue]].
+    * rotation) is the native codegen expression
+    * [[graft.functions.HilbertIndex]] — the Column-composition form
+    * it replaces rewrote x and y each level in terms of BOTH previous
+    * x and y, an exponential (~4^bits node) Catalyst tree whose
+    * analysis + codegen alone cost ~2 s per query (measured, q262).
     */
   def hilbertValue(a: Column, b: Column, bits: Int): Column = {
-    require(bits >= 1 && 2 * bits <= 63,
-      s"bits=$bits out of range (need 1 <= bits and 2*bits <= 63)")
-    // the classic top-down quadrant fold: extract the quadrant bit
-    // pair, accumulate s*s along the curve, then rotate/reflect the
-    // frame (flip against the FULL side n-1 — coordinates stay in
-    // [0, n) throughout, so the when-chains never go negative)
-    val n = 1L << bits
-    var x = a.bitwiseAND(lit(n - 1))
-    var y = b.bitwiseAND(lit(n - 1))
-    var d: Column = lit(0L)
-    for (i <- (bits - 1) to 0 by -1) {
-      val s = 1L << i
-      val rx = shiftright(x, i).bitwiseAND(lit(1L))
-      val ry = shiftright(y, i).bitwiseAND(lit(1L))
-      d = d + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)
-      val fx = when(ry === 0L,
-        when(rx === 1L, lit(n - 1) - y).otherwise(y)).otherwise(x)
-      val fy = when(ry === 0L,
-        when(rx === 1L, lit(n - 1) - x).otherwise(x)).otherwise(y)
-      x = fx
-      y = fy
-    }
-    d
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.HilbertIndex(
+      ColumnShim.expression(a.cast("long")),
+      ColumnShim.expression(b.cast("long")), bits))
   }
 }

@@ -150,4 +150,19 @@ class LayoutSpec extends SparkSpec {
     assert(hilbert <= morton,
       s"hilbert total box area $hilbert should not exceed z-order $morton")
   }
+
+  test("hilbert_index SQL function matches the Column API and the scalar walk") {
+    graft.GraftExtensions.register(spark)
+    val rows = spark.range(0, 4096L)
+      .selectExpr("id div 64 AS x", "id % 64 AS y")
+      .selectExpr("x", "y", "hilbert_index(x, y, 6) AS h")
+      .collect()
+    assert(rows.length === 4096)
+    rows.foreach { r =>
+      val (x, y, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      // codegen path (query above) == interpreted scalar == Column API
+      assert(h === graft.functions.HilbertIndex.index(6, x, y))
+    }
+    assert(rows.map(_.getLong(2)).distinct.length === 4096)
+  }
 }
