@@ -34,7 +34,7 @@ object Pq {
     * summed in index order (parity with DuckDB's list_inner_product
     * at oracle rounding).
     */
-  private def ip(a: String, b: String): String =
+  def ip(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, x) -> acc + x)"
 
   /** One row per (vec_id, subspace j) with the double-cast subvector. */
@@ -52,30 +52,66 @@ object Pq {
     subvectors(emb.filter(col("vec_id") < k), m, ds)
       .select(col("vec_id").as("c"), col("j").as("cj"), col("sv").as("cv"))
 
-  /** PQ codes: one row per (vec_id, j) with the argmin centroid id.
-    * Ties break to the smallest centroid id (struct min orders by
-    * distance first, then id). Map-only over the corpus: broadcast
-    * codebook join + per-row reduce, no corpus shuffle.
+  /** One Lloyd refinement of the seeded codebook — the LEARNED
+    * codebook (the full k-means loop is this step iterated; one
+    * deterministic step is enough to separate "learned" from "seeded"
+    * measurably, and each further step is the same plan). Assignment
+    * is the broadcast argmin of [[encode]] (ties to the smallest
+    * centroid id); the new centroid is the per-dimension mean of its
+    * assigned subvectors through the DECIMAL(30,8) accumulator (exact
+    * and order-insensitive, so both engines and any shuffle order
+    * agree bit-for-bit); empty cells keep their seed. Cost at corpus
+    * scale: one map-side argmin pass + a (m·k·ds)-group mean — the
+    * shuffle carries k×dims partial sums, never vectors.
     */
-  def encode(emb: DataFrame, m: Int, ds: Int, k: Int): DataFrame = {
-    val sub = subvectors(emb, m, ds)
+  def learnedCodebook(emb: DataFrame, m: Int, ds: Int, k: Int): DataFrame = {
     val cb = codebook(emb, m, ds, k)
-    sub.join(broadcast(cb), col("j") === col("cj"))
+    val assigned = subvectors(emb, m, ds)
+      .join(broadcast(cb), col("j") === col("cj"))
+      .withColumn("d2",
+        expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
+      .groupBy("vec_id", "j")
+      .agg(min(struct(col("d2"), col("c"), col("sv"))).as("best"))
+      .select(col("j"), col("best.c").as("c"), col("best.sv").as("sv"))
+    val means = assigned
+      .select(col("j"), col("c"), posexplode(col("sv")).as(Seq("pos", "val")))
+      .groupBy("j", "c", "pos")
+      .agg((sum(col("val").cast(org.apache.spark.sql.types.DecimalType(30, 8)))
+        .cast(org.apache.spark.sql.types.DoubleType) / count(lit(1))).as("mv"))
+    val rebuilt = means.groupBy(col("j").as("lj"), col("c").as("lc"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+        s => s.getField("mv")).as("lcv"))
+    cb.join(rebuilt, col("cj") === col("lj") && col("c") === col("lc"), "left")
+      .select(col("c"), col("cj"), coalesce(col("lcv"), col("cv")).as("cv"))
+  }
+
+  /** PQ codes against an explicit codebook (cols c, cj, cv): one row
+    * per (vec_id, j) with the argmin centroid id. Ties break to the
+    * smallest centroid id (struct min orders by distance first, then
+    * id). Map-only over the corpus: broadcast codebook join +
+    * per-row reduce, no corpus shuffle.
+    */
+  def encodeWith(emb: DataFrame, m: Int, ds: Int, cb: DataFrame): DataFrame =
+    subvectors(emb, m, ds)
+      .join(broadcast(cb), col("j") === col("cj"))
       .withColumn("d2",
         expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
       .groupBy("vec_id", "j")
       .agg(min(struct(col("d2"), col("c"))).as("best"))
       .select(col("vec_id"), col("j"), col("best.c").as("code"))
-  }
 
-  /** ADC lookup table for one query vector: (j, c) → squared L2
-    * between the query's j-th subvector and centroid c. Computed as
-    * qq − 2qc + cc from inner products (same decomposition the
-    * oracle uses, so the doubles agree at oracle rounding). m × k
-    * rows — broadcast by every consumer.
+  /** [[encodeWith]] against the seeded codebook. */
+  def encode(emb: DataFrame, m: Int, ds: Int, k: Int): DataFrame =
+    encodeWith(emb, m, ds, codebook(emb, m, ds, k))
+
+  /** ADC lookup table for one query vector against an explicit
+    * codebook: (j, c) → squared L2 between the query's j-th subvector
+    * and centroid c. Computed as qq − 2qc + cc from inner products
+    * (same decomposition the oracle uses, so the doubles agree at
+    * oracle rounding). m × k rows — broadcast by every consumer.
     */
-  def adcLut(emb: DataFrame, m: Int, ds: Int, k: Int, queryVecId: Long): DataFrame = {
-    val cb = codebook(emb, m, ds, k)
+  def adcLutWith(emb: DataFrame, m: Int, ds: Int, cb: DataFrame,
+      queryVecId: Long): DataFrame = {
     val q = subvectors(emb.filter(col("vec_id") === queryVecId), m, ds)
       .select(col("j").as("qj"), col("sv").as("qv"))
     cb.join(q, col("cj") === col("qj"))
@@ -83,6 +119,10 @@ object Pq {
         expr(ip("qv", "qv")) - lit(2.0) * expr(ip("qv", "cv")) + expr(ip("cv", "cv")))
       .select(col("cj").as("j"), col("c"), col("d2"))
   }
+
+  /** [[adcLutWith]] against the seeded codebook. */
+  def adcLut(emb: DataFrame, m: Int, ds: Int, k: Int, queryVecId: Long): DataFrame =
+    adcLutWith(emb, m, ds, codebook(emb, m, ds, k), queryVecId)
 
   /** ADC top-k: approximate nearest neighbours of `queryVecId` by
     * summed per-subspace table lookups over the codes. The scan is

@@ -264,6 +264,145 @@ object Extras26 {
                      COUNT(x.vec_id) AS n_hit,
                      CAST(COUNT(x.vec_id) AS DOUBLE) / 10.0 AS recall_at_10
               FROM top t LEFT JOIN exact x ON x.vec_id = t.vec_id
-              GROUP BY t.rerank_depth ORDER BY t.rerank_depth"""))
+              GROUP BY t.rerank_depth ORDER BY t.rerank_depth""")),
+
+    // Seeded vs LEARNED codebook, measured: one deterministic Lloyd
+    // refinement (broadcast argmin assignment; per-dimension
+    // DECIMAL(30,8) means, exact and order-insensitive; empty cells
+    // keep their seed) against the seeded baseline, compared by
+    // exhaustive-ADC recall@10 averaged over FOUR query vectors (a
+    // single query's 10-slot recall is quantization noise). The
+    // training loop every production PQ deployment runs before
+    // freezing a codebook — and the accuracy lever q270 motivates.
+    // Both codebooks, every assignment, every mean and every ADC
+    // distance are recomputed by the DuckDB oracle — the recall
+    // DIFFERENCE itself is hash-verified.
+    QueryDef("q272_pq_learned_codebook",
+      (s, d) => {
+        val m = 4; val ds = 16; val k = 16
+        val emb = table(s, d, "embeddings")
+        val fv = emb.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val queries = fv.filter(col("vec_id") <= 3)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val sq = "aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+        val exact = fv.filter(col("vec_id") >= k)
+          .crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("d2", expr(sq.format("v", "qv")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))))
+          .filter(col("rn") <= 10)
+          .select(col("qid").as("xqid"), col("vec_id").as("xid"))
+          .localCheckpoint()
+        // the learned codebook is one corpus pass — pin its 64 rows so
+        // the encode and LUT consumers don't re-run the training plan
+        val cbLearned = Pq.learnedCodebook(emb, m, ds, k).localCheckpoint()
+        // per-query ADC LUT: (qid, j, c) -> qq - 2qc + cc
+        def lutAll(cb: org.apache.spark.sql.DataFrame) = {
+          val qsub = Pq.subvectors(emb.filter(col("vec_id") <= 3), m, ds)
+            .select(col("vec_id").as("qid"), col("j").as("qj"), col("sv").as("qv"))
+          cb.join(qsub, col("cj") === col("qj"))
+            .withColumn("d2", expr(Pq.ip("qv", "qv")) -
+              lit(2.0) * expr(Pq.ip("qv", "cv")) + expr(Pq.ip("cv", "cv")))
+            .select(col("qid"), col("cj").as("j"), col("c"), col("d2"))
+        }
+        def recallOf(label: String, cb: org.apache.spark.sql.DataFrame) =
+          Pq.encodeWith(emb, m, ds, cb)
+            .filter(col("vec_id") >= k)
+            .join(broadcast(lutAll(cb)), Seq("j"))
+            .filter(col("code") === col("c") && col("vec_id") =!= col("qid"))
+            .groupBy("qid", "vec_id").agg(sum(col("d2")).as("adc_d2"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("qid").orderBy(col("adc_d2"), col("vec_id"))))
+            .filter(col("rn") <= 10)
+            .join(exact,
+              col("qid") === col("xqid") && col("vec_id") === col("xid"), "left")
+            .agg(count(lit(1)).as("n_ann"), count(col("xid")).as("n_hit"))
+            .select(lit(label).as("codebook"), col("n_ann"), col("n_hit"),
+              (col("n_hit").cast("double") / col("n_ann").cast("double"))
+                .as("recall_at_10"))
+        recallOf("learned", cbLearned)
+          .unionAll(recallOf("seeded", Pq.codebook(emb, m, ds, k)))
+          .orderBy("codebook")
+      },
+      Some("""WITH emb AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+              qm AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id <= 3),
+              exact AS (SELECT qid, vec_id FROM (
+                  SELECT qm.qid, e.vec_id, ROW_NUMBER() OVER (
+                           PARTITION BY qm.qid
+                           ORDER BY list_distance(e.v, qm.qv), e.vec_id) AS rn
+                  FROM emb e JOIN qm ON e.vec_id <> qm.qid
+                  WHERE e.vec_id >= 16) WHERE rn <= 10),
+              sub AS (
+                SELECT vec_id, t.j,
+                       list_transform(embedding[(t.j*16+1):(t.j*16+16)],
+                                      x -> CAST(x AS DOUBLE)) AS sv
+                FROM embeddings, UNNEST([0,1,2,3]) AS t(j)),
+              cb AS (SELECT vec_id AS c, j, sv AS cv FROM sub WHERE vec_id < 16),
+              a1 AS (SELECT j, c, sv FROM (
+                  SELECT s.vec_id, s.j, cb.c, s.sv, ROW_NUMBER() OVER (
+                           PARTITION BY s.vec_id, s.j
+                           ORDER BY list_distance(s.sv, cb.cv), cb.c) AS rn
+                  FROM sub s JOIN cb ON s.j = cb.j) WHERE rn = 1),
+              dims AS (SELECT j, c, t.i AS pos, sv[t.i] AS val
+                       FROM a1, UNNEST(range(1, 17)) AS t(i)),
+              means AS (SELECT j, c, pos,
+                               CAST(SUM(CAST(val AS DECIMAL(30,8))) AS DOUBLE)
+                                 / COUNT(*) AS mv
+                        FROM dims GROUP BY 1, 2, 3),
+              learned AS (SELECT j, c, list(mv ORDER BY pos) AS cv
+                          FROM means GROUP BY 1, 2),
+              cbl AS (SELECT cb.j, cb.c, COALESCE(l.cv, cb.cv) AS cv
+                      FROM cb LEFT JOIN learned l ON l.j = cb.j AND l.c = cb.c),
+              qs AS (SELECT vec_id AS qid, j, sv FROM sub WHERE vec_id <= 3),
+              encs AS (SELECT vec_id, j, c AS code FROM (
+                  SELECT s.vec_id, s.j, cb.c, ROW_NUMBER() OVER (
+                           PARTITION BY s.vec_id, s.j
+                           ORDER BY list_distance(s.sv, cb.cv), cb.c) AS rn
+                  FROM sub s JOIN cb ON s.j = cb.j) WHERE rn = 1),
+              luts AS (SELECT qs.qid, cb.j, cb.c,
+                              list_inner_product(qs.sv, qs.sv)
+                                - 2 * list_inner_product(qs.sv, cb.cv)
+                                + list_inner_product(cb.cv, cb.cv) AS d2
+                       FROM cb JOIN qs ON qs.j = cb.j),
+              adcs AS (SELECT l.qid, e.vec_id, SUM(l.d2) AS adc_d2
+                       FROM encs e JOIN luts l ON e.j = l.j AND e.code = l.c
+                       WHERE e.vec_id >= 16 AND e.vec_id <> l.qid
+                       GROUP BY 1, 2),
+              tops AS (SELECT qid, vec_id FROM (
+                  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY adc_d2, vec_id) AS rn
+                  FROM adcs) WHERE rn <= 10),
+              encl AS (SELECT vec_id, j, c AS code FROM (
+                  SELECT s.vec_id, s.j, cbl.c, ROW_NUMBER() OVER (
+                           PARTITION BY s.vec_id, s.j
+                           ORDER BY list_distance(s.sv, cbl.cv), cbl.c) AS rn
+                  FROM sub s JOIN cbl ON s.j = cbl.j) WHERE rn = 1),
+              lutl AS (SELECT qs.qid, cbl.j, cbl.c,
+                              list_inner_product(qs.sv, qs.sv)
+                                - 2 * list_inner_product(qs.sv, cbl.cv)
+                                + list_inner_product(cbl.cv, cbl.cv) AS d2
+                       FROM cbl JOIN qs ON qs.j = cbl.j),
+              adcl AS (SELECT l.qid, e.vec_id, SUM(l.d2) AS adc_d2
+                       FROM encl e JOIN lutl l ON e.j = l.j AND e.code = l.c
+                       WHERE e.vec_id >= 16 AND e.vec_id <> l.qid
+                       GROUP BY 1, 2),
+              topl AS (SELECT qid, vec_id FROM (
+                  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY adc_d2, vec_id) AS rn
+                  FROM adcl) WHERE rn <= 10),
+              lab AS (SELECT 'seeded' AS codebook, qid, vec_id FROM tops
+                      UNION ALL
+                      SELECT 'learned', qid, vec_id FROM topl)
+              SELECT a.codebook, COUNT(*) AS n_ann,
+                     COUNT(x.vec_id) AS n_hit,
+                     CAST(COUNT(x.vec_id) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS recall_at_10
+              FROM lab a LEFT JOIN exact x
+                ON x.qid = a.qid AND x.vec_id = a.vec_id
+              GROUP BY 1 ORDER BY codebook"""))
   )
 }
