@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
   */
 object MakeReplica {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 3 && args(1).matches("\\d+"),
+      "usage: graft.MakeReplica <sfDir> <factor:int> <outDir>")
     val Array(sfDir, factorS, outDir) = args.take(3)
     val factor = factorS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

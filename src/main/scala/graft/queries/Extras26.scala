@@ -137,11 +137,13 @@ object Extras26 {
                 SELECT 4, vec_id FROM (
                   SELECT vec_id, ROW_NUMBER() OVER (ORDER BY adc_d2, vec_id) AS rn
                   FROM cand WHERE cr <= 4) WHERE rn <= 10)
-              SELECT a.nprobe, COUNT(*) AS n_ann,
+              SELECT d.nprobe, COUNT(a.vec_id) AS n_ann,
                      COUNT(x.vec_id) AS n_hit,
                      CAST(COUNT(x.vec_id) AS DOUBLE) / 10.0 AS recall_at_10
-              FROM ann a LEFT JOIN exact x ON x.vec_id = a.vec_id
-              GROUP BY a.nprobe ORDER BY a.nprobe""")),
+              FROM (VALUES (1), (2), (4)) d(nprobe)
+              LEFT JOIN ann a ON a.nprobe = d.nprobe
+              LEFT JOIN exact x ON x.vec_id = a.vec_id
+              GROUP BY d.nprobe ORDER BY d.nprobe""")),
 
     // IVF-PQ + exact re-rank: the standard production recipe when PQ
     // quantization error displaces true neighbors (q270 measures
@@ -260,11 +262,13 @@ object Extras26 {
                            PARTITION BY rerank_depth
                            ORDER BY dist, vec_id) AS rn
                   FROM rex) WHERE rn <= 10)
-              SELECT t.rerank_depth, COUNT(*) AS n_ann,
+              SELECT d.rerank_depth, COUNT(t.vec_id) AS n_ann,
                      COUNT(x.vec_id) AS n_hit,
                      CAST(COUNT(x.vec_id) AS DOUBLE) / 10.0 AS recall_at_10
-              FROM top t LEFT JOIN exact x ON x.vec_id = t.vec_id
-              GROUP BY t.rerank_depth ORDER BY t.rerank_depth""")),
+              FROM (VALUES (10), (50), (200)) d(rerank_depth)
+              LEFT JOIN top t ON t.rerank_depth = d.rerank_depth
+              LEFT JOIN exact x ON x.vec_id = t.vec_id
+              GROUP BY d.rerank_depth ORDER BY d.rerank_depth""")),
 
     // Seeded vs LEARNED codebook, measured: one deterministic Lloyd
     // refinement (broadcast argmin assignment; per-dimension
@@ -320,7 +324,10 @@ object Extras26 {
               col("qid") === col("xqid") && col("vec_id") === col("xid"), "left")
             .agg(count(lit(1)).as("n_ann"), count(col("xid")).as("n_hit"))
             .select(lit(label).as("codebook"), col("n_ann"), col("n_hit"),
-              (col("n_hit").cast("double") / col("n_ann").cast("double"))
+              // 0-candidate guard: 0/0 would be NaN, the oracle's
+              // pinned-domain row says 0.0
+              when(col("n_ann") === 0L, lit(0.0))
+                .otherwise(col("n_hit").cast("double") / col("n_ann").cast("double"))
                 .as("recall_at_10"))
         recallOf("learned", cbLearned)
           .unionAll(recallOf("seeded", Pq.codebook(emb, m, ds, k)))
@@ -397,12 +404,16 @@ object Extras26 {
               lab AS (SELECT 'seeded' AS codebook, qid, vec_id FROM tops
                       UNION ALL
                       SELECT 'learned', qid, vec_id FROM topl)
-              SELECT a.codebook, COUNT(*) AS n_ann,
+              SELECT d.codebook, COUNT(a.vec_id) AS n_ann,
                      COUNT(x.vec_id) AS n_hit,
-                     CAST(COUNT(x.vec_id) AS DOUBLE)
-                       / CAST(COUNT(*) AS DOUBLE) AS recall_at_10
-              FROM lab a LEFT JOIN exact x
+                     CASE WHEN COUNT(a.vec_id) = 0 THEN 0.0
+                          ELSE CAST(COUNT(x.vec_id) AS DOUBLE)
+                            / CAST(COUNT(a.vec_id) AS DOUBLE) END
+                       AS recall_at_10
+              FROM (VALUES ('learned'), ('seeded')) d(codebook)
+              LEFT JOIN lab a ON a.codebook = d.codebook
+              LEFT JOIN exact x
                 ON x.qid = a.qid AND x.vec_id = a.vec_id
-              GROUP BY 1 ORDER BY codebook"""))
+              GROUP BY 1 ORDER BY d.codebook"""))
   )
 }

@@ -438,11 +438,11 @@ object TxLogTable {
       snap.dvs.get(n).map(dirs => a -> dirs.map(d =>
         if (isAbsoluteEntry(d)) d else new Path(srcDv, d).toString))
     }.toMap
-    // table properties travel too — a clone of a bloom-indexed /
-    // constrained table must keep maintaining blooms and constraints
-    // on NEW writes, not just prune on the copied stats
-    val srcProps = replayState(srcFs, srcPath, v,
-      committedVersions(srcFs, srcPath)).props
+    // table properties AND check constraints travel too — a clone of
+    // a bloom-indexed / constrained table must keep maintaining
+    // blooms and validating constraints on NEW writes, not just
+    // prune on the copied stats (both ride the snapshot's replayed
+    // state — no second log replay)
     claimCommit(dstFs, dstPath, 1L,
       Commit("overwrite", snap.schema.toDDL, absolute,
         stats = stats, op = Some(s"shallow clone of $srcPath@v$v"),
@@ -450,7 +450,7 @@ object TxLogTable {
         // the source's column mapping and drop tombstones travel with
         // its files
         renames = snap.renames, dropped = snap.dropped,
-        propSets = srcProps))
+        propSets = snap.props, constraintAdds = snap.constraints))
     1L
   }
 
@@ -1204,7 +1204,9 @@ object TxLogTable {
       stats: Map[String, Map[String, ColStats]],
       dvs: Map[String, Seq[String]] = Map.empty,
       renames: Map[String, String] = Map.empty,
-      dropped: Set[String] = Set.empty) {
+      dropped: Set[String] = Set.empty,
+      props: Map[String, String] = Map.empty,
+      constraints: Map[String, String] = Map.empty) {
     /** The user-facing schema: physical fields re-labelled. */
     def logicalSchema: StructType = TxLogTable.logicalSchema(schema, renames)
   }
@@ -1299,7 +1301,7 @@ object TxLogTable {
     Snapshot(st.files, StructType.fromDDL(st.ddl.getOrElse(
       throw new IllegalStateException(
         s"no schema resolvable at version $upTo of $tablePath"))), st.stats,
-      st.dvs, st.renames, st.dropped)
+      st.dvs, st.renames, st.dropped, st.props, st.constraints)
   }
 
   /** Resolve a committed file entry to its physical location: plain

@@ -833,6 +833,30 @@ class TxLogTableSpec extends SparkSpec {
     assert(hist.startsWith("shallow clone of"))
   }
 
+  test("shallow clone carries table properties AND check constraints to new writes") {
+    val tmp = Files.createTempDirectory("graft-clone-meta")
+    val src = tmp.resolve("src").toString
+    val dst = tmp.resolve("dst").toString
+    TxLogTable.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "bal")
+      .coalesce(1), src)
+    TxLogTable.setProperties(spark, src, Map("graft.bloom.columns" -> "id"))
+    TxLogTable.addConstraint(spark, src, "bal_pos", "bal >= 0")
+    TxLogTable.shallowClone(spark, src, dst)
+    // metadata arrived in the clone's single commit
+    assert(TxLogTable.properties(spark, dst)
+      .get("graft.bloom.columns").contains("id"))
+    assert(TxLogTable.constraints(spark, dst)
+      .get("bal_pos").contains("bal >= 0"))
+    // ...and is LIVE: a violating append to the CLONE is rejected
+    val e = intercept[TxLogTable.ConstraintViolation] {
+      TxLogTable.append(Seq((3L, -5L)).toDF("id", "bal").coalesce(1), dst)
+    }
+    assert(e.getMessage.contains("bal_pos"))
+    // a clean append passes and keeps maintaining the bloom property
+    TxLogTable.append(Seq((3L, 30L)).toDF("id", "bal").coalesce(1), dst)
+    assert(TxLogTable.read(spark, dst).count() === 3L)
+  }
+
   test("fastCount answers COUNT(*) from commit metadata and tracks DML exactly") {
     val t = freshTable()
     TxLogTable.append((1L to 100L).map(k => (k, s"v$k")).toDF("id", "v")

@@ -126,11 +126,11 @@ def main(sf_dir, out_dir):
         bad = []
         for c in duck_cols:
             dk, sk = duck_kinds[c], spark_kinds[c]
-            if dk[0] == "decimal" and dk[1] > 18 and dk != sk:
-                bad.append(f"{c}: oracle HUGEINT/wide-decimal {dk} vs spark "
-                           f"{sk} — CAST the aggregate in the oracle SQL")
-            elif dk != sk:
-                bad.append(f"{c}: dtype kind spark={sk} duck={dk}")
+            if dk != sk:
+                hint = (" — HUGEINT/wide-decimal: CAST the aggregate in "
+                        "the oracle SQL (Money.BSUM/DSUM)"
+                        if dk[0] == "decimal" and dk[1] > 18 else "")
+                bad.append(f"{c}: dtype kind spark={sk} duck={dk}{hint}")
         if bad:
             print(f"FAIL  {name}: dtype guard: " + "; ".join(bad))
             n_fail += 1
