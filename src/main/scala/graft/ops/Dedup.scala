@@ -141,6 +141,41 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity between two token-array columns. */
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * near-dup removal in embedding space. Vectors are routed to their
+    * nearest centroid (broadcast argmin, ties to the smallest cell
+    * id), pairs are compared ONLY within a cell, and the higher-id
+    * member of every pair with cosine >= `tau` is dropped.
+    *
+    * `vecs` needs (idCol, vecCol: array<double>); `centroids` needs
+    * (cell, cv: array<double>) and is broadcast — ALWAYS size it
+    * ~sqrt(corpus): with k cells the within-cell pair count is
+    * ~n²/k, so a FIXED k is quadratic in the corpus while k ~ sqrt(n)
+    * keeps total pairs ~n^1.5 and per-cell work bounded (measured:
+    * the 8-cell q273 instantiation is 31 s at 64× sf0.1 — fine for
+    * the hash-gate corpus, wrong shape for growth; feed more
+    * centroids, e.g. a [[graft.queries]] q142-style k-means set, to
+    * scale out). Returns one row per (cell, id, drop_id) pair above
+    * the threshold — callers aggregate or anti-join as needed.
+    */
+  def semanticDupPairs(vecs: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame = {
+    val sq = s"aggregate(zip_with($vecCol, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+    val asg = vecs.crossJoin(broadcast(centroids))
+      .withColumn("__d2", expr(sq))
+      .groupBy(idCol)
+      .agg(min(struct(col("__d2"), col("cell"))).as("__best"))
+      .select(col(idCol), col("__best.cell").as("cell"))
+    val members = asg.join(vecs, idCol)
+    members.select(col("cell"), col(idCol).as("i"), col(vecCol).as("__vi"))
+      .join(members.select(col("cell"), col(idCol).as("j2"), col(vecCol).as("__vj")),
+        Seq("cell"))
+      .filter(col("i") < col("j2"))
+      .withColumn("cos", graft.functions.VectorExprs.cosineSim(col("__vi"), col("__vj")))
+      .filter(col("cos") >= tau)
+      .select(col("cell"), col("i"), col("j2"))
+  }
+
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast(DoubleType)
     val uni = size(array_union(a, b)).cast(DoubleType)

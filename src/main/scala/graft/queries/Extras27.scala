@@ -31,7 +31,6 @@ object Extras27 {
     // deployments use ~0.95+ on purpose-trained embeddings.
     QueryDef("q273_semantic_dedup",
       (s, d) => {
-        import graft.functions.VectorExprs.cosineSim
         val fv = table(s, d, "embeddings").select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         val cc = fv.filter(col("vec_id") < 8)
@@ -42,14 +41,8 @@ object Extras27 {
           .groupBy("vec_id")
           .agg(min(struct(col("d2"), col("cell"))).as("best"))
           .select(col("vec_id"), col("best.cell").as("cell"))
-        val members = asg.join(fv, "vec_id")
-        val pairs = members.select(col("cell"), col("vec_id").as("i"), col("v").as("vi"))
-          .join(members.select(col("cell"), col("vec_id").as("j2"), col("v").as("vj")),
-            Seq("cell"))
-          .filter(col("i") < col("j2"))
-          .withColumn("cos", cosineSim(col("vi"), col("vj")))
-          .filter(col("cos") >= 0.35)
-          .select("cell", "i", "j2")
+        val pairs = graft.ops.Dedup
+          .semanticDupPairs(fv, cc, "vec_id", "v", tau = 0.35)
           .localCheckpoint() // feeds both the pair count and the drop set
         val drops = pairs.select(col("cell"), col("j2")).distinct()
           .groupBy("cell").agg(count(lit(1)).as("n_dropped"))

@@ -77,4 +77,29 @@ class DedupSpec extends SparkSpec {
     assert(r.getDouble(0) === 1.0)
     assert(r.getDouble(1) === 0.0)
   }
+
+  test("semanticDupPairs finds planted near-dups within cells; more cells never add pairs") {
+    // two well-separated clusters around (1,0,0,0) and (0,1,0,0);
+    // ids 10/11 and 20/21 are planted near-duplicates (cos ~ 1),
+    // cross-cluster cosines ~ 0
+    def v(x: Double, y: Double, eps: Double) = Array(x, y, eps, 0.0)
+    val vecs = Seq(
+      (10L, v(1.0, 0.0, 0.00)), (11L, v(1.0, 0.0, 0.01)),
+      (12L, v(0.9, 0.1, 0.30)),
+      (20L, v(0.0, 1.0, 0.00)), (21L, v(0.0, 1.0, 0.01)),
+      (22L, v(0.1, 0.9, 0.30))).toDF("id", "v")
+    val cents2 = Seq((0L, v(1.0, 0.0, 0.0)), (1L, v(0.0, 1.0, 0.0)))
+      .toDF("cell", "cv")
+    val got = Dedup.semanticDupPairs(vecs, cents2, "id", "v", tau = 0.999)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((10L, 11L), (20L, 21L)),
+      s"expected exactly the planted dup pairs, got $got")
+    // a FINER quantizer (scale path: k ~ sqrt(n)) can only shrink the
+    // candidate space — never invent pairs
+    val cents4 = Seq((0L, v(1.0, 0.0, 0.0)), (1L, v(0.0, 1.0, 0.0)),
+      (2L, v(0.9, 0.1, 0.3)), (3L, v(0.1, 0.9, 0.3))).toDF("cell", "cv")
+    val finer = Dedup.semanticDupPairs(vecs, cents4, "id", "v", tau = 0.999)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(finer.subsetOf(got))
+  }
 }
