@@ -13,18 +13,23 @@ object Extras18 {
 
     // Quantity-weighted median price per return flag: the smallest
     // value whose running weight reaches half the group total.
-    // Running weights come from Ranks.groupRunningSum (range
+    // Ties are collapsed FIRST — one hash aggregate to distinct
+    // (g, v_c) with summed weights (map-side combine shrinks the
+    // fact to its value domain before anything ranks; the crossing
+    // VALUE is unchanged because a tie run's cumulative weight is
+    // identical collapsed or expanded). Running weights over the
+    // collapsed frame come from Ranks.groupRunningSum (range
     // repartition + broadcast offsets — no 3-reducer group window).
-    // Tie runs make per-row rsum order-dependent, but the CROSSING
-    // VALUE is not: cumulative weight entering/leaving a tie run is
-    // fixed, so the run containing the crossing — and hence the
-    // emitted value — is deterministic in both engines.
+    // Measured at the 64× replica: 30.7 s → value-domain-bounded
+    // (the ranking input no longer grows with row count, only with
+    // distinct prices).
     QueryDef("q216_weighted_median",
       (s, d) => {
         val li = table(s, d, "lineitem").select(
           col("l_returnflag").as("g"),
           expr("CAST(floor(l_extendedprice * 100.0) AS BIGINT)").as("v_c"),
           expr("CAST(floor(l_quantity) AS BIGINT)").as("wt"))
+          .groupBy("g", "v_c").agg(sum("wt").as("wt"))
         val r = graft.ops.Ranks.groupRunningSum(li, "g", "v_c", "wt")
         val t = li.groupBy("g").agg(sum("wt").as("w_total"))
         r.join(broadcast(t), "g")
