@@ -115,30 +115,39 @@ object Extras4 {
                                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""")),
 
     // exact per-group median and MAD (median absolute deviation) —
-    // robust quality-score statistics without a 5-cardinality window:
-    // both rank passes run through Ranks.groupRanked (range
-    // repartition + local ranks + broadcast offsets), so parallelism
-    // scales with partitions, not with the group count. The 5-row
-    // median table broadcasts back for the deviation pass.
+    // robust quality-score statistics without a 5-cardinality window.
+    // Both passes collapse ties FIRST (hash aggregate to distinct
+    // (group, value) with counts — map-side combined, so the rank
+    // input grows with the VALUE DOMAIN, not the row count) and read
+    // the median as the running-count crossing: the value at rank k
+    // is the smallest v whose cumulative count reaches k. Running
+    // counts come from Ranks.groupRunningSum (range repartition +
+    // broadcast offsets), so parallelism scales with partitions, not
+    // with the 5-group cardinality. The 5-row median table broadcasts
+    // back for the deviation pass.
     QueryDef("q131_median_mad",
       (s, d) => {
         val o = table(s, d, "orders")
           .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("v"))
+        val tot = o.groupBy("grp").agg(count(lit(1)).as("nt")) // 5 rows
+        val oc = o.groupBy("grp", "v").agg(count(lit(1)).as("cnt"))
         // pin the 5-ROW median table: the deviation frame feeds the
-        // second rank pass's three consumers (boundary sample, counts,
-        // window), and without the pin each would re-execute the whole
-        // first rank pass through this lineage. Pinning 5 rows is free
-        // at any scale — the thing to avoid is pinning data-sized
-        // relations.
-        val med = Ranks.groupRanked(o, "grp", "v")
-          .filter(col("rn") === expr("(n + 1) div 2"))
-          .select(col("grp"), col("v").as("median"))
+        // second rank pass's consumers, and without the pin each
+        // would re-execute the whole first pass through this lineage.
+        val med = Ranks.groupRunningSum(oc, "grp", "v", "cnt")
+          .join(broadcast(tot), "grp")
+          .groupBy("grp")
+          .agg(min(when(expr("rsum >= (nt + 1) div 2"), col("v"))).as("median"))
           .localCheckpoint()
-        val dev = o.join(broadcast(med), "grp")
+        val devc = o.join(broadcast(med), "grp")
           .select(col("grp"), col("median"), abs(col("v") - col("median")).as("ad"))
-        Ranks.groupRanked(dev, "grp", "ad")
-          .filter(col("rn") === expr("(n + 1) div 2"))
-          .select(col("grp"), col("n"), col("median"), col("ad").as("mad"))
+          .groupBy("grp", "median", "ad").agg(count(lit(1)).as("cnt"))
+        Ranks.groupRunningSum(devc, "grp", "ad", "cnt")
+          .join(broadcast(tot), "grp")
+          .groupBy("grp", "median")
+          .agg(max(col("nt")).as("n"),
+            min(when(expr("rsum >= (nt + 1) div 2"), col("ad"))).as("mad"))
+          .select(col("grp"), col("n"), col("median"), col("mad"))
           .orderBy("grp")
       },
       Some("""WITH r AS (SELECT o_orderpriority AS grp, o_totalprice AS v,
