@@ -109,6 +109,7 @@ object Extras17 {
             expr("CAST(floor(o_totalprice * 100.0) AS BIGINT)").as("p_c"))
         val tot = c.groupBy("pri").agg(count(lit(1)).as("nt"))
         val cc = c.groupBy("pri", "p_c").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint() // value-domain-sized; the rank pass executes its input twice
         val r = graft.ops.Ranks.groupRunningSum(cc, "pri", "p_c", "cnt")
         val q = r.join(broadcast(tot), "pri").groupBy("pri").agg(
           min(when(expr("rsum >= (nt + 3) div 4"), col("p_c"))).as("q1_c"),

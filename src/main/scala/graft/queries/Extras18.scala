@@ -30,6 +30,7 @@ object Extras18 {
           expr("CAST(floor(l_extendedprice * 100.0) AS BIGINT)").as("v_c"),
           expr("CAST(floor(l_quantity) AS BIGINT)").as("wt"))
           .groupBy("g", "v_c").agg(sum("wt").as("wt"))
+          .localCheckpoint() // value-domain-sized; feeds the rank pass (2 executions) + the total
         val r = graft.ops.Ranks.groupRunningSum(li, "g", "v_c", "wt")
         val t = li.groupBy("g").agg(sum("wt").as("w_total"))
         r.join(broadcast(t), "g")

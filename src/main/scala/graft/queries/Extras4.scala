@@ -131,6 +131,7 @@ object Extras4 {
           .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("v"))
         val tot = o.groupBy("grp").agg(count(lit(1)).as("nt")) // 5 rows
         val oc = o.groupBy("grp", "v").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint() // value-domain-sized; the rank pass executes its input twice
         // pin the 5-ROW median table: the deviation frame feeds the
         // second rank pass's consumers, and without the pin each
         // would re-execute the whole first pass through this lineage.
@@ -142,6 +143,7 @@ object Extras4 {
         val devc = o.join(broadcast(med), "grp")
           .select(col("grp"), col("median"), abs(col("v") - col("median")).as("ad"))
           .groupBy("grp", "median", "ad").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
         Ranks.groupRunningSum(devc, "grp", "ad", "cnt")
           .join(broadcast(tot), "grp")
           .groupBy("grp", "median")
