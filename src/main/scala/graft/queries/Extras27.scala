@@ -240,6 +240,55 @@ object Extras27 {
                     AND o_orderdate >= TIMESTAMP '1998-01-01')
               GROUP BY 1 ORDER BY cntry""")),
 
+    // Temperature-scaled mixture weights (α = 0.5): the standard
+    // multilingual/source re-balancing rule w_s ∝ p_s^α that every
+    // large-scale pretraining mixture applies to up-sample the tail
+    // (mT5 §3.1 / XLM-R style). EVERYTHING is 64-bit integer
+    // arithmetic: per-source token counts are exact sums; sqrt goes
+    // through the integer square root (floor of the correctly-rounded
+    // IEEE sqrt of an integer-valued double — bit-identical in both
+    // engines); shares, weights, the up/down-sampling boost and the
+    // expected token allocation at a 1M budget are all integer
+    // divisions of those. No cross-source double summation exists
+    // anywhere, so partial aggregation and AQE reorder freely. One
+    // tokenize pass, one 20-row rollup — map-only at any corpus size.
+    QueryDef("q279_mixture_temperature",
+      (s, d) => {
+        val perSrc = table(s, d, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast(LongType)).as("n_tok"))
+          .withColumn("isq",
+            floor(sqrt(col("n_tok").cast(DoubleType))).cast(LongType))
+        val tot = perSrc.agg(sum(col("n_tok")).as("t_tok"),
+          sum(col("isq")).as("t_isq"))
+        perSrc.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("n_tok"),
+            expr("n_tok * 10000 div t_tok").as("share_bp"),
+            expr("isq * 10000 div t_isq").as("w_bp"),
+            expr("(isq * 10000 div t_isq) * 10000 div " +
+              "greatest(n_tok * 10000 div t_tok, 1)").as("boost_bp"),
+            expr("1000000 * isq div t_isq").as("budget_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""WITH p AS (
+                SELECT source, COUNT(*) AS n_docs,
+                       ${BSUM("CAST(len(string_split(text, ' ')) AS BIGINT)")}
+                         AS n_tok
+                FROM documents GROUP BY source),
+              q AS (SELECT source, n_docs, n_tok,
+                       CAST(floor(sqrt(CAST(n_tok AS DOUBLE))) AS BIGINT) AS isq
+                    FROM p),
+              t AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t_tok,
+                           CAST(SUM(isq) AS BIGINT) AS t_isq FROM q)
+              SELECT source, n_docs, n_tok,
+                     n_tok * 10000 // t_tok AS share_bp,
+                     isq * 10000 // t_isq AS w_bp,
+                     (isq * 10000 // t_isq) * 10000
+                       // greatest(n_tok * 10000 // t_tok, 1) AS boost_bp,
+                     1000000 * isq // t_isq AS budget_tokens
+              FROM q CROSS JOIN t ORDER BY source""")),
+
     // ---- TPC-H Q1: pricing summary report. -------------------------
     // THE scan-heavy aggregate: one pass over the date-bounded fact,
     // eight aggregates per (returnflag, linestatus) — 6 groups. Every
