@@ -72,6 +72,29 @@ class RanksSpec extends SparkSpec {
     } finally spark.conf.set(key, before)
   }
 
+  test("groupRunningSum is invariant to the session partition count (tie-free)") {
+    // same content-hash-boundary property as groupRanked, now also
+    // covering the sum offsets: the full (g, o, rn, rsum) relation
+    // must be identical whatever spark.sql.shuffle.partitions is
+    val df = (1 to 800).map(i => (s"g${i % 3}", (i * 7919) % 10000, i.toLong, i))
+      .toDF("g", "o", "v", "id")
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    def run(): Set[(String, Int, Int, Long, Long)] =
+      Ranks.groupRunningSum(df, "g", "o", "v", Seq("id"))
+        .select("g", "o", "id", "rn", "rsum").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+          r.getLong(3), r.getLong(4))).toSet
+    try {
+      spark.conf.set(key, "3")
+      val a = run()
+      spark.conf.set(key, "13")
+      val b = run()
+      assert(a === b, s"running sums changed with partition count: " +
+        s"onlyA=${(a -- b).take(3)} onlyB=${(b -- a).take(3)}")
+    } finally spark.conf.set(key, before)
+  }
+
   test("groupRanked handles null keys and null values (bucket 0, nulls-first rank order)") {
     val df = Seq(
       (Some("g"), Some(5), 1), (Some("g"), None, 2), (Some("g"), Some(1), 3),
