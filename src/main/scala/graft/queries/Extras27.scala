@@ -240,6 +240,48 @@ object Extras27 {
                     AND o_orderdate >= TIMESTAMP '1998-01-01')
               GROUP BY 1 ORDER BY cntry""")),
 
+    // GENERATED columns under the oracle gate: the table declares
+    // `bal_band GENERATED ALWAYS AS (abs(bal_c) div 100000)` at
+    // CREATE (a `graft.generated.*` property + derived CHECK); the
+    // first append OMITS the column (the writer computes it before
+    // staging), the second PROVIDES a consistent value (the derived
+    // constraint validates it). The read-back per-band fingerprint is
+    // recomputed by the oracle straight from `customer` — the hash
+    // proves the write-side generation produced exactly the declared
+    // expression on every row of both paths. abs() keeps the operand
+    // non-negative so Spark's truncating `div` and DuckDB's flooring
+    // `//` agree.
+    QueryDef("q280_generated_columns",
+      (s, d) => {
+        import graft.sink.TxLogTable
+        val t = java.nio.file.Files.createTempDirectory("graft_gen_q")
+          .resolve("t").toString
+        TxLogTable.create(s, t, StructType(Seq(
+          StructField("k", LongType), StructField("bal_c", LongType),
+          StructField("bal_band", LongType))),
+          Map(TxLogTable.GeneratedPropPrefix + "bal_band" ->
+            "abs(bal_c) div 100000"))
+        val cust = table(s, d, "customer").select(
+          col("c_custkey").as("k"),
+          expr("CAST(floor(c_acctbal * 100.0) AS BIGINT)").as("bal_c"))
+        TxLogTable.append(cust.filter(col("k") % 2 === 0), t) // omitted → computed
+        TxLogTable.append(cust.filter(col("k") % 2 === 1)      // provided → validated
+          .withColumn("bal_band", expr("abs(bal_c) div 100000")), t)
+        TxLogTable.read(s, t)
+          .groupBy("bal_band")
+          .agg(count(lit(1)).as("n_rows"), sum(col("bal_c")).as("bal_sum"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+          .orderBy("bal_band")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS k,
+                     CAST(floor(c_acctbal * 100.0) AS BIGINT) AS bal
+                   FROM customer)
+              SELECT abs(bal) // 100000 AS bal_band,
+                     COUNT(*) AS n_rows,
+                     CAST(SUM(bal) AS BIGINT) AS bal_sum,
+                     MIN(k) AS min_k, MAX(k) AS max_k
+              FROM c GROUP BY 1 ORDER BY bal_band""")),
+
     // Temperature-scaled mixture weights (α = 0.5): the standard
     // multilingual/source re-balancing rule w_s ∝ p_s^α that every
     // large-scale pretraining mixture applies to up-sample the tail

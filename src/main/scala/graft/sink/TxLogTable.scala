@@ -461,19 +461,51 @@ object TxLogTable {
     * schema; the first append must match it exactly (evolution goes
     * through [[appendEvolve]]/[[addColumns]]). Returns version 1.
     */
+  /** Property prefix declaring a GENERATED column:
+    * `graft.generated.<name> = <sql expr>` at [[create]] makes
+    * `<name>` auto-computed on any append that omits it, and
+    * validated (via a derived CHECK constraint `<name> <=> (expr)`)
+    * whenever a writer provides it — appends, MERGE, UPDATE and the
+    * DML rewrites all pass through the same constraint gate. The
+    * existing constraint guards also make the generated column and
+    * its source columns un-renameable/un-droppable while declared.
+    */
+  val GeneratedPropPrefix = "graft.generated."
+
   def create(spark: SparkSession, tablePath: String,
       schema: StructType, props: Map[String, String] = Map.empty): Long = {
     require(schema.nonEmpty, s"cannot create a zero-column table: $tablePath")
     val fs = fileSystem(spark, tablePath)
     require(committedVersions(fs, tablePath).isEmpty,
       s"table already exists: $tablePath")
+    // GENERATED ALWAYS AS declarations: the column must exist in the
+    // declared schema and the expression must resolve against it
+    // (probed on an empty frame — the table has no data yet, so the
+    // derived CHECK constraint is trivially satisfied at v1)
+    val gen = props.collect { case (k, e) if k.startsWith(GeneratedPropPrefix) =>
+      k.stripPrefix(GeneratedPropPrefix) -> e
+    }
+    val genConstraints = gen.map { case (n, e) =>
+      require(schema.fieldNames.contains(n),
+        s"generated column '$n' is not in the declared schema " +
+          s"[${schema.toDDL}]")
+      val probe = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      try probe.select(org.apache.spark.sql.functions.expr(e)).queryExecution.analyzed
+      catch { case ex: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"generated column '$n' expression ($e) does not resolve " +
+            s"against schema [${schema.toDDL}]: ${ex.getMessage}", ex)
+      }
+      s"__gen_$n" -> s"$n <=> ($e)"
+    }
     // TBLPROPERTIES ride the create commit itself — a second
     // properties commit would leave a crash window where the table
     // exists without its declared properties (bloom columns,
     // constraints-adjacent metadata)
     claimCommit(fs, tablePath, 1L,
       Commit("create", schema.toDDL, Nil, op = Some("CREATE TABLE"),
-        propSets = props))
+        propSets = props, constraintAdds = genConstraints))
     1L
   }
 
@@ -2182,13 +2214,35 @@ object TxLogTable {
           s"renamed (current name(s): ${stale.map(curRenames).mkString(", ")})" +
           " — write under the current logical names")
     }
+    // GENERATED columns: a user-facing append/overwrite batch that
+    // OMITS a declared `graft.generated.<name>` column gets it
+    // computed HERE — before staging, so the staged bytes, the
+    // committed files and the constraint gate all see the filled
+    // value. A batch that PROVIDES the column is validated by the
+    // derived `__gen_<name>` CHECK like any other row. Internal
+    // rewrites (compact/rewrite/dv) re-stage rows that already
+    // passed, so they are exempt.
+    val df0g = {
+      val gen = curProps.collect {
+        case (k, e) if k.startsWith(GeneratedPropPrefix) =>
+          k.stripPrefix(GeneratedPropPrefix) -> e
+      }
+      if (gen.isEmpty || actionOverride.nonEmpty || removes.nonEmpty) df0
+      else {
+        val have = df0.schema.fieldNames.toSet
+        gen.toSeq.sortBy(_._1).foldLeft(df0) { case (d, (n, e)) =>
+          if (have.contains(n)) d
+          else d.withColumn(n, org.apache.spark.sql.functions.expr(e))
+        }
+      }
+    }
     // translate ONLY the user-facing append path: internal rewrites
     // (compact/rewrite/dv) hand PHYSICAL frames already, and a second
     // application would un-swap a swap-shaped mapping
     val df =
       if (actionOverride.isEmpty && removes.isEmpty && !overwrite)
-        toPhysicalDf(df0, curRenames)
-      else df0
+        toPhysicalDf(df0g, curRenames)
+      else df0g
     val ddl = df.schema.toDDL
 
     // replayed transaction: the epoch is already in the log — skip

@@ -833,6 +833,55 @@ class TxLogTableSpec extends SparkSpec {
     assert(hist.startsWith("shallow clone of"))
   }
 
+  test("generated columns: declared at create, auto-filled on append, enforced when provided") {
+    val t = freshTable()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v2",
+        org.apache.spark.sql.types.LongType)))
+    // declaration is validated at create: unknown column / unresolvable expr
+    intercept[IllegalArgumentException] {
+      TxLogTable.create(spark, freshTable(), schema,
+        Map(TxLogTable.GeneratedPropPrefix + "nope" -> "v * 2"))
+    }
+    intercept[IllegalArgumentException] {
+      TxLogTable.create(spark, freshTable(), schema,
+        Map(TxLogTable.GeneratedPropPrefix + "v2" -> "no_such_col * 2"))
+    }
+    TxLogTable.create(spark, t, schema,
+      Map(TxLogTable.GeneratedPropPrefix + "v2" -> "v * 2"))
+    def all(): Set[(Long, Long, Long)] = TxLogTable.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // a batch OMITTING the generated column gets it computed
+    TxLogTable.append(Seq((1L, 10L)).toDF("id", "v").coalesce(1), t)
+    assert(all() === Set((1L, 10L, 20L)))
+    // a batch PROVIDING a consistent value passes...
+    TxLogTable.append(Seq((2L, 20L, 40L)).toDF("id", "v", "v2").coalesce(1), t)
+    // ...an inconsistent one is rejected by the derived CHECK
+    intercept[TxLogTable.ConstraintViolation] {
+      TxLogTable.append(Seq((3L, 30L, 99L)).toDF("id", "v", "v2").coalesce(1), t)
+    }
+    assert(all() === Set((1L, 10L, 20L), (2L, 20L, 40L)))
+    // UPDATE must keep the generation consistent: touching only the
+    // source column is rejected, the consistent pair passes
+    intercept[TxLogTable.ConstraintViolation] {
+      TxLogTable.update(spark, t, "id = 1", Map("v" -> "v + 1"))
+    }
+    TxLogTable.update(spark, t, "id = 1",
+      Map("v" -> "v + 1", "v2" -> "(v + 1) * 2"))
+    assert(all() === Set((1L, 11L, 22L), (2L, 20L, 40L)))
+    // the generated column and its source are pinned while declared
+    intercept[IllegalArgumentException] {
+      TxLogTable.renameColumn(spark, t, "v2", "twice")
+    }
+    intercept[IllegalArgumentException] {
+      TxLogTable.dropColumn(spark, t, "v")
+    }
+  }
+
   test("shallow clone carries table properties AND check constraints to new writes") {
     val tmp = Files.createTempDirectory("graft-clone-meta")
     val src = tmp.resolve("src").toString
