@@ -55,12 +55,22 @@ object Bench {
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
     println(line)
-    // the driver captures stdout with a truncated tail (r3 kept only
-    // 61/121 timings), so also persist the full line to a file
+    // the driver captures stdout with a 2000-char tail (every round's
+    // BENCH_r*.json shows parsed:null because the ~9 KB full line's
+    // opening brace never survives the cut), so persist the full line
+    // to a file AND print a compact line LAST — slowest queries only,
+    // sized to fit the tail with its own opening brace intact
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_TIMINGS.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $out: $e") }
+    val slow = results.filter(_._3).sortBy(-_._2)
+      .map { case (k, v, _) => f""""$k":${v}%.3f""" }
+    val keep = slow.scanLeft(0)(_ + _.length + 1).indexWhere(_ > 1500) match {
+      case -1 => slow.length
+      case i  => math.max(1, i - 1)
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":${slow.take(keep).mkString("{", ",", "}")},"errors":$errors,"sf":"$sfDir","full_timings":"$out"}""")
     spark.stop()
   }
 }

@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
   */
 object MakeReplica {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3 && args(1).matches("\\d+"),
-      "usage: graft.MakeReplica <sfDir> <factor:int> <outDir>")
+    require(args.length >= 3 && args(1).matches("\\d+") && args(1).toInt >= 1,
+      "usage: graft.MakeReplica <sfDir> <factor:int>=1> <outDir>")
     val Array(sfDir, factorS, outDir) = args.take(3)
     val factor = factorS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -39,30 +39,39 @@ object MakeReplica {
     }
     def times(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(i => f(df, i)).reduce(_ unionAll _)
+    // replica key stride derived from the SOURCE's max key, never a
+    // fixed literal: a fixed 1e8 offset silently aliases orderkeys
+    // once the source scale passes it (TPC-H orderkeys exceed 1e8
+    // around sf100), corrupting join fan-outs instead of failing
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head.getLong(0) + 1L
 
     // dims + events: copied through (a 100 TB fact sits on the same dims)
     for (t <- Seq("region", "nation", "customer", "supplier", "part", "events"))
       out(t, src(t))
 
+    val okStride = stride(src("orders"), "o_orderkey")
     out("orders", times(src("orders")) { (o, i) =>
-      o.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+      o.withColumn("o_orderkey", col("o_orderkey") + lit(i * okStride))
     })
     out("lineitem", times(src("lineitem")) { (l, i) =>
-      l.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+      l.withColumn("l_orderkey", col("l_orderkey") + lit(i * okStride))
     })
     // documents: fresh ids AND fresh token universe per replica — token
     // df constant, so inverted-index/shingle candidate spaces scale
     // linearly with the corpus instead of quadratically
+    val docStride = stride(src("documents"), "doc_id")
     out("documents", times(src("documents")) { (d, i) =>
-      d.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+      d.withColumn("doc_id", col("doc_id") + lit(i * docStride))
         .withColumn("text",
           if (i == 0) col("text")
           else array_join(
             transform(split(col("text"), " "), t => concat(t, lit(s"_$i"))),
             " "))
     })
+    val vecStride = stride(src("embeddings"), "vec_id")
     out("embeddings", times(src("embeddings")) { (e, i) =>
-      e.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+      e.withColumn("vec_id", col("vec_id") + lit(i * vecStride))
     })
     spark.stop()
   }

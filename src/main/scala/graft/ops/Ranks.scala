@@ -51,10 +51,11 @@ import org.apache.spark.storage.StorageLevel
 object Ranks {
 
   /** Offset rows (numPartitions x numGroups) above this are not
-    * collected to the driver; the lazy broadcast-join path is kept
-    * instead (and the key-frame cache is left to LRU eviction). The
-    * operator targets low-cardinality groups, so this is a backstop,
-    * not a working mode. */
+    * collected to the driver; the frame is localCheckpoint'ed instead
+    * — still lineage-free, so the key-frame cache is unpersisted
+    * either way, but the data never moves to the driver and the join
+    * is left un-broadcast. The operator targets low-cardinality
+    * groups, so this is a backstop, not a working mode. */
   private val MaxCollectedOffsets = 1 << 20
 
   /** Sampled boundary keys over the cached narrow key frame, as
@@ -98,18 +99,33 @@ object Ranks {
       acc + when(keyStruct >= b, 1).otherwise(0)
     }
 
-  /** Collect the tiny offsets frame and rebuild it as a LOCAL
-    * DataFrame (no lineage), or keep the lazy frame when unexpectedly
-    * large. Returns (frame, collected). */
-  private def localized(offsets: DataFrame): (DataFrame, Boolean) = {
-    val probe = offsets.limit(MaxCollectedOffsets + 1).collect()
-    if (probe.length > MaxCollectedOffsets) (offsets, false)
-    else (offsets.sparkSession.createDataFrame(
-      java.util.Arrays.asList(probe: _*), offsets.schema), true)
-  }
+  /** Materialize the offsets frame with its lineage into the cached
+    * key frame CUT, so the caller can unpersist the cache before the
+    * returned plan ever runs. `rows` is the exact offset-row count —
+    * the caller reads it from the already-computed counts frame (one
+    * cheap agg over the cache, never a data-sized collect probe). The
+    * working mode (numPartitions x numGroups rows) collects and
+    * rebuilds a LOCAL DataFrame; an unexpectedly large frame is
+    * localCheckpoint'ed instead — lineage-free without pulling data
+    * to the driver. Returns (frame, smallEnoughToBroadcast). */
+  private def localized(offsets: DataFrame, rows: Long): (DataFrame, Boolean) =
+    if (rows > MaxCollectedOffsets) (offsets.localCheckpoint(true), false)
+    else {
+      val local = offsets.collect()
+      (offsets.sparkSession.createDataFrame(
+        java.util.Arrays.asList(local: _*), offsets.schema), true)
+    }
 
   /** Adds `rn` (1-based global rank of the row within its group,
     * ordered by value then ties) and `n` (group size) to `df`.
+    *
+    * `df` MUST be deterministic across executions: the bucket counts
+    * come from the cached narrow projection, but the final pass
+    * recomputes `__pid` over a FRESH execution of the input plan. A
+    * nondeterministic input (`rand()`, `sample`, a non-idempotent
+    * source) yields offsets and placements from different row sets —
+    * silently wrong global ranks, not an error. Pin such inputs with
+    * `localCheckpoint()` before calling.
     */
   def groupRanked(
       df: DataFrame,
@@ -131,11 +147,12 @@ object Ranks {
         .groupBy(col("__pid"), col("f0")).agg(count(lit(1)).as("__c"))
       val prior = Window.partitionBy("f0").orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val (offsets, collected) = localized(counts.select(
+      val nOff = counts.count() // tiny agg over the cache — gates the collect
+      val (offsets, small) = localized(counts.select(
         col("__pid").as("__pid2"), col("f0").as("__grp2"),
         coalesce(sum("__c").over(prior), lit(0L)).as("__off"),
-        sum("__c").over(Window.partitionBy("f0")).as("n")))
-      if (collected) keyed.unpersist(false)
+        sum("__c").over(Window.partitionBy("f0")).as("n")), nOff)
+      keyed.unpersist(false) // both localized paths are lineage-free
 
       val dfStruct = struct(named: _*)
       val local = Window.partitionBy(col("__pid"), col(group)).orderBy(orderCols: _*)
@@ -143,7 +160,7 @@ object Ranks {
       // a NULL group (null never equals null), losing data instead of
       // ranking the null group like any other
       df.withColumn("__pid", pidExpr(dfStruct, bounds))
-        .join(broadcast(offsets),
+        .join(if (small) broadcast(offsets) else offsets,
           col("__pid") === col("__pid2") && col(group) <=> col("__grp2"))
         .withColumn("rn", row_number().over(local).cast("long") + col("__off"))
         .drop("__pid", "__pid2", "__grp2", "__off")
@@ -164,6 +181,10 @@ object Ranks {
     * determinism — double prefix sums are summation-order-dependent
     * by nature (the order here is pinned, but a window oracle may
     * still accumulate in another association).
+    *
+    * As with [[groupRanked]], `df` must be deterministic across
+    * executions (the final pass re-executes the input plan); pin
+    * sampled/random inputs with `localCheckpoint()` first.
     */
   def groupRunningSum(
       df: DataFrame,
@@ -188,18 +209,19 @@ object Ranks {
         .agg(count(lit(1)).as("__c"), sum(col("__v")).as("__s"))
       val prior = Window.partitionBy("f0").orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val (offsets, collected) = localized(counts.select(
+      val nOff = counts.count() // tiny agg over the cache — gates the collect
+      val (offsets, small) = localized(counts.select(
         col("__pid").as("__pid2"), col("f0").as("__grp2"),
         coalesce(sum("__c").over(prior), lit(0L)).as("__off"),
         coalesce(sum("__s").over(prior), lit(0L)).as("__soff"),
-        sum("__c").over(Window.partitionBy("f0")).as("n")))
-      if (collected) keyed.unpersist(false)
+        sum("__c").over(Window.partitionBy("f0")).as("n")), nOff)
+      keyed.unpersist(false) // both localized paths are lineage-free
 
       val dfStruct = struct(named: _*)
       val local = Window.partitionBy(col("__pid"), col(group)).orderBy(orderCols: _*)
       // null-safe group match — see groupRanked
       df.withColumn("__pid", pidExpr(dfStruct, bounds))
-        .join(broadcast(offsets),
+        .join(if (small) broadcast(offsets) else offsets,
           col("__pid") === col("__pid2") && col(group) <=> col("__grp2"))
         .withColumn("rn", row_number().over(local).cast("long") + col("__off"))
         .withColumn("rsum",

@@ -61,7 +61,7 @@ object Extras20 {
     // commit is one driver-side metadata file.
     QueryDef("q223_txlog_time_travel",
       (s, d) => {
-        val t = java.nio.file.Files.createTempDirectory("graft_txlog")
+        val t = QueryDef.scratch("graft_txlog")
           .resolve("cust").toString
         val base = table(s, d, "customer").select(
           col("c_custkey").as("k"),
@@ -103,7 +103,7 @@ object Extras20 {
     // TxLogTableSpec additionally asserts files really are skipped.
     QueryDef("q224_txlog_pruned_read",
       (s, d) => {
-        val t = java.nio.file.Files.createTempDirectory("graft_txprune")
+        val t = QueryDef.scratch("graft_txprune")
           .resolve("cust").toString
         val base = table(s, d, "customer").select(
           col("c_custkey").as("k"),
@@ -132,7 +132,7 @@ object Extras20 {
     // TxLogTableSpec asserts the file-count/skipping mechanics.
     QueryDef("q225_txlog_compact",
       (s, d) => {
-        val t = java.nio.file.Files.createTempDirectory("graft_txcompact")
+        val t = QueryDef.scratch("graft_txcompact")
           .resolve("cust").toString
         val base = table(s, d, "customer").select(
           col("c_custkey").as("k"),
@@ -175,7 +175,7 @@ object Extras20 {
     // (TxLogTableSpec asserts the actual file skipping).
     QueryDef("q226_txlog_zorder",
       (s, d) => {
-        val t = java.nio.file.Files.createTempDirectory("graft_txz")
+        val t = QueryDef.scratch("graft_txz")
           .resolve("cust").toString
         val base = table(s, d, "customer").select(
           col("c_custkey").as("k"), col("c_nationkey").as("n"),

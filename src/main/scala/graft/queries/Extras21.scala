@@ -22,7 +22,7 @@ object Extras21 {
     // dimension (TxLogTableSpec asserts the actual file skipping).
     QueryDef("q227_txlog_typed_prune",
       (s, d) => {
-        val t = java.nio.file.Files.createTempDirectory("graft_txt")
+        val t = QueryDef.scratch("graft_txt")
           .resolve("orders").toString
         val base = table(s, d, "orders").select(
           col("o_orderkey").as("k"),
@@ -37,7 +37,7 @@ object Extras21 {
               .repartitionByRange(4, col("od")), t)
         def band(part: String, df: org.apache.spark.sql.DataFrame) =
           df.agg(lit(part).as("part"), count(lit(1)).as("n_rows"),
-            sum(col("price")).cast(DecimalType(18, 2)).as("turnover"),
+            sum(col("price")).cast(DecimalType(20, 2)).as("turnover"),
             min(col("od")).as("min_od"), max(col("k")).as("max_k"))
         val dateBand = band("date_band", graft.sink.TxLogTable.prunedRead(
           s, t, "od",
@@ -59,16 +59,16 @@ object Extras21 {
                           AS DECIMAL(16,0)) / 100 AS DECIMAL(14,2)) AS price
                    FROM orders)
               SELECT 'date_band' AS part, COUNT(*) AS n_rows,
-                     CAST(SUM(price) AS DECIMAL(18,2)) AS turnover,
+                     CAST(SUM(price) AS DECIMAL(20,2)) AS turnover,
                      MIN(od) AS min_od, MAX(k) AS max_k
               FROM o WHERE od BETWEEN DATE '1996-03-01' AND DATE '1996-08-31'
               UNION ALL
-              SELECT 'ts_band', COUNT(*), CAST(SUM(price) AS DECIMAL(18,2)),
+              SELECT 'ts_band', COUNT(*), CAST(SUM(price) AS DECIMAL(20,2)),
                      MIN(od), MAX(k)
               FROM o WHERE ots BETWEEN TIMESTAMP '1997-01-01 00:00:00'
                                    AND TIMESTAMP '1997-03-31 23:59:59'
               UNION ALL
-              SELECT 'dec_band', COUNT(*), CAST(SUM(price) AS DECIMAL(18,2)),
+              SELECT 'dec_band', COUNT(*), CAST(SUM(price) AS DECIMAL(20,2)),
                      MIN(od), MAX(k)
               FROM o WHERE price BETWEEN 50000.00 AND 100000.00
               ORDER BY part"""))
@@ -83,7 +83,7 @@ object Extras21 {
     // oracle catches any time-travel slip.
     QueryDef("q228_txlog_format_read",
       (s, d) => {
-        val t = java.nio.file.Files.createTempDirectory("graft_txf")
+        val t = QueryDef.scratch("graft_txf")
           .resolve("orders").toString
         val base = table(s, d, "orders").select(
           col("o_orderkey").as("k"), col("o_totalprice").as("price"))
@@ -115,9 +115,9 @@ object Extras21 {
     // duplicated or dropped micro-batch changes the counts/sums).
     QueryDef("q229_txlog_stream_agg",
       (s, d) => {
-        val t = java.nio.file.Files.createTempDirectory("graft_txs")
+        val t = QueryDef.scratch("graft_txs")
           .resolve("cust").toString
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_txs_ck").toString
+        val ckpt = QueryDef.scratch("graft_txs_ck").toString
         val base = table(s, d, "customer").select(
           col("c_custkey").as("k"), col("c_nationkey").as("nation"),
           expr("CAST(floor(c_acctbal * 100.0) AS BIGINT)").as("bal_c"))
@@ -150,7 +150,7 @@ object Extras21 {
     // feed computes is hash-verified end to end.
     QueryDef("q230_txlog_changes",
       (s, d) => {
-        val t = java.nio.file.Files.createTempDirectory("graft_txc")
+        val t = QueryDef.scratch("graft_txc")
           .resolve("cust").toString
         val base = table(s, d, "customer").select(
           col("c_custkey").as("k"), col("c_nationkey").as("nation"),
@@ -196,7 +196,7 @@ object Extras21 {
     // no-library-API surface a SQL-only user gets.
     QueryDef("q231_txlog_sql_view",
       (s, d) => {
-        val t = java.nio.file.Files.createTempDirectory("graft_txv")
+        val t = QueryDef.scratch("graft_txv")
           .resolve("orders").toString
         val base = table(s, d, "orders").select(
           col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
@@ -228,7 +228,7 @@ object Extras21 {
     // downstream sync job would actually script against.
     QueryDef("q232_txlog_format_changes",
       (s, d) => {
-        val t = java.nio.file.Files.createTempDirectory("graft_txfc")
+        val t = QueryDef.scratch("graft_txfc")
           .resolve("cust").toString
         val base = table(s, d, "customer").select(
           col("c_custkey").as("k"), col("c_nationkey").as("nation"),

@@ -23,7 +23,7 @@ object Extras22 {
     // all recomputed by the oracle straight from `customer`.
     QueryDef("q233_txlog_delete_update",
       (s, d) => {
-        val t = java.nio.file.Files.createTempDirectory("graft_txdml")
+        val t = QueryDef.scratch("graft_txdml")
           .resolve("cust").toString
         val base = table(s, d, "customer").select(
           col("c_custkey").as("k"),
@@ -85,7 +85,7 @@ object Extras22 {
     // where broadcast would win at test scale.
     QueryDef("q234_bucketed_join",
       (s, d) => {
-        val wh = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+        val wh = QueryDef.scratch("graft_bucket").toString
         s.sql("DROP TABLE IF EXISTS graft_b_orders")
         s.sql("DROP TABLE IF EXISTS graft_b_customer")
         table(s, d, "orders").select(col("o_custkey"),
@@ -120,7 +120,7 @@ object Extras22 {
     // the hash proves maintained == recomputed exactly.
     QueryDef("q235_matview_incremental",
       (s, d) => {
-        val t = java.nio.file.Files.createTempDirectory("graft_mv")
+        val t = QueryDef.scratch("graft_mv")
           .resolve("ord").toString
         val base = table(s, d, "orders").select(
           col("o_orderkey").as("k"), col("o_custkey").as("cust"),
@@ -164,7 +164,7 @@ object Extras22 {
     QueryDef("q236_partition_pruning",
       (s, d) => {
         import s.implicits._
-        val p = java.nio.file.Files.createTempDirectory("graft_dpp")
+        val p = QueryDef.scratch("graft_dpp")
           .resolve("li").toString
         table(s, d, "lineitem")
           .select(col("l_returnflag"), col("l_quantity"),
@@ -198,7 +198,7 @@ object Extras22 {
     // directly to `orders`, proving statement semantics end to end.
     QueryDef("q237_sql_dml",
       (s, d) => {
-        val t = java.nio.file.Files.createTempDirectory("graft_sqldml")
+        val t = QueryDef.scratch("graft_sqldml")
           .resolve("ords").toString
         graft.sink.TxLogTable.append(
           table(s, d, "orders").select(
@@ -239,7 +239,7 @@ object Extras22 {
     // The oracle rebuilds the same union from `customer`.
     QueryDef("q238_schema_evolution",
       (s, d) => {
-        val t = java.nio.file.Files.createTempDirectory("graft_evolve")
+        val t = QueryDef.scratch("graft_evolve")
           .resolve("cust").toString
         val base = table(s, d, "customer").select(
           col("c_custkey").as("k"),
@@ -273,7 +273,7 @@ object Extras22 {
     // rollback and that the rolled-back version stays travelable.
     QueryDef("q239_txlog_restore",
       (s, d) => {
-        val t = java.nio.file.Files.createTempDirectory("graft_restore")
+        val t = QueryDef.scratch("graft_restore")
           .resolve("supp").toString
         val base = table(s, d, "supplier").select(
           col("s_suppkey").as("k"), col("s_nationkey").as("nat"),
@@ -312,7 +312,7 @@ object Extras22 {
     // the final corpus state (the oracle's own minhash algebra).
     QueryDef("q241_incremental_lsh_index",
       (s, d) => {
-        val t = java.nio.file.Files.createTempDirectory("graft_lshidx")
+        val t = QueryDef.scratch("graft_lshidx")
           .resolve("docs").toString
         val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
         graft.sink.TxLogTable.append(
@@ -408,7 +408,7 @@ object Extras22 {
     // TxLogTableSpec proves the zero-copy/materialization mechanics.
     QueryDef("q246_shallow_clone",
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_clone")
+        val tmp = QueryDef.scratch("graft_clone")
         val src = tmp.resolve("src").toString
         val dst = tmp.resolve("dev").toString
         val base = table(s, d, "supplier").select(
@@ -538,7 +538,7 @@ object Extras22 {
     // checkpoint survival, update gating) are TxLogTableSpec's.
     QueryDef("q240_check_constraints",
       (s, d) => {
-        val t = java.nio.file.Files.createTempDirectory("graft_check")
+        val t = QueryDef.scratch("graft_check")
           .resolve("part").toString
         val base = table(s, d, "part").select(
           col("p_partkey").as("k"), col("p_size").as("size"),

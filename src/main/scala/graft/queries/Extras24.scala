@@ -18,7 +18,7 @@ object Extras24 {
     */
   private def ensureCatalog(s: org.apache.spark.sql.SparkSession): Unit = {
     if (s.conf.getOption("spark.sql.catalog.graft").isEmpty) {
-      val wh = java.nio.file.Files.createTempDirectory("graft_cat_wh").toString
+      val wh = QueryDef.scratch("graft_cat_wh").toString
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.warehouse", wh)
     }
@@ -87,7 +87,7 @@ object Extras24 {
     // everything from `customer`.
     QueryDef("q260_deletion_vectors",
       (s, d) => {
-        val t = java.nio.file.Files.createTempDirectory("graft_dv")
+        val t = QueryDef.scratch("graft_dv")
           .resolve("cust").toString
         val base = table(s, d, "customer").select(
           col("c_custkey").as("k"),

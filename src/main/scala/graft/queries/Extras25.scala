@@ -157,7 +157,7 @@ object Extras25 {
     QueryDef("q266_column_mapping",
       (s, d) => {
         import graft.sink.TxLogTable
-        val t = java.nio.file.Files.createTempDirectory("graft_cm_q")
+        val t = QueryDef.scratch("graft_cm_q")
           .resolve("t").toString
         val cust = table(s, d, "customer").select(
           col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
@@ -270,7 +270,7 @@ object Extras25 {
     // upstreams (Hive warehouses) needs exactly this path.
     QueryDef("q268_orc_roundtrip",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_orc")
+        val dir = QueryDef.scratch("graft_orc")
           .resolve("li").toString
         table(s, d, "lineitem")
           .select(col("l_returnflag"), col("l_quantity"),
@@ -301,7 +301,7 @@ object Extras25 {
     QueryDef("q269_schema_surgery",
       (s, d) => {
         import graft.sink.TxLogTable
-        val t = java.nio.file.Files.createTempDirectory("graft_ss_q")
+        val t = QueryDef.scratch("graft_ss_q")
           .resolve("t").toString
         val cust = table(s, d, "customer").select(
           col("c_custkey").as("k"), col("c_mktsegment").as("seg"),

@@ -254,7 +254,7 @@ object Extras27 {
     QueryDef("q280_generated_columns",
       (s, d) => {
         import graft.sink.TxLogTable
-        val t = java.nio.file.Files.createTempDirectory("graft_gen_q")
+        val t = QueryDef.scratch("graft_gen_q")
           .resolve("t").toString
         TxLogTable.create(s, t, StructType(Seq(
           StructField("k", LongType), StructField("bal_c", LongType),

@@ -13,6 +13,42 @@ final case class QueryDef(
     oracle: Option[String])
 
 object QueryDef {
+
+  /** Per-JVM scratch base for queries that materialize side tables
+    * (TxLog tables, bucketed warehouses, ORC round-trips). One temp
+    * base per session, removed by a shutdown hook — repeated
+    * verify/bench/stability sweeps previously leaked one
+    * `Files.createTempDirectory` per query execution (27 sites),
+    * accumulating unbounded /tmp dirs. */
+  private lazy val scratchBase: java.nio.file.Path = {
+    val base = java.nio.file.Files.createTempDirectory("graft_scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(base)))
+    base
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
+  }
+
+  /** A deterministic per-prefix scratch dir, EMPTIED on every call:
+    * re-running the same query overwrites its previous scratch
+    * instead of leaking a fresh temp dir. Queries run sequentially in
+    * Verify/Bench; the synchronization is a backstop for concurrent
+    * callers with distinct prefixes. Returns a freshly-created empty
+    * directory — the exact `createTempDirectory` contract the call
+    * sites were written against. */
+  def scratch(prefix: String): java.nio.file.Path = scratchBase.synchronized {
+    val p = scratchBase.resolve(prefix)
+    deleteRecursively(p)
+    java.nio.file.Files.createDirectories(p)
+  }
+
   /** Shorthand parquet table loader for the testdata star schema.
     *
     * `events.ts` is physically TIMESTAMP(NANOS) parquet, which Spark
