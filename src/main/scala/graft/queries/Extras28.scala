@@ -1,0 +1,435 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.{Graph, Similarity}
+import QueryDef.table
+
+/** Round-9 widening: training-data pipeline LEARNING steps — the ops
+  * that turn a curated corpus into model inputs. Everything before
+  * this round filtered/deduped/tokenized with FIXED parameters; these
+  * queries LEARN parameters from the corpus itself, each as ordinary
+  * Catalyst plans:
+  *
+  *   - q281 BPE merge induction (vocabulary learning over the
+  *     distinct-word frame — the value-domain-bounded form)
+  *   - q282 majority label propagation (community detection, the
+  *     Pregel superstep as join+argmax)
+  *   - q283 hard-negative mining for contrastive training (LSH-blocked
+  *     cross-label top-k)
+  *   - q284 logistic-regression training with quantized gradients
+  *     (integer-exact distributed GD — no double-summation-order
+  *     nondeterminism anywhere)
+  *   - q285 OOV-rate-vs-vocab-size curve (the tokenizer-budget
+  *     planning table)
+  *
+  * Determinism notes: all cross-row accumulation is over BIGINTs
+  * (counts, quantized gradients) — order-insensitive by construction;
+  * per-row double math is identical pinned expression trees on both
+  * engines; ranks tie-break on explicit key columns.
+  */
+object Extras28 {
+
+  /** md5-hash a token into one of 8 feature slots (the q261 hashing
+    * trick, shared by train and inference so a model trained here
+    * could score there). */
+  private def featSlot(tok: String): String =
+    s"(CAST(conv(substring(md5($tok), 1, 4), 16, 10) AS BIGINT) % 8)"
+  private def featSlotDuck(tok: String): String =
+    s"(CAST(CAST('0x' || substr(md5($tok), 1, 4) AS INTEGER) AS BIGINT) % 8)"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // BPE vocabulary induction at corpus scale: 3 merge rounds, each
+    // one aggregate over the DISTINCT-WORD frame (weighted by word
+    // frequency) — the whole corpus collapses to its value domain
+    // first, so a 100 TB corpus costs one word-count shuffle and the
+    // merge loop then runs over millions of distinct words, not
+    // trillions of tokens. Pair selection is the standard max-count
+    // (overlapping-count heuristic, ties to the lexicographically
+    // first pair); merge application is a boundary-guarded literal
+    // replace — an immediately-adjacent repeat of the merged pair
+    // (e.g. "a a a a" under merge "a a") defers its second merge to
+    // the next round, identically on both engines. Emits per round:
+    // the chosen pair, its weighted count, and the corpus token count
+    // after applying the merge — the compression-curve a tokenizer
+    // budget is planned against.
+    QueryDef("q281_bpe_merges",
+      (s, d) => {
+        val words = table(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+          .withColumn("seq", expr("trim(regexp_replace(word, '(.)', '$1 '))"))
+          .localCheckpoint() // distinct-word frame: value-domain-sized
+        // one merge round: count adjacent symbol pairs (weighted),
+        // pick the max, rewrite every word's segmentation
+        def round(w: DataFrame): (DataFrame, DataFrame) = {
+          val pairs = w
+            .select(col("freq"), expr("split(seq, ' ')").as("sy"))
+            .select(col("freq"), explode(expr(
+              "CASE WHEN size(sy) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
+                "ELSE transform(sequence(0, size(sy) - 2), " +
+                "i -> concat(sy[i], ' ', sy[i + 1])) END")).as("pair"))
+            .groupBy("pair").agg(sum("freq").as("cnt"))
+          val best = pairs.orderBy(col("cnt").desc, col("pair")).limit(1)
+            .localCheckpoint() // 1 row — pin so both consumers see one choice
+          val merged = w.crossJoin(broadcast(best))
+            .withColumn("seq", expr(
+              "trim(replace(concat(' ', seq, ' '), concat(' ', pair, ' '), " +
+                "concat(' ', replace(pair, ' ', ''), ' ')))"))
+            .select("word", "freq", "seq")
+            .localCheckpoint() // next round re-reads it twice (pairs + rewrite)
+          (merged, best)
+        }
+        val (w1, b1) = round(words)
+        val (w2, b2) = round(w1)
+        val (w3, b3) = round(w2)
+        def statRow(r: Int, b: DataFrame, w: DataFrame) =
+          b.crossJoin(w.agg(
+            sum(col("freq") * size(split(col("seq"), " ")).cast(LongType))
+              .as("tokens_after")))
+            .select(lit(r).as("round"), col("pair"), col("cnt"),
+              col("tokens_after"))
+        statRow(1, b1, w1).unionAll(statRow(2, b2, w2))
+          .unionAll(statRow(3, b3, w3)).orderBy("round")
+      },
+      Some {
+        def rnd(i: Int) = s"""
+              p$i AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+                      FROM (SELECT freq,
+                              unnest([sy[j] || ' ' || sy[j + 1]
+                                      for j in range(1, len(sy))]) AS pair
+                            FROM (SELECT freq, string_split(seq, ' ') AS sy
+                                  FROM w${i - 1}))
+                      GROUP BY pair),
+              b$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+              w$i AS (SELECT word, freq,
+                        trim(replace(' ' || seq || ' ', ' ' || b.pair || ' ',
+                             ' ' || replace(b.pair, ' ', '') || ' ')) AS seq
+                      FROM w${i - 1}, b$i b)"""
+        def stat(i: Int) =
+          s"""SELECT $i AS round, pair, cnt,
+                (SELECT CAST(SUM(freq * len(string_split(seq, ' '))) AS BIGINT)
+                 FROM w$i) AS tokens_after FROM b$i"""
+        s"""WITH words AS (
+              SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+              WHERE len(word) > 0 GROUP BY word),
+            w0 AS (SELECT word, freq,
+                     trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+                   FROM words),
+            ${rnd(1)},
+            ${rnd(2)},
+            ${rnd(3)}
+            ${stat(1)} UNION ALL ${stat(2)} UNION ALL ${stat(3)}
+            ORDER BY round"""
+      }),
+
+    // synchronous majority label propagation (2 rounds) over the part
+    // co-occurrence graph — community detection as the Pregel
+    // superstep: each round is one edges-to-labels equi-join plus one
+    // per-node argmax (most frequent neighbor label, ties to the
+    // smallest label — a deterministic min-struct, not a sampled
+    // tie-break). Labels start as node ids; after round 1 every node
+    // holds its min neighbor id, after round 2 genuine neighborhoods
+    // have converged onto shared labels. Scale shape: each round
+    // shuffles (edge endpoints x label) pairs — degree-bounded like
+    // q132's PageRank, with no vertex ever holding more state than
+    // one label.
+    QueryDef("q282_label_propagation",
+      (s, d) => {
+        val e = Graph.coOccurrenceEdges(
+          table(s, d, "lineitem"), "l_orderkey", "l_partkey")
+          .localCheckpoint() // both rounds + node list re-read the edges
+        val sym = e.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+        val nodes = sym.select(col("src").as("node")).distinct()
+          .localCheckpoint()
+        val l0 = nodes.withColumn("label", col("node"))
+        def round(l: DataFrame): DataFrame = {
+          val best = sym.join(l.select(col("node").as("dst"), col("label")), "dst")
+            .groupBy(col("src"), col("label"))
+            .agg(count(lit(1)).as("cnt"))
+            .groupBy("src")
+            .agg(min(struct((-col("cnt")).as("negc"), col("label"))).as("b"))
+            .select(col("src").as("node"), col("b.label").as("nlabel"))
+          nodes.join(best, Seq("node"), "left")
+            .select(col("node"), coalesce(col("nlabel"), col("node")).as("label"))
+            .localCheckpoint() // next round reads it as both sides
+        }
+        val l2 = round(round(l0))
+        l2.groupBy(col("label").as("community"))
+          .agg(count(lit(1)).as("size"),
+            min("node").as("min_node"), max("node").as("max_node"))
+          .orderBy(col("size").desc, col("community"))
+          .limit(10)
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                          FROM lineitem a JOIN lineitem b
+                            ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey),
+              sym AS (SELECT u AS src, v AS dst FROM e0
+                      UNION ALL SELECT v, u FROM e0),
+              n0 AS (SELECT DISTINCT src AS node FROM sym),
+              l0 AS (SELECT node, node AS label FROM n0),
+              c1 AS (SELECT s.src, l.label, CAST(COUNT(*) AS BIGINT) AS cnt
+                     FROM sym s JOIN l0 l ON l.node = s.dst
+                     GROUP BY s.src, l.label),
+              r1 AS (SELECT src, label, ROW_NUMBER() OVER
+                       (PARTITION BY src ORDER BY cnt DESC, label) AS rn
+                     FROM c1),
+              l1 AS (SELECT n.node, COALESCE(r.label, n.node) AS label
+                     FROM n0 n LEFT JOIN
+                       (SELECT src, label FROM r1 WHERE rn = 1) r
+                       ON r.src = n.node),
+              c2 AS (SELECT s.src, l.label, CAST(COUNT(*) AS BIGINT) AS cnt
+                     FROM sym s JOIN l1 l ON l.node = s.dst
+                     GROUP BY s.src, l.label),
+              r2 AS (SELECT src, label, ROW_NUMBER() OVER
+                       (PARTITION BY src ORDER BY cnt DESC, label) AS rn
+                     FROM c2),
+              l2 AS (SELECT n.node, COALESCE(r.label, n.node) AS label
+                     FROM n0 n LEFT JOIN
+                       (SELECT src, label FROM r2 WHERE rn = 1) r
+                       ON r.src = n.node)
+              SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS size,
+                     MIN(node) AS min_node, MAX(node) AS max_node
+              FROM l2 GROUP BY label
+              ORDER BY size DESC, community LIMIT 10""")),
+
+    // hard-negative mining for contrastive training: for each anchor
+    // (a deterministic 1-in-7 id sample), the top-3 most-similar
+    // vectors carrying a DIFFERENT class label — the pairs a
+    // contrastive loss learns the most from, and exactly the mining
+    // step behind embedding-model curricula. Blocked by the sign-LSH
+    // bucket (similar vectors collide), so the candidate join is an
+    // equi-join touching ~1/2^bits of the anchor x corpus pair space
+    // — never all-pairs. At 100 TB the bucket key is also the
+    // partition key, so each executor mines its own bucket locally.
+    QueryDef("q283_hard_negatives",
+      (s, d) => {
+        val b = table(s, d, "embeddings").select(
+          col("vec_id"), col("label"), col("embedding"),
+          Similarity.signBucket(col("embedding"), 4).as("bucket"))
+        val anchors = b.filter(col("vec_id") % 7 === 0).select(
+          col("bucket"), col("vec_id").as("a_id"), col("label").as("a_label"),
+          col("embedding").as("a_emb"))
+        val cands = b.select(
+          col("bucket"), col("vec_id").as("c_id"), col("label").as("c_label"),
+          col("embedding").as("c_emb"))
+        val w = Window.partitionBy("a_id")
+          .orderBy(col("cos").desc, col("c_id"))
+        anchors.join(cands, "bucket")
+          .filter(col("c_label") =!= col("a_label"))
+          .select(col("a_id"), col("a_label"), col("c_id"), col("c_label"),
+            graft.functions.VectorExprs
+              .cosineSim(col("a_emb"), col("c_emb")).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("a_id", "rank", "c_id", "a_label", "c_label", "cos")
+          .orderBy("a_id", "rank")
+      },
+      Some {
+        val bucketSql = (1 to 4).map(i =>
+          s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ")
+        s"""WITH b AS (SELECT vec_id, label, embedding,
+                         $bucketSql AS bucket
+                       FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id AS a_id, a.label AS a_label,
+                     c.vec_id AS c_id, c.label AS c_label,
+                     list_cosine_similarity(
+                       list_transform(a.embedding, v -> CAST(v AS DOUBLE)),
+                       list_transform(c.embedding, v -> CAST(v AS DOUBLE))) AS cos
+              FROM b a JOIN b c ON a.bucket = c.bucket
+              WHERE a.vec_id % 7 = 0 AND c.label <> a.label),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER
+                (PARTITION BY a_id ORDER BY cos DESC, c_id) AS rank
+              FROM pairs)
+            SELECT a_id, CAST(rank AS INT) AS rank, c_id, a_label, c_label, cos
+            FROM ranked WHERE rank <= 3
+            ORDER BY a_id, rank"""
+      }),
+
+    // logistic-regression TRAINING at corpus scale (2 full-batch
+    // gradient steps; q261 is the inference half): hashed bag-of-words
+    // features, fast-sigmoid activation z/(1+|z|) (division and abs —
+    // correctly rounded IEEE ops, portable where exp is not), and
+    // QUANTIZED gradients: every cross-row accumulation is a BIGINT
+    // sum of floor(residual * 2^20) * count values — exact and
+    // summation-order-free, the same trick distributed training uses
+    // for gradient compression, here buying bit-reproducibility. The
+    // scale shape is two map-reduce passes over the corpus, each
+    // shuffling 8 longs per partition after map-side combine; weights
+    // move driver-free through a 1-row broadcast.
+    QueryDef("q284_lr_train",
+      (s, d) => {
+        val F = 8
+        val feats = table(s, d, "documents")
+          .select(col("doc_id"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+            split(col("text"), " ").as("w"))
+          .select(Seq(col("doc_id"), col("y")) ++ (0 until F).map(f =>
+            expr(s"CAST(size(filter(w, t -> ${featSlot("t")} = $f)) AS BIGINT)")
+              .as(s"x$f")): _*)
+          .localCheckpoint() // feeds both gradient passes
+        // step 1: w=0 -> p=1/2 exactly -> residual quantizes to +-2^19
+        val a1 = feats.agg(
+          count(lit(1)).as("n"),
+          (0 until F).map(f =>
+            sum(((col("y") * 2 - 1) * 524288L) * col(s"x$f")).as(s"g1_$f")): _*)
+        val w1 = a1.select(Seq(col("n")) ++ (0 until F).flatMap(f => Seq(
+          col(s"g1_$f"),
+          (col(s"g1_$f").cast(DoubleType) * 0.1 /
+            (col("n").cast(DoubleType) * 1048576.0)).as(s"w1_$f"))): _*)
+        // step 2: z from quantized per-feature terms (order-free sum
+        // of longs), fast-sigmoid, quantized residual
+        val zq = (0 until F).map(f =>
+          expr(s"CAST(floor(w1_$f * CAST(x$f AS DOUBLE) * 1048576.0) AS BIGINT)"))
+          .reduce(_ + _)
+        val scored = feats.crossJoin(broadcast(w1))
+          .withColumn("zq", zq)
+          .withColumn("z", col("zq").cast(DoubleType) / 1048576.0)
+          .withColumn("p",
+            lit(0.5) * (lit(1.0) + col("z") / (lit(1.0) + abs(col("z")))))
+          .withColumn("r2q", expr(
+            "CAST(floor((CAST(y AS DOUBLE) - p) * 1048576.0) AS BIGINT)"))
+        val a2 = scored.agg(
+          max("n").as("n"),
+          (0 until F).map(f =>
+            sum(col("r2q") * col(s"x$f")).as(s"g2_$f")) ++
+          (0 until F).flatMap(f => Seq(
+            max(s"g1_$f").as(s"g1_$f"), max(s"w1_$f").as(s"w1_$f"))) ++
+          Seq(sum(when((col("zq") > 0) === (col("y") === 1), 1L)
+            .otherwise(0L)).as("n_correct1")): _*)
+        val withW2 = a2.select(Seq(col("n"), col("n_correct1")) ++
+          (0 until F).flatMap(f => Seq(
+            col(s"g1_$f"), col(s"w1_$f"), col(s"g2_$f"),
+            (col(s"w1_$f") +
+              col(s"g2_$f").cast(DoubleType) * 0.1 /
+                (col("n").cast(DoubleType) * 1048576.0)).as(s"w2_$f"))): _*)
+        val stackArgs = (0 until F).map(f =>
+          s"$f, g1_$f, w1_$f, g2_$f, w2_$f").mkString(", ")
+        withW2.select(
+          expr(s"stack($F, $stackArgs) AS (f, g1, w1, g2, w2)"),
+          col("n").as("n_docs"), col("n_correct1"))
+          .orderBy("f")
+      },
+      Some {
+        val F = 8
+        val xs = (0 until F).map(f =>
+          s"""CAST(len(list_filter(w, t -> ${featSlotDuck("t")} = $f))
+                AS BIGINT) AS x$f""").mkString(",\n                ")
+        val g1s = (0 until F).map(f =>
+          s"CAST(SUM(((y * 2 - 1) * 524288) * x$f) AS BIGINT) AS g1_$f")
+          .mkString(",\n                ")
+        val w1s = (0 until F).map(f =>
+          s"CAST(g1_$f AS DOUBLE) * 0.1 / (CAST(n AS DOUBLE) * 1048576.0) AS w1_$f")
+          .mkString(",\n                ")
+        val zTerms = (0 until F).map(f =>
+          s"CAST(floor(w1.w1_$f * CAST(f.x$f AS DOUBLE) * 1048576.0) AS BIGINT)")
+          .mkString(" + ")
+        val g2s = (0 until F).map(f =>
+          s"CAST(SUM(r2q * x$f) AS BIGINT) AS g2_$f").mkString(",\n                ")
+        val outRows = (0 until F).map(f =>
+          s"""SELECT $f AS f, a1.g1_$f AS g1, w1.w1_$f AS w1, a2.g2_$f AS g2,
+                w1.w1_$f + CAST(a2.g2_$f AS DOUBLE) * 0.1 /
+                  (CAST(a1.n AS DOUBLE) * 1048576.0) AS w2,
+                a1.n AS n_docs, a2.n_correct1
+              FROM a1, w1, a2""").mkString("\n              UNION ALL\n              ")
+        s"""WITH docs AS (
+              SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                     string_split(text, ' ') AS w
+              FROM documents),
+            feats AS (
+              SELECT doc_id, y,
+                $xs
+              FROM docs),
+            a1 AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                $g1s
+              FROM feats),
+            w1 AS (
+              SELECT n,
+                $w1s
+              FROM a1),
+            scored AS (
+              SELECT f.y, ${(0 until F).map(f => s"f.x$f").mkString(", ")},
+                     zq, CAST(zq AS DOUBLE) / 1048576.0 AS z
+              FROM (SELECT *, $zTerms AS zq
+                    FROM feats f, w1) f),
+            resid AS (
+              SELECT *,
+                CAST(floor((CAST(y AS DOUBLE) -
+                  (0.5 * (1.0 + z / (1.0 + abs(z))))) * 1048576.0) AS BIGINT)
+                  AS r2q
+              FROM scored),
+            a2 AS (
+              SELECT
+                $g2s,
+                CAST(SUM(CASE WHEN (zq > 0 AND y = 1) OR (zq <= 0 AND y = 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct1
+              FROM resid)
+              $outRows
+              ORDER BY f"""
+      }),
+
+    // OOV-rate-vs-vocab-size curve: keep the top-V words by corpus
+    // frequency (ties lexicographic) for V in {8, 16, 32} and report
+    // what fraction of all TOKEN OCCURRENCES falls outside each vocab
+    // — the table a tokenizer budget (and q281's merge count) is
+    // chosen against. One word-count shuffle + one rank over the
+    // distinct-word frame; the three curve points are conditional
+    // sums in a single aggregate, so corpus cost is independent of
+    // how many Vs are probed.
+    QueryDef("q285_oov_curve",
+      (s, d) => {
+        val words = table(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        val ranked = words.withColumn("rk",
+          row_number().over(Window.orderBy(col("freq").desc, col("word"))))
+        val aggCols = Seq(sum(col("freq")).as("total")) ++
+          Seq(8, 16, 32).map(v =>
+            sum(when(col("rk") <= v, col("freq")).otherwise(0L)).as(s"cov_$v"))
+        val agg = ranked.agg(count(lit(1)).as("n_distinct"), aggCols: _*)
+        agg.select(expr(
+          "stack(3, 8, cov_8, 16, cov_16, 32, cov_32) AS (vocab_size, covered)"),
+          col("n_distinct"), col("total"))
+          .withColumn("oov_rate",
+            lit(1.0) - col("covered").cast(DoubleType) / col("total").cast(DoubleType))
+          .select("vocab_size", "n_distinct", "total", "covered", "oov_rate")
+          .orderBy("vocab_size")
+      },
+      Some("""WITH words AS (
+                SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+                FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                WHERE len(word) > 0 GROUP BY word),
+              ranked AS (
+                SELECT word, freq, ROW_NUMBER() OVER
+                  (ORDER BY freq DESC, word) AS rk
+                FROM words),
+              agg AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                       CAST(SUM(freq) AS BIGINT) AS total,
+                       CAST(SUM(CASE WHEN rk <= 8 THEN freq ELSE 0 END) AS BIGINT) AS cov_8,
+                       CAST(SUM(CASE WHEN rk <= 16 THEN freq ELSE 0 END) AS BIGINT) AS cov_16,
+                       CAST(SUM(CASE WHEN rk <= 32 THEN freq ELSE 0 END) AS BIGINT) AS cov_32
+                FROM ranked)
+              SELECT v.vocab_size, a.n_distinct, a.total,
+                     CASE v.vocab_size WHEN 8 THEN a.cov_8
+                                       WHEN 16 THEN a.cov_16
+                                       ELSE a.cov_32 END AS covered,
+                     1.0 - CAST(CASE v.vocab_size WHEN 8 THEN a.cov_8
+                                       WHEN 16 THEN a.cov_16
+                                       ELSE a.cov_32 END AS DOUBLE) /
+                           CAST(a.total AS DOUBLE) AS oov_rate
+              FROM agg a, (VALUES (8), (16), (32)) AS v(vocab_size)
+              ORDER BY v.vocab_size""")))
+}

@@ -241,28 +241,50 @@ object Extras9 {
 
     // referential-integrity audit over the whole star schema: row and
     // orphan counts for every FK edge, as one summary frame — the
-    // data-quality gate a lake runs after every load. Each edge is an
-    // anti-join on its key (dim sides broadcast when small); output is
-    // seven rows however large the facts are.
+    // data-quality gate a lake runs after every load. Each CHILD table
+    // is scanned ONCE: all of its FK edges resolve as left joins
+    // against parent key projections in a single plan, and one
+    // conditional aggregate counts rows + per-edge null parents (the
+    // anti-join count IS the null-parent count when the parent key is
+    // unique). The old shape ran a separate anti-join + count pair per
+    // edge — six executions of the lineitem scan; this runs one, which
+    // is the difference between 1x and 6x the fact I/O at 100 TB.
+    // Parent sides are key-only projections (broadcast when small,
+    // shuffle otherwise — AQE's call); output is seven rows however
+    // large the facts are.
     QueryDef("q167_fk_orphans",
       (s, d) => {
-        def edge(name: String, childTbl: String, fk: String,
-            parentTbl: String, pk: String) = {
-          val child = table(s, d, childTbl)
-          val parent = table(s, d, parentTbl)
-          val orphans = child.join(parent, col(fk) === col(pk), "left_anti")
-            .agg(count(lit(1)).as("n_orphans"))
-          child.agg(count(lit(1)).as("n_rows")).crossJoin(orphans)
-            .select(lit(name).as("edge"), col("n_rows"), col("n_orphans"))
+        // child scanned once; edges = (name, fk, parentTbl, pk)
+        def audit(childTbl: String, edges: Seq[(String, String, String, String)]) = {
+          val joined = edges.foldLeft(table(s, d, childTbl)) {
+            case (acc, (_, fk, parentTbl, pk)) =>
+              acc.join(table(s, d, parentTbl).select(col(pk).as(s"__p_$fk")),
+                col(fk) === col(s"__p_$fk"), "left")
+          }
+          val agg = joined.agg(
+            count(lit(1)).as("n_rows"),
+            edges.map { case (_, fk, _, _) =>
+              count(when(col(s"__p_$fk").isNull, 1)).as(s"__o_$fk")
+            }: _*)
+          val stackArgs = edges.map { case (name, fk, _, _) =>
+            s"'$name', n_rows, __o_$fk"
+          }.mkString(", ")
+          agg.select(expr(
+            s"stack(${edges.size}, $stackArgs) AS (edge, n_rows, n_orphans)"))
         }
         Seq(
-          edge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
-          edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
-          edge("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
-          edge("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
-          edge("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
-          edge("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
-          edge("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+          audit("customer", Seq(
+            ("customer->nation", "c_nationkey", "nation", "n_nationkey"))),
+          audit("lineitem", Seq(
+            ("lineitem->orders", "l_orderkey", "orders", "o_orderkey"),
+            ("lineitem->part", "l_partkey", "part", "p_partkey"),
+            ("lineitem->supplier", "l_suppkey", "supplier", "s_suppkey"))),
+          audit("nation", Seq(
+            ("nation->region", "n_regionkey", "region", "r_regionkey"))),
+          audit("orders", Seq(
+            ("orders->customer", "o_custkey", "customer", "c_custkey"))),
+          audit("supplier", Seq(
+            ("supplier->nation", "s_nationkey", "nation", "n_nationkey"))))
           .reduce(_ unionAll _)
           .orderBy("edge")
       },

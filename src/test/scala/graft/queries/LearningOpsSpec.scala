@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+import org.apache.spark.sql.functions._
+
+/** Invariants of the round-9 corpus-learning queries that the hash
+  * oracle verifies only implicitly: BPE compression monotonicity,
+  * label-propagation bookkeeping, hard-negative ordering, gradient
+  * algebra, and OOV-curve monotonicity.
+  */
+class LearningOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q281: each BPE merge strictly shrinks the corpus token count") {
+    val rows = SparkEntry.queries("q281_bpe_merges")(spark, sf)
+      .orderBy("round").collect()
+    assert(rows.length === 3)
+    val toks = rows.map(_.getAs[Long]("tokens_after"))
+    assert(toks(0) > toks(1) && toks(1) > toks(2),
+      s"tokens_after must strictly decrease: ${toks.mkString(",")}")
+    // a merge saves exactly cnt tokens ONLY if no adjacent repeats
+    // deferred — so the bound is: savings <= cnt, savings > 0
+    rows.foreach { r =>
+      val pair = r.getAs[String]("pair")
+      assert(pair.split(" ").length === 2, s"pair must be two symbols: '$pair'")
+      assert(r.getAs[Long]("cnt") > 0L)
+    }
+  }
+
+  test("q282: community sizes are sane and deterministic") {
+    val q = SparkEntry.queries("q282_label_propagation")
+    val a = q(spark, sf).collect()
+    val b = q(spark, sf).collect()
+    assert(a.toSeq === b.toSeq, "label propagation must be deterministic")
+    assert(a.nonEmpty)
+    val sizes = a.map(_.getAs[Long]("size"))
+    assert(sizes.sameElements(sizes.sortBy(-_)), "sizes must be descending")
+    a.foreach { r =>
+      assert(r.getAs[Long]("min_node") <= r.getAs[Long]("max_node"))
+      assert(r.getAs[Long]("size") >= 1L)
+    }
+  }
+
+  test("q283: hard negatives cross labels, ranks contiguous, cos ordered") {
+    val rows = SparkEntry.queries("q283_hard_negatives")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a_id") % 7 === 0L, "anchors are the 1-in-7 sample")
+      assert(r.getAs[Int]("a_label") !== r.getAs[Int]("c_label"),
+        "a hard NEGATIVE must carry a different label")
+      val cos = r.getAs[Double]("cos")
+      assert(cos >= -1.0001 && cos <= 1.0001)
+    }
+    rows.groupBy(_.getAs[Long]("a_id")).foreach { case (a, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq === (1 to rs.length),
+        s"ranks for anchor $a must be contiguous from 1")
+      val coss = byRank.map(_.getAs[Double]("cos"))
+      assert(coss.zip(coss.tail).forall { case (x, y) => x >= y },
+        s"cos must be non-increasing with rank for anchor $a")
+    }
+  }
+
+  test("q284: weight algebra matches the quantized gradients exactly") {
+    val rows = SparkEntry.queries("q284_lr_train")(spark, sf)
+      .orderBy("f").collect()
+    assert(rows.length === 8)
+    val n = rows.head.getAs[Long]("n_docs")
+    rows.foreach { r =>
+      val g1 = r.getAs[Long]("g1"); val w1 = r.getAs[Double]("w1")
+      val g2 = r.getAs[Long]("g2"); val w2 = r.getAs[Double]("w2")
+      assert(w1 === g1.toDouble * 0.1 / (n.toDouble * 1048576.0),
+        s"w1 must be the exact scaled gradient for f=${r.getAs[Int]("f")}")
+      assert(w2 === w1 + g2.toDouble * 0.1 / (n.toDouble * 1048576.0))
+      assert(!w1.isNaN && !w2.isNaN)
+    }
+    val correct = rows.head.getAs[Long]("n_correct1")
+    assert(correct >= 0L && correct <= n)
+    // step 2 must actually move at least one weight (zero movement
+    // would mean every residual quantized to zero — not learning)
+    assert(rows.exists(r => r.getAs[Double]("w2") !== r.getAs[Double]("w1")))
+  }
+
+  test("q285: OOV rate is non-increasing in vocab size and exact at the cap") {
+    val rows = SparkEntry.queries("q285_oov_curve")(spark, sf)
+      .orderBy("vocab_size").collect()
+    assert(rows.length === 3)
+    val rates = rows.map(_.getAs[Double]("oov_rate"))
+    assert(rates.zip(rates.tail).forall { case (a, b) => a >= b },
+      s"oov must not grow with vocab: ${rates.mkString(",")}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("covered") <= r.getAs[Long]("total"))
+      val nd = r.getAs[Long]("n_distinct")
+      if (r.getAs[Int]("vocab_size") >= nd)
+        assert(r.getAs[Double]("oov_rate") === 0.0,
+          "a vocab covering every distinct word has zero OOV")
+    }
+  }
+}
