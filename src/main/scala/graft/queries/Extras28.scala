@@ -431,5 +431,196 @@ object Extras28 {
                                        ELSE a.cov_32 END AS DOUBLE) /
                            CAST(a.total AS DOUBLE) AS oov_rate
               FROM agg a, (VALUES (8), (16), (32)) AS v(vocab_size)
-              ORDER BY v.vocab_size""")))
+              ORDER BY v.vocab_size""")),
+
+    // MinHash-LSH band/row tradeoff sweep: precision AND recall of
+    // the banding candidate generator against exact ground truth
+    // (word-set Jaccard >= 0.5), for (bands x rows) in {8x2, 4x4,
+    // 2x8} over 16 shared minhashes — the S-curve table that picks
+    // LSH parameters for a 100 TB dedup run before committing to it.
+    // Truth is exact all-pairs over a deterministic 1-in-10 doc
+    // sample (the eval-on-a-sample pattern of q97/q270: the
+    // parameter choice needs a few thousand pairs, never the full
+    // corpus); the three configs share ONE signature computation,
+    // and empty candidate sets still emit their config row (fixed
+    // VALUES domain LEFT JOIN — an all-miss config must show up as
+    // recall 0, not vanish).
+    QueryDef("q286_lsh_tradeoff",
+      (s, d) => {
+        import graft.ops.Dedup
+        val sample = table(s, d, "documents")
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"))
+          .localCheckpoint() // truth + three config sweeps re-read it
+        val dw = sample.select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("w"))
+        val sizes = dw.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val truth = dw.select(col("doc_id").as("id1"), col("w"))
+          .join(dw.select(col("doc_id").as("id2"), col("w")), "w")
+          .filter(col("id1") < col("id2"))
+          .groupBy("id1", "id2").agg(count(lit(1)).as("ni"))
+          .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+          .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+          .filter(col("ni").cast(DoubleType) /
+            (col("n1") + col("n2") - col("ni")).cast(DoubleType) >= 0.5)
+          .select("id1", "id2")
+          .localCheckpoint() // joined against every config's candidates
+        val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+        val configs = Seq((8, 2), (4, 4), (2, 8))
+        val perConfig = configs.map { case (b, r) =>
+          val cand = Dedup.lshCandidatePairs(sample, "doc_id",
+            array_distinct(split(col("text"), " ")),
+            numHashes = 16, rowsPerBand = r)
+          cand.join(truth.withColumn("hit", lit(1L)), Seq("id1", "id2"), "left")
+            .agg(lit(b).as("bands"), lit(r).as("rows_per_band"),
+              count(lit(1)).as("n_candidates"),
+              sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        }.reduce(_ unionAll _)
+        val domain = s.createDataFrame(
+          s.sparkContext.parallelize(configs.map(c => org.apache.spark.sql.Row(c._1, c._2))),
+          StructType(Seq(StructField("bands", IntegerType, nullable = false),
+            StructField("rows_per_band", IntegerType, nullable = false))))
+        domain.join(perConfig, Seq("bands", "rows_per_band"), "left")
+          .crossJoin(nTruth)
+          .select(col("bands"), col("rows_per_band"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_truth"))
+          .withColumn("precision",
+            when(col("n_candidates") > 0,
+              col("n_hits").cast(DoubleType) / col("n_candidates").cast(DoubleType)))
+          .withColumn("recall",
+            when(col("n_truth") > 0,
+              col("n_hits").cast(DoubleType) / col("n_truth").cast(DoubleType)))
+          .orderBy("rows_per_band")
+      },
+      Some {
+        val sigCols = (0 until 16).map(i =>
+          s"MIN(md5('$i:' || w)) AS mh$i").mkString(",\n                  ")
+        // bands for config (b, r): band j = md5(mh_{j*r} || ... || mh_{j*r+r-1})
+        def bandsFor(b: Int, r: Int): String = (0 until b).map { j =>
+          val parts = (j * r until (j + 1) * r).map(i => s"mh$i").mkString(" || ")
+          s"SELECT doc_id, $j AS band, md5($parts) AS sig FROM sig"
+        }.mkString("\n                UNION ALL ")
+        def candFor(name: String, b: Int, r: Int): String =
+          s"""bands_$name AS (
+                ${bandsFor(b, r)}),
+              cand_$name AS (
+                SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                FROM bands_$name a JOIN bands_$name b
+                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+              agg_$name AS (
+                SELECT $b AS bands, $r AS rows_per_band,
+                       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                       CAST(SUM(CASE WHEN t.id1 IS NOT NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_hits
+                FROM cand_$name c LEFT JOIN truth t
+                  ON t.id1 = c.id1 AND t.id2 = c.id2)"""
+        s"""WITH sample AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+            dw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+                   FROM sample),
+            sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                      FROM dw GROUP BY doc_id),
+            truth AS (
+              SELECT i.id1, i.id2 FROM
+                (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                        CAST(COUNT(*) AS BIGINT) AS ni
+                 FROM dw a JOIN dw b ON a.w = b.w AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2) i
+                JOIN sizes sa ON sa.doc_id = i.id1
+                JOIN sizes sb ON sb.doc_id = i.id2
+              WHERE CAST(i.ni AS DOUBLE) /
+                    CAST(sa.n + sb.n - i.ni AS DOUBLE) >= 0.5),
+            n_truth AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+            sig AS (SELECT doc_id,
+                  $sigCols
+                FROM dw GROUP BY doc_id),
+            ${candFor("a", 8, 2)},
+            ${candFor("b", 4, 4)},
+            ${candFor("c", 2, 8)},
+            un AS (SELECT * FROM agg_a UNION ALL
+                   SELECT * FROM agg_b UNION ALL
+                   SELECT * FROM agg_c)
+            SELECT v.bands, v.rows_per_band,
+                   COALESCE(u.n_candidates, 0) AS n_candidates,
+                   COALESCE(u.n_hits, 0) AS n_hits,
+                   t.n_truth,
+                   CASE WHEN COALESCE(u.n_candidates, 0) > 0 THEN
+                     CAST(COALESCE(u.n_hits, 0) AS DOUBLE) /
+                     CAST(u.n_candidates AS DOUBLE) END AS precision,
+                   CASE WHEN t.n_truth > 0 THEN
+                     CAST(COALESCE(u.n_hits, 0) AS DOUBLE) /
+                     CAST(t.n_truth AS DOUBLE) END AS recall
+            FROM (VALUES (8, 2), (4, 4), (2, 8)) AS v(bands, rows_per_band)
+            LEFT JOIN un u ON u.bands = v.bands
+                          AND u.rows_per_band = v.rows_per_band
+            CROSS JOIN n_truth t
+            ORDER BY v.rows_per_band"""
+      }),
+
+    // cross-source contamination matrix: for every pair of the ~20
+    // corpus sources, how many distinct 3-word shingles they share —
+    // with containment (overlap / smaller side) and Jaccard. This is
+    // the dataset-governance artifact behind "did split A leak into
+    // split B": q74/q88 decontaminate ONE eval set; this audits ALL
+    // source pairs at once. Shape at scale: one distinct
+    // (source, shingle) aggregation, then an equi-join on the shingle
+    // — a shingle present in s sources expands to at most C(s,2) <=
+    // C(20,2) pairs, so the join output is bounded by 190 x the
+    // shingle domain, never quadratic in documents. Zero-overlap
+    // pairs still emit (cross-join domain LEFT JOIN counts).
+    QueryDef("q287_contamination_matrix",
+      (s, d) => {
+        import graft.ops.Dedup
+        val srcSh = table(s, d, "documents")
+          .select(col("source"), explode(
+            Dedup.shingles(col("text"), 3)).as("sh"))
+          .distinct()
+          .localCheckpoint() // sizes + both join sides re-read it
+        val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("n"))
+        val common = srcSh.select(col("source").as("src1"), col("sh"))
+          .join(srcSh.select(col("source").as("src2"), col("sh")), "sh")
+          .filter(col("src1") < col("src2"))
+          .groupBy("src1", "src2").agg(count(lit(1)).as("n_common"))
+        val domain = sizes.select(col("source").as("src1"), col("n").as("n1"))
+          .crossJoin(sizes.select(col("source").as("src2"), col("n").as("n2")))
+          .filter(col("src1") < col("src2"))
+        domain.join(common, Seq("src1", "src2"), "left")
+          .select(col("src1"), col("src2"), col("n1"), col("n2"),
+            coalesce(col("n_common"), lit(0L)).as("n_common"))
+          .withColumn("containment",
+            col("n_common").cast(DoubleType) /
+              least(col("n1"), col("n2")).cast(DoubleType))
+          .withColumn("jaccard",
+            col("n_common").cast(DoubleType) /
+              (col("n1") + col("n2") - col("n_common")).cast(DoubleType))
+          .orderBy("src1", "src2")
+      },
+      Some("""WITH ws AS (SELECT source, doc_id, string_split(text, ' ') AS w
+                          FROM documents),
+              sh AS (SELECT DISTINCT source, s FROM
+                (SELECT source, array_to_string(list_slice(w, i, i + 2), ' ') AS s
+                 FROM (SELECT source, w,
+                         unnest(range(1, GREATEST(len(w) - 1, 2))) AS i
+                       FROM ws) t1) t2),
+              sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                        FROM sh GROUP BY source),
+              common AS (SELECT a.source AS src1, b.source AS src2,
+                                CAST(COUNT(*) AS BIGINT) AS n_common
+                         FROM sh a JOIN sh b
+                           ON a.s = b.s AND a.source < b.source
+                         GROUP BY 1, 2),
+              domain AS (SELECT a.source AS src1, a.n AS n1,
+                                b.source AS src2, b.n AS n2
+                         FROM sizes a JOIN sizes b ON a.source < b.source)
+              SELECT d.src1, d.src2, d.n1, d.n2,
+                     COALESCE(c.n_common, 0) AS n_common,
+                     CAST(COALESCE(c.n_common, 0) AS DOUBLE) /
+                       CAST(LEAST(d.n1, d.n2) AS DOUBLE) AS containment,
+                     CAST(COALESCE(c.n_common, 0) AS DOUBLE) /
+                       CAST(d.n1 + d.n2 - COALESCE(c.n_common, 0) AS DOUBLE)
+                       AS jaccard
+              FROM domain d LEFT JOIN common c
+                ON c.src1 = d.src1 AND c.src2 = d.src2
+              ORDER BY d.src1, d.src2""")))
 }

@@ -83,6 +83,40 @@ class LearningOpsSpec extends SparkSpec {
     assert(rows.exists(r => r.getAs[Double]("w2") !== r.getAs[Double]("w1")))
   }
 
+  test("q286: the LSH S-curve trades recall for precision as rows/band grow") {
+    val rows = SparkEntry.queries("q286_lsh_tradeoff")(spark, sf)
+      .orderBy("rows_per_band").collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits <= r.getAs[Long]("n_candidates"))
+      assert(hits <= r.getAs[Long]("n_truth"))
+    }
+    val prec = rows.map(r => Option(r.getAs[java.lang.Double]("precision"))
+      .map(_.doubleValue).getOrElse(1.0))
+    val rec = rows.map(r => Option(r.getAs[java.lang.Double]("recall"))
+      .map(_.doubleValue).getOrElse(0.0))
+    assert(prec.zip(prec.tail).forall { case (a, b) => b >= a },
+      s"precision must not fall as bands narrow: ${prec.mkString(",")}")
+    assert(rec.zip(rec.tail).forall { case (a, b) => b <= a },
+      s"recall must not rise as bands narrow: ${rec.mkString(",")}")
+  }
+
+  test("q287: contamination matrix covers every source pair with sane bounds") {
+    val rows = SparkEntry.queries("q287_contamination_matrix")(spark, sf).collect()
+    val nSrc = (1 + Math.sqrt(1 + 8.0 * rows.length)) / 2
+    assert(nSrc === Math.rint(nSrc), "row count must be C(n,2) for n sources")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("containment")
+      val j = r.getAs[Double]("jaccard")
+      assert(c >= 0.0 && c <= 1.0)
+      assert(j >= 0.0 && j <= c + 1e-12, "jaccard can never exceed containment")
+      assert(r.getAs[Long]("n_common") <=
+        math.min(r.getAs[Long]("n1"), r.getAs[Long]("n2")))
+      assert(r.getAs[String]("src1") < r.getAs[String]("src2"))
+    }
+  }
+
   test("q285: OOV rate is non-increasing in vocab size and exact at the cap") {
     val rows = SparkEntry.queries("q285_oov_curve")(spark, sf)
       .orderBy("vocab_size").collect()
