@@ -622,5 +622,179 @@ object Extras28 {
                        AS jaccard
               FROM domain d LEFT JOIN common c
                 ON c.src1 = d.src1 AND c.src2 = d.src2
-              ORDER BY d.src1, d.src2""")))
+              ORDER BY d.src1, d.src2""")),
+
+    // distribution-drift monitor: chi-square statistic of each event
+    // type's value distribution in the LATER half of the time range
+    // against the EARLIER half (10 equal-width bins fitted on the
+    // reference half) — the check a training pipeline runs before
+    // admitting a new ingestion window, catching upstream schema/unit
+    // changes as distribution shift. Everything that crosses rows is
+    // an integer: cent-scaled values, integer bin ids, conditional
+    // BIGINT counts pivoted to 10 columns; the chi-square is then one
+    // pinned 10-term double expression per type, so the statistic is
+    // bit-reproducible (no log/exp in sight — chi2, not PSI/KL, for
+    // exactly that reason). One pass for the split+bin bounds, one
+    // for the binned counts; both map-side-combined aggregates.
+    QueryDef("q288_drift_chi2",
+      (s, d) => {
+        val e = table(s, d, "events").select(col("event_type"),
+          col("ts").cast(TimestampType).cast(LongType).as("sec"),
+          expr("CAST(floor(value * 100.0) AS BIGINT)").as("c"))
+        val span = e.agg(min("sec").as("s0"), max("sec").as("s1"))
+          .select(expr("(s0 + s1) div 2").as("mid"))
+        val tagged = e.crossJoin(broadcast(span))
+          .withColumn("is_ref", col("sec") < col("mid"))
+        val bounds = tagged.filter(col("is_ref"))
+          .groupBy("event_type")
+          .agg(min("c").as("lo"), max("c").as("hi"))
+        val binned = tagged.join(broadcast(bounds), "event_type")
+          .withColumn("bin", least(lit(9L), greatest(lit(0L),
+            expr("((c - lo) * 10) div (hi - lo + 1)"))))
+        val binCols = (0 until 10).flatMap(b => Seq(
+          sum(when(col("is_ref") && col("bin") === b, 1L).otherwise(0L))
+            .as(s"r$b"),
+          sum(when(!col("is_ref") && col("bin") === b, 1L).otherwise(0L))
+            .as(s"c$b")))
+        val pivoted = binned.groupBy("event_type")
+          .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+            Seq(sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur")) ++
+              binCols: _*)
+        // chi2 term for bin b: (obs - exp)^2 / exp with
+        // exp = r_b * n_cur / n_ref, expanded so every division is
+        // explicit and the 10-term sum is left-chained (pinned order)
+        val chi2 = (0 until 10).map { b =>
+          val exp = col(s"r$b").cast(DoubleType) * col("n_cur").cast(DoubleType) /
+            col("n_ref").cast(DoubleType)
+          when(col(s"r$b") > 0,
+            (col(s"c$b").cast(DoubleType) - exp) *
+              (col(s"c$b").cast(DoubleType) - exp) / exp)
+            .otherwise(lit(0.0))
+        }.reduce(_ + _)
+        pivoted
+          .withColumn("chi2", chi2)
+          // 9 df, alpha = 0.05 critical value
+          .withColumn("drifted", col("chi2") > 16.919)
+          .select("event_type", "n_ref", "n_cur", "chi2", "drifted")
+          .orderBy("event_type")
+      },
+      Some {
+        val binCountCols = (0 until 10).map(b =>
+          s"""CAST(SUM(CASE WHEN is_ref AND bin = $b THEN 1 ELSE 0 END) AS BIGINT) AS r$b,
+                CAST(SUM(CASE WHEN NOT is_ref AND bin = $b THEN 1 ELSE 0 END) AS BIGINT) AS c$b""")
+          .mkString(",\n                ")
+        val chi2Terms = (0 until 10).map(b =>
+          s"""(CASE WHEN r$b > 0 THEN
+                (CAST(c$b AS DOUBLE) - CAST(r$b AS DOUBLE) * CAST(n_cur AS DOUBLE) / CAST(n_ref AS DOUBLE)) *
+                (CAST(c$b AS DOUBLE) - CAST(r$b AS DOUBLE) * CAST(n_cur AS DOUBLE) / CAST(n_ref AS DOUBLE)) /
+                (CAST(r$b AS DOUBLE) * CAST(n_cur AS DOUBLE) / CAST(n_ref AS DOUBLE))
+              ELSE 0.0 END)""").mkString(" + ")
+        s"""WITH e AS (
+              SELECT event_type,
+                     date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec,
+                     CAST(floor(value * 100.0) AS BIGINT) AS c
+              FROM events),
+            span AS (SELECT (MIN(sec) + MAX(sec)) // 2 AS mid FROM e),
+            tagged AS (SELECT e.event_type, e.c, e.sec < s.mid AS is_ref
+                       FROM e, span s),
+            bounds AS (SELECT event_type, MIN(c) AS lo, MAX(c) AS hi
+                       FROM tagged WHERE is_ref GROUP BY event_type),
+            binned AS (SELECT t.event_type, t.is_ref,
+                         LEAST(9, GREATEST(0, ((t.c - b.lo) * 10) // (b.hi - b.lo + 1))) AS bin
+                       FROM tagged t JOIN bounds b ON b.event_type = t.event_type),
+            pivoted AS (
+              SELECT event_type,
+                CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+                $binCountCols
+              FROM binned GROUP BY event_type)
+            SELECT event_type, n_ref, n_cur,
+                   ($chi2Terms) AS chi2,
+                   ($chi2Terms) > 16.919 AS drifted
+            FROM pivoted ORDER BY event_type"""
+      }),
+
+    // embedding-space dispersion WITHOUT a pairwise join: the
+    // E||x-y||^2 = 2*(E||x||^2 - ||E x||^2) identity turns the
+    // quadratic "average pairwise distance" diversity metric (the
+    // data-selection signal behind coverage-aware sampling) into ONE
+    // corpus pass. EVERYTHING that crosses rows is a BIGINT: squared
+    // norms and per-dimension values quantize per ELEMENT
+    // (floor(. * 2^20) — floor on a double is exact on every engine,
+    // where float->decimal casts round half-cases differently), so
+    // all sums are order-free integer sums, bit-reproducible at any
+    // partitioning. The per-dimension sums rescale by 2^10 before
+    // squaring, which keeps the squared reduction inside int64 to
+    // ~3e6 rows per label (beyond that: same plan, wider decimal
+    // square). Output per class label: n, mean squared norm, squared
+    // norm of the mean, and the dispersion 2*(E - M); high dispersion
+    // = diverse class.
+    QueryDef("q289_embedding_dispersion",
+      (s, d) => {
+        val e = table(s, d, "embeddings")
+        // per-ELEMENT quantization (floor(x^2 * 2^20) summed as longs):
+        // exact on both engines with zero dependence on float-add
+        // association — a whole-norm quantize would sit one ULP from a
+        // floor boundary whenever accumulators associate differently
+        val rowNorm = e.select(col("label"),
+          expr("""aggregate(embedding, CAST(0 AS BIGINT), (acc, x) ->
+                  acc + CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                  * 1048576.0) AS BIGINT))""").as("nq"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"), sum("nq").as("snq"))
+        val dimSums = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("label"), col("pos"), expr(
+            "CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)").as("vq"))
+          .groupBy("label", "pos")
+          .agg(sum(col("vq")).as("sv"))
+          // rescale by 2^10 BEFORE squaring (floor through an exact
+          // power-of-two double division — `div` would differ between
+          // engines on negative sums: truncation vs floor) so the
+          // squared sum stays inside int64 to ~3e6 rows per label
+          .withColumn("svq", expr("CAST(floor(CAST(sv AS DOUBLE) / 1024.0) AS BIGINT)"))
+          .groupBy("label")
+          .agg(sum(col("svq") * col("svq")).as("ssq"))
+        rowNorm.join(dimSums, "label")
+          .withColumn("e_norm2",
+            col("snq").cast(DoubleType) /
+              (col("n").cast(DoubleType) * 1048576.0))
+          .withColumn("m_norm2",
+            col("ssq").cast(DoubleType) /
+              (col("n").cast(DoubleType) * col("n").cast(DoubleType) * 1048576.0))
+          .withColumn("dispersion",
+            lit(2.0) * (col("e_norm2") - col("m_norm2")))
+          .select("label", "n", "e_norm2", "m_norm2", "dispersion")
+          .orderBy("label")
+      },
+      Some("""WITH rn AS (
+                SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(list_sum(list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              * 1048576.0) AS BIGINT)))) AS BIGINT) AS snq
+                FROM embeddings GROUP BY label),
+              dim AS (
+                SELECT label, pos,
+                       CAST(floor(CAST(CAST(SUM(vq) AS BIGINT) AS DOUBLE) / 1024.0)
+                            AS BIGINT) AS svq
+                FROM (SELECT label,
+                        CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT) AS vq,
+                        pos
+                      FROM (SELECT label,
+                              unnest(embedding) AS v,
+                              generate_subscripts(embedding, 1) AS pos
+                            FROM embeddings))
+                GROUP BY label, pos),
+              ssqs AS (SELECT label, CAST(SUM(svq * svq) AS BIGINT) AS ssq
+                       FROM dim GROUP BY label)
+              SELECT r.label, r.n,
+                     CAST(r.snq AS DOUBLE) / (CAST(r.n AS DOUBLE) * 1048576.0) AS e_norm2,
+                     CAST(s.ssq AS DOUBLE) /
+                       (CAST(r.n AS DOUBLE) * CAST(r.n AS DOUBLE) * 1048576.0) AS m_norm2,
+                     2.0 * (CAST(r.snq AS DOUBLE) / (CAST(r.n AS DOUBLE) * 1048576.0) -
+                            CAST(s.ssq AS DOUBLE) /
+                              (CAST(r.n AS DOUBLE) * CAST(r.n AS DOUBLE) * 1048576.0))
+                       AS dispersion
+              FROM rn r JOIN ssqs s ON s.label = r.label
+              ORDER BY r.label""")))
 }

@@ -117,6 +117,45 @@ class LearningOpsSpec extends SparkSpec {
     }
   }
 
+  test("q288: chi2 is non-negative and the drift flag matches the threshold") {
+    val q = SparkEntry.queries("q288_drift_chi2")
+    val a = q(spark, sf).collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val chi2 = r.getAs[Double]("chi2")
+      assert(chi2 >= 0.0)
+      assert(r.getAs[Boolean]("drifted") === (chi2 > 16.919))
+      assert(r.getAs[Long]("n_ref") > 0L && r.getAs[Long]("n_cur") > 0L)
+    }
+    assert(a.toSeq === q(spark, sf).collect().toSeq, "must be deterministic")
+  }
+
+  test("q289: one-pass dispersion matches brute-force pairwise distance") {
+    val rows = SparkEntry.queries("q289_embedding_dispersion")(spark, sf)
+      .orderBy("label").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // Cauchy-Schwarz: E||x||^2 >= ||E x||^2, up to quantization slop
+      assert(r.getAs[Double]("dispersion") >= -1e-4)
+      assert(r.getAs[Double]("m_norm2") >= -1e-4)
+    }
+    // brute-force the identity for one label: the mean over ALL
+    // ordered pairs (i, j) of ||xi - xj||^2 must equal 2*(E - M)
+    val label = rows.head.getAs[Int]("label")
+    val vecs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("label") === label)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val n = vecs.length
+    var tot = 0.0
+    for (a <- vecs; b <- vecs)
+      tot += a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val brute = tot / (n.toDouble * n.toDouble)
+    val reported = rows.head.getAs[Double]("dispersion")
+    assert(math.abs(brute - reported) < 1e-3,
+      s"identity violated: brute=$brute reported=$reported")
+  }
+
   test("q285: OOV rate is non-increasing in vocab size and exact at the cap") {
     val rows = SparkEntry.queries("q285_oov_curve")(spark, sf)
       .orderBy("vocab_size").collect()
