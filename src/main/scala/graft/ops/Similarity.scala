@@ -149,6 +149,44 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor
+    * row (caller-supplied predicate), the top-k most-similar vectors
+    * with a DIFFERENT class label, blocked by the sign-LSH bucket.
+    *
+    * Scale contract: with FIXED `bits` the per-bucket population — and
+    * so the candidate pair count — grows quadratically with the
+    * corpus (the q273 SemDeDup lesson). Size `bits` ~
+    * log2(corpus / targetBucketSize) so buckets stay bounded and the
+    * join stays linear; the gate query pins bits=4 for its oracle.
+    */
+  def hardNegatives(
+      embeddings: DataFrame,
+      anchorPred: Column,
+      k: Int,
+      bits: Int,
+      idCol: String = "vec_id",
+      labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = embeddings.select(
+      col(idCol), col(labelCol), col(vecCol),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val anchors = b.filter(anchorPred).select(
+      col("bucket"), col(idCol).as("a_id"), col(labelCol).as("a_label"),
+      col(vecCol).as("a_emb"))
+    val cands = b.select(
+      col("bucket"), col(idCol).as("c_id"), col(labelCol).as("c_label"),
+      col(vecCol).as("c_emb"))
+    val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("c_id"))
+    anchors.join(cands, "bucket")
+      .filter(col("c_label") =!= col("a_label"))
+      .select(col("a_id"), col("a_label"), col("c_id"), col("c_label"),
+        cos(col("a_emb"), col("c_emb")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("a_id", "rank", "c_id", "a_label", "c_label", "cos")
+  }
+
   /** Near-duplicate pairs blocked by the sign-LSH bucket — the scale
     * form of [[nearDupPairsBlocked]]: the blocking key is derived from
     * the VECTOR (similar vectors collide), not from the id, so the

@@ -210,28 +210,9 @@ object Extras28 {
     // — never all-pairs. At 100 TB the bucket key is also the
     // partition key, so each executor mines its own bucket locally.
     QueryDef("q283_hard_negatives",
-      (s, d) => {
-        val b = table(s, d, "embeddings").select(
-          col("vec_id"), col("label"), col("embedding"),
-          Similarity.signBucket(col("embedding"), 4).as("bucket"))
-        val anchors = b.filter(col("vec_id") % 7 === 0).select(
-          col("bucket"), col("vec_id").as("a_id"), col("label").as("a_label"),
-          col("embedding").as("a_emb"))
-        val cands = b.select(
-          col("bucket"), col("vec_id").as("c_id"), col("label").as("c_label"),
-          col("embedding").as("c_emb"))
-        val w = Window.partitionBy("a_id")
-          .orderBy(col("cos").desc, col("c_id"))
-        anchors.join(cands, "bucket")
-          .filter(col("c_label") =!= col("a_label"))
-          .select(col("a_id"), col("a_label"), col("c_id"), col("c_label"),
-            graft.functions.VectorExprs
-              .cosineSim(col("a_emb"), col("c_emb")).as("cos"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select("a_id", "rank", "c_id", "a_label", "c_label", "cos")
-          .orderBy("a_id", "rank")
-      },
+      (s, d) => Similarity.hardNegatives(table(s, d, "embeddings"),
+          anchorPred = col("vec_id") % 7 === 0, k = 3, bits = 4)
+        .orderBy("a_id", "rank"),
       Some {
         val bucketSql = (1 to 4).map(i =>
           s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)")

@@ -57,6 +57,27 @@ class SimilaritySpec extends SparkSpec {
     assert(b === "101")
   }
 
+  test("hardNegatives excludes same-label rows; more bits only shrink candidates") {
+    val emb = Seq(
+      (0L, 0, Array(1.0f, 1.0f, 1.0f, 1.0f)),    // anchor (id % 7 == 0)
+      (1L, 0, Array(0.99f, 0.99f, 1.0f, 1.0f)),  // same label — excluded
+      (2L, 1, Array(0.9f, 1.0f, 1.0f, 1.0f)),    // cross-label, bucket 1111
+      (3L, 2, Array(1.0f, 0.8f, 1.0f, -0.1f)),   // bucket 1110: bits=4 prunes
+      (4L, 3, Array(-1.0f, 1.0f, 1.0f, 1.0f))    // bucket 0...: never a cand
+    ).toDF("vec_id", "label", "embedding")
+    val pred = col("vec_id") % 7 === 0
+    val wide = Similarity.hardNegatives(emb, pred, k = 10, bits = 1).collect()
+    val narrow = Similarity.hardNegatives(emb, pred, k = 10, bits = 4).collect()
+    assert(wide.forall(r => r.getAs[Int]("a_label") != r.getAs[Int]("c_label")))
+    assert(wide.forall(_.getAs[Long]("c_id") !== 1L))
+    val wideIds = wide.map(_.getAs[Long]("c_id")).toSet
+    val narrowIds = narrow.map(_.getAs[Long]("c_id")).toSet
+    assert(narrowIds.subsetOf(wideIds),
+      "a finer quantizer must never invent candidates")
+    assert(wideIds === Set(2L, 3L) && narrowIds === Set(2L),
+      "bits=1 keeps the last-dim-negative vector; bits=4 prunes it")
+  }
+
   test("annTopKInBucket only searches the query's bucket") {
     val emb = Seq(
       (0L, Array(1.0f, 1.0f)),  // bucket 11
