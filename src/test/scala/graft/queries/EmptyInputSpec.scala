@@ -33,7 +33,10 @@ class EmptyInputSpec extends SparkSpec {
     "q81_portable_hll", "q84_percentile_disc", "q104_bigram_lm",
     "q155_paginate", "q160_portable_cms",
     "q164_nearest_click", "q166_kmv_set_ops", "q169_hour_fill",
-    "q172_two_hop_reach", "q176_percentile_cont")
+    "q172_two_hop_reach", "q176_percentile_cont",
+    "q281_bpe_merges", "q282_label_propagation", "q283_hard_negatives",
+    "q287_contamination_matrix", "q288_drift_chi2",
+    "q289_embedding_dispersion")
 
   representative.foreach { name =>
     test(s"$name returns empty (no throw) on zero-row tables") {
@@ -47,5 +50,17 @@ class EmptyInputSpec extends SparkSpec {
   test("q130_triangle_count summarizes empty input as a single zero row") {
     val rows = SparkEntry.queries("q130_triangle_count")(spark, emptyDir).collect()
     assert(rows.length === 1 && (0 until 3).forall(i => rows.head.getLong(i) === 0L))
+  }
+
+  // the LSH sweep's config rows are a FIXED domain: an empty corpus
+  // must still emit all three configs, with zero candidates/hits
+  test("q286_lsh_tradeoff emits its 3 config rows with zero counts when empty") {
+    val rows = SparkEntry.queries("q286_lsh_tradeoff")(spark, emptyDir).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_candidates") === 0L)
+      assert(r.getAs[Long]("n_hits") === 0L)
+      assert(r.getAs[Long]("n_truth") === 0L)
+    }
   }
 }
