@@ -777,5 +777,73 @@ object Extras28 {
                               (CAST(r.n AS DOUBLE) * CAST(r.n AS DOUBLE) * 1048576.0))
                        AS dispersion
               FROM rn r JOIN ssqs s ON s.label = r.label
-              ORDER BY r.label""")))
+              ORDER BY r.label""")),
+
+    // protocol / table-features lifecycle under the oracle gate: a
+    // table declares its protocol, then every feature-using commit
+    // (deletion-vector delete, column rename, CHECK constraint)
+    // auto-extends the declared reader/writer feature lists in the
+    // SAME commit — so a declared protocol can never under-state what
+    // a future reader needs (the format-evolution contract tables at
+    // 100 TB live or die by: an engine that lacks a feature fails
+    // loudly up front instead of silently mis-reading DV-masked
+    // rows). The oracle pins the exact expected feature strings at
+    // every step AND recomputes the table contents from `customer`,
+    // proving the gating never perturbs data. Refusal behavior
+    // (unknown features block reads/writes) is ProtocolSpec's.
+    QueryDef("q290_protocol_lifecycle",
+      (s, d) => {
+        import graft.sink.TxLogTable
+        val t = QueryDef.scratch("graft_proto")
+          .resolve("cust").toString
+        val base = table(s, d, "customer").select(
+          col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+          expr("CAST(floor(c_acctbal * 100.0) AS BIGINT)").as("bal_c"))
+        TxLogTable.append(base, t)
+        def step(n: Int): org.apache.spark.sql.DataFrame = {
+          val (r, w) = TxLogTable.protocol(s, t)
+          TxLogTable.read(s, t).agg(
+            lit(n).as("step"),
+            lit(r.toSeq.sorted.mkString(",")).as("reader_features"),
+            lit(w.toSeq.sorted.mkString(",")).as("writer_features"),
+            count(lit(1)).as("n_rows"), sum(col("bal_c")).as("bal_cents"))
+        }
+        val s1 = step(1)
+        TxLogTable.upgradeProtocol(s, t,
+          writerFeatures = Set("checkConstraints"))
+        val s2 = step(2)
+        TxLogTable.deleteVectors(s, t, "k % 10 = 0")
+        val s3 = step(3)
+        TxLogTable.renameColumn(s, t, "seg", "segment")
+        val s4 = step(4)
+        TxLogTable.addConstraint(s, t, "k_pos", "k > 0")
+        val s5 = step(5)
+        s1.unionAll(s2).unionAll(s3).unionAll(s4).unionAll(s5)
+          .orderBy("step")
+      },
+      Some("""WITH b AS (
+                SELECT c_custkey AS k,
+                       CAST(floor(c_acctbal * 100.0) AS BIGINT) AS bal_c
+                FROM customer),
+              full_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                                CAST(SUM(bal_c) AS BIGINT) AS s FROM b),
+              masked AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                                CAST(SUM(bal_c) AS BIGINT) AS s
+                         FROM b WHERE k % 10 <> 0)
+              SELECT 1 AS step, '' AS reader_features, '' AS writer_features,
+                     f.n AS n_rows, f.s AS bal_cents FROM full_t f
+              UNION ALL
+              SELECT 2, '', 'checkConstraints', f.n, f.s FROM full_t f
+              UNION ALL
+              SELECT 3, 'deletionVectors', 'checkConstraints,deletionVectors',
+                     m.n, m.s FROM masked m
+              UNION ALL
+              SELECT 4, 'columnMapping,deletionVectors',
+                     'checkConstraints,columnMapping,deletionVectors',
+                     m.n, m.s FROM masked m
+              UNION ALL
+              SELECT 5, 'checkConstraints,columnMapping,deletionVectors',
+                     'checkConstraints,columnMapping,deletionVectors',
+                     m.n, m.s FROM masked m
+              ORDER BY step""")))
 }

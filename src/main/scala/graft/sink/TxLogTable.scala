@@ -595,9 +595,11 @@ object TxLogTable {
     require(!st.constraints.contains(name),
       s"constraint '$name' already exists (drop it first to replace)")
     val snap = snapshot(fs, tablePath, Some(commits.max))
-    // constraints are authored and validated in LOGICAL terms
+    // constraints are authored and validated in LOGICAL terms, against
+    // the LIVE rows — snapFrame applies deletion vectors, so a value
+    // that only survives in DV-masked rows cannot veto the constraint
     val df = toLogicalDf(
-      buildFrame(spark, tablePath, snap.files, snap.schema), snap.renames)
+      snapFrame(spark, tablePath, snap, snap.files), snap.renames)
     val bad =
       try df.filter(coalesce(expr(expression), lit(true)) === false)
         .limit(1).collect()
@@ -609,8 +611,11 @@ object TxLogTable {
     if (bad.nonEmpty) throw new ConstraintViolation(
       s"cannot add constraint '$name' CHECK ($expression): existing data " +
         s"violates it, e.g. ${bad.head}")
+    checkWriteProtocol(st.props, tablePath)
     metadataCommit(fs, tablePath, snap.schema.toDDL,
-      adds = Map(name -> expression), drops = Nil)
+      adds = Map(name -> expression), drops = Nil,
+      // a declared protocol picks up checkConstraints on first use
+      propSets = featureDecl(st.props, "checkConstraints"))
   }
 
   /** Drop a named constraint (metadata-only commit). */
@@ -664,9 +669,134 @@ object TxLogTable {
     replayState(fs, tablePath, commits.max, commits).props
   }
 
+  // ---- protocol / table features ----------------------------------
+
+  /** Reader/writer feature gating — the format-evolution mechanism
+    * (the public Delta protocol's "table features" idea): a table MAY
+    * declare, as ordinary table properties, the feature names a
+    * reader (resp. writer) must implement to touch it. An engine that
+    * sees an undeclared table applies legacy behavior (everything
+    * this build ships); an engine that sees a feature it does not
+    * implement fails LOUDLY up front — never a silent mis-read of
+    * deletion vectors it would have ignored or a write that corrupts
+    * a column mapping it cannot see.
+    *
+    * [[upgradeProtocol]] is the validated API: it refuses features
+    * this build does not implement and automatically unions in the
+    * features the table ALREADY uses (a protocol weaker than reality
+    * would be a lie to future engines). The raw properties remain
+    * writable through [[setProperties]] unvalidated — that is the
+    * wire format, and exactly how a table written by a NEWER engine
+    * presents itself to this one.
+    */
+  val ReaderFeaturesProp = "graft.protocol.readerFeatures"
+  val WriterFeaturesProp = "graft.protocol.writerFeatures"
+
+  /** Every feature this build implements (readers and writers alike —
+    * the write path always includes a read of the current state). */
+  val SupportedFeatures: Set[String] = Set(
+    "deletionVectors", "columnMapping", "checkConstraints",
+    "generatedColumns", "bloomFilterSkipping", "inCommitTimestamps")
+
+  final class ProtocolError(msg: String) extends IllegalStateException(msg)
+
+  private def featureSet(props: Map[String, String], key: String): Set[String] =
+    props.get(key).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).toSet
+
+  private def checkReadProtocol(props: Map[String, String],
+      tablePath: String): Unit = {
+    val unknown = featureSet(props, ReaderFeaturesProp) -- SupportedFeatures
+    if (unknown.nonEmpty) throw new ProtocolError(
+      s"table $tablePath requires reader feature(s) " +
+        s"${unknown.toSeq.sorted.mkString(", ")} this engine does not " +
+        "implement — upgrade the engine before reading")
+  }
+
+  /** Writers must implement the WRITER features and (because every
+    * write reads current state) the reader features too. */
+  private def checkWriteProtocol(props: Map[String, String],
+      tablePath: String): Unit = {
+    checkReadProtocol(props, tablePath)
+    val unknown = featureSet(props, WriterFeaturesProp) -- SupportedFeatures
+    if (unknown.nonEmpty) throw new ProtocolError(
+      s"table $tablePath requires writer feature(s) " +
+        s"${unknown.toSeq.sorted.mkString(", ")} this engine does not " +
+        "implement — upgrade the engine before writing")
+  }
+
+  /** The features a state's metadata shows to be IN USE. */
+  private def inferredFeatures(st: State): Set[String] = {
+    val b = Set.newBuilder[String]
+    if (st.dvs.nonEmpty) b += "deletionVectors"
+    if (st.renames.nonEmpty || st.dropped.nonEmpty) b += "columnMapping"
+    if (st.constraints.exists(!_._1.startsWith("__gen_"))) b += "checkConstraints"
+    if (st.props.keys.exists(_.startsWith(GeneratedPropPrefix)))
+      b += "generatedColumns"
+    if (st.props.contains(BloomColumnsProperty)) b += "bloomFilterSkipping"
+    b.result()
+  }
+
+  /** When the table HAS declared a protocol, the property updates
+    * that add `feature` to both lists (empty when the protocol is
+    * absent — legacy tables stay legacy — or the feature is already
+    * declared). Feature-using commits fold this into themselves, so
+    * a declared protocol can never under-state what a reader needs.
+    */
+  private def featureDecl(props: Map[String, String],
+      feature: String): Map[String, String] =
+    if (!props.contains(ReaderFeaturesProp) &&
+        !props.contains(WriterFeaturesProp)) Map.empty
+    else Seq(ReaderFeaturesProp, WriterFeaturesProp).flatMap { key =>
+      val cur = featureSet(props, key)
+      if (cur.contains(feature)) None
+      else Some(key -> (cur + feature).toSeq.sorted.mkString(","))
+    }.toMap
+
+  /** The table's declared protocol: (readerFeatures, writerFeatures).
+    * Both empty = undeclared legacy table. */
+  def protocol(spark: SparkSession,
+      tablePath: String): (Set[String], Set[String]) = {
+    val props = properties(spark, tablePath)
+    (featureSet(props, ReaderFeaturesProp),
+      featureSet(props, WriterFeaturesProp))
+  }
+
+  /** Declare (or extend) the table's protocol as one metadata-only
+    * commit. Requested features must be implemented by THIS build;
+    * features the table already uses are unioned in automatically.
+    * Returns the committed version.
+    */
+  def upgradeProtocol(spark: SparkSession, tablePath: String,
+      readerFeatures: Set[String] = Set.empty,
+      writerFeatures: Set[String] = Set.empty): Long = {
+    val unknown = (readerFeatures ++ writerFeatures) -- SupportedFeatures
+    require(unknown.isEmpty,
+      s"cannot declare feature(s) ${unknown.toSeq.sorted.mkString(", ")} — " +
+        s"this build implements: ${SupportedFeatures.toSeq.sorted.mkString(", ")}")
+    val fs = fileSystem(spark, tablePath)
+    val commits = committedVersions(fs, tablePath)
+    require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+    val st = replayState(fs, tablePath, commits.max, commits)
+    val inUse = inferredFeatures(st)
+    val newReader =
+      featureSet(st.props, ReaderFeaturesProp) ++ readerFeatures ++ inUse
+    val newWriter =
+      featureSet(st.props, WriterFeaturesProp) ++ writerFeatures ++ inUse
+    propertiesCommit(spark, tablePath, sets = Map(
+      ReaderFeaturesProp -> newReader.toSeq.sorted.mkString(","),
+      WriterFeaturesProp -> newWriter.toSeq.sorted.mkString(",")),
+      drops = Nil)
+  }
+
   private def propertiesCommit(spark: SparkSession, tablePath: String,
       sets: Map[String, String], drops: Seq[String]): Long = {
     val fs = fileSystem(spark, tablePath)
+    locally {
+      val commits0 = committedVersions(fs, tablePath)
+      if (commits0.nonEmpty) checkWriteProtocol(
+        replayState(fs, tablePath, commits0.max, commits0).props, tablePath)
+    }
     var attempt = 0
     var result = -1L
     while (result < 0) {
@@ -691,7 +821,8 @@ object TxLogTable {
   }
 
   private def metadataCommit(fs: FileSystem, tablePath: String, ddl: String,
-      adds: Map[String, String], drops: Seq[String]): Long = {
+      adds: Map[String, String], drops: Seq[String],
+      propSets: Map[String, String] = Map.empty): Long = {
     var attempt = 0
     var result = -1L
     while (result < 0) {
@@ -702,7 +833,8 @@ object TxLogTable {
       try {
         claimCommit(fs, tablePath, version,
           Commit("setconstraint", ddl, Nil,
-            constraintAdds = adds, constraintDrops = drops))
+            constraintAdds = adds, constraintDrops = drops,
+            propSets = propSets))
         result = version
       } catch { case _: CommitConflict => () }
     }
@@ -980,6 +1112,10 @@ object TxLogTable {
     require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
     require(commits.contains(toInclusive),
       s"version $toInclusive does not exist; have ${commits.sorted.mkString(", ")}")
+    // the change feed is a read: gate it on reader features like any
+    // snapshot read
+    checkReadProtocol(
+      replayState(fs, tablePath, toInclusive, commits).props, tablePath)
     val inRange = commits.filter(v => v > fromExclusive && v <= toInclusive).sorted
     val deltas = inRange.flatMap { v =>
       val c = parseCommit(fs, tablePath, v)
@@ -1330,6 +1466,9 @@ object TxLogTable {
     require(commits.contains(upTo),
       s"version $upTo does not exist; have ${commits.mkString(", ")}")
     val st = replayState(fs, tablePath, upTo, commits)
+    // protocol gate: a table declaring reader features this build
+    // does not implement must fail loudly, never be silently mis-read
+    checkReadProtocol(st.props, tablePath)
     Snapshot(st.files, StructType.fromDDL(st.ddl.getOrElse(
       throw new IllegalStateException(
         s"no schema resolvable at version $upTo of $tablePath"))), st.stats,
@@ -1423,6 +1562,7 @@ object TxLogTable {
       val commits = committedVersions(fs, tablePath)
       require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
       val st = replayState(fs, tablePath, commits.max, commits)
+      checkWriteProtocol(st.props, tablePath)
       val phys = StructType.fromDDL(st.ddl.get)
       val logical = logicalSchema(phys, st.renames).fieldNames.toSeq
       require(logical.contains(from),
@@ -1444,8 +1584,10 @@ object TxLogTable {
           Commit("rename", st.ddl.get, Nil,
             op = Some(s"RENAME COLUMN $from TO $to"), renames = updated,
             // properties that NAME columns follow the rename in the
-            // same commit (the bloom-index column list)
-            propSets = renamedBloomProp(st.props, from, Some(to))))
+            // same commit (the bloom-index column list); a declared
+            // protocol picks up columnMapping the moment it's used
+            propSets = renamedBloomProp(st.props, from, Some(to)) ++
+              featureDecl(st.props, "columnMapping")))
         result = commits.max + 1L
       } catch { case _: CommitConflict => () }
     }
@@ -1477,6 +1619,7 @@ object TxLogTable {
       val commits = committedVersions(fs, tablePath)
       require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
       val st = replayState(fs, tablePath, commits.max, commits)
+      checkWriteProtocol(st.props, tablePath)
       val phys = StructType.fromDDL(st.ddl.get)
       val logical = logicalSchema(phys, st.renames).fieldNames.toSeq
       require(logical.contains(name),
@@ -1497,8 +1640,10 @@ object TxLogTable {
           Commit("dropcolumn", newDdl, Nil,
             op = Some(s"DROP COLUMN $name"),
             renames = st.renames - p, dropped = st.dropped + p,
-            // column-naming properties shed the dropped column
-            propSets = renamedBloomProp(st.props, name, None)))
+            // column-naming properties shed the dropped column; a
+            // declared protocol picks up columnMapping on first use
+            propSets = renamedBloomProp(st.props, name, None) ++
+              featureDecl(st.props, "columnMapping")))
         result = commits.max + 1L
       } catch { case _: CommitConflict => () }
     }
@@ -1699,7 +1844,9 @@ object TxLogTable {
         claimCommit(fs, tablePath, latest + 1L,
           Commit("dv", snap.schema.toDDL, Nil,
             op = Some("delete (vectors)"),
-            dvAdds = touched.map(f => f -> Seq(dvName)).toMap))
+            dvAdds = touched.map(f => f -> Seq(dvName)).toMap,
+            // a declared protocol picks up deletionVectors on first use
+            propSets = featureDecl(snap.props, "deletionVectors")))
         result = latest + 1L
       } catch { case _: CommitConflict => () }
     }
@@ -2201,6 +2348,9 @@ object TxLogTable {
         else (st0.renames, st0.dropped, st0.props)
       }
     }
+    // protocol gate: unknown required features block the write BEFORE
+    // any staging cost
+    checkWriteProtocol(curProps, tablePath)
     // a batch addressing a renamed column by its RETIRED name is a
     // stale producer — fail loudly instead of silently writing to the
     // physical slot (internal rewrites carry physical frames on
@@ -2440,7 +2590,11 @@ object TxLogTable {
         try {
           claimCommit(fs, tablePath, version,
             Commit(commitAction, commitDdl, names, txn, fileStats, removes,
-              op = op, dvAdds = dvAdds))
+              op = op, dvAdds = dvAdds,
+              // a declared protocol must list every feature in use:
+              // the first DV commit rides its own declaration
+              propSets = if (dvAdds.nonEmpty)
+                featureDecl(curProps, "deletionVectors") else Map.empty))
           result = version
         } catch {
           case _: CommitConflict => () // loop: re-read log, next version
@@ -2608,6 +2762,10 @@ object TxLogTable {
         case l if l.startsWith("propSet=") =>
           l.substring(8).split('|') match {
             case Array(k, v) => unb64(k) -> unb64(v)
+            // split drops a trailing empty field: an EMPTY property
+            // value (e.g. a protocol declared with no features yet)
+            // is legal, not corruption
+            case Array(k) if l.endsWith("|") => unb64(k) -> ""
             case _ => throw new IllegalStateException(
               s"corrupt commit $p: bad propSet line")
           }
@@ -2757,6 +2915,9 @@ object TxLogTable {
     val props = lines.collect { case l if l.startsWith("prop=") =>
       l.substring(5).split('|') match {
         case Array(k, v) => unb64(k) -> unb64(v)
+        // empty property VALUES are legal (see parseCommit) — split
+        // drops the trailing empty field
+        case Array(k) if l.endsWith("|") => unb64(k) -> ""
         case _ => throw new IllegalStateException("bad prop line")
       }
     }.toMap
