@@ -845,5 +845,124 @@ object Extras28 {
               SELECT 5, 'checkConstraints,columnMapping,deletionVectors',
                      'checkConstraints,columnMapping,deletionVectors',
                      m.n, m.s FROM masked m
-              ORDER BY step""")))
+              ORDER BY step""")),
+
+    // n-gram novelty scoring (data-valuation / memorization-risk
+    // signal): per document, what fraction of its distinct 3-gram
+    // shingles appear in NO other document — highly-novel documents
+    // carry unique information worth keeping; zero-novelty documents
+    // are recombinations of boilerplate. One distinct
+    // (shingle -> df) aggregate over the corpus (map-side combined)
+    // joined back to each doc's shingles; per-source summary so the
+    // output stays bounded at any corpus size. The novelty join is
+    // the same inverted-index shape as q58/q87 — shuffle by shingle
+    // hash, never all-pairs.
+    QueryDef("q291_ngram_novelty",
+      (s, d) => {
+        import graft.ops.Dedup
+        val docSh = table(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(Dedup.shingles(col("text"), 3)).as("sh"))
+          .distinct()
+          .localCheckpoint() // df aggregate + novelty join both read it
+        val df_ = docSh.groupBy("sh").agg(count(lit(1)).as("df"))
+        val perDoc = docSh.join(df_, "sh")
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_sh"),
+            sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+        perDoc.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_sh").as("shingles"),
+            sum("n_unique").as("unique_shingles"),
+            sum(when(col("n_unique") * 2L >= col("n_sh"), 1L)
+              .otherwise(0L)).as("mostly_novel_docs"))
+          .withColumn("novelty",
+            col("unique_shingles").cast(DoubleType) /
+              col("shingles").cast(DoubleType))
+          .orderBy("source")
+      },
+      Some("""WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                          FROM documents),
+              sh AS (SELECT DISTINCT doc_id, source, s FROM
+                (SELECT doc_id, source,
+                        array_to_string(list_slice(w, i, i + 2), ' ') AS s
+                 FROM (SELECT doc_id, source, w,
+                         unnest(range(1, GREATEST(len(w) - 1, 2))) AS i
+                       FROM ws) t1) t2),
+              dfreq AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df
+                        FROM sh GROUP BY s),
+              per_doc AS (
+                SELECT sh.doc_id, sh.source,
+                       CAST(COUNT(*) AS BIGINT) AS n_sh,
+                       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_unique
+                FROM sh JOIN dfreq d ON d.s = sh.s
+                GROUP BY sh.doc_id, sh.source)
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(n_sh) AS BIGINT) AS shingles,
+                     CAST(SUM(n_unique) AS BIGINT) AS unique_shingles,
+                     CAST(SUM(CASE WHEN n_unique * 2 >= n_sh THEN 1 ELSE 0 END)
+                          AS BIGINT) AS mostly_novel_docs,
+                     CAST(SUM(n_unique) AS DOUBLE) / CAST(SUM(n_sh) AS DOUBLE)
+                       AS novelty
+              FROM per_doc GROUP BY source ORDER BY source""")),
+
+    // duplication exposure curve: if the corpus were trained on
+    // as-is, how many tokens would the model see once, 2-3 times,
+    // 4+ times? Exact-duplicate groups (md5 of normalized text — the
+    // q33 fingerprint) weighted by token counts, bucketed by copy
+    // count. This is the table that justifies a dedup stage's token
+    // budget: the "4+" row IS the wasted/memorization-prone
+    // exposure. One fingerprint aggregate + one bounded bucket
+    // rollup; the curve has 3 rows at any corpus size.
+    QueryDef("q292_dup_exposure",
+      (s, d) => {
+        val groups = table(s, d, "documents")
+          .select(md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+            .as("fp"),
+            graft.ops.TextStats.tokenCount(col("text")).as("tok"))
+          .groupBy("fp")
+          .agg(count(lit(1)).as("copies"), sum("tok").as("toks"))
+        val bucketed = groups.withColumn("bucket",
+          when(col("copies") === 1L, "1_unique")
+            .when(col("copies") <= 3L, "2_light_dup")
+            .otherwise("3_heavy_dup"))
+        val curve = bucketed.groupBy("bucket")
+          .agg(count(lit(1)).as("n_groups"),
+            sum("copies").as("n_docs"),
+            sum("toks").as("token_exposure"))
+        // fixed bucket domain: an all-unique corpus still emits all
+        // three curve rows (zeros), the q270-family eval pattern
+        val domain = s.createDataFrame(
+          s.sparkContext.parallelize(Seq("1_unique", "2_light_dup",
+            "3_heavy_dup").map(org.apache.spark.sql.Row(_))),
+          StructType(Seq(StructField("bucket", StringType, nullable = false))))
+        domain.join(curve, Seq("bucket"), "left")
+          .select(col("bucket"),
+            coalesce(col("n_groups"), lit(0L)).as("n_groups"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(col("token_exposure"), lit(0L)).as("token_exposure"))
+          .orderBy("bucket")
+      },
+      Some("""WITH g AS (
+                SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+                       CAST(COUNT(*) AS BIGINT) AS copies,
+                       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+                FROM documents GROUP BY 1),
+              b AS (SELECT CASE WHEN copies = 1 THEN '1_unique'
+                                WHEN copies <= 3 THEN '2_light_dup'
+                                ELSE '3_heavy_dup' END AS bucket,
+                           copies, toks
+                    FROM g),
+              curve AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_groups,
+                               CAST(SUM(copies) AS BIGINT) AS n_docs,
+                               CAST(SUM(toks) AS BIGINT) AS token_exposure
+                        FROM b GROUP BY bucket)
+              SELECT d.bucket, COALESCE(c.n_groups, 0) AS n_groups,
+                     COALESCE(c.n_docs, 0) AS n_docs,
+                     COALESCE(c.token_exposure, 0) AS token_exposure
+              FROM (VALUES ('1_unique'), ('2_light_dup'), ('3_heavy_dup'))
+                AS d(bucket)
+              LEFT JOIN curve c ON c.bucket = d.bucket
+              ORDER BY d.bucket""")))
 }

@@ -1245,11 +1245,16 @@ object TxLogTable {
     * every [[CheckpointInterval]] commits and on every [[compact]]);
     * returns the checkpointed version. Idempotent.
     */
-  def checkpoint(spark: SparkSession, tablePath: String): Long = {
+  def checkpoint(spark: SparkSession, tablePath: String): Long =
+    checkpoint(spark, tablePath, CheckpointMaxPartLines)
+
+  /** Test seam: force the multi-part split at a tiny line count. */
+  private[graft] def checkpoint(spark: SparkSession, tablePath: String,
+      maxPartLines: Int): Long = {
     val fs = fileSystem(spark, tablePath)
     val commits = committedVersions(fs, tablePath)
     require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
-    writeCheckpoint(fs, tablePath, commits.max)
+    writeCheckpoint(fs, tablePath, commits.max, maxPartLines)
     commits.max
   }
 
@@ -2789,6 +2794,28 @@ object TxLogTable {
   private def checkpointName(version: Long): String =
     f"$version%020d.checkpoint.txt"
 
+  /** Lines per checkpoint part before the writer splits into a
+    * manifest + part files. At 100 TB a snapshot holds millions of
+    * files × stats lines — one multi-hundred-MB checkpoint file would
+    * serialize through a single reader/writer and hold the whole
+    * thing in one buffer; parts cap each file and let a failed write
+    * abort cheaply. 2^18 lines ≈ tens of MB per part. */
+  val CheckpointMaxPartLines: Int = 1 << 18
+
+  private def checkpointPartName(version: Long, part: Int): String =
+    f"$version%020d.checkpoint.part-$part%05d.txt"
+
+  /** Atomic small-file write: temp + no-replace rename. A lost race
+    * means an identical writer won — equivalent content, clean up. */
+  private def atomicWrite(fs: FileSystem, logPath: Path, target: Path,
+      content: String): Unit = {
+    val tmp = new Path(logPath, s"tmp-${java.util.UUID.randomUUID()}.ckpt")
+    val out = fs.create(tmp, /* overwrite = */ false)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, target)) fs.delete(tmp, false)
+  }
+
   private def checkpointVersions(fs: FileSystem, tablePath: String): Seq[Long] = {
     val logPath = new Path(tablePath, LogDir)
     if (!fs.exists(logPath)) Seq.empty
@@ -2804,7 +2831,7 @@ object TxLogTable {
     * version — equivalent content, so the loser just cleans up.
     */
   private def writeCheckpoint(fs: FileSystem, tablePath: String,
-      version: Long): Unit = {
+      version: Long, maxPartLines: Int = CheckpointMaxPartLines): Unit = {
     val logPath = new Path(tablePath, LogDir)
     val target = new Path(logPath, checkpointName(version))
     if (fs.exists(target)) return
@@ -2842,13 +2869,24 @@ object TxLogTable {
     for ((k, v) <- st.props.toSeq.sortBy(_._1))
       body.append("prop=").append(b64(k)).append('|')
         .append(b64(v)).append('\n')
-    body.append("end=1\n")
-    val tmp = new Path(logPath,
-      s"tmp-${java.util.UUID.randomUUID()}.ckpt")
-    val out = fs.create(tmp, /* overwrite = */ false)
-    try out.write(body.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (!fs.rename(tmp, target)) fs.delete(tmp, false)
+    val lines = body.toString.split('\n').filter(_.nonEmpty)
+    if (lines.length <= maxPartLines)
+      // single-file form — the wire format older readers expect
+      atomicWrite(fs, logPath, target, lines.mkString("", "\n", "\nend=1\n"))
+    else {
+      // multi-part: each part carries its own end marker (torn-part
+      // detection); the MANIFEST lands last, so a reader never sees
+      // a manifest whose parts are still in flight. A torn write
+      // leaves orphan part files — caches, skipped like any
+      // unreadable checkpoint and rewritten by the next interval.
+      val parts = lines.grouped(maxPartLines).toVector
+      parts.zipWithIndex.foreach { case (ls, i) =>
+        atomicWrite(fs, logPath,
+          new Path(logPath, checkpointPartName(version, i)),
+          ls.mkString("", "\n", "\nend=1\n"))
+      }
+      atomicWrite(fs, logPath, target, s"parts=${parts.length}\nend=1\n")
+    }
   }
 
   /** Parse a checkpoint; None on any defect (truncated, corrupt,
@@ -2857,13 +2895,30 @@ object TxLogTable {
     */
   private def loadCheckpoint(fs: FileSystem, tablePath: String,
       version: Long): Option[State] = scala.util.Try {
-    val p = new Path(new Path(tablePath, LogDir), checkpointName(version))
-    val in = fs.open(p)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val lines = text.split('\n').filter(_.nonEmpty)
-    require(lines.lastOption.contains("end=1"), "missing end marker")
+    val logPath = new Path(tablePath, LogDir)
+    def readLines(p: Path): Array[String] = {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.split('\n').filter(_.nonEmpty)
+    }
+    val main = readLines(new Path(logPath, checkpointName(version)))
+    require(main.lastOption.contains("end=1"), "missing end marker")
+    // multi-part: the main file is a manifest; each part must carry
+    // its own end marker or the whole checkpoint is treated as torn
+    // (Try → None → older checkpoint / full replay)
+    val lines = main.headOption match {
+      case Some(h) if h.startsWith("parts=") =>
+        (0 until h.substring(6).toInt).toArray.flatMap { i =>
+          val part = readLines(
+            new Path(logPath, checkpointPartName(version, i)))
+          require(part.lastOption.contains("end=1"),
+            s"part $i missing end marker")
+          part.dropRight(1)
+        }
+      case _ => main
+    }
     val ddl = lines.collectFirst {
       case l if l.startsWith("schema=") => l.substring(7)
     }
