@@ -1241,6 +1241,54 @@ object TxLogTable {
           s"(${stamped.head._2}) of $tablePath"))
   }
 
+  /** Log retention: delete commit files STRICTLY BELOW the newest
+    * checkpoint that loads cleanly, plus superseded checkpoints (and
+    * their parts) and orphan part files whose manifest never landed.
+    * After expiry, time travel below the horizon reports "version
+    * does not exist" while everything at or above it resolves from
+    * checkpoint + tail (txn identities, properties, constraints,
+    * stats and DVs all fold through the checkpoint — the invariants
+    * TxLogTableSpec's expired-log tests pin). `olderThanMillis` is
+    * the same safety window [[vacuum]] uses: nothing newer is
+    * touched, so an in-flight reader mid-replay keeps its files.
+    * Returns the number of log files deleted.
+    */
+  def expireLog(spark: SparkSession, tablePath: String,
+      olderThanMillis: Long = 10L * 60 * 1000): Int = {
+    val fs = fileSystem(spark, tablePath)
+    val logPath = new Path(tablePath, LogDir)
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    def expired(p: Path): Boolean =
+      scala.util.Try(fs.getFileStatus(p).getModificationTime <= cutoff)
+        .getOrElse(false)
+    val manifests = checkpointVersions(fs, tablePath).toSet
+    // orphan parts: a torn multi-part write whose manifest never
+    // landed — reclaimable like any aborted cache write
+    var n = 0
+    for (st <- fs.listStatus(logPath)) {
+      val name = st.getPath.getName
+      if (name.contains(".checkpoint.part-") &&
+          name.split('.').headOption.flatMap(_.toLongOption)
+            .exists(!manifests.contains(_)) &&
+          expired(st.getPath) && fs.delete(st.getPath, false)) n += 1
+    }
+    manifests.toSeq.sorted(Ordering[Long].reverse)
+      .find(v => loadCheckpoint(fs, tablePath, v).isDefined) match {
+      case None => n // no loadable checkpoint: every commit is load-bearing
+      case Some(horizon) =>
+        for (v <- committedVersions(fs, tablePath).filter(_ < horizon)) {
+          val p = new Path(logPath, commitName(v))
+          if (expired(p) && fs.delete(p, false)) n += 1
+        }
+        for (v <- manifests.filter(_ < horizon);
+             st <- fs.listStatus(logPath)
+               if st.getPath.getName.startsWith(f"$v%020d.checkpoint.")) {
+          if (expired(st.getPath) && fs.delete(st.getPath, false)) n += 1
+        }
+        n
+    }
+  }
+
   /** Force a checkpoint of the latest version (normally automatic
     * every [[CheckpointInterval]] commits and on every [[compact]]);
     * returns the checkpointed version. Idempotent.

@@ -1,0 +1,100 @@
+package graft.sink
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+/** Log retention ([[TxLogTable.expireLog]]): commits below the newest
+  * loadable checkpoint expire, travel below the horizon fails loudly,
+  * everything at/above keeps serving, and orphan checkpoint parts are
+  * reclaimed.
+  */
+class RetentionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("retention").resolve("t").toString
+
+  private def fs(t: String) =
+    new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def rows(t: String, asOf: Option[Long] = None): Set[(Long, String)] =
+    TxLogTable.read(spark, t, asOf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private def expected(n: Int): Set[(Long, String)] =
+    (1 to n).map(i => (i.toLong, s"r$i")).toSet
+
+  test("expireLog drops pre-horizon commits; travel below fails, above serves") {
+    val t = freshTable()
+    for (i <- 1 to 12)
+      TxLogTable.append(Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1), t)
+    // auto-checkpoint landed at 10
+    assert(TxLogTable.checkpoints(spark, t) === Seq(10L))
+    val gone = TxLogTable.expireLog(spark, t, olderThanMillis = 0L)
+    assert(gone === 9, s"commits 1..9 expire, got $gone")
+    assert(rows(t) === expected(12))
+    assert(rows(t, Some(10L)) === expected(10))
+    assert(rows(t, Some(11L)) === expected(11))
+    val e = intercept[IllegalArgumentException] { rows(t, Some(5L)) }
+    assert(e.getMessage.contains("does not exist"))
+    // appends + their txn dedup keep working on the shortened log
+    TxLogTable.append(Seq((13L, "r13")).toDF("id", "v").coalesce(1), t,
+      txn = Some(("ret-app", 7L)))
+    TxLogTable.append(Seq((13L, "r13")).toDF("id", "v").coalesce(1), t,
+      txn = Some(("ret-app", 7L))) // replay: must dedup
+    assert(rows(t) === expected(13))
+    // a second expire is a no-op (nothing below the horizon remains)
+    assert(TxLogTable.expireLog(spark, t, olderThanMillis = 0L) === 0)
+  }
+
+  test("superseded checkpoints and their parts expire with the commits") {
+    val t = freshTable()
+    for (i <- 1 to 5)
+      TxLogTable.append(Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1), t)
+    TxLogTable.checkpoint(spark, t, maxPartLines = 3) // multi-part at 5
+    for (i <- 6 to 7)
+      TxLogTable.append(Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1), t)
+    TxLogTable.checkpoint(spark, t) // single-file at 7 — the horizon
+    assert(TxLogTable.checkpoints(spark, t) === Seq(5L, 7L))
+    TxLogTable.expireLog(spark, t, olderThanMillis = 0L)
+    val f = fs(t)
+    assert(!f.exists(new Path(t, f"_txlog/${5L}%020d.checkpoint.txt")),
+      "superseded checkpoint manifest must expire")
+    assert(!f.exists(new Path(t, f"_txlog/${5L}%020d.checkpoint.part-00000.txt")),
+      "superseded checkpoint parts must expire")
+    assert(rows(t) === expected(7))
+    assert(rows(t, Some(7L)) === expected(7))
+  }
+
+  test("orphan parts without a manifest are reclaimed; live parts are kept") {
+    val t = freshTable()
+    for (i <- 1 to 4)
+      TxLogTable.append(Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1), t)
+    val v = TxLogTable.checkpoint(spark, t, maxPartLines = 2)
+    val f = fs(t)
+    // plant an orphan part for a version with no manifest
+    val orphan = new Path(t, f"_txlog/${99L}%020d.checkpoint.part-00000.txt")
+    val out = f.create(orphan, true)
+    try out.write("file=zombie\nend=1\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    TxLogTable.expireLog(spark, t, olderThanMillis = 0L)
+    assert(!f.exists(orphan), "manifest-less parts are torn-write litter")
+    assert(f.exists(new Path(t,
+      f"_txlog/$v%020d.checkpoint.part-00000.txt")),
+      "parts referenced by the live manifest must survive")
+    assert(rows(t) === expected(4))
+  }
+
+  test("no loadable checkpoint: expireLog is a safe no-op on commits") {
+    val t = freshTable()
+    for (i <- 1 to 3)
+      TxLogTable.append(Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1), t)
+    assert(TxLogTable.expireLog(spark, t, olderThanMillis = 0L) === 0)
+    assert(rows(t) === expected(3))
+    assert(rows(t, Some(1L)) === expected(1))
+  }
+}
