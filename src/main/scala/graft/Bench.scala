@@ -64,8 +64,12 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $out: $e") }
+    // Locale.ROOT: the f-interpolator honors the JVM default locale,
+    // and a comma-decimal locale (de_DE) would render 12,345 — invalid
+    // JSON, silently breaking the driver's tail parse again
     val slow = results.filter(_._3).sortBy(-_._2)
-      .map { case (k, v, _) => f""""$k":${v}%.3f""" }
+      .map { case (k, v, _) => java.lang.String.format(
+        java.util.Locale.ROOT, """"%s":%.3f""", k, Double.box(v)) }
     val keep = slow.scanLeft(0)(_ + _.length + 1).indexWhere(_ > 1500) match {
       case -1 => slow.length
       case i  => math.max(1, i - 1)

@@ -43,8 +43,18 @@ object MakeReplica {
     // fixed literal: a fixed 1e8 offset silently aliases orderkeys
     // once the source scale passes it (TPC-H orderkeys exceed 1e8
     // around sf100), corrupting join fan-outs instead of failing
-    def stride(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).head.getLong(0) + 1L
+    def stride(df: DataFrame, key: String): Long = {
+      val row = df.agg(max(col(key))).head
+      // fail with the CLI's own words, not an NPE: an empty source
+      // (null max) or a non-integral key type can't derive a stride
+      require(!row.isNullAt(0),
+        s"cannot derive a replica stride: source column '$key' has no rows")
+      row.get(0) match {
+        case n: java.lang.Number => n.longValue() + 1L
+        case other => throw new IllegalArgumentException(
+          s"replica key '$key' must be integral, got ${other.getClass.getSimpleName}")
+      }
+    }
 
     // dims + events: copied through (a 100 TB fact sits on the same dims)
     for (t <- Seq("region", "nation", "customer", "supplier", "part", "events"))

@@ -88,8 +88,18 @@ object Dedup {
     * concatenated minhashes in the band. rowsPerBand minhashes per band.
     */
   def lshBands(docs: DataFrame, idCol: String, tokensCol: Column,
+      numHashes: Int, rowsPerBand: Int): DataFrame =
+    lshBandsFromSignatures(
+      minhashSignatures(docs, idCol, tokensCol, numHashes),
+      idCol, numHashes, rowsPerBand)
+
+  /** Banding over an ALREADY-COMPUTED signature frame (columns mh0..
+    * mh{numHashes-1}) — lets a parameter sweep (q286) band the same
+    * signatures several ways while the expensive minhash pass runs
+    * once.
+    */
+  def lshBandsFromSignatures(sig: DataFrame, idCol: String,
       numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val sig = minhashSignatures(docs, idCol, tokensCol, numHashes)
     val bands = (0 until numHashes / rowsPerBand).map { b =>
       val parts = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
       struct(lit(b).as("band"), md5(concat(parts: _*)).as("sig"))
@@ -120,8 +130,16 @@ object Dedup {
     */
   def lshCandidatePairs(docs: DataFrame, idCol: String, tokensCol: Column,
       numHashes: Int = 8, rowsPerBand: Int = 2,
-      maxBucketSize: Int = 10000): DataFrame = {
-    val bands = lshBands(docs, idCol, tokensCol, numHashes, rowsPerBand)
+      maxBucketSize: Int = 10000): DataFrame =
+    lshCandidatePairsFromBands(
+      lshBands(docs, idCol, tokensCol, numHashes, rowsPerBand),
+      idCol, maxBucketSize)
+
+  /** Candidate pairs from an already-banded frame — see
+    * [[lshCandidatePairs]] for semantics and the bucket-cap guard.
+    */
+  def lshCandidatePairsFromBands(bands: DataFrame, idCol: String,
+      maxBucketSize: Int): DataFrame = {
     val buckets = bands
       .groupBy("band", "sig")
       .agg(sort_array(collect_list(col(idCol))).as("__ids"))

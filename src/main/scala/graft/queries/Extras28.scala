@@ -448,10 +448,19 @@ object Extras28 {
           .localCheckpoint() // joined against every config's candidates
         val nTruth = truth.agg(count(lit(1)).as("n_truth"))
         val configs = Seq((8, 2), (4, 4), (2, 8))
+        // ONE minhash pass, banded three ways. The production
+        // hot-bucket cap (10000) stays ON — a stop-phrase signature
+        // bucket goes quadratic without it (measured +25% at the 64x
+        // replica) — and the ORACLE models the same cap with a
+        // HAVING-filtered bucket CTE, so the sweep measures exactly
+        // the candidate set a production dedup run would generate.
+        val sig = Dedup.minhashSignatures(sample, "doc_id",
+          array_distinct(split(col("text"), " ")), 16)
+          .localCheckpoint()
         val perConfig = configs.map { case (b, r) =>
-          val cand = Dedup.lshCandidatePairs(sample, "doc_id",
-            array_distinct(split(col("text"), " ")),
-            numHashes = 16, rowsPerBand = r)
+          val cand = Dedup.lshCandidatePairsFromBands(
+            Dedup.lshBandsFromSignatures(sig, "doc_id", 16, r),
+            "doc_id", maxBucketSize = 10000)
           cand.join(truth.withColumn("hit", lit(1L)), Seq("id1", "id2"), "left")
             .agg(lit(b).as("bands"), lit(r).as("rows_per_band"),
               count(lit(1)).as("n_candidates"),
@@ -485,10 +494,15 @@ object Extras28 {
         def candFor(name: String, b: Int, r: Int): String =
           s"""bands_$name AS (
                 ${bandsFor(b, r)}),
+              ok_$name AS (
+                SELECT band, sig FROM bands_$name
+                GROUP BY band, sig HAVING COUNT(*) <= 10000),
               cand_$name AS (
                 SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-                FROM bands_$name a JOIN bands_$name b
-                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+                FROM bands_$name a
+                JOIN bands_$name b
+                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+                JOIN ok_$name k ON k.band = a.band AND k.sig = a.sig),
               agg_$name AS (
                 SELECT $b AS bands, $r AS rows_per_band,
                        CAST(COUNT(*) AS BIGINT) AS n_candidates,

@@ -256,9 +256,14 @@ object Extras9 {
       (s, d) => {
         // child scanned once; edges = (name, fk, parentTbl, pk)
         def audit(childTbl: String, edges: Seq[(String, String, String, String)]) = {
+          // DISTINCT parent keys make the left join fan-out-proof: a
+          // double-loaded dim row (exactly the dirt this audit hunts)
+          // must not inflate n_rows or cross-contaminate the other
+          // edges' orphan counts — NOT EXISTS semantics, one fact scan
           val joined = edges.foldLeft(table(s, d, childTbl)) {
             case (acc, (_, fk, parentTbl, pk)) =>
-              acc.join(table(s, d, parentTbl).select(col(pk).as(s"__p_$fk")),
+              acc.join(table(s, d, parentTbl)
+                .select(col(pk).as(s"__p_$fk")).distinct(),
                 col(fk) === col(s"__p_$fk"), "left")
           }
           val agg = joined.agg(

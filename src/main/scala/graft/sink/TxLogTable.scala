@@ -370,6 +370,9 @@ object TxLogTable {
     require(commits0.nonEmpty, s"not a TxLog table (no commits): $tablePath")
     require(commits0.contains(toVersion),
       s"version $toVersion does not exist; have ${commits0.sorted.mkString(", ")}")
+    // restore WRITES a new commit: the CURRENT protocol governs it
+    checkWriteProtocol(
+      replayState(fs, tablePath, commits0.max, commits0).props, tablePath)
     if (commits0.max == toVersion) return toVersion
     val target = snapshot(fs, tablePath, Some(toVersion))
     var attempt = 0
@@ -529,6 +532,7 @@ object TxLogTable {
       val latest = committedVersions(fs, tablePath).max
       val st = replayState(fs, tablePath, latest,
         committedVersions(fs, tablePath))
+      checkWriteProtocol(st.props, tablePath)
       val cur = StructType.fromDDL(st.ddl.get)
       // collision is judged against the LOGICAL view — the only one a
       // user can see
@@ -625,6 +629,7 @@ object TxLogTable {
     val commits = committedVersions(fs, tablePath)
     require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
     val st = replayState(fs, tablePath, commits.max, commits)
+    checkWriteProtocol(st.props, tablePath)
     require(st.constraints.contains(name),
       s"no such constraint '$name'; have: ${st.constraints.keys.toSeq.sorted.mkString(", ")}")
     metadataCommit(fs, tablePath, st.ddl.get, adds = Map.empty,
@@ -1116,6 +1121,16 @@ object TxLogTable {
     // snapshot read
     checkReadProtocol(
       replayState(fs, tablePath, toInclusive, commits).props, tablePath)
+    // versions are dense (1..n): any hole in the requested range means
+    // expireLog reclaimed it — serving the survivors would hand the
+    // caller a silently INCOMPLETE feed it would apply as complete
+    val missing = ((fromExclusive + 1L) to toInclusive)
+      .filterNot(commits.contains)
+    require(missing.isEmpty,
+      s"change feed range ($fromExclusive, $toInclusive] spans expired " +
+        s"version(s) ${missing.head}..${missing.last} of $tablePath — " +
+        "the log was expired past the requested start; resync from a " +
+        "full snapshot instead")
     val inRange = commits.filter(v => v > fromExclusive && v <= toInclusive).sorted
     val deltas = inRange.flatMap { v =>
       val c = parseCommit(fs, tablePath, v)
@@ -1841,6 +1856,7 @@ object TxLogTable {
     require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
     val base = commits.max
     val snap = snapshot(fs, tablePath, Some(base))
+    checkWriteProtocol(snap.props, tablePath) // a dv delete is a write
     if (snap.files.isEmpty) return base
     // candidate files by committed stats would also work; the matched
     // scan below already pushes the predicate into parquet row groups.

@@ -81,6 +81,16 @@ class ProtocolSpec extends SparkSpec {
     intercept[TxLogTable.ProtocolError] {
       TxLogTable.setProperties(spark, t, Map("x" -> "y"))
     }
+    intercept[TxLogTable.ProtocolError] {
+      TxLogTable.deleteVectors(spark, t, "k = 1")
+    }
+    intercept[TxLogTable.ProtocolError] {
+      TxLogTable.restore(spark, t, 1L)
+    }
+    intercept[TxLogTable.ProtocolError] {
+      TxLogTable.addColumns(spark, t,
+        org.apache.spark.sql.types.StructType.fromDDL("extra BIGINT"))
+    }
     // time travel to the pre-declaration version still reads — the
     // protocol is versioned state like any other metadata
     assert(TxLogTable.read(spark, t, asOfVersion = Some(1L)).count() === 1L)

@@ -50,6 +50,21 @@ class RetentionSpec extends SparkSpec {
     assert(TxLogTable.expireLog(spark, t, olderThanMillis = 0L) === 0)
   }
 
+  test("changes() refuses a range that spans expired versions") {
+    val t = freshTable()
+    for (i <- 1 to 12)
+      TxLogTable.append(Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1), t)
+    TxLogTable.expireLog(spark, t, olderThanMillis = 0L) // 1..9 gone
+    // a range fully above the horizon serves
+    assert(TxLogTable.changes(spark, t, 10L, 12L).count() === 2L)
+    // a range reaching below it must fail loudly — the survivors
+    // alone would be a silently incomplete feed
+    val e = intercept[IllegalArgumentException] {
+      TxLogTable.changes(spark, t, 3L, 12L)
+    }
+    assert(e.getMessage.contains("expired"))
+  }
+
   test("superseded checkpoints and their parts expire with the commits") {
     val t = freshTable()
     for (i <- 1 to 5)
