@@ -978,5 +978,59 @@ object Extras28 {
               FROM (VALUES ('1_unique'), ('2_light_dup'), ('3_heavy_dup'))
                 AS d(bucket)
               LEFT JOIN curve c ON c.bucket = d.bucket
-              ORDER BY d.bucket""")))
+              ORDER BY d.bucket""")),
+
+    // log-retention lifecycle under the oracle gate: 12 single-batch
+    // appends (the auto-checkpoint folds at 10), expireLog reclaims
+    // commits 1–9 plus any superseded checkpoints, and the table
+    // keeps serving — latest reads, travel to the checkpoint version
+    // and to tail versions, and commit-metadata fastCount all resolve
+    // from checkpoint + tail alone. The oracle recomputes every
+    // count/sum from `nation` and pins the exact post-expiry version
+    // census. Exception behavior (travel below the horizon, gapped
+    // change feeds) is RetentionSpec's.
+    QueryDef("q293_retention_lifecycle",
+      (s, d) => {
+        import graft.sink.TxLogTable
+        val t = QueryDef.scratch("graft_retain")
+          .resolve("nat").toString
+        val base = table(s, d, "nation").select(
+          col("n_nationkey").cast(LongType).as("k"),
+          col("n_regionkey").cast(LongType).as("r"))
+          .orderBy("k").limit(12).localCheckpoint()
+        val rows12 = base.collect().sortBy(_.getLong(0))
+        rows12.foreach { row =>
+          TxLogTable.append(
+            s.createDataFrame(java.util.Arrays.asList(row), base.schema), t)
+        }
+        val expired = TxLogTable.expireLog(s, t, olderThanMillis = 0L)
+        val versions = TxLogTable.history(s, t)
+          .select("version").orderBy("version")
+          .collect().map(_.getLong(0))
+        def agg(n: Int, asOf: Option[Long]) =
+          TxLogTable.read(s, t, asOf).agg(
+            lit(n).as("step"),
+            lit(expired.toLong).as("n_expired"),
+            lit(versions.min).as("min_version"),
+            lit(versions.max).as("max_version"),
+            count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"))
+        agg(1, None).unionAll(agg(2, Some(10L))).unionAll(agg(3, Some(11L)))
+          .orderBy("step")
+      },
+      Some("""WITH b AS (
+                SELECT n_nationkey AS k FROM nation ORDER BY k LIMIT 12),
+              pick AS (SELECT k, ROW_NUMBER() OVER (ORDER BY k) AS i FROM b)
+              SELECT 1 AS step, CAST(9 AS BIGINT) AS n_expired,
+                     CAST(10 AS BIGINT) AS min_version,
+                     CAST(12 AS BIGINT) AS max_version,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(SUM(k) AS BIGINT) AS k_sum
+              FROM pick
+              UNION ALL
+              SELECT 2, 9, 10, 12, COUNT(*), CAST(SUM(k) AS BIGINT)
+              FROM pick WHERE i <= 10
+              UNION ALL
+              SELECT 3, 9, 10, 12, COUNT(*), CAST(SUM(k) AS BIGINT)
+              FROM pick WHERE i <= 11
+              ORDER BY step""")))
 }
