@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. Two rounds of BENCH parsed:null traced to (a) the default
+// LoggedOutput strategy prefixing every app line with "[info] " and
+// (b) sbt's trailing "[success] Total time" line landing after the
+// JSON. StdoutOutput passes the forked app's stdout through verbatim;
+// showSuccess := false drops the trailer.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another setting —
+// lintUnused cannot see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

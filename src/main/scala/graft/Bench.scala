@@ -74,7 +74,12 @@ object Bench {
       case -1 => slow.length
       case i  => math.max(1, i - 1)
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":${slow.take(keep).mkString("{", ",", "}")},"errors":$errors,"sf":"$sfDir","full_timings":"$out"}""")
+    // stop Spark BEFORE the final line: anything the shutdown path might
+    // write to stdout would otherwise land after the JSON and break a
+    // last-line parser (build.sbt's StdoutOutput + showSuccess:=false
+    // remove the sbt-side "[info] " prefix and "[success]" trailer)
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":${slow.take(keep).mkString("{", ",", "}")},"errors":$errors,"sf":"$sfDir","full_timings":"$out"}""")
+    System.out.flush()
   }
 }

@@ -69,8 +69,14 @@ object MakeReplica {
     })
     // documents: fresh ids AND fresh token universe per replica — token
     // df constant, so inverted-index/shingle candidate spaces scale
-    // linearly with the corpus instead of quadratically
-    val docStride = stride(src("documents"), "doc_id")
+    // linearly with the corpus instead of quadratically.
+    // ONE shared stride for doc_id and vec_id: hybrid-retrieval queries
+    // join documents.doc_id = embeddings.vec_id, and independent strides
+    // (max(doc_id) != max(vec_id) when embeddings covers a subset) would
+    // misalign every replica after the first, silently changing the
+    // benchmark's join hit-rate at scale
+    val docStride = math.max(stride(src("documents"), "doc_id"),
+      stride(src("embeddings"), "vec_id"))
     out("documents", times(src("documents")) { (d, i) =>
       d.withColumn("doc_id", col("doc_id") + lit(i * docStride))
         .withColumn("text",
@@ -79,9 +85,8 @@ object MakeReplica {
             transform(split(col("text"), " "), t => concat(t, lit(s"_$i"))),
             " "))
     })
-    val vecStride = stride(src("embeddings"), "vec_id")
     out("embeddings", times(src("embeddings")) { (e, i) =>
-      e.withColumn("vec_id", col("vec_id") + lit(i * vecStride))
+      e.withColumn("vec_id", col("vec_id") + lit(i * docStride))
     })
     spark.stop()
   }

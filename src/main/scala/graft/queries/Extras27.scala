@@ -29,11 +29,20 @@ object Extras27 {
     // is recomputed by the oracle. τ = 0.35 is calibrated to this
     // synthetic corpus (within-cell cosine p99 ≈ 0.32) — real
     // deployments use ~0.95+ on purpose-trained embeddings.
+    //
+    // k is DERIVED as ceil(sqrt(corpus count)) — the SemDeDup sizing
+    // rule applied, not just documented: per-cell membership stays
+    // ~sqrt(n), so within-cell pairs grow ~n^1.5 instead of the n²/8
+    // a pinned 8-cell quantizer gave (round-9 64× probe: 31 s).
+    // sqrt/ceil on a <2^53 integer are correctly-rounded IEEE ops —
+    // bit-identical in the JVM and DuckDB.
     QueryDef("q273_semantic_dedup",
       (s, d) => {
         val fv = table(s, d, "embeddings").select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        val cc = fv.filter(col("vec_id") < 8)
+        val k = math.max(8L,
+          math.ceil(math.sqrt(fv.count().toDouble)).toLong)
+        val cc = fv.filter(col("vec_id") < k)
           .select(col("vec_id").as("cell"), col("v").as("cv"))
         val sq = "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
         val asg = fv.crossJoin(broadcast(cc))
@@ -58,7 +67,10 @@ object Extras27 {
       Some("""WITH emb AS (SELECT vec_id,
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    FROM embeddings),
-              cc AS (SELECT vec_id AS cell, v AS cv FROM emb WHERE vec_id < 8),
+              cc AS (SELECT vec_id AS cell, v AS cv FROM emb
+                     WHERE vec_id < (SELECT GREATEST(8,
+                         CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
+                       FROM embeddings)),
               asg AS (SELECT vec_id, cell FROM (
                   SELECT e.vec_id, cc.cell, ROW_NUMBER() OVER (
                            PARTITION BY e.vec_id

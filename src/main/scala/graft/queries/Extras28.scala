@@ -209,16 +209,35 @@ object Extras28 {
     // equi-join touching ~1/2^bits of the anchor x corpus pair space
     // — never all-pairs. At 100 TB the bucket key is also the
     // partition key, so each executor mines its own bucket locally.
+    //
+    // `bits` is DERIVED from the corpus count — the sizing contract
+    // on Similarity.hardNegatives (bits ~ log2(corpus/targetBucket),
+    // targetBucket = 64) applied, not just documented: buckets stay
+    // ~64 vectors at any scale, so per-anchor candidate work is flat
+    // where a pinned bits went quadratic (round-9 64× probe: 18.3 s).
+    // Pure-integer formula (ceil-div + binary-digit count) so the
+    // oracle reproduces it exactly — no float log2 half-cases.
     QueryDef("q283_hard_negatives",
-      (s, d) => Similarity.hardNegatives(table(s, d, "embeddings"),
-          anchorPred = col("vec_id") % 7 === 0, k = 3, bits = 4)
-        .orderBy("a_id", "rank"),
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val m = (emb.count() + 63L) / 64L // ceil(n / targetBucket)
+        val bits = math.min(16, math.max(4, // digits of bin(m-1) = ceil(log2 m)
+          if (m <= 1L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)))
+        Similarity.hardNegatives(emb,
+            anchorPred = col("vec_id") % 7 === 0, k = 3, bits = bits)
+          .orderBy("a_id", "rank")
+      },
       Some {
-        val bucketSql = (1 to 4).map(i =>
+        // same integer sizing (DuckDB BIN digit count), max-16-bit
+        // sign string truncated to the derived width
+        val bucketSql = (1 to 16).map(i =>
           s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)")
           .mkString(" || ")
-        s"""WITH b AS (SELECT vec_id, label, embedding,
-                         $bucketSql AS bucket
+        s"""WITH p AS (SELECT GREATEST(4, LEAST(16, LENGTH(BIN(CAST(
+                         ((COUNT(*) + 63) // 64) - 1 AS BIGINT))))) AS bits
+                       FROM embeddings),
+               b AS (SELECT vec_id, label, embedding,
+                         substr($bucketSql, 1, (SELECT bits FROM p)) AS bucket
                        FROM embeddings),
             pairs AS (
               SELECT a.vec_id AS a_id, a.label AS a_label,

@@ -370,10 +370,13 @@ object TxLogTable {
     require(commits0.nonEmpty, s"not a TxLog table (no commits): $tablePath")
     require(commits0.contains(toVersion),
       s"version $toVersion does not exist; have ${commits0.sorted.mkString(", ")}")
+    // restore-to-current is a no-op — return before the protocol gate
+    // (no commit is written, so nothing to govern) and before paying a
+    // replayState for props nobody needs
+    if (commits0.max == toVersion) return toVersion
     // restore WRITES a new commit: the CURRENT protocol governs it
     checkWriteProtocol(
       replayState(fs, tablePath, commits0.max, commits0).props, tablePath)
-    if (commits0.max == toVersion) return toVersion
     val target = snapshot(fs, tablePath, Some(toVersion))
     var attempt = 0
     var result = -1L
@@ -619,7 +622,10 @@ object TxLogTable {
     metadataCommit(fs, tablePath, snap.schema.toDDL,
       adds = Map(name -> expression), drops = Nil,
       // a declared protocol picks up checkConstraints on first use
-      propSets = featureDecl(st.props, "checkConstraints"))
+      // (declared by name: the commit loop derives the property delta
+      // from per-attempt replayed props, so a retry after a racing
+      // feature declaration unions instead of overwriting)
+      declFeature = Some("checkConstraints"))
   }
 
   /** Drop a named constraint (metadata-only commit). */
@@ -730,6 +736,36 @@ object TxLogTable {
         "implement — upgrade the engine before writing")
   }
 
+  /** Streaming-read protocol gate, shared by the v1 format source and
+    * the V2 catalog micro-batch stream: re-checked on EVERY planned
+    * batch, not only at source creation, because a long-lived stream
+    * outlives `upgradeProtocol` — a reader feature declared mid-stream
+    * must stop the query, never be replayed with legacy semantics
+    * (the silent failure mode: a stream serving DV-unmasked rows of a
+    * feature it cannot parse).
+    */
+  private[graft] def checkStreamReadProtocol(spark: SparkSession,
+      tablePath: String): Unit = {
+    val fs = fileSystem(spark, tablePath)
+    val commits = committedVersions(fs, tablePath)
+    if (commits.nonEmpty) checkReadProtocol(
+      replayState(fs, tablePath, commits.max, commits).props, tablePath)
+  }
+
+  /** Versions in `(fromExclusive, toInclusive]` that no longer exist
+    * in the log — [[expireLog]] reclaimed them. A streaming read whose
+    * checkpointed offset fell below the retention horizon must fail
+    * loudly on these, not skip them (versions are dense, so any hole
+    * is retention, and the skipped commits' rows would silently never
+    * reach downstream state).
+    */
+  private[graft] def missingVersions(spark: SparkSession, tablePath: String,
+      fromExclusive: Long, toInclusive: Long): Seq[Long] = {
+    val present =
+      committedVersions(fileSystem(spark, tablePath), tablePath).toSet
+    ((fromExclusive + 1L) to toInclusive).filterNot(present.contains)
+  }
+
   /** The features a state's metadata shows to be IN USE. */
   private def inferredFeatures(st: State): Set[String] = {
     val b = Set.newBuilder[String]
@@ -782,26 +818,33 @@ object TxLogTable {
     val fs = fileSystem(spark, tablePath)
     val commits = committedVersions(fs, tablePath)
     require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
-    val st = replayState(fs, tablePath, commits.max, commits)
-    val inUse = inferredFeatures(st)
-    val newReader =
-      featureSet(st.props, ReaderFeaturesProp) ++ readerFeatures ++ inUse
-    val newWriter =
-      featureSet(st.props, WriterFeaturesProp) ++ writerFeatures ++ inUse
-    propertiesCommit(spark, tablePath, sets = Map(
-      ReaderFeaturesProp -> newReader.toSeq.sorted.mkString(","),
-      WriterFeaturesProp -> newWriter.toSeq.sorted.mkString(",")),
-      drops = Nil)
+    // the feature union is recomputed from the CURRENT replayed state
+    // on every claim attempt: a concurrently-winning commit that
+    // declared a feature must fold into our lists, never be
+    // overwritten with ones read before the race (the invariant: a
+    // declared protocol can never under-state what a reader needs)
+    propertiesCommitWith(spark, tablePath, st => {
+      val inUse = inferredFeatures(st)
+      Map(
+        ReaderFeaturesProp -> (featureSet(st.props, ReaderFeaturesProp) ++
+          readerFeatures ++ inUse).toSeq.sorted.mkString(","),
+        WriterFeaturesProp -> (featureSet(st.props, WriterFeaturesProp) ++
+          writerFeatures ++ inUse).toSeq.sorted.mkString(","))
+    }, drops = Nil)
   }
 
   private def propertiesCommit(spark: SparkSession, tablePath: String,
-      sets: Map[String, String], drops: Seq[String]): Long = {
+      sets: Map[String, String], drops: Seq[String]): Long =
+    propertiesCommitWith(spark, tablePath, _ => sets, drops)
+
+  /** `computeSets` re-evaluates against the state replayed inside each
+    * claim attempt, so retries never commit property values derived
+    * from a pre-conflict read (upgradeProtocol's feature union is the
+    * load-bearing case). The per-attempt replay also keeps the write
+    * protocol gate current. */
+  private def propertiesCommitWith(spark: SparkSession, tablePath: String,
+      computeSets: State => Map[String, String], drops: Seq[String]): Long = {
     val fs = fileSystem(spark, tablePath)
-    locally {
-      val commits0 = committedVersions(fs, tablePath)
-      if (commits0.nonEmpty) checkWriteProtocol(
-        replayState(fs, tablePath, commits0.max, commits0).props, tablePath)
-    }
     var attempt = 0
     var result = -1L
     while (result < 0) {
@@ -810,6 +853,9 @@ object TxLogTable {
         s"gave up after $MaxCommitRetries property-commit attempts on $tablePath")
       val commits = committedVersions(fs, tablePath)
       require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+      val st = replayState(fs, tablePath, commits.max, commits)
+      checkWriteProtocol(st.props, tablePath)
+      val sets = computeSets(st)
       val version = commits.max + 1L
       val ddl = parseCommit(fs, tablePath, commits.max).schemaDdl
       try {
@@ -827,14 +873,20 @@ object TxLogTable {
 
   private def metadataCommit(fs: FileSystem, tablePath: String, ddl: String,
       adds: Map[String, String], drops: Seq[String],
-      propSets: Map[String, String] = Map.empty): Long = {
+      declFeature: Option[String] = None): Long = {
     var attempt = 0
     var result = -1L
     while (result < 0) {
       attempt += 1
       if (attempt > MaxCommitRetries) throw new IllegalStateException(
         s"gave up after $MaxCommitRetries metadata-commit attempts on $tablePath")
-      val version = committedVersions(fs, tablePath).max + 1L
+      val commits = committedVersions(fs, tablePath)
+      val version = commits.max + 1L
+      // feature declaration from props replayed THIS attempt — see
+      // propertiesCommitWith for the under-statement race it prevents
+      val propSets = declFeature.map(f => featureDecl(
+        replayState(fs, tablePath, commits.max, commits).props, f))
+        .getOrElse(Map.empty)
       try {
         claimCommit(fs, tablePath, version,
           Commit("setconstraint", ddl, Nil,
@@ -1271,6 +1323,15 @@ object TxLogTable {
   def expireLog(spark: SparkSession, tablePath: String,
       olderThanMillis: Long = 10L * 60 * 1000): Int = {
     val fs = fileSystem(spark, tablePath)
+    // protocol gate: expiry decides which log files are load-bearing
+    // from a legacy-semantics replay — on a table requiring features
+    // this build lacks, that replay may mis-read what is referenced,
+    // and the deletions are permanent. Refuse, like snapshot/changes.
+    locally {
+      val commits0 = committedVersions(fs, tablePath)
+      if (commits0.nonEmpty) checkWriteProtocol(
+        replayState(fs, tablePath, commits0.max, commits0).props, tablePath)
+    }
     val logPath = new Path(tablePath, LogDir)
     val cutoff = System.currentTimeMillis() - olderThanMillis
     def expired(p: Path): Boolean =
@@ -1317,6 +1378,11 @@ object TxLogTable {
     val fs = fileSystem(spark, tablePath)
     val commits = committedVersions(fs, tablePath)
     require(commits.nonEmpty, s"not a TxLog table (no commits): $tablePath")
+    // protocol gate: a checkpoint rewrites replayed state as the new
+    // source of truth — a legacy-semantics replay of a table requiring
+    // unknown features would bake the mis-read in permanently
+    checkWriteProtocol(
+      replayState(fs, tablePath, commits.max, commits).props, tablePath)
     writeCheckpoint(fs, tablePath, commits.max, maxPartLines)
     commits.max
   }
@@ -1339,6 +1405,15 @@ object TxLogTable {
   def vacuum(spark: SparkSession, tablePath: String,
       olderThanMillis: Long = 10L * 60 * 1000): Int = {
     val fs = fileSystem(spark, tablePath)
+    // protocol gate: the referenced-file set below comes from a
+    // legacy-semantics parse of commits/checkpoints — a feature this
+    // build lacks (e.g. one recording file references in a new commit
+    // field) would get its live files deleted as "orphans". Refuse.
+    locally {
+      val commits0 = committedVersions(fs, tablePath)
+      if (commits0.nonEmpty) checkWriteProtocol(
+        replayState(fs, tablePath, commits0.max, commits0).props, tablePath)
+    }
     // checkpoints count as references too: once old commits are
     // expired (log retention), the checkpoint is the only witness
     // that a still-live file is not an orphan
@@ -1914,8 +1989,12 @@ object TxLogTable {
           Commit("dv", snap.schema.toDDL, Nil,
             op = Some("delete (vectors)"),
             dvAdds = touched.map(f => f -> Seq(dvName)).toMap,
-            // a declared protocol picks up deletionVectors on first use
-            propSets = featureDecl(snap.props, "deletionVectors")))
+            // a declared protocol picks up deletionVectors on first
+            // use — from the CURRENT props (`now`, re-read every
+            // attempt), so a retry after a conflicting commit that
+            // declared another feature unions with it instead of
+            // overwriting the lists with pre-race state
+            propSets = featureDecl(now.props, "deletionVectors")))
         result = latest + 1L
       } catch { case _: CommitConflict => () }
     }
@@ -2656,14 +2735,22 @@ object TxLogTable {
             published = Some((version, ns))
             ns
         }
+        // a declared protocol must list every feature in use: the
+        // first DV commit rides its own declaration. On a RETRY the
+        // declaration re-derives from freshly replayed props — a
+        // conflicting commit may have extended the feature lists, and
+        // pre-race `curProps` would overwrite its additions
+        val dvDecl =
+          if (dvAdds.isEmpty) Map.empty[String, String]
+          else featureDecl(
+            if (attempt == 1 || commits.isEmpty) curProps
+            else replayState(fs, tablePath, commits.max, commits).props,
+            "deletionVectors")
         try {
           claimCommit(fs, tablePath, version,
             Commit(commitAction, commitDdl, names, txn, fileStats, removes,
               op = op, dvAdds = dvAdds,
-              // a declared protocol must list every feature in use:
-              // the first DV commit rides its own declaration
-              propSets = if (dvAdds.nonEmpty)
-                featureDecl(curProps, "deletionVectors") else Map.empty))
+              propSets = dvDecl))
           result = version
         } catch {
           case _: CommitConflict => () // loop: re-read log, next version

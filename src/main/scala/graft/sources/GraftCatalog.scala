@@ -500,6 +500,20 @@ final class GraftMicroBatchStream(sparkSession: SparkSession,
       end: Offset): Array[org.apache.spark.sql.connector.read.InputPartition] = {
     val lo = start.asInstanceOf[VersionOffset].v
     val hi = end.asInstanceOf[VersionOffset].v
+    // protocol gate, re-checked per planned batch: a reader feature
+    // declared mid-stream (upgradeProtocol) must stop the query, not
+    // have its commits replayed with legacy semantics
+    TxLogTable.checkStreamReadProtocol(sparkSession, tablePath)
+    // retention guard: versions this batch owes that expireLog
+    // reclaimed would be SILENTLY skipped by the commit replay below
+    // (versions are dense — any hole is retention, not absence)
+    val missing = TxLogTable.missingVersions(sparkSession, tablePath, lo, hi)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"stream over $tablePath owes version(s) " +
+        s"${missing.head}..${missing.last} which were expired by log " +
+        "retention — the incremental feed is gapped. Re-sync from a " +
+        "batch snapshot read and a fresh checkpoint instead of " +
+        "silently skipping the expired commits")
     if (!ignoreDeletes) {
       val rewrites = TxLogTable.rewriteVersions(sparkSession, tablePath, lo, hi)
       if (rewrites.nonEmpty) throw new IllegalStateException(

@@ -241,6 +241,10 @@ final class TxLogStreamSource(spark: SparkSession, tablePath: String,
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): org.apache.spark.sql.DataFrame = {
     val lo = start.map(version).getOrElse(0L)
     val hi = version(end)
+    // protocol gate, re-checked per batch: a reader feature declared
+    // AFTER this source resolved snap0 (upgradeProtocol mid-stream)
+    // must stop the query, not be replayed with legacy semantics
+    TxLogTable.checkStreamReadProtocol(spark, tablePath)
     // CHANGE-FEED mode: the micro-batch is the row-level
     // insert/delete feed for the version range — deletes are first-
     // class rows here, so DML commits stream instead of failing the
@@ -257,6 +261,46 @@ final class TxLogStreamSource(spark: SparkSession, tablePath: String,
       return graftshim.ColumnShim.internalCreateDataFrame(
         spark, aligned.queryExecution.toRdd, schema, isStreaming = true)
     }
+    // INITIAL batch of a fresh stream: serve the SNAPSHOT at `hi`
+    // (the public lake sources' semantics), not the append-commit
+    // replay — on a retention-managed table the early appends live
+    // only in the checkpoint, and the replay would silently miss
+    // them; the snapshot is also already DV-masked and rename-aware,
+    // so rewrites before `hi` need no special-casing
+    if (start.isEmpty) {
+      // a REPLAYED initial batch (offset logged, commit lost) pins a
+      // snapshot version that log retention may have reclaimed — the
+      // exact batch is unrecoverable, so fail with the retention
+      // story, not a bare version-missing error
+      if (!TxLogTable.versions(spark, tablePath).contains(hi))
+        throw new IllegalStateException(
+          s"stream checkpoint pins initial snapshot version $hi of " +
+            s"$tablePath, which was expired by log retention — the " +
+            "batch cannot be reproduced. Restart from a fresh checkpoint")
+      val snapDf = TxLogTable.read(spark, tablePath, Some(hi))
+      val aligned = snapDf.select(schema.fieldNames.toSeq.map { n =>
+        if (snapDf.columns.contains(n)) org.apache.spark.sql.functions.col(n)
+        else org.apache.spark.sql.functions.lit(null)
+          .cast(schema(n).dataType).as(n)
+      }: _*)
+      // all-nullable: the incremental path reads parquet (nullable
+      // attributes) — the initial batch must agree or a downstream
+      // stateful operator pins the stricter key schema and the first
+      // RESTART fails the state-store schema check
+      val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
+      return graftshim.ColumnShim.internalCreateDataFrame(
+        spark, aligned.queryExecution.toRdd, nullable, isStreaming = true)
+    }
+    // RESTART below the retention horizon: versions the checkpointed
+    // offset still owes were expired — the survivors would stream as
+    // if complete, silently dropping the expired commits' rows
+    val missing = TxLogTable.missingVersions(spark, tablePath, lo, hi)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"stream checkpoint resumes at version $lo of $tablePath but " +
+        s"version(s) ${missing.head}..${missing.last} were expired by " +
+        "log retention — the incremental feed is gapped. Restart from " +
+        "a fresh checkpoint (the initial batch serves the current " +
+        "snapshot) instead of silently skipping the expired commits")
     // a row-level DELETE/UPDATE cannot be expressed by an append-only
     // stream: silently skipping it would leave downstream state
     // wrong, so fail loudly unless the user opted in — the public

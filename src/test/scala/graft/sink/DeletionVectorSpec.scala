@@ -199,18 +199,32 @@ class DeletionVectorSpec extends SparkSpec {
     assert(got.drop(3).forall { case (k, v) => v == s"x$k" })
   }
 
-  test("append-only stream fails loudly on a dv commit unless ignoreDeletes") {
+  test("dv commits: fresh stream serves the masked snapshot; a mid-stream dv fails loudly") {
     val t = rangedTable()
     val ckpt = Files.createTempDirectory("dv_ckpt").toString
     val out = Files.createTempDirectory("dv_out").resolve("o").toString
     TxLogTable.deleteVectors(spark, t, "k = 7")
-    val q = spark.readStream.format("graft-txlog").load(t)
-      .writeStream.format("parquet")
-      .option("checkpointLocation", ckpt).option("path", out).start()
-    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q.processAllAvailable()
+    // a FRESH stream's initial batch is the current snapshot — the
+    // historical dv commit is already applied there (masked), so the
+    // query runs and k=7 never reaches the sink
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-txlog").load(t)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out).start()
+      try q.processAllAvailable() finally q.stop()
     }
-    q.stop()
+    run()
+    val streamed = spark.read.parquet(out).select("k")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed === (0L until 30L).toSet - 7L,
+      "initial batch must be the DV-masked snapshot")
+    // a dv commit in the INCREMENTAL range is a row-level delete an
+    // append-only stream cannot express: the restarted query owes
+    // (snapshot..now] and must fail loudly, not skip the delete
+    TxLogTable.deleteVectors(spark, t, "k = 3")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run()
+    }
     assert(err.getMessage.contains("delete/update commit") ||
       Option(err.getCause).exists(_.getMessage.contains("delete/update commit")))
   }

@@ -158,4 +158,68 @@ class ProtocolSpec extends SparkSpec {
     TxLogTable.restore(spark, t, 1L)
     assert(TxLogTable.protocol(spark, t)._1 === Set("columnMapping"))
   }
+
+  private def messages(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(e =>
+      Option(e.getMessage).toSeq ++ messages(e.getCause))
+
+  test("format stream is protocol-gated: unknown reader feature stops it, incl. mid-stream") {
+    val t = freshTable()
+    TxLogTable.append(Seq((1L, "a")).toDF("k", "v").coalesce(1), t)
+    val ckpt = Files.createTempDirectory("proto_sckpt").toString
+    val out = Files.createTempDirectory("proto_sout").resolve("o").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-txlog").load(t)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // all-implemented features: streams fine
+    assert(spark.read.parquet(out).count() === 1L)
+    // a future engine extends the protocol MID-STREAM (append lands
+    // first — writes on the poisoned table would be refused too)
+    TxLogTable.append(Seq((2L, "b")).toDF("k", "v").coalesce(1), t)
+    TxLogTable.setProperties(spark, t,
+      Map(TxLogTable.ReaderFeaturesProp -> "quantumRows"))
+    val resumed = intercept[Exception] { run() }
+    assert(messages(resumed).exists(_.contains("quantumRows")),
+      s"restarted stream must refuse, got: ${messages(resumed)}")
+    // a FRESH stream on the poisoned table is refused at creation
+    val fresh = intercept[Exception] {
+      val q = spark.readStream.format("graft-txlog").load(t)
+        .writeStream.format("parquet")
+        .option("checkpointLocation",
+          Files.createTempDirectory("proto_sckpt2").toString)
+        .option("path",
+          Files.createTempDirectory("proto_sout2").resolve("o").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(messages(fresh).exists(_.contains("quantumRows")),
+      s"fresh stream must refuse, got: ${messages(fresh)}")
+  }
+
+  test("catalog stream (readStream.table) is protocol-gated on reader features") {
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty) {
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft.warehouse",
+        Files.createTempDirectory("proto_wh").toString)
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proto")
+    val name = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE TABLE graft.proto.$name (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO graft.proto.$name VALUES (1, 'a')")
+    spark.sql(s"ALTER TABLE graft.proto.$name SET TBLPROPERTIES " +
+      s"('${TxLogTable.ReaderFeaturesProp}' = 'quantumRows')")
+    val err = intercept[Exception] {
+      val q = spark.readStream.table(s"graft.proto.$name")
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("proto_cckpt").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(messages(err).exists(_.contains("quantumRows")),
+      s"catalog stream must refuse, got: ${messages(err)}")
+  }
 }

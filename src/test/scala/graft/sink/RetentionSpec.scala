@@ -112,4 +112,37 @@ class RetentionSpec extends SparkSpec {
     assert(rows(t) === expected(3))
     assert(rows(t, Some(1L)) === expected(1))
   }
+
+  test("a restarted stream whose checkpointed offset fell below the retention horizon fails loudly") {
+    val t = freshTable()
+    TxLogTable.append(Seq((1L, "r1")).toDF("id", "v").coalesce(1), t)
+    val ckpt = java.nio.file.Files.createTempDirectory("ret_sckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("ret_sout")
+      .resolve("o").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-txlog").load(t)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // stream checkpoint now holds offset 1
+    // while the query is down: more appends, a log checkpoint, and
+    // retention — version 2 (which the stream still owes) expires
+    TxLogTable.append(Seq((2L, "r2")).toDF("id", "v").coalesce(1), t)
+    TxLogTable.append(Seq((3L, "r3")).toDF("id", "v").coalesce(1), t)
+    TxLogTable.checkpoint(spark, t)
+    assert(TxLogTable.expireLog(spark, t, olderThanMillis = 0L) > 0)
+    val err = intercept[Exception] { run() }
+    def messages(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // two replay shapes, one story: a committed offset 1 owes the
+    // expired v2 (gap guard); a logged-but-uncommitted initial batch
+    // replays pinned at the expired v1 (initial-snapshot guard) —
+    // both surface "expired by log retention"
+    assert(messages(err).exists(_.contains("expired by log retention")),
+      s"gapped resume must fail loudly, got: ${messages(err)}")
+    assert(spark.read.parquet(out).count() === 1L,
+      "no rows may be served past the gap")
+  }
 }
