@@ -40,6 +40,72 @@ object Extras28 {
   private def featSlotDuck(tok: String): String =
     s"(CAST(CAST('0x' || substr(md5($tok), 1, 4) AS INTEGER) AS BIGINT) % 8)"
 
+  /** The distinct-word frame BPE induction runs over: one word-count
+    * shuffle collapses the corpus to its value domain, then every
+    * merge round is value-domain-sized. Shared by q281 (induction)
+    * and q55 (encode/apply). */
+  private[queries] def bpeWordFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    table(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("seq", expr("trim(regexp_replace(word, '(.)', '$1 '))"))
+      .localCheckpoint() // distinct-word frame: value-domain-sized
+
+  /** One BPE merge round over the word frame: count adjacent symbol
+    * pairs (frequency-weighted), pick the max (ties to the
+    * lexicographically first pair), rewrite every word's
+    * segmentation with a boundary-guarded literal replace. Returns
+    * (merged frame, 1-row best-pair frame). */
+  private[queries] def bpeRound(w: DataFrame): (DataFrame, DataFrame) = {
+    val pairs = w
+      .select(col("freq"), expr("split(seq, ' ')").as("sy"))
+      .select(col("freq"), explode(expr(
+        "CASE WHEN size(sy) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
+          "ELSE transform(sequence(0, size(sy) - 2), " +
+          "i -> concat(sy[i], ' ', sy[i + 1])) END")).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+    val best = pairs.orderBy(col("cnt").desc, col("pair")).limit(1)
+      .localCheckpoint() // 1 row — pin so every consumer sees one choice
+    val merged = w.crossJoin(broadcast(best))
+      .withColumn("seq", expr(
+        "trim(replace(concat(' ', seq, ' '), concat(' ', pair, ' '), " +
+          "concat(' ', replace(pair, ' ', ''), ' ')))"))
+      .select("word", "freq", "seq")
+      .localCheckpoint() // next round re-reads it twice (pairs + rewrite)
+    (merged, best)
+  }
+
+  /** DuckDB CTE chain words/w0/p1..b1..w1/../w3 mirroring three
+    * [[bpeRound]]s — shared verbatim by the q281 and q55 oracles so
+    * both engines run the identical induction. */
+  private[queries] val bpeSqlCtes: String = {
+    def rnd(i: Int) = s"""
+              p$i AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+                      FROM (SELECT freq,
+                              unnest([sy[j] || ' ' || sy[j + 1]
+                                      for j in range(1, len(sy))]) AS pair
+                            FROM (SELECT freq, string_split(seq, ' ') AS sy
+                                  FROM w${i - 1}))
+                      GROUP BY pair),
+              b$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+              w$i AS (SELECT word, freq,
+                        trim(replace(' ' || seq || ' ', ' ' || b.pair || ' ',
+                             ' ' || replace(b.pair, ' ', '') || ' ')) AS seq
+                      FROM w${i - 1}, b$i b)"""
+    s"""words AS (
+              SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+              WHERE len(word) > 0 GROUP BY word),
+            w0 AS (SELECT word, freq,
+                     trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+                   FROM words),
+            ${rnd(1)},
+            ${rnd(2)},
+            ${rnd(3)}"""
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // BPE vocabulary induction at corpus scale: 3 merge rounds, each
@@ -58,35 +124,10 @@ object Extras28 {
     // budget is planned against.
     QueryDef("q281_bpe_merges",
       (s, d) => {
-        val words = table(s, d, "documents")
-          .select(explode(split(col("text"), " ")).as("word"))
-          .filter(length(col("word")) > 0)
-          .groupBy("word").agg(count(lit(1)).as("freq"))
-          .withColumn("seq", expr("trim(regexp_replace(word, '(.)', '$1 '))"))
-          .localCheckpoint() // distinct-word frame: value-domain-sized
-        // one merge round: count adjacent symbol pairs (weighted),
-        // pick the max, rewrite every word's segmentation
-        def round(w: DataFrame): (DataFrame, DataFrame) = {
-          val pairs = w
-            .select(col("freq"), expr("split(seq, ' ')").as("sy"))
-            .select(col("freq"), explode(expr(
-              "CASE WHEN size(sy) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
-                "ELSE transform(sequence(0, size(sy) - 2), " +
-                "i -> concat(sy[i], ' ', sy[i + 1])) END")).as("pair"))
-            .groupBy("pair").agg(sum("freq").as("cnt"))
-          val best = pairs.orderBy(col("cnt").desc, col("pair")).limit(1)
-            .localCheckpoint() // 1 row — pin so both consumers see one choice
-          val merged = w.crossJoin(broadcast(best))
-            .withColumn("seq", expr(
-              "trim(replace(concat(' ', seq, ' '), concat(' ', pair, ' '), " +
-                "concat(' ', replace(pair, ' ', ''), ' ')))"))
-            .select("word", "freq", "seq")
-            .localCheckpoint() // next round re-reads it twice (pairs + rewrite)
-          (merged, best)
-        }
-        val (w1, b1) = round(words)
-        val (w2, b2) = round(w1)
-        val (w3, b3) = round(w2)
+        val words = bpeWordFrame(s, d)
+        val (w1, b1) = bpeRound(words)
+        val (w2, b2) = bpeRound(w1)
+        val (w3, b3) = bpeRound(w2)
         def statRow(r: Int, b: DataFrame, w: DataFrame) =
           b.crossJoin(w.agg(
             sum(col("freq") * size(split(col("seq"), " ")).cast(LongType))
@@ -97,33 +138,11 @@ object Extras28 {
           .unionAll(statRow(3, b3, w3)).orderBy("round")
       },
       Some {
-        def rnd(i: Int) = s"""
-              p$i AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
-                      FROM (SELECT freq,
-                              unnest([sy[j] || ' ' || sy[j + 1]
-                                      for j in range(1, len(sy))]) AS pair
-                            FROM (SELECT freq, string_split(seq, ' ') AS sy
-                                  FROM w${i - 1}))
-                      GROUP BY pair),
-              b$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
-              w$i AS (SELECT word, freq,
-                        trim(replace(' ' || seq || ' ', ' ' || b.pair || ' ',
-                             ' ' || replace(b.pair, ' ', '') || ' ')) AS seq
-                      FROM w${i - 1}, b$i b)"""
         def stat(i: Int) =
           s"""SELECT $i AS round, pair, cnt,
                 (SELECT CAST(SUM(freq * len(string_split(seq, ' '))) AS BIGINT)
                  FROM w$i) AS tokens_after FROM b$i"""
-        s"""WITH words AS (
-              SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-              FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-              WHERE len(word) > 0 GROUP BY word),
-            w0 AS (SELECT word, freq,
-                     trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
-                   FROM words),
-            ${rnd(1)},
-            ${rnd(2)},
-            ${rnd(3)}
+        s"""WITH $bpeSqlCtes
             ${stat(1)} UNION ALL ${stat(2)} UNION ALL ${stat(3)}
             ORDER BY round"""
       }),

@@ -1,0 +1,403 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import QueryDef.table
+
+/** Round-10 batch: the tokenizer APPLY half of BPE (q55 — the number
+  * reserved since round 1), and five training-data curation ops a
+  * 100 TB corpus pipeline runs between dedup and training: DSIR-style
+  * importance selection, classifier calibration audit, T5 span
+  * corruption planning, n-gram perplexity filtering, and per-source
+  * embedding-topic diversity.
+  *
+  * Determinism discipline (same as Extras28): every cross-row
+  * accumulation is a BIGINT sum of exact integers; log2 is the
+  * INTEGER binary-digit count `length(bin(x))` — identical in Spark
+  * and DuckDB, no libm; per-row double math is one pinned expression
+  * tree over exact integers; every query ends in a total ORDER BY.
+  */
+object Extras29 {
+
+  /** md5 token hash into one of `m` buckets — the q261/q284 hashing
+    * trick widened to a parameterized modulus. */
+  private def slot(tok: String, m: Int): String =
+    s"(CAST(conv(substring(md5($tok), 1, 4), 16, 10) AS BIGINT) % $m)"
+  private def slotDuck(tok: String, m: Int): String =
+    s"(CAST(CAST('0x' || substr(md5($tok), 1, 4) AS INTEGER) AS BIGINT) % $m)"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // BPE ENCODE — the apply half of q281's induction: run the same
+    // 3 learned merges, then tokenize the corpus through the final
+    // word→segmentation map and report per-language fertility
+    // (subwords per word), the number a tokenizer budget is planned
+    // against per language. Scale shape: the corpus collapses to its
+    // distinct-word frame once (one shuffle); the merge loop is
+    // value-domain-sized; the apply is an equi-join of corpus words
+    // against that map — at 100 TB the map is millions of rows while
+    // the corpus is trillions, so the join broadcasts or
+    // bucket-joins on the word key and never reshuffles the corpus.
+    QueryDef("q55_bpe_encode",
+      (s, d) => {
+        val words = Extras28.bpeWordFrame(s, d)
+        val (w1, _) = Extras28.bpeRound(words)
+        val (w2, _) = Extras28.bpeRound(w1)
+        val (w3, _) = Extras28.bpeRound(w2)
+        val vocab = w3.select(col("word"),
+          size(split(col("seq"), " ")).cast(LongType).as("n_subwords_w"))
+        val docWords = table(s, d, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+        docWords.join(vocab, "word")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_words"),
+            sum(length(col("word")).cast(LongType)).as("n_chars"),
+            sum(col("n_subwords_w")).as("n_subwords"),
+            countDistinct(col("word")).as("n_vocab"))
+          .withColumn("fertility",
+            col("n_subwords").cast(DoubleType) / col("n_words").cast(DoubleType))
+          .orderBy("lang")
+      },
+      Some(s"""WITH ${Extras28.bpeSqlCtes},
+            vocab AS (SELECT word,
+                        CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_subwords_w
+                      FROM w3),
+            dw AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+                   FROM documents),
+            j AS (SELECT d.lang, d.word, v.n_subwords_w
+                  FROM dw d JOIN vocab v ON v.word = d.word
+                  WHERE len(d.word) > 0)
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(len(word)) AS BIGINT) AS n_chars,
+                   CAST(SUM(n_subwords_w) AS BIGINT) AS n_subwords,
+                   CAST(COUNT(DISTINCT word) AS BIGINT) AS n_vocab,
+                   CAST(SUM(n_subwords_w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                     AS fertility
+            FROM j GROUP BY lang ORDER BY lang""")),
+
+    // DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    // importance weight = log p_target(doc) − log p_raw(doc) under
+    // hashed-unigram language models; the top-weighted docs per
+    // source are the ones importance resampling keeps when targeting
+    // a domain (here: the 'en' slice). log2 is the integer
+    // binary-digit count, so weights are exact BIGINTs — no libm, no
+    // summation-order nondeterminism. Scale shape: both LMs are
+    // 64-row aggregates (map-side combined), the per-doc weight is
+    // one broadcast join + one groupBy(doc) — a single corpus pass;
+    // top-k per source rides the rank machinery on a 1-row-per-doc
+    // frame.
+    QueryDef("q294_dsir_selection",
+      (s, d) => {
+        val B = 64
+        val toks = table(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .withColumn("b", expr(slot("w", B)))
+          .localCheckpoint() // three consumers: raw LM, target LM, scoring
+        val raw = toks.groupBy("b").agg(count(lit(1)).as("r_cnt"))
+        val tgt = toks.filter(col("lang") === "en")
+          .groupBy("b").agg(count(lit(1)).as("t_cnt"))
+        val lm = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("t_cnt"))
+          .select(col("b"),
+            (length(bin(col("t_cnt") + 1)) - length(bin(col("r_cnt") + 1)))
+              .cast(LongType).as("wq"))
+        val perDoc = toks.join(broadcast(lm), "b")
+          .groupBy("doc_id", "source")
+          .agg(sum("wq").as("weight_q"), count(lit(1)).as("n_toks"))
+        val w = Window.partitionBy("source")
+          .orderBy(col("weight_q").desc, col("doc_id"))
+        perDoc.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("source", "rank", "doc_id", "weight_q", "n_toks")
+          .orderBy("source", "rank")
+      },
+      Some(s"""WITH t2 AS (SELECT doc_id, source, lang, w,
+                          ${slotDuck("w", 64)} AS b
+                        FROM (SELECT doc_id, source, lang,
+                                unnest(string_split(text, ' ')) AS w
+                              FROM documents)
+                        WHERE len(w) > 0),
+            raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS r_cnt
+                    FROM t2 GROUP BY b),
+            tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS t_cnt
+                    FROM t2 WHERE lang = 'en' GROUP BY b),
+            lm AS (SELECT raw.b,
+                     CAST(LENGTH(BIN(COALESCE(t_cnt, 0) + 1)) -
+                          LENGTH(BIN(r_cnt + 1)) AS BIGINT) AS wq
+                   FROM raw LEFT JOIN tgt ON tgt.b = raw.b),
+            pd AS (SELECT t2.doc_id, t2.source,
+                     CAST(SUM(wq) AS BIGINT) AS weight_q,
+                     CAST(COUNT(*) AS BIGINT) AS n_toks
+                   FROM t2 JOIN lm ON lm.b = t2.b GROUP BY 1, 2),
+            r AS (SELECT *, ROW_NUMBER() OVER
+                    (PARTITION BY source ORDER BY weight_q DESC, doc_id) AS rank
+                  FROM pd)
+            SELECT source, CAST(rank AS INT) AS rank, doc_id, weight_q, n_toks
+            FROM r WHERE rank <= 3 ORDER BY source, rank""")),
+
+    // Classifier calibration audit (reliability diagram): bin the
+    // quality classifier's predicted probability into deciles and
+    // compare predicted vs observed positive rate per bin — the
+    // check run before a classifier's scores gate a 100 TB corpus
+    // (an over-confident filter silently skews the data mix).
+    // Weights are PINNED exact-binary doubles ((f−3.5)/8: multiples
+    // of 1/8), features are integer counts, so z is computed exactly
+    // and identically on both engines; p uses the portable
+    // fast-sigmoid z/(1+|z|) (q284's trick), per-bin probability
+    // mass accumulates as floor-quantized BIGINTs. One corpus pass,
+    // 10-row result, map-side combined.
+    QueryDef("q295_calibration",
+      (s, d) => {
+        val F = 8
+        val feats = table(s, d, "documents")
+          .select(col("doc_id"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+            split(col("text"), " ").as("wds"))
+          .select(Seq(col("doc_id"), col("y")) ++ (0 until F).map(f =>
+            expr(s"CAST(size(filter(wds, t -> ${slot("t", F)} = $f)) AS BIGINT)")
+              .as(s"x$f")): _*)
+        val zExpr = (0 until F).map { f =>
+          val wf = (f - 3.5) / 8.0 // exact-binary literal: k/16
+          s"(CAST($wf AS DOUBLE) * CAST(x$f AS DOUBLE))"
+        }.mkString(" + ")
+        val scored = feats
+          .withColumn("z", expr(zExpr))
+          .withColumn("p",
+            lit(0.5) * (lit(1.0) + col("z") / (lit(1.0) + abs(col("z")))))
+          .withColumn("bin",
+            least(expr("CAST(floor(p * 10) AS INT)"), lit(9)))
+          .withColumn("pq", expr("CAST(floor(p * 1048576.0) AS BIGINT)"))
+        scored.groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+            sum("pq").as("sum_pq"))
+          .withColumn("avg_p", expr(
+            "CAST(sum_pq AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0)"))
+          .withColumn("frac_pos", expr(
+            "CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)"))
+          .withColumn("gap", expr(
+            "abs(CAST(sum_pq AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) - " +
+              "CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))"))
+          .orderBy("bin")
+      },
+      Some {
+        val F = 8
+        val xs = (0 until F).map(f =>
+          s"CAST(len(list_filter(wds, t -> ${slotDuck("t", F)} = $f)) AS BIGINT) AS x$f")
+          .mkString(",\n                     ")
+        val zExpr = (0 until F).map { f =>
+          val wf = (f - 3.5) / 8.0
+          s"(CAST($wf AS DOUBLE) * CAST(x$f AS DOUBLE))"
+        }.mkString(" + ")
+        s"""WITH feats AS (SELECT doc_id,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                     $xs
+                   FROM (SELECT doc_id, lang,
+                           string_split(text, ' ') AS wds FROM documents)),
+            scored AS (SELECT y, p,
+                     LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bin,
+                     CAST(FLOOR(p * 1048576.0) AS BIGINT) AS pq
+                   FROM (SELECT y,
+                           0.5 * (1.0 + z / (1.0 + ABS(z))) AS p
+                         FROM (SELECT y, $zExpr AS z FROM feats)))
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS n_pos,
+                   CAST(SUM(pq) AS BIGINT) AS sum_pq,
+                   CAST(SUM(pq) AS DOUBLE) /
+                     (CAST(COUNT(*) AS DOUBLE) * 1048576.0) AS avg_p,
+                   CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_pos,
+                   ABS(CAST(SUM(pq) AS DOUBLE) /
+                         (CAST(COUNT(*) AS DOUBLE) * 1048576.0) -
+                       CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS gap
+            FROM scored GROUP BY bin ORDER BY bin"""
+      }),
+
+    // T5-style span-corruption plan (Raffel et al. 2020): choose
+    // corruption spans DETERMINISTICALLY from a per-(doc, position)
+    // hash — a position starts a span when its md5 nibble is 0
+    // (1/16 rate), span length is 1 + (next nibble mod 3) — then
+    // account the masked-token budget per language (overlapping
+    // spans union, clipped at the doc end). This is the
+    // mask-planning pass a denoising pretrain runs over the corpus;
+    // hash-driven choice makes it reproducible under any
+    // partitioning (the q178 MLM trick extended from single tokens
+    // to spans). One position-spine pass, no joins wider than
+    // doc_id.
+    QueryDef("q296_span_corruption",
+      (s, d) => {
+        val base = table(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast(LongType).as("n"))
+          .localCheckpoint() // spine + per-doc totals share it
+        val pos = base.select(col("doc_id"), col("n"),
+          explode(expr("sequence(1L, n)")).as("pos"))
+        val starts = pos
+          .withColumn("h", md5(concat_ws(":", col("doc_id"), col("pos"))))
+          .filter(substring(col("h"), 1, 1) === "0")
+          .withColumn("len",
+            lit(1L) + expr(
+              "CAST(conv(substring(h, 2, 1), 16, 10) AS BIGINT) % 3"))
+          .localCheckpoint() // span count + masked-union both read it
+        val spansPerDoc = starts.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"))
+        val maskedPerDoc = starts
+          .select(col("doc_id"), explode(expr(
+            "sequence(pos, least(pos + len - 1, n))")).as("mp"))
+          .distinct()
+          .groupBy("doc_id").agg(count(lit(1)).as("n_masked"))
+        base.join(spansPerDoc, Seq("doc_id"), "left")
+          .join(maskedPerDoc, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_spans", "n_masked"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
+            sum("n_spans").as("n_spans"), sum("n_masked").as("n_masked"))
+          .withColumn("mask_ratio", expr(
+            "CAST(n_masked AS DOUBLE) / CAST(n_tokens AS DOUBLE)"))
+          .orderBy("lang")
+      },
+      Some("""WITH base AS (SELECT doc_id, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                   FROM documents),
+            pos AS (SELECT doc_id, n, unnest(generate_series(1, n)) AS pos
+                    FROM base),
+            starts AS (SELECT doc_id, n, pos,
+                     1 + (CAST(CAST('0x' || substr(h, 2, 1) AS INTEGER)
+                            AS BIGINT) % 3) AS len
+                   FROM (SELECT doc_id, n, pos,
+                           md5(CAST(doc_id AS VARCHAR) || ':' ||
+                               CAST(pos AS VARCHAR)) AS h
+                         FROM pos)
+                   WHERE substr(h, 1, 1) = '0'),
+            spd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+                    FROM starts GROUP BY doc_id),
+            mpd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_masked
+                    FROM (SELECT DISTINCT doc_id, mp
+                          FROM (SELECT doc_id,
+                                  unnest(generate_series(pos,
+                                    LEAST(pos + len - 1, n))) AS mp
+                                FROM starts))
+                    GROUP BY doc_id)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS n_tokens,
+                   CAST(SUM(COALESCE(n_spans, 0)) AS BIGINT) AS n_spans,
+                   CAST(SUM(COALESCE(n_masked, 0)) AS BIGINT) AS n_masked,
+                   CAST(SUM(COALESCE(n_masked, 0)) AS DOUBLE) /
+                     CAST(SUM(n) AS DOUBLE) AS mask_ratio
+            FROM base b LEFT JOIN spd USING (doc_id)
+            LEFT JOIN mpd USING (doc_id)
+            GROUP BY lang ORDER BY lang""")),
+
+    // Perplexity filtering (the CCNet/LLaMA corpus gate): score each
+    // doc by a bigram LM's surprisal and drop the worst tail. The
+    // per-bigram surprisal −log2 p(w2|w1) is quantized to the
+    // INTEGER digit-count difference len(bin(c1)) − len(bin(c12)) —
+    // exact, portable, and order-free under summation (q104 builds
+    // the conditional table; this is the document-scoring half).
+    // Scale shape: the LM frames are value-domain aggregates; the
+    // scoring join is bigram-key equi-join (broadcast/bucket at
+    // 100 TB); threshold pinned at 4.5 quantized bits/bigram.
+    QueryDef("q297_perplexity_filter",
+      (s, d) => {
+        val bg = table(s, d, "documents")
+          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(col("doc_id"), col("lang"),
+            explode(expr("transform(sequence(0, size(w) - 2), " +
+              "i -> struct(w[i] AS w1, w[i + 1] AS w2))")).as("p"))
+          .select(col("doc_id"), col("lang"),
+            col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .localCheckpoint() // LM counts + scoring share one pass
+        val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val scored = bg
+          .join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .select(col("doc_id"), col("lang"),
+            (length(bin(col("c1"))) - length(bin(col("c12"))))
+              .cast(LongType).as("sq"))
+          .groupBy("doc_id", "lang")
+          .agg(sum("sq").as("sq"), count(lit(1)).as("nb"))
+          .withColumn("bits", expr("CAST(sq AS DOUBLE) / CAST(nb AS DOUBLE)"))
+        scored.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("sq").as("sum_sq"),
+            sum("nb").as("sum_bigrams"),
+            sum(when(col("bits") < 4.5, 1L).otherwise(0L)).as("n_kept"))
+          .withColumn("avg_bits", expr(
+            "CAST(sum_sq AS DOUBLE) / CAST(sum_bigrams AS DOUBLE)"))
+          .orderBy("lang")
+      },
+      Some("""WITH bg AS (SELECT doc_id, lang, w[i] AS w1, w[i + 1] AS w2
+                   FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+                         FROM documents),
+                        unnest(range(1, len(w))) AS t(i)
+                   WHERE len(w) >= 2),
+            c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+                    FROM bg GROUP BY w1, w2),
+            c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+                   FROM bg GROUP BY w1),
+            scored AS (SELECT doc_id, lang,
+                     CAST(SUM(LENGTH(BIN(c1)) - LENGTH(BIN(c12))) AS BIGINT) AS sq,
+                     CAST(COUNT(*) AS BIGINT) AS nb
+                   FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+                   GROUP BY doc_id, lang)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(sq) AS BIGINT) AS sum_sq,
+                   CAST(SUM(nb) AS BIGINT) AS sum_bigrams,
+                   CAST(SUM(CASE WHEN CAST(sq AS DOUBLE) / CAST(nb AS DOUBLE)
+                                      < 4.5 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_kept,
+                   CAST(SUM(sq) AS DOUBLE) / CAST(SUM(nb) AS DOUBLE) AS avg_bits
+            FROM scored GROUP BY lang ORDER BY lang""")),
+
+    // Per-source topic diversity over embedding space: topic = the
+    // 4-bit sign-LSH cell of the doc's embedding (the q42/q283
+    // quantizer), diversity = Shannon entropy of the per-source
+    // topic distribution with INTEGER log2 (digit-count) — the audit
+    // that catches a source collapsing onto one embedding mode
+    // before it skews a training mix. Joins documents↔embeddings on
+    // the shared id, then two tiny aggregates; the 16-cell topic
+    // domain keeps every frame bounded at any corpus size.
+    QueryDef("q298_topic_entropy",
+      (s, d) => {
+        val topics = table(s, d, "documents").select(col("doc_id"), col("source"))
+          .join(table(s, d, "embeddings"),
+            col("doc_id") === col("vec_id"))
+          .select(col("source"),
+            graft.ops.Similarity.signBucket(col("embedding"), 4).as("topic"))
+        val counts = topics.groupBy("source", "topic")
+          .agg(count(lit(1)).as("c"))
+        val tot = counts.groupBy("source").agg(sum("c").as("n"))
+        counts.join(tot, "source")
+          .withColumn("hterm",
+            col("c") * (length(bin(col("n"))) - length(bin(col("c"))))
+              .cast(LongType))
+          .groupBy("source")
+          .agg(max("n").as("n"), count(lit(1)).as("k_topics"),
+            sum("hterm").as("h_q"))
+          .withColumn("h_norm", expr("CAST(h_q AS DOUBLE) / CAST(n AS DOUBLE)"))
+          .orderBy("source")
+      },
+      Some {
+        val bucket = (1 to 4).map(i =>
+          s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ")
+        s"""WITH topics AS (SELECT d.source, $bucket AS topic
+                   FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+            counts AS (SELECT source, topic, CAST(COUNT(*) AS BIGINT) AS c
+                       FROM topics GROUP BY source, topic),
+            tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+                    FROM counts GROUP BY source)
+            SELECT source, MAX(n) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k_topics,
+                   CAST(SUM(c * (LENGTH(BIN(n)) - LENGTH(BIN(c)))) AS BIGINT)
+                     AS h_q,
+                   CAST(SUM(c * (LENGTH(BIN(n)) - LENGTH(BIN(c)))) AS DOUBLE) /
+                     CAST(MAX(n) AS DOUBLE) AS h_norm
+            FROM counts JOIN tot USING (source)
+            GROUP BY source ORDER BY source"""
+      })
+  )
+}
