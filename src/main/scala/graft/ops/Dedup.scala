@@ -177,13 +177,29 @@ object Dedup {
     * the threshold — callers aggregate or anti-join as needed.
     */
   def semanticDupPairs(vecs: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, tau: Double): DataFrame = {
+      idCol: String, vecCol: String, tau: Double): DataFrame =
+    semanticDupPairsFromAssignment(vecs,
+      assignCells(vecs, centroids, idCol, vecCol), idCol, vecCol, tau)
+
+  /** Nearest-centroid assignment (the coarse-quantizer half of
+    * [[semanticDupPairs]]), exposed so callers that also need the
+    * assignment (cell censuses, per-cell summaries) compute it ONCE —
+    * at k ~ sqrt(n) centroids the n×k distance evaluation is half the
+    * operator's cost, so recomputing it doubles the bill. */
+  def assignCells(vecs: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
     val sq = s"aggregate(zip_with($vecCol, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
-    val asg = vecs.crossJoin(broadcast(centroids))
+    vecs.crossJoin(broadcast(centroids))
       .withColumn("__d2", expr(sq))
       .groupBy(idCol)
       .agg(min(struct(col("__d2"), col("cell"))).as("__best"))
       .select(col(idCol), col("__best.cell").as("cell"))
+  }
+
+  /** The pair half of [[semanticDupPairs]] over a precomputed
+    * assignment frame `(idCol, cell)`. */
+  def semanticDupPairsFromAssignment(vecs: DataFrame, asg: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame = {
     val members = asg.join(vecs, idCol)
     members.select(col("cell"), col(idCol).as("i"), col(vecCol).as("__vi"))
       .join(members.select(col("cell"), col(idCol).as("j2"), col(vecCol).as("__vj")),

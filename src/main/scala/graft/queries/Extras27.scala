@@ -44,14 +44,13 @@ object Extras27 {
           math.ceil(math.sqrt(fv.count().toDouble)).toLong)
         val cc = fv.filter(col("vec_id") < k)
           .select(col("vec_id").as("cell"), col("v").as("cv"))
-        val sq = "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
-        val asg = fv.crossJoin(broadcast(cc))
-          .withColumn("d2", expr(sq))
-          .groupBy("vec_id")
-          .agg(min(struct(col("d2"), col("cell"))).as("best"))
-          .select(col("vec_id"), col("best.cell").as("cell"))
+        // ONE n×k assignment pass, pinned — the cell census and the
+        // pair stage both read it (recomputing it doubled the 64×
+        // cost: at k ~ sqrt(n) assignment is half the operator)
+        val asg = graft.ops.Dedup.assignCells(fv, cc, "vec_id", "v")
+          .localCheckpoint()
         val pairs = graft.ops.Dedup
-          .semanticDupPairs(fv, cc, "vec_id", "v", tau = 0.35)
+          .semanticDupPairsFromAssignment(fv, asg, "vec_id", "v", tau = 0.35)
           .localCheckpoint() // feeds both the pair count and the drop set
         val drops = pairs.select(col("cell"), col("j2")).distinct()
           .groupBy("cell").agg(count(lit(1)).as("n_dropped"))
