@@ -745,25 +745,23 @@ object TxLogTable {
     * feature it cannot parse).
     */
   private[graft] def checkStreamReadProtocol(spark: SparkSession,
-      tablePath: String): Unit = {
+      tablePath: String, commits: Seq[Long]): Unit = {
     val fs = fileSystem(spark, tablePath)
-    val commits = committedVersions(fs, tablePath)
     if (commits.nonEmpty) checkReadProtocol(
       replayState(fs, tablePath, commits.max, commits).props, tablePath)
   }
 
-  /** Versions in `(fromExclusive, toInclusive]` that no longer exist
-    * in the log — [[expireLog]] reclaimed them. A streaming read whose
-    * checkpointed offset fell below the retention horizon must fail
-    * loudly on these, not skip them (versions are dense, so any hole
-    * is retention, and the skipped commits' rows would silently never
-    * reach downstream state).
+  /** Versions in `(fromExclusive, toInclusive]` absent from the
+    * caller-listed `present` commits — [[expireLog]] reclaimed them.
+    * A streaming read whose checkpointed offset fell below the
+    * retention horizon must fail loudly on these, not skip them
+    * (versions are dense, so any hole is retention, and the skipped
+    * commits' rows would silently never reach downstream state).
     */
-  private[graft] def missingVersions(spark: SparkSession, tablePath: String,
+  private[graft] def missingVersions(present: Seq[Long],
       fromExclusive: Long, toInclusive: Long): Seq[Long] = {
-    val present =
-      committedVersions(fileSystem(spark, tablePath), tablePath).toSet
-    ((fromExclusive + 1L) to toInclusive).filterNot(present.contains)
+    val have = present.toSet
+    ((fromExclusive + 1L) to toInclusive).filterNot(have.contains)
   }
 
   /** The features a state's metadata shows to be IN USE. */
@@ -2689,8 +2687,12 @@ object TxLogTable {
         // compaction already removed — re-validate liveness on every
         // attempt; on violation the staged rewrite is abandoned as a
         // vacuumable orphan rather than committing stale data
+        val curState: Option[Snapshot] =
+          if ((removes.nonEmpty || dvAdds.nonEmpty) && commits.nonEmpty)
+            Some(snapshot(fs, tablePath, Some(commits.max)))
+          else None
         if (removes.nonEmpty || dvAdds.nonEmpty) {
-          val cur = snapshot(fs, tablePath, Some(commits.max))
+          val cur = curState.get
           val live = cur.files.toSet
           val dead = removes.filterNot(live) ++
             dvAdds.keys.filterNot(live) // vector row indexes are per-file
@@ -2736,16 +2738,16 @@ object TxLogTable {
             ns
         }
         // a declared protocol must list every feature in use: the
-        // first DV commit rides its own declaration. On a RETRY the
-        // declaration re-derives from freshly replayed props — a
-        // conflicting commit may have extended the feature lists, and
-        // pre-race `curProps` would overwrite its additions
+        // first DV commit rides its own declaration, derived from the
+        // PER-ATTEMPT snapshot (curState) — never from curProps read
+        // before staging. A commit landing during the seconds-long
+        // staging window (no CommitConflict fires for it) could have
+        // extended the feature lists; pre-race props would overwrite
+        // its additions and under-state the protocol
         val dvDecl =
           if (dvAdds.isEmpty) Map.empty[String, String]
           else featureDecl(
-            if (attempt == 1 || commits.isEmpty) curProps
-            else replayState(fs, tablePath, commits.max, commits).props,
-            "deletionVectors")
+            curState.map(_.props).getOrElse(curProps), "deletionVectors")
         try {
           claimCommit(fs, tablePath, version,
             Commit(commitAction, commitDdl, names, txn, fileStats, removes,

@@ -500,14 +500,52 @@ final class GraftMicroBatchStream(sparkSession: SparkSession,
       end: Offset): Array[org.apache.spark.sql.connector.read.InputPartition] = {
     val lo = start.asInstanceOf[VersionOffset].v
     val hi = end.asInstanceOf[VersionOffset].v
-    // protocol gate, re-checked per planned batch: a reader feature
-    // declared mid-stream (upgradeProtocol) must stop the query, not
-    // have its commits replayed with legacy semantics
-    TxLogTable.checkStreamReadProtocol(sparkSession, tablePath)
+    // ONE log listing serves the gap checks; ONE replay serves the
+    // per-batch protocol gate (a reader feature declared mid-stream
+    // via upgradeProtocol must stop the query, not have its commits
+    // replayed with legacy semantics)
+    val committed = TxLogTable.versions(sparkSession, tablePath)
+    TxLogTable.checkStreamReadProtocol(sparkSession, tablePath, committed)
+    def partitionsFor(names: Seq[String]) = {
+      val conf = sparkSession.sparkContext.hadoopConfiguration
+      val files = names.map { f =>
+        val p = new Path(TxLogTable.dataFilePath(tablePath, f))
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        PartitionedFile(
+          org.apache.spark.sql.catalyst.InternalRow.empty,
+          org.apache.spark.paths.SparkPath.fromPath(st.getPath),
+          0L, st.getLen, Array.empty[String], st.getModificationTime, st.getLen)
+      }
+      FilePartition.getFilePartitions(sparkSession, files,
+        sparkSession.sessionState.conf.filesMaxPartitionBytes)
+        .toArray[org.apache.spark.sql.connector.read.InputPartition]
+    }
+    // INITIAL batch (lo == 0): the snapshot's live files at `hi` —
+    // same semantics as the v1 format source. On a retention-managed
+    // table the expired appends live only in the log checkpoint; the
+    // commit replay would silently miss them. No DV masking needed
+    // here: this vectorized stream path is only built when the scan
+    // snapshot carries no deletion vectors (the DV case bridges
+    // through the V1Scan fallback, which has no micro-batch form).
+    if (lo == 0L) {
+      if (!committed.contains(hi)) throw new IllegalStateException(
+        s"stream checkpoint pins initial snapshot version $hi of " +
+          s"$tablePath, which was expired by log retention — the batch " +
+          "cannot be reproduced. Restart from a fresh checkpoint")
+      val snap = TxLogTable.scanSnapshot(sparkSession, tablePath, Some(hi))
+      // race guard: a deleteVectors landing between scan build (which
+      // chose this vectorized path on a DV-free snapshot) and the
+      // first batch would leave masked rows unmasked here
+      if (snap.hasDeletionVectors) throw new IllegalStateException(
+        s"table $tablePath gained deletion vectors before the stream's " +
+          "first batch — restart the query (the scan re-plans through " +
+          "the DV-aware path)")
+      return partitionsFor(snap.files)
+    }
     // retention guard: versions this batch owes that expireLog
     // reclaimed would be SILENTLY skipped by the commit replay below
     // (versions are dense — any hole is retention, not absence)
-    val missing = TxLogTable.missingVersions(sparkSession, tablePath, lo, hi)
+    val missing = TxLogTable.missingVersions(committed, lo, hi)
     if (missing.nonEmpty) throw new IllegalStateException(
       s"stream over $tablePath owes version(s) " +
         s"${missing.head}..${missing.last} which were expired by log " +
@@ -523,17 +561,7 @@ final class GraftMicroBatchStream(sparkSession: SparkSession,
           "a fresh checkpoint, read the change feed, or set option " +
           "'ignoreDeletes' = true to stream inserts only")
     }
-    val conf = sparkSession.sparkContext.hadoopConfiguration
-    val files = TxLogTable.addedFiles(sparkSession, tablePath, lo, hi).map { f =>
-      val p = new Path(TxLogTable.dataFilePath(tablePath, f))
-      val st = p.getFileSystem(conf).getFileStatus(p)
-      PartitionedFile(
-        org.apache.spark.sql.catalyst.InternalRow.empty,
-        org.apache.spark.paths.SparkPath.fromPath(st.getPath),
-        0L, st.getLen, Array.empty[String], st.getModificationTime, st.getLen)
-    }
-    FilePartition.getFilePartitions(sparkSession, files,
-      sparkSession.sessionState.conf.filesMaxPartitionBytes).toArray
+    partitionsFor(TxLogTable.addedFiles(sparkSession, tablePath, lo, hi))
   }
 
   override def createReaderFactory()

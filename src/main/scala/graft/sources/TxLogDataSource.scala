@@ -241,16 +241,14 @@ final class TxLogStreamSource(spark: SparkSession, tablePath: String,
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): org.apache.spark.sql.DataFrame = {
     val lo = start.map(version).getOrElse(0L)
     val hi = version(end)
-    // protocol gate, re-checked per batch: a reader feature declared
-    // AFTER this source resolved snap0 (upgradeProtocol mid-stream)
-    // must stop the query, not be replayed with legacy semantics
-    TxLogTable.checkStreamReadProtocol(spark, tablePath)
     // CHANGE-FEED mode: the micro-batch is the row-level
     // insert/delete feed for the version range — deletes are first-
     // class rows here, so DML commits stream instead of failing the
     // query (the streaming half of the CDC loop; the batch half is
     // the changesFrom read). The feed plan is re-tagged through the
     // executed-rows bridge (same pattern as the streaming sink).
+    // No separate protocol/gap check here: changes() runs the reader
+    // gate and the expired-range refusal itself.
     if (readChangeFeed) {
       val feed = TxLogTable.changes(spark, tablePath, lo, hi)
       val aligned = feed.select(schema.fieldNames.toSeq.map { n =>
@@ -261,6 +259,12 @@ final class TxLogStreamSource(spark: SparkSession, tablePath: String,
       return graftshim.ColumnShim.internalCreateDataFrame(
         spark, aligned.queryExecution.toRdd, schema, isStreaming = true)
     }
+    // ONE log listing serves the gap check; ONE replay serves the
+    // per-batch protocol gate (a reader feature declared AFTER this
+    // source resolved snap0 must stop the query, not be replayed with
+    // legacy semantics)
+    val committed = TxLogTable.versions(spark, tablePath)
+    TxLogTable.checkStreamReadProtocol(spark, tablePath, committed)
     // INITIAL batch of a fresh stream: serve the SNAPSHOT at `hi`
     // (the public lake sources' semantics), not the append-commit
     // replay — on a retention-managed table the early appends live
@@ -272,7 +276,7 @@ final class TxLogStreamSource(spark: SparkSession, tablePath: String,
       // snapshot version that log retention may have reclaimed — the
       // exact batch is unrecoverable, so fail with the retention
       // story, not a bare version-missing error
-      if (!TxLogTable.versions(spark, tablePath).contains(hi))
+      if (!committed.contains(hi))
         throw new IllegalStateException(
           s"stream checkpoint pins initial snapshot version $hi of " +
             s"$tablePath, which was expired by log retention — the " +
@@ -294,7 +298,7 @@ final class TxLogStreamSource(spark: SparkSession, tablePath: String,
     // RESTART below the retention horizon: versions the checkpointed
     // offset still owes were expired — the survivors would stream as
     // if complete, silently dropping the expired commits' rows
-    val missing = TxLogTable.missingVersions(spark, tablePath, lo, hi)
+    val missing = TxLogTable.missingVersions(committed, lo, hi)
     if (missing.nonEmpty) throw new IllegalStateException(
       s"stream checkpoint resumes at version $lo of $tablePath but " +
         s"version(s) ${missing.head}..${missing.last} were expired by " +

@@ -9,6 +9,13 @@ import org.scalatest.BeforeAndAfterAll
   */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
+
+  /** Every message down a throwable's cause chain — streaming
+    * failures wrap the interesting error in StreamingQueryException
+    * layers, so asserts match against the whole chain. */
+  def causeMessages(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(e =>
+      Option(e.getMessage).toSeq ++ causeMessages(e.getCause))
 }
 
 object SparkSpec {

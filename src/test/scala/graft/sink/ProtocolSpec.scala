@@ -159,10 +159,6 @@ class ProtocolSpec extends SparkSpec {
     assert(TxLogTable.protocol(spark, t)._1 === Set("columnMapping"))
   }
 
-  private def messages(t: Throwable): Seq[String] =
-    Option(t).toSeq.flatMap(e =>
-      Option(e.getMessage).toSeq ++ messages(e.getCause))
-
   test("format stream is protocol-gated: unknown reader feature stops it, incl. mid-stream") {
     val t = freshTable()
     TxLogTable.append(Seq((1L, "a")).toDF("k", "v").coalesce(1), t)
@@ -182,8 +178,8 @@ class ProtocolSpec extends SparkSpec {
     TxLogTable.setProperties(spark, t,
       Map(TxLogTable.ReaderFeaturesProp -> "quantumRows"))
     val resumed = intercept[Exception] { run() }
-    assert(messages(resumed).exists(_.contains("quantumRows")),
-      s"restarted stream must refuse, got: ${messages(resumed)}")
+    assert(causeMessages(resumed).exists(_.contains("quantumRows")),
+      s"restarted stream must refuse, got: ${causeMessages(resumed)}")
     // a FRESH stream on the poisoned table is refused at creation
     val fresh = intercept[Exception] {
       val q = spark.readStream.format("graft-txlog").load(t)
@@ -195,8 +191,8 @@ class ProtocolSpec extends SparkSpec {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    assert(messages(fresh).exists(_.contains("quantumRows")),
-      s"fresh stream must refuse, got: ${messages(fresh)}")
+    assert(causeMessages(fresh).exists(_.contains("quantumRows")),
+      s"fresh stream must refuse, got: ${causeMessages(fresh)}")
   }
 
   test("catalog stream (readStream.table) is protocol-gated on reader features") {
@@ -219,7 +215,7 @@ class ProtocolSpec extends SparkSpec {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    assert(messages(err).exists(_.contains("quantumRows")),
-      s"catalog stream must refuse, got: ${messages(err)}")
+    assert(causeMessages(err).exists(_.contains("quantumRows")),
+      s"catalog stream must refuse, got: ${causeMessages(err)}")
   }
 }

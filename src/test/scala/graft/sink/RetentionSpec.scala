@@ -133,16 +133,39 @@ class RetentionSpec extends SparkSpec {
     TxLogTable.checkpoint(spark, t)
     assert(TxLogTable.expireLog(spark, t, olderThanMillis = 0L) > 0)
     val err = intercept[Exception] { run() }
-    def messages(e: Throwable): Seq[String] =
-      Option(e).toSeq.flatMap(x =>
-        Option(x.getMessage).toSeq ++ messages(x.getCause))
     // two replay shapes, one story: a committed offset 1 owes the
     // expired v2 (gap guard); a logged-but-uncommitted initial batch
     // replays pinned at the expired v1 (initial-snapshot guard) —
     // both surface "expired by log retention"
-    assert(messages(err).exists(_.contains("expired by log retention")),
-      s"gapped resume must fail loudly, got: ${messages(err)}")
+    assert(causeMessages(err).exists(_.contains("expired by log retention")),
+      s"gapped resume must fail loudly, got: ${causeMessages(err)}")
     assert(spark.read.parquet(out).count() === 1L,
       "no rows may be served past the gap")
+  }
+
+  test("a fresh catalog (V2) stream on a retention-managed table starts from the snapshot") {
+    val wh = Files.createTempDirectory("ret_wh").toString
+    spark.conf.set("spark.sql.catalog.gret", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gret.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gret.ns")
+    spark.sql("CREATE TABLE gret.ns.t (id BIGINT, v STRING)")
+    val path = s"$wh/ns/t"
+    for (i <- 1 to 12)
+      TxLogTable.append(Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1), path)
+    // expire everything below the auto-checkpoint: commits 1..9 gone —
+    // the old append-replay initial batch would silently serve 3 rows
+    assert(TxLogTable.expireLog(spark, path, olderThanMillis = 0L) > 0)
+    val out = "ret_v2_counts"
+    val q = spark.readStream.table("gret.ns.t")
+      .groupBy("v").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .writeStream.format("memory").queryName(out)
+      .outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ret_v2ck").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table(out).count() === 12L,
+      "initial batch must be the full snapshot incl. checkpoint-only rows")
   }
 }
