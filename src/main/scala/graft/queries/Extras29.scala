@@ -398,6 +398,59 @@ object Extras29 {
                      CAST(MAX(n) AS DOUBLE) AS h_norm
             FROM counts JOIN tot USING (source)
             GROUP BY source ORDER BY source"""
-      })
+      }),
+
+    // STREAMING corpus-ingest quality gate: documents land in a
+    // TxLog table in waves; a structured stream applies the quality
+    // cascade (length floor + lexical-diversity floor, both integer
+    // comparisons) and maintains per-(lang, verdict) admission
+    // counts. Exercises the round-10 stream semantics end to end
+    // under the hash oracle: the FIRST batch is the table snapshot
+    // (wave 1), the later waves arrive as incremental commit-log
+    // batches — exactly once, so the final counts equal the batch
+    // cascade over the whole corpus. The gate shape a 100 TB ingest
+    // runs continuously: admission decisions are per-row map work,
+    // counts are map-side-combined complete-mode state.
+    QueryDef("q299_stream_quality_gate",
+      (s, d) => {
+        val t = QueryDef.scratch("graft_sqg").resolve("docs").toString
+        val ckpt = QueryDef.scratch("graft_sqg_ck").toString
+        val base = table(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        def wave(i: Int) =
+          base.filter(pmod(col("doc_id"), lit(3)) === i).repartition(2)
+        graft.sink.TxLogTable.append(wave(0), t)
+        val sink = s"sqg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = s.readStream.format("graft-txlog").load(t)
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("w")).cast(LongType))
+          .withColumn("n_distinct",
+            size(array_distinct(col("w"))).cast(LongType))
+          .withColumn("keep",
+            col("n_tokens") >= 40L &&
+              col("n_distinct") * 10L >= col("n_tokens") * 4L)
+          .groupBy("lang", "keep")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .start()
+        try {
+          q.processAllAvailable() // initial batch = wave-1 snapshot
+          graft.sink.TxLogTable.append(wave(1), t)
+          graft.sink.TxLogTable.append(wave(2), t)
+          q.processAllAvailable() // incremental commit-log batches
+        } finally q.stop()
+        s.table(sink).orderBy("lang", "keep")
+      },
+      Some("""SELECT lang, keep, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+              FROM (SELECT lang, CAST(len(w) AS BIGINT) AS n_tokens,
+                      (CAST(len(w) AS BIGINT) >= 40 AND
+                       CAST(len(list_distinct(w)) AS BIGINT) * 10 >=
+                         CAST(len(w) AS BIGINT) * 4) AS keep
+                    FROM (SELECT lang, string_split(text, ' ') AS w
+                          FROM documents))
+              GROUP BY lang, keep ORDER BY lang, keep"""))
   )
 }
