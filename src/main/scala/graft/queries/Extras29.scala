@@ -370,7 +370,10 @@ object Extras29 {
         val counts = topics.groupBy("source", "topic")
           .agg(count(lit(1)).as("c"))
         val tot = counts.groupBy("source").agg(sum("c").as("n"))
-        counts.join(tot, "source")
+        // tot is one row per source — broadcast explicitly so the
+        // static plan already shows BHJ (post-agg stats are unknown
+        // until AQE, which would otherwise convert it at runtime)
+        counts.join(broadcast(tot), "source")
           .withColumn("hterm",
             col("c") * (length(bin(col("n"))) - length(bin(col("c"))))
               .cast(LongType))
