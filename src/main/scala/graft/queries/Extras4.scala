@@ -29,18 +29,26 @@ object Extras4 {
     // batch (doc_id % 7 = 0, as q123) against itself for near-dup
     // ranking WITHOUT dense vectors — candidate pairs come from a
     // postings self-join keyed by token, so only docs sharing a
-    // surviving token ever meet. The df cap (> 80% of the batch)
-    // drops stopword-grade tokens BEFORE the join — the lever that
-    // keeps postings lists, and so the pair expansion, bounded at
-    // 100 TB. dot/norms are exact BIGINTs; cosine is one IEEE
-    // division of correctly-rounded sqrt products.
+    // surviving token ever meet. The df cap drops stopword-grade
+    // tokens BEFORE the join and is BOTH relative (80% of the batch)
+    // and ABSOLUTE (64): the relative cap alone let postings — and
+    // so the pair expansion — grow linearly with the corpus (the 8×
+    // full-suite sweep's worst ratio, 7.5×); the absolute cap bounds
+    // every posting list at 64 docs, making total candidate pairs
+    // ≤ 2016 × vocab — linear in the corpus, the common-token-filter
+    // regime of the set-similarity-join literature. Recall tradeoff
+    // (pairs similar ONLY through df>64 tokens are unseen) is the
+    // same one every inverted-index similarity system documents.
+    // dot/norms are exact BIGINTs; cosine is one IEEE division of
+    // correctly-rounded sqrt products; the cap compare is pure
+    // integer (df*5 <= nb*4 ⇔ df <= 0.8·nb exactly).
     QueryDef("q129_sparse_cosine",
       (s, d) => {
         val batch = table(s, d, "documents").filter(col("doc_id") % 7 === 0)
         val tf = batch
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val nb = batch.agg(count(lit(1)).cast(DoubleType).as("nb"))
+        val nb = batch.agg(count(lit(1)).as("nb"))
         // surviving vocabulary gets a dense integer id (tiny frame,
         // single-partition window is fine); the postings self-join —
         // the shuffle that dominates at scale — then keys and ships
@@ -48,8 +56,8 @@ object Extras4 {
         // verification stage. The id is a bijection of the kept
         // vocabulary, so dot products are unchanged.
         val keep = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-          .crossJoin(nb)
-          .filter(col("df").cast(DoubleType) <= lit(0.8) * col("nb"))
+          .crossJoin(broadcast(nb))
+          .filter(col("df") <= 64L && col("df") * 5L <= col("nb") * 4L)
           .withColumn("tid",
             row_number().over(org.apache.spark.sql.expressions.Window.orderBy("tok")))
           .select("tok", "tid")
@@ -76,9 +84,11 @@ object Extras4 {
               tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM batch),
               tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
                      FROM tok GROUP BY doc_id, tok),
-              keep AS (SELECT tok FROM (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok) t
-                       WHERE CAST(df AS DOUBLE) <=
-                             0.8 * (SELECT CAST(COUNT(*) AS DOUBLE) FROM batch)),
+              keep AS (SELECT tok
+                       FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+                             FROM tf GROUP BY tok) t
+                       WHERE df <= 64 AND df * 5 <=
+                             (SELECT CAST(COUNT(*) AS BIGINT) FROM batch) * 4),
               k AS (SELECT t.* FROM tf t JOIN keep USING (tok)),
               nrm AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nsq
                       FROM k GROUP BY doc_id),
