@@ -50,17 +50,31 @@ object VectorOps {
     // vector, so the equi-join only compares plausibly-similar
     // candidates (~1/2^bits of the pair space); boundary pairs are the
     // recall tradeoff, recovered by fewer bits or multi-probe.
+    // `bits` is count-DERIVED (the q283 sizing contract: ceil-log2 of
+    // corpus/64, pure-integer digit count) so buckets stay ~64
+    // vectors and the pair expansion stays linear — the 64× sweep
+    // measured 15.5 s / 43× with pinned bits=4.
     QueryDef("q128_lsh_neardup_pairs",
-      (s, d) => Similarity.nearDupPairsLsh(table(s, d, "embeddings"),
-          threshold = 0.3, bits = 4)
-        .orderBy("id1", "id2"),
-      Some(s"""SELECT * FROM (
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val m = (emb.count() + 63L) / 64L
+        val bits = math.min(16, math.max(4,
+          if (m <= 1L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)))
+        Similarity.nearDupPairsLsh(emb, threshold = 0.3, bits = bits)
+          .orderBy("id1", "id2")
+      },
+      Some(s"""WITH p AS (SELECT GREATEST(4, LEAST(16, LENGTH(BIN(CAST(
+                    ((COUNT(*) + 63) // 64) - 1 AS BIGINT))))) AS bits
+                  FROM embeddings),
+               eb AS (SELECT vec_id, embedding,
+                    substr(${bucketSql(16)}, 1, (SELECT bits FROM p)) AS bucket
+                  FROM embeddings)
+              SELECT * FROM (
                 SELECT a.vec_id AS id1, b.vec_id AS id2,
                   list_cosine_similarity(
                     list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
                     list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS cos
-                FROM (SELECT vec_id, embedding, ${bucketSql(4)} AS bucket FROM embeddings) a
-                JOIN (SELECT vec_id, embedding, ${bucketSql(4)} AS bucket FROM embeddings) b
+                FROM eb a JOIN eb b
                   ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
               WHERE cos >= 0.3 ORDER BY id1, id2""")),
 
