@@ -454,6 +454,99 @@ object Extras29 {
                          CAST(len(w) AS BIGINT) * 4) AS keep
                     FROM (SELECT lang, string_split(text, ' ') AS w
                           FROM documents))
-              GROUP BY lang, keep ORDER BY lang, keep"""))
+              GROUP BY lang, keep ORDER BY lang, keep""")),
+
+    // LEAKAGE-FREE train/test split: near-duplicate cluster members
+    // always land on the same side — the split is hashed on the
+    // CLUSTER id (q77's MinHash-LSH connected components; singletons
+    // are their own cluster), not the doc id, so an eval set can
+    // never contain a near-copy of a training doc (the q204 doc-hash
+    // split's blind spot, and the reason published decontamination
+    // pipelines split by dup family). Cross-split leakage is zero BY
+    // CONSTRUCTION: the split is a function of the cluster. Scale
+    // shape: clustering is the banded equi-join + iterated CC both
+    // already proven at 64×; the split itself is one hash per row.
+    QueryDef("q300_leakage_free_split",
+      (s, d) => {
+        val cl = graft.ops.Corpus.duplicateClusters(
+          graft.ops.Dedup.lshCandidatePairs(table(s, d, "documents"),
+            "doc_id", graft.ops.Dedup.shingles(col("text"), 3),
+            numHashes = 8, rowsPerBand = 2))
+          .withColumnRenamed("id", "doc_id")
+        val base = table(s, d, "documents").select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+        val sized = base.join(cl, Seq("doc_id"), "left")
+          .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+          .withColumn("csize", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("cluster")))
+          .withColumn("split", when(
+            substring(expr("md5(concat('split:', CAST(cluster AS STRING)))"),
+              1, 1).isin("0", "1"), "test").otherwise("train"))
+        sized.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster")).as("n_clusters"),
+            sum("n_toks").as("n_tokens"),
+            sum(when(col("csize") > 1L, 1L).otherwise(0L)).as("n_dup_docs"))
+          .orderBy("split")
+      },
+      Some(s"""WITH RECURSIVE ${PipelineOps.dupClusterCtes},
+            base AS (SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+                     FROM documents),
+            wc AS (SELECT b.doc_id, b.n_toks,
+                     COALESCE(c.cluster, b.doc_id) AS cluster
+                   FROM base b LEFT JOIN clusters c ON c.id = b.doc_id),
+            sized AS (SELECT *,
+                     COUNT(*) OVER (PARTITION BY cluster) AS csize,
+                     CASE WHEN substr(md5('split:' ||
+                         CAST(cluster AS VARCHAR)), 1, 1) IN ('0', '1')
+                       THEN 'test' ELSE 'train' END AS split
+                   FROM wc)
+            SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+                   CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_docs
+            FROM sized GROUP BY split ORDER BY split""")),
+
+    // Good-Turing unseen-mass estimate per language: the fraction of
+    // future tokens expected to be WORDS NEVER SEEN in this corpus is
+    // estimated by the hapax fraction V1/N (Good 1953) — the number a
+    // tokenizer/vocab budget and an OOV strategy are planned against,
+    // complementing q285's explicit vocab-size curve. Singleton/
+    // doubleton counts come from one word-count shuffle; everything
+    // else is a per-lang conditional aggregate over the value-domain
+    // frame. Ratios are single IEEE divisions of exact BIGINTs.
+    QueryDef("q301_good_turing",
+      (s, d) => {
+        val wc = table(s, d, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy("lang", "word").agg(count(lit(1)).as("c"))
+        wc.groupBy("lang")
+          .agg(sum("c").as("n_tokens"), count(lit(1)).as("v_words"),
+            sum(when(col("c") === 1L, 1L).otherwise(0L)).as("v1_hapax"),
+            sum(when(col("c") === 2L, 1L).otherwise(0L)).as("v2_dis"))
+          .withColumn("p_unseen", expr(
+            "CAST(v1_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE)"))
+          .withColumn("hapax_frac", expr(
+            "CAST(v1_hapax AS DOUBLE) / CAST(v_words AS DOUBLE)"))
+          .orderBy("lang")
+      },
+      Some("""WITH wc AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+                         FROM documents)
+                   WHERE len(word) > 0 GROUP BY lang, word)
+            SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS v_words,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS v1_hapax,
+                   CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS v2_dis,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+                     CAST(SUM(c) AS DOUBLE) AS p_unseen,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+                     CAST(COUNT(*) AS DOUBLE) AS hapax_frac
+            FROM wc GROUP BY lang ORDER BY lang"""))
   )
 }

@@ -28,6 +28,40 @@ object PipelineOps {
             (SELECT doc_id, w, unnest(range(1, GREATEST(len(w) - 1, 2))) AS i FROM
               (SELECT doc_id, string_split(text, ' ') AS w FROM $src) ws) t1) t2)"""
 
+  /** Oracle CTE chain ending in `clusters (id, cluster)` — the MinHash
+    * band candidates + recursive connected components mirroring
+    * [[graft.ops.Corpus.duplicateClusters]] over
+    * [[graft.ops.Dedup.lshCandidatePairs]] (8 hashes, 2 rows/band).
+    * Must follow a `WITH RECURSIVE`. Shared by the q77 oracle and
+    * q300's leakage-free split. */
+  private[queries] val dupClusterCtes: String = """
+              ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              sh AS (SELECT DISTINCT doc_id, s FROM
+                (SELECT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s FROM
+                  (SELECT doc_id, w, unnest(range(1, GREATEST(len(w) - 1, 2))) AS i FROM ws) t1) t2),
+              sig AS (SELECT doc_id,
+                  MIN(md5('0:' || s)) AS mh0, MIN(md5('1:' || s)) AS mh1,
+                  MIN(md5('2:' || s)) AS mh2, MIN(md5('3:' || s)) AS mh3,
+                  MIN(md5('4:' || s)) AS mh4, MIN(md5('5:' || s)) AS mh5,
+                  MIN(md5('6:' || s)) AS mh6, MIN(md5('7:' || s)) AS mh7
+                FROM sh GROUP BY doc_id),
+              bands AS (
+                SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS sig FROM sig UNION ALL
+                SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS sig FROM sig UNION ALL
+                SELECT doc_id, 2 AS band, md5(mh4 || mh5) AS sig FROM sig UNION ALL
+                SELECT doc_id, 3 AS band, md5(mh6 || mh7) AS sig FROM sig),
+              cand AS (
+                SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+              edges AS (SELECT id1 AS src, id2 AS dst FROM cand
+                        UNION ALL SELECT id2, id1 FROM cand),
+              reach(id, root) AS (
+                SELECT DISTINCT src, src FROM edges
+                UNION
+                SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+              clusters AS (SELECT id, MIN(root) AS cluster FROM reach GROUP BY id)"""
+
   val all: Seq[QueryDef] = Seq(
 
     // fixed-size token-window chunking with overlap (context-window prep):
@@ -178,33 +212,8 @@ object PipelineOps {
           Dedup.lshCandidatePairs(table(s, d, "documents"),
             "doc_id", Dedup.shingles(col("text"), 3), numHashes = 8, rowsPerBand = 2))
         .orderBy("id"),
-      Some("""WITH RECURSIVE
-              ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-              sh AS (SELECT DISTINCT doc_id, s FROM
-                (SELECT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s FROM
-                  (SELECT doc_id, w, unnest(range(1, GREATEST(len(w) - 1, 2))) AS i FROM ws) t1) t2),
-              sig AS (SELECT doc_id,
-                  MIN(md5('0:' || s)) AS mh0, MIN(md5('1:' || s)) AS mh1,
-                  MIN(md5('2:' || s)) AS mh2, MIN(md5('3:' || s)) AS mh3,
-                  MIN(md5('4:' || s)) AS mh4, MIN(md5('5:' || s)) AS mh5,
-                  MIN(md5('6:' || s)) AS mh6, MIN(md5('7:' || s)) AS mh7
-                FROM sh GROUP BY doc_id),
-              bands AS (
-                SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS sig FROM sig UNION ALL
-                SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS sig FROM sig UNION ALL
-                SELECT doc_id, 2 AS band, md5(mh4 || mh5) AS sig FROM sig UNION ALL
-                SELECT doc_id, 3 AS band, md5(mh6 || mh7) AS sig FROM sig),
-              cand AS (
-                SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-                FROM bands a JOIN bands b
-                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-              edges AS (SELECT id1 AS src, id2 AS dst FROM cand
-                        UNION ALL SELECT id2, id1 FROM cand),
-              reach(id, root) AS (
-                SELECT DISTINCT src, src FROM edges
-                UNION
-                SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id)
-              SELECT id, MIN(root) AS cluster FROM reach GROUP BY id ORDER BY id""")),
+      Some(s"""WITH RECURSIVE $dupClusterCtes
+              SELECT id, cluster FROM clusters ORDER BY id""")),
 
     // deterministic training-order shuffle: total order by md5(id) —
     // reproducible "randomness", range-partitioned sort + zipWithIndex
