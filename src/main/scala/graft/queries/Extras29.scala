@@ -547,6 +547,100 @@ object Extras29 {
                      CAST(SUM(c) AS DOUBLE) AS p_unseen,
                    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
                      CAST(COUNT(*) AS DOUBLE) AS hapax_frac
-            FROM wc GROUP BY lang ORDER BY lang"""))
+            FROM wc GROUP BY lang ORDER BY lang""")),
+
+    // k-anonymity audit over quasi-identifiers with a GENERALIZATION
+    // ladder: bucket each doc's (lang, source, length) combination at
+    // three coarseness levels (length ÷ 16 / 64 / 256) and count the
+    // combos with fewer than 5 members — the re-identification
+    // exposure a privacy review runs before metadata ships with a
+    // training corpus, and the ladder shows how much generalization
+    // buys anonymity. Pure integer: floor-div buckets, count
+    // comparisons; the combo frame is value-domain-bounded (levels ×
+    // langs × sources × length buckets), so the audit costs one
+    // shuffle at any corpus size.
+    QueryDef("q302_rare_combo_audit",
+      (s, d) => {
+        val base = table(s, d, "documents").select(col("lang"), col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("nt"))
+        val leveled = base.select(col("lang"), col("source"), col("nt"),
+            explode(array(lit(16L), lit(64L), lit(256L))).as("level"))
+          .withColumn("bucket", expr("nt DIV level"))
+        val combos = leveled.groupBy("level", "lang", "source", "bucket")
+          .agg(count(lit(1)).as("c"))
+        combos.groupBy("level")
+          .agg(count(lit(1)).as("n_combos"),
+            sum(when(col("c") < 5L, 1L).otherwise(0L)).as("n_rare_combos"),
+            sum(when(col("c") < 5L, col("c")).otherwise(0L)).as("n_docs_rare"),
+            sum("c").as("n_docs"))
+          .withColumn("frac_docs_rare", expr(
+            "CAST(n_docs_rare AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
+          .orderBy("level")
+      },
+      Some("""WITH base AS (SELECT lang, source,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+                   FROM documents),
+            leveled AS (SELECT lang, source, nt, level, nt // level AS bucket
+                        FROM base, unnest([CAST(16 AS BIGINT),
+                          CAST(64 AS BIGINT), CAST(256 AS BIGINT)]) AS t(level)),
+            combos AS (SELECT level, lang, source, bucket,
+                         CAST(COUNT(*) AS BIGINT) AS c
+                       FROM leveled GROUP BY level, lang, source, bucket)
+            SELECT level, CAST(COUNT(*) AS BIGINT) AS n_combos,
+                   CAST(SUM(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_rare_combos,
+                   CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+                     AS n_docs_rare,
+                   CAST(SUM(c) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS DOUBLE) /
+                     CAST(SUM(c) AS DOUBLE) AS frac_docs_rare
+            FROM combos GROUP BY level ORDER BY level""")),
+
+    // Zipf-law fit per language over INTEGER log2 buckets: bucket
+    // words by the binary digit count of their frequency, log2 the
+    // per-bucket vocabulary size the same way, and fit the
+    // frequency-vs-rank slope by exact least squares — every Σx, Σy,
+    // Σxy, Σx² is a BIGINT of small integers, the slope is ONE
+    // double expression over them, so the fit is bit-identical on
+    // both engines with no libm. The slope is the corpus-health
+    // number (natural text ≈ −1): a crawl whose slope collapses
+    // toward 0 is template/boilerplate-heavy. Cost: one word-count
+    // shuffle; the regression runs on ≤ ~17 buckets per language.
+    QueryDef("q303_zipf_fit",
+      (s, d) => {
+        val wc = table(s, d, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy("lang", "word").agg(count(lit(1)).as("c"))
+        val buckets = wc
+          .withColumn("x", length(bin(col("c"))).cast(LongType))
+          .groupBy("lang", "x").agg(count(lit(1)).as("v"))
+          .withColumn("y", length(bin(col("v"))).cast(LongType))
+        buckets.groupBy("lang")
+          .agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .withColumn("slope", expr(
+            "CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE)"))
+          .orderBy("lang")
+      },
+      Some("""WITH wc AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+                         FROM documents)
+                   WHERE len(word) > 0 GROUP BY lang, word),
+            buckets AS (SELECT lang, x, CAST(LENGTH(BIN(v)) AS BIGINT) AS y, v
+                        FROM (SELECT lang,
+                                CAST(LENGTH(BIN(c)) AS BIGINT) AS x,
+                                CAST(COUNT(*) AS BIGINT) AS v
+                              FROM wc GROUP BY lang, x))
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE) /
+                     CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+                     AS slope
+            FROM buckets GROUP BY lang ORDER BY lang"""))
   )
 }
