@@ -143,6 +143,51 @@ class RetentionSpec extends SparkSpec {
       "no rows may be served past the gap")
   }
 
+  test("retention ABOVE the stream's offset leaves a live stream undisturbed") {
+    val t = freshTable()
+    for (i <- 1 to 12)
+      TxLogTable.append(Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1), t)
+    val ckpt = Files.createTempDirectory("ret_live_ck").toString
+    val out = "ret_live_counts"
+    def start() = spark.readStream.format("graft-txlog").load(t)
+      .groupBy("id").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .writeStream.format("memory").queryName(out)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // offset now 12
+    // retention reclaims 1..9 — all BELOW the stream's offset: the
+    // guard must NOT fire (nothing the stream owes was expired)
+    assert(TxLogTable.expireLog(spark, t, olderThanMillis = 0L) === 9)
+    TxLogTable.append(Seq((13L, "r13")).toDF("id", "v").coalesce(1), t)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val counts = spark.table(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts.keySet === (1L to 13L).toSet,
+      "resume over an expired-below-offset log must serve only the new rows")
+    assert(counts.values.forall(_ === 1L), "no row may be re-streamed")
+  }
+
+  test("a fresh format (v1) stream on a retention-managed table serves the full snapshot") {
+    val t = freshTable()
+    for (i <- 1 to 12)
+      TxLogTable.append(Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1), t)
+    assert(TxLogTable.expireLog(spark, t, olderThanMillis = 0L) === 9)
+    val out = Files.createTempDirectory("ret_fresh_out").resolve("o").toString
+    val q = spark.readStream.format("graft-txlog").load(t)
+      .writeStream.format("parquet")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ret_fresh_ck").toString)
+      .option("path", out).start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.read.parquet(out).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === (1L to 12L).toSet,
+      "initial batch must include the checkpoint-only (expired-commit) rows")
+  }
+
   test("a fresh catalog (V2) stream on a retention-managed table starts from the snapshot") {
     val wh = Files.createTempDirectory("ret_wh").toString
     spark.conf.set("spark.sql.catalog.gret", "graft.sources.GraftCatalog")
