@@ -96,12 +96,30 @@ object Sketches {
           .agg(expr(s"CAST($M - COUNT(*) AS DOUBLE)").as("v"),
             expr(s"SUM(power(CAST(2.0 AS DOUBLE), -r)) + CAST($M - COUNT(*) AS DOUBLE)").as("s"))
           .select(expr(EST).as("e"))
+        // EVERY consumer reads the per-shard register frame — the
+        // fact table is scanned and de-duplicated ONCE (the round-10
+        // form fed `rho` to three consumers, so the lineitem scan +
+        // DISTINCT shuffle executed ~3× for one 3-number result —
+        // three full fact passes at 100 TB). The direct (un-sharded)
+        // estimate folds from shardRegs by max-associativity:
+        // max over bucket of rho == max over bucket of the per-shard
+        // maxes — the exact identity the sketch-merge property rests
+        // on, so demonstrating merged == direct from one register
+        // frame is the property, not a shortcut. n_shards likewise:
+        // every non-empty shard owns ≥1 register, so the register
+        // frame carries the exact shard census. The frame is PINNED
+        // (localCheckpoint, ~shards×buckets = 2048 rows — register-
+        // sized, not data-sized) because column pruning specializes
+        // each consumer's partial-agg subtree and defeats
+        // ReuseExchange; the pin is released by the caller (bench
+        // drops all blocks per query; Verify's session is per-run).
         val shardRegs = rho.groupBy("shard", "bucket").agg(max(col("rho")).as("r"))
+          .localCheckpoint()
         val merged = estOf(shardRegs.groupBy("bucket").agg(max(col("r")).as("r")))
           .select(col("e").as("est_merged"))
-        val direct = estOf(rho.groupBy("bucket").agg(max(col("rho")).as("r")))
+        val direct = estOf(shardRegs.groupBy("bucket").agg(max(col("r")).as("r")))
           .select(col("e").as("est_direct"))
-        val nShards = dedup.agg(countDistinct("shard").as("n_shards"))
+        val nShards = shardRegs.agg(countDistinct("shard").as("n_shards"))
         nShards.crossJoin(merged).crossJoin(direct)
       },
       Some(s"""WITH dedup AS (
