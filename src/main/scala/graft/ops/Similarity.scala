@@ -70,6 +70,31 @@ object Similarity {
     concat_ws("", (1 to bits).map(i =>
       when(element_at(vec, i) > 0f, "1").otherwise("0")): _*)
 
+  /** Count-derived [[signBucket]] width: ceil-log2(n / targetBucket),
+    * clamped to [4, 16] — buckets hold ~targetBucket vectors at ANY
+    * corpus size, so per-bucket pair/candidate work stays flat where a
+    * pinned width goes quadratic (the round-9 64× probes: 15-40 s).
+    * Pure-integer arithmetic (ceil-div, then binary digit count of
+    * m-1) so a SQL oracle reproduces the width exactly — no float
+    * log2 half-cases; [[derivedBitsSql]] is the DuckDB mirror. The
+    * ONE definition both engine and oracle reference: retune
+    * targetBucket or the clamp here and nowhere else.
+    */
+  def derivedBits(n: Long, targetBucket: Long = 64L): Int = {
+    val m = (n + targetBucket - 1) / targetBucket
+    math.min(16, math.max(4,
+      if (m <= 1L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)))
+  }
+
+  /** DuckDB scalar subquery mirroring [[derivedBits]] over `tbl`'s
+    * row count (LENGTH(BIN(m-1)) = binary digit count = ceil-log2).
+    * Splice as `WITH p AS (<fragment>)` and read `(SELECT bits FROM p)`.
+    */
+  def derivedBitsSql(tbl: String, targetBucket: Long = 64L): String =
+    s"""SELECT GREATEST(4, LEAST(16, LENGTH(BIN(CAST(
+       |  ((COUNT(*) + ${targetBucket - 1}) // $targetBucket) - 1 AS BIGINT))))) AS bits
+       |FROM $tbl""".stripMargin
+
   /** ANN via LSH bucket: search only the query vector's bucket —
     * the IVF-style scale path (probes 1/2^bits of the corpus; recall
     * traded for a 2^bits scan reduction; multi-probe = relax the

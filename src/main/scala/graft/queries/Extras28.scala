@@ -239,22 +239,20 @@ object Extras28 {
     QueryDef("q283_hard_negatives",
       (s, d) => {
         val emb = table(s, d, "embeddings")
-        val m = (emb.count() + 63L) / 64L // ceil(n / targetBucket)
-        val bits = math.min(16, math.max(4, // digits of bin(m-1) = ceil(log2 m)
-          if (m <= 1L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)))
+        // the shared sizing contract — Similarity.derivedBits is the
+        // ONE definition, mirrored verbatim in the oracle below
+        val bits = Similarity.derivedBits(emb.count())
         Similarity.hardNegatives(emb,
             anchorPred = col("vec_id") % 7 === 0, k = 3, bits = bits)
           .orderBy("a_id", "rank")
       },
       Some {
-        // same integer sizing (DuckDB BIN digit count), max-16-bit
-        // sign string truncated to the derived width
+        // same integer sizing (the shared derivedBitsSql fragment),
+        // max-16-bit sign string truncated to the derived width
         val bucketSql = (1 to 16).map(i =>
           s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)")
           .mkString(" || ")
-        s"""WITH p AS (SELECT GREATEST(4, LEAST(16, LENGTH(BIN(CAST(
-                         ((COUNT(*) + 63) // 64) - 1 AS BIGINT))))) AS bits
-                       FROM embeddings),
+        s"""WITH p AS (${Similarity.derivedBitsSql("embeddings")}),
                b AS (SELECT vec_id, label, embedding,
                          substr($bucketSql, 1, (SELECT bits FROM p)) AS bucket
                        FROM embeddings),

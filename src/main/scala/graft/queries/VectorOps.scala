@@ -57,15 +57,13 @@ object VectorOps {
     QueryDef("q128_lsh_neardup_pairs",
       (s, d) => {
         val emb = table(s, d, "embeddings")
-        val m = (emb.count() + 63L) / 64L
-        val bits = math.min(16, math.max(4,
-          if (m <= 1L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)))
+        // shared sizing contract (Similarity.derivedBits — the one
+        // definition, mirrored by derivedBitsSql in the oracle)
+        val bits = Similarity.derivedBits(emb.count())
         Similarity.nearDupPairsLsh(emb, threshold = 0.3, bits = bits)
           .orderBy("id1", "id2")
       },
-      Some(s"""WITH p AS (SELECT GREATEST(4, LEAST(16, LENGTH(BIN(CAST(
-                    ((COUNT(*) + 63) // 64) - 1 AS BIGINT))))) AS bits
-                  FROM embeddings),
+      Some(s"""WITH p AS (${Similarity.derivedBitsSql("embeddings")}),
                eb AS (SELECT vec_id, embedding,
                     substr(${bucketSql(16)}, 1, (SELECT bits FROM p)) AS bucket
                   FROM embeddings)

@@ -370,13 +370,16 @@ object TxLogTable {
     require(commits0.nonEmpty, s"not a TxLog table (no commits): $tablePath")
     require(commits0.contains(toVersion),
       s"version $toVersion does not exist; have ${commits0.sorted.mkString(", ")}")
-    // restore-to-current is a no-op — return before the protocol gate
-    // (no commit is written, so nothing to govern) and before paying a
-    // replayState for props nobody needs
-    if (commits0.max == toVersion) return toVersion
-    // restore WRITES a new commit: the CURRENT protocol governs it
+    // restore WRITES a new commit: the CURRENT protocol governs it.
+    // The gate runs BEFORE the restore-to-current no-op return — a
+    // caller restoring to current on a table that requires writer
+    // features this build lacks must hear that the table is
+    // unwritable NOW, not on the next (mutating) call; trading one
+    // replayState for that early signal is the right price.
     checkWriteProtocol(
       replayState(fs, tablePath, commits0.max, commits0).props, tablePath)
+    // restore-to-current is a no-op — nothing to commit
+    if (commits0.max == toVersion) return toVersion
     val target = snapshot(fs, tablePath, Some(toVersion))
     var attempt = 0
     var result = -1L
@@ -880,14 +883,19 @@ object TxLogTable {
         s"gave up after $MaxCommitRetries metadata-commit attempts on $tablePath")
       val commits = committedVersions(fs, tablePath)
       val version = commits.max + 1L
-      // feature declaration from props replayed THIS attempt — see
-      // propertiesCommitWith for the under-statement race it prevents
-      val propSets = declFeature.map(f => featureDecl(
-        replayState(fs, tablePath, commits.max, commits).props, f))
+      // state replayed THIS attempt serves both the feature
+      // declaration (see propertiesCommitWith for the under-statement
+      // race it prevents) and the schema DDL: the caller's ddl came
+      // from a snapshot taken before this retry loop, so a racing
+      // schema-evolution commit landing in the retry window would get
+      // its schema silently overwritten by the stale DDL — the same
+      // pre-conflict-read race class, on the schema axis
+      val cur = replayState(fs, tablePath, commits.max, commits)
+      val propSets = declFeature.map(f => featureDecl(cur.props, f))
         .getOrElse(Map.empty)
       try {
         claimCommit(fs, tablePath, version,
-          Commit("setconstraint", ddl, Nil,
+          Commit("setconstraint", cur.ddl.getOrElse(ddl), Nil,
             constraintAdds = adds, constraintDrops = drops,
             propSets = propSets))
         result = version
@@ -1276,6 +1284,25 @@ object TxLogTable {
       .filter { v =>
         val a = parseCommit(fs, tablePath, v).action
         a == "rewrite" || a == "dv" // both are row-level deletes
+      }
+  }
+
+  /** Versions in `(fromExclusive, toInclusive]` whose commits change
+    * the column mapping — rename / dropcolumn, or an evolve commit
+    * carrying a refreshed map (a re-added logical name bound to a
+    * fresh physical slot). The vectorized stream path reads physical
+    * parquet column names against the stream's logical start-schema,
+    * so any of these landing mid-stream would silently null-fill the
+    * remapped column instead of failing.
+    */
+  private[graft] def mappingChangeVersions(spark: SparkSession, tablePath: String,
+      fromExclusive: Long, toInclusive: Long): Seq[Long] = {
+    val fs = fileSystem(spark, tablePath)
+    committedVersions(fs, tablePath)
+      .filter(v => v > fromExclusive && v <= toInclusive).sorted
+      .filter { v =>
+        val c = parseCommit(fs, tablePath, v)
+        c.action == "rename" || c.action == "dropcolumn" || c.renames.nonEmpty
       }
   }
 

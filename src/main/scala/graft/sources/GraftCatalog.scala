@@ -533,13 +533,21 @@ final class GraftMicroBatchStream(sparkSession: SparkSession,
           s"$tablePath, which was expired by log retention — the batch " +
           "cannot be reproduced. Restart from a fresh checkpoint")
       val snap = TxLogTable.scanSnapshot(sparkSession, tablePath, Some(hi))
-      // race guard: a deleteVectors landing between scan build (which
-      // chose this vectorized path on a DV-free snapshot) and the
-      // first batch would leave masked rows unmasked here
+      // race guards, mirroring BOTH of the scan builder's V1-fallback
+      // conditions: a deleteVectors or a rename/dropcolumn landing
+      // between scan build (which chose this vectorized path on a
+      // DV-free, mapping-free snapshot) and the first batch would
+      // respectively leave masked rows unmasked or silently null-fill
+      // the remapped column (this path reads physical parquet names
+      // against the logical schema)
       if (snap.hasDeletionVectors) throw new IllegalStateException(
         s"table $tablePath gained deletion vectors before the stream's " +
           "first batch — restart the query (the scan re-plans through " +
           "the DV-aware path)")
+      if (snap.renames.nonEmpty) throw new IllegalStateException(
+        s"table $tablePath gained a column mapping (rename/drop column) " +
+          "before the stream's first batch — restart the query (the " +
+          "scan re-plans through the mapping-aware path)")
       return partitionsFor(snap.files)
     }
     // retention guard: versions this batch owes that expireLog
@@ -552,6 +560,16 @@ final class GraftMicroBatchStream(sparkSession: SparkSession,
         "retention — the incremental feed is gapped. Re-sync from a " +
         "batch snapshot read and a fresh checkpoint instead of " +
         "silently skipping the expired commits")
+    // a mid-stream rename/dropcolumn passes checkStreamReadProtocol on
+    // a table with no declared protocol, but this vectorized path
+    // cannot serve it (physical parquet names vs the stream's logical
+    // start-schema → silent null-fill) — refuse loudly instead
+    val remaps = TxLogTable.mappingChangeVersions(sparkSession, tablePath, lo, hi)
+    if (remaps.nonEmpty) throw new IllegalStateException(
+      s"table $tablePath has column-mapping commit(s) " +
+        s"${remaps.mkString(", ")} in the streamed range ($lo, $hi] — " +
+        "restart the query from a fresh checkpoint (the scan re-plans " +
+        "through the mapping-aware path)")
     if (!ignoreDeletes) {
       val rewrites = TxLogTable.rewriteVersions(sparkSession, tablePath, lo, hi)
       if (rewrites.nonEmpty) throw new IllegalStateException(

@@ -87,6 +87,12 @@ class ProtocolSpec extends SparkSpec {
     intercept[TxLogTable.ProtocolError] {
       TxLogTable.restore(spark, t, 1L)
     }
+    // restore-to-current writes nothing, but still refuses: the
+    // caller must hear "this table is unwritable" on the restore
+    // call, not on the next mutating one
+    intercept[TxLogTable.ProtocolError] {
+      TxLogTable.restore(spark, t, TxLogTable.versions(spark, t).max)
+    }
     intercept[TxLogTable.ProtocolError] {
       TxLogTable.addColumns(spark, t,
         org.apache.spark.sql.types.StructType.fromDDL("extra BIGINT"))

@@ -143,6 +143,31 @@ class GraftCatalogSpec extends SparkSpec {
     assert(filesRead(all) === 3L)
   }
 
+  test("a mid-stream column rename is refused, not silently null-filled") {
+    warehouse
+    spark.sql("CREATE TABLE graft.lake.renstr (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.lake.renstr VALUES (1, 'a')")
+    val q = spark.readStream.table("graft.lake.renstr")
+      .writeStream.format("parquet")
+      .option("checkpointLocation",
+        Files.createTempDirectory("gcat_ren_ckpt").toString)
+      .option("path",
+        Files.createTempDirectory("gcat_ren_out").resolve("o").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // the vectorized stream path was chosen on a mapping-free
+      // snapshot; a rename landing mid-stream would have it read
+      // physical parquet names against the logical start-schema —
+      // null-filling the renamed column. It must stop loudly instead.
+      spark.sql("ALTER TABLE graft.lake.renstr RENAME COLUMN v TO val")
+      spark.sql("INSERT INTO graft.lake.renstr VALUES (2, 'b')")
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(causeMessages(e).exists(_.contains("column-mapping")),
+        s"mid-stream rename must refuse, got: ${causeMessages(e)}")
+    } finally q.stop()
+  }
+
   test("spark.readStream.table streams commits as micro-batches, resumes on restart") {
     warehouse
     spark.sql("CREATE TABLE graft.lake.str (k BIGINT, v STRING)")
