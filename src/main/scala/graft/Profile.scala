@@ -55,6 +55,40 @@ object Profile {
       spark.stop()
       return
     }
+    // exact (q273 regime, k~sqrt(n)) vs pruned (q304 regime, k~n^1/4)
+    // SemDeDup drop-set recall at the given sfDir (dev scratch — the
+    // SCALE.md exact-vs-pruned row on the 64x replica)
+    if (args.length > 2 && args(2) == "semdedupRecall") {
+      val fv = graft.queries.QueryDef.table(spark, sfDir, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val n = fv.count().toDouble
+      val kExact = math.max(8L, math.ceil(math.sqrt(n)).toLong)
+      val kPruned = math.max(8L, math.ceil(math.sqrt(math.ceil(math.sqrt(n)))).toLong)
+      def cents(k: Long) = fv.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cell"), col("v").as("cv"))
+      val exactDrops = graft.ops.Dedup
+        .semanticDupPairs(fv, cents(kExact), "vec_id", "v", tau = 0.35)
+        .select(col("j2").as("d")).distinct().localCheckpoint()
+      val prunedDrops = graft.ops.Dedup
+        .semanticDupPairsPruned(fv, cents(kPruned), "vec_id", "v", tau = 0.35)
+        .select(col("drop_id").as("d")).distinct().localCheckpoint()
+      // same-quantizer variant isolates the pruning effect from the
+      // coarser k the linear regime affords
+      val prunedSameK = graft.ops.Dedup
+        .semanticDupPairsPruned(fv, cents(kExact), "vec_id", "v", tau = 0.35)
+        .select(col("drop_id").as("d")).distinct().localCheckpoint()
+      val ne = exactDrops.count(); val np = prunedDrops.count()
+      val nsk = prunedSameK.count()
+      val inter = prunedDrops.join(exactDrops, "d").count()
+      val interSk = prunedSameK.join(exactDrops, "d").count()
+      println(f"[profile] semdedup n=${n.toLong} kExact=$kExact kPruned=$kPruned " +
+        f"exactDrops=$ne prunedDrops=$np overlap=$inter " +
+        f"recallVsExact=${inter.toDouble / math.max(1L, ne)}%.3f " +
+        f"prunedSameK=$nsk overlapSameK=$interSk " +
+        f"recallSameK=${interSk.toDouble / math.max(1L, ne)}%.3f")
+      spark.stop()
+      return
+    }
     // stage breakdown for the q139 pipeline (dev scratch)
     if (args.length > 2 && args(2) == "q139parts") {
       import org.apache.spark.sql.expressions.Window

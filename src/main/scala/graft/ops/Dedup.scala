@@ -196,6 +196,65 @@ object Dedup {
       .select(col(idCol), col("__best.cell").as("cell"))
   }
 
+  /** Nearest-centroid assignment WITH the squared distance kept —
+    * the variant [[semanticDupPairsPruned]] needs (the per-cell
+    * representative is the member closest to its centroid). Same
+    * broadcast argmin as [[assignCells]]; output (idCol, cell, d2).
+    */
+  def assignCellsWithDist(vecs: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val sq = s"aggregate(zip_with($vecCol, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("__d2", expr(sq))
+      .groupBy(idCol)
+      .agg(min(struct(col("__d2"), col("cell"))).as("__best"))
+      .select(col(idCol), col("__best.cell").as("cell"),
+        col("__best.__d2").as("d2"))
+  }
+
+  /** SemDeDup's PRODUCTION pruning regime: instead of the exact
+    * within-cell all-pairs scan (~n²/k — the n^1.5 tail of
+    * [[semanticDupPairs]] at k ~ sqrt(n)), each cell elects ONE
+    * representative — the member nearest its centroid, ties to the
+    * smallest id — and every other member is compared against the
+    * representative only. One cosine per row: the pair stage is
+    * LINEAR in the corpus regardless of k, which frees the quantizer
+    * size to be a quality knob instead of a pair-count bound (the
+    * paper prunes per-cluster comparisons the same way once clusters
+    * outgrow exact pairing). Recall tradeoff: a duplicate pair whose
+    * members are BOTH far from the representative is missed — the
+    * price of linearity; tighten with more cells, not more pairs.
+    *
+    * Inputs as [[semanticDupPairs]]; returns (cell, rep, drop_id,
+    * cos) — one row per member whose cosine to its cell's
+    * representative is ≥ `tau`.
+    */
+  def semanticDupPairsPruned(vecs: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame =
+    semanticDupPairsPrunedFromAssignment(vecs,
+      assignCellsWithDist(vecs, centroids, idCol, vecCol),
+      idCol, vecCol, tau)
+
+  /** The pruned pair half over a precomputed [[assignCellsWithDist]]
+    * frame `(idCol, cell, d2)` — exposed like
+    * [[semanticDupPairsFromAssignment]] so callers that also need the
+    * assignment (cell censuses) compute it once. */
+  def semanticDupPairsPrunedFromAssignment(vecs: DataFrame, asg: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame = {
+    // k rows (one per non-empty cell) — broadcast-sized by design
+    val reps = asg
+      .groupBy("cell").agg(min(struct(col("d2"), col(idCol))).as("__r"))
+      .select(col("cell"), col(s"__r.$idCol").as("rep"))
+    val repVecs = broadcast(reps
+      .join(vecs.select(col(idCol).as("rep"), col(vecCol).as("__rv")), "rep"))
+    asg.join(vecs, idCol).join(repVecs, "cell")
+      .filter(col(idCol) =!= col("rep"))
+      .withColumn("cos",
+        graft.functions.VectorExprs.cosineSim(col(vecCol), col("__rv")))
+      .filter(col("cos") >= tau)
+      .select(col("cell"), col("rep"), col(idCol).as("drop_id"), col("cos"))
+  }
+
   /** The pair half of [[semanticDupPairs]] over a precomputed
     * assignment frame `(idCol, cell)`. */
   def semanticDupPairsFromAssignment(vecs: DataFrame, asg: DataFrame,

@@ -102,4 +102,55 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(finer.subsetOf(got))
   }
+
+  test("semanticDupPairsPruned compares against the cell representative only") {
+    def v(x: Double, y: Double, eps: Double) = Array(x, y, eps, 0.0)
+    // one cluster around (1,0): id 10 sits ON the centroid (the
+    // representative), 11 is its near-dup, 12 is distant
+    val vecs = Seq(
+      (10L, v(1.0, 0.0, 0.00)), (11L, v(1.0, 0.0, 0.01)),
+      (12L, v(0.3, 0.0, 0.95)),
+      (20L, v(0.0, 1.0, 0.00)), (21L, v(0.0, 1.0, 0.01))).toDF("id", "v")
+    val cents = Seq((0L, v(1.0, 0.0, 0.0)), (1L, v(0.0, 1.0, 0.0)))
+      .toDF("cell", "cv")
+    val rows = Dedup.semanticDupPairsPruned(vecs, cents, "id", "v", tau = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reps are 10 (cell 0) and 20 (cell 1); drops are exactly the
+    // planted near-dups, never the representative itself
+    assert(rows === Set((0L, 10L, 11L), (1L, 20L, 21L)),
+      s"expected (cell,rep,drop) = planted near-dups, got $rows")
+  }
+
+  test("pruned recall tradeoff: a dup pair both-far-from-rep is missed, exact finds it") {
+    def v(x: Double, y: Double, eps: Double) = Array(x, y, eps, 0.0)
+    // id 1 is nearest the centroid -> representative; 2 and 3 are a
+    // planted dup PAIR far from the rep (orthogonal-ish to it)
+    val vecs = Seq(
+      (1L, v(1.0, 0.0, 0.0)),
+      (2L, v(0.0, 1.0, 0.00)),
+      (3L, v(0.0, 1.0, 0.01))).toDF("id", "v")
+    val cents = Seq((0L, v(1.0, 0.0, 0.0))).toDF("cell", "cv")
+    val exact = Dedup.semanticDupPairs(vecs, cents, "id", "v", tau = 0.999)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(exact === Set((2L, 3L)))
+    val pruned = Dedup.semanticDupPairsPruned(vecs, cents, "id", "v", tau = 0.999)
+    assert(pruned.count() === 0L,
+      "the documented linear-regime miss: both members far from the representative")
+    // tightening the quantizer (one more cell near the pair) restores it
+    val cents2 = Seq((0L, v(1.0, 0.0, 0.0)), (1L, v(0.0, 1.0, 0.0)))
+      .toDF("cell", "cv")
+    val restored = Dedup.semanticDupPairsPruned(vecs, cents2, "id", "v", tau = 0.999)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(restored === Set((2L, 3L)))
+  }
+
+  test("assignCellsWithDist ties break to the smallest cell id, d2 is exact") {
+    def v(x: Double, y: Double) = Array(x, y, 0.0, 0.0)
+    val vecs = Seq((7L, v(0.5, 0.5))).toDF("id", "v")
+    // two centroids EQUIDISTANT from the vector — min(struct) must pick cell 1
+    val cents = Seq((2L, v(1.0, 0.0)), (1L, v(0.0, 1.0))).toDF("cell", "cv")
+    val r = Dedup.assignCellsWithDist(vecs, cents, "id", "v").head()
+    assert(r.getAs[Long]("cell") === 1L)
+    assert(r.getAs[Double]("d2") === 0.5) // (0.5)^2 + (0.5)^2, exact in binary
+  }
 }
