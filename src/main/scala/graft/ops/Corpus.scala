@@ -131,7 +131,10 @@ object Corpus {
     * and stops at fixpoint. Rounds = component diameter; LSH dup
     * clusters are near-cliques, so this converges in a handful of
     * rounds no matter the corpus size. Lineage is cut every round so
-    * the plan does not grow with iterations.
+    * the plan does not grow with iterations; each superseded round's
+    * checkpoint is released as soon as the next one is materialized —
+    * only the FINAL label frame stays pinned, backing the returned
+    * frame (caller-owned, see [[Pinned]]).
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val fwd = pairs.select(col("id1").as("src"), col("id2").as("dst"))
@@ -150,13 +153,15 @@ object Corpus {
         .union(viaNeighbors)
         .groupBy("id")
         .agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized before old labels go
       converged = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old"))
         .isEmpty
+      Pinned.release(labels) // superseded round — next no longer reads it
       labels = next
       iter += 1
     }
+    Pinned.release(edges)
     labels.select(col("id"), col("label").as("cluster"))
   }
 

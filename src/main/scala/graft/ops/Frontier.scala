@@ -56,6 +56,12 @@ object Frontier {
       // least() skips nulls (first row of first partition has neither)
       .withColumn("__pref", least(min("__mn").over(localPrior), col("__poff")))
       .select(col(maxCol), col("__mn"), col("__pref"))
+      // eager + stair-sized (one row per distinct maxCol): checkpoint
+      // it so `ranged` — same magnitude but now superseded — releases
+      // before the full-data join below; the pref checkpoint backing
+      // the returned frame is caller-owned ([[Pinned]])
+      .localCheckpoint()
+    Pinned.release(ranged)
 
     df.join(pref, Seq(maxCol))
       .filter(

@@ -91,9 +91,16 @@ object Graph {
       .join(adj.select(col("x").as("v"), col("nbr").as("nv")), Seq("v"), "left")
       .select(when(col("nv").isNull, lit(0L))
         .otherwise(size(array_intersect(col("nu"), col("nv"))).cast("long")).as("t"))
-    verts.agg(count(lit(1)).as("n_vertices"))
+    // the result is ONE row: eager-checkpoint it (bytes) so both edge
+    // pins can be released before returning instead of leaking until
+    // the ContextCleaner notices
+    val out = verts.agg(count(lit(1)).as("n_vertices"))
       .crossJoin(e.agg(count(lit(1)).as("n_edges")))
       .crossJoin(tris.agg(coalesce(sum("t"), lit(0L)).as("n_triangles")))
+      .localCheckpoint()
+    if (!(e eq e0)) Pinned.release(e)
+    Pinned.release(e0)
+    out
   }
 
   /** PageRank in 64-bit integer fixed-point, `iters` rounds.
@@ -143,6 +150,12 @@ object Graph {
         .select(col("node"), col("deg"),
           expr(s"(15 * (${scale}L div n) + 85 * inflow) div 100").as("pr"), col("n"))
     }
-    pr.select(col("node"), col("pr"))
+    // eager-checkpoint the final ranks (node-sized — the same frame
+    // every superstep materializes anyway) so the edge pin can be
+    // released before returning; the result checkpoint itself is
+    // caller-owned ([[Pinned]])
+    val out = pr.select(col("node"), col("pr")).localCheckpoint()
+    Pinned.release(e)
+    out
   }
 }
