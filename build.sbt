@@ -38,4 +38,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // a 300-query suite JITs thousands of whole-stage-codegen classes;
+  // the JDK 17 default 240m code cache fills mid-suite and the
+  // sweeper's flush/recompile churn degrades later queries 2-4x
+  // (measured: q155 2.3s in a 7-query run vs 8.7s at position ~150
+  // of the full suite). 1g keeps every compiled method resident.
+  "-XX:ReservedCodeCacheSize=1g",
 )
