@@ -13,30 +13,25 @@ object Extras18 {
 
     // Quantity-weighted median price per return flag: the smallest
     // value whose running weight reaches half the group total.
-    // Ties are collapsed FIRST — one hash aggregate to distinct
-    // (g, v_c) with summed weights (map-side combine shrinks the
-    // fact to its value domain before anything ranks; the crossing
-    // VALUE is unchanged because a tie run's cumulative weight is
-    // identical collapsed or expanded). Running weights over the
-    // collapsed frame come from Ranks.groupRunningSum (range
-    // repartition + broadcast offsets — no 3-reducer group window).
-    // Measured at the 64× replica: 30.7 s → value-domain-bounded
-    // (the ranking input no longer grows with row count, only with
-    // distinct prices).
+    // Selection by histogram refinement (ops/Quantiles): pass 1
+    // sums weights into fixed-width price buckets (map-side
+    // combined, GROUPS × BUCKETS output), a histogram-sized running
+    // sum finds the crossing bucket and the weight before it, pass 2
+    // re-scans that bucket alone for the exact crossing value — two
+    // scans, no data-sized shuffle, no pinned frame, parallelism
+    // independent of the 3-flag group cardinality. Replaces the
+    // tie-collapse + Ranks.groupRunningSum form (the round-10 heavy
+    // tail's #3 at 5.6 s official / 4.4 s hermetic; the rank input
+    // was value-domain-bounded but still a corpus-wide shuffle).
     QueryDef("q216_weighted_median",
       (s, d) => {
         val li = table(s, d, "lineitem").select(
           col("l_returnflag").as("g"),
           expr("CAST(floor(l_extendedprice * 100.0) AS BIGINT)").as("v_c"),
           expr("CAST(floor(l_quantity) AS BIGINT)").as("wt"))
-          .groupBy("g", "v_c").agg(sum("wt").as("wt"))
-          .localCheckpoint() // value-domain-sized; feeds the rank pass (2 executions) + the total
-        val r = graft.ops.Ranks.groupRunningSum(li, "g", "v_c", "wt")
-        val t = li.groupBy("g").agg(sum("wt").as("w_total"))
-        r.join(broadcast(t), "g")
-          .groupBy("g")
-          .agg(max("w_total").as("w_total"),
-            min(when(expr("2 * rsum >= w_total"), col("v_c"))).as("wmedian_c"))
+        graft.ops.Quantiles.groupWeightedMedian(li, "g", col("v_c"), col("wt"))
+          .select(col("g"), col("w_total"),
+            col("median").cast("long").as("wmedian_c")) // exact: integer cents < 2^53
           .orderBy("g")
       },
       Some("""WITH li AS (

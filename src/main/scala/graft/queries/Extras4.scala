@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.ops.{Graph, Ranks}
+import graft.ops.{Graph, Quantiles, Ranks}
 import QueryDef.table
 
 /** Round-4 widening: corpus-graph analytics and robust statistics.
@@ -126,39 +126,30 @@ object Extras4 {
 
     // exact per-group median and MAD (median absolute deviation) —
     // robust quality-score statistics without a 5-cardinality window.
-    // Both passes collapse ties FIRST (hash aggregate to distinct
-    // (group, value) with counts — map-side combined, so the rank
-    // input grows with the VALUE DOMAIN, not the row count) and read
-    // the median as the running-count crossing: the value at rank k
-    // is the smallest v whose cumulative count reaches k. Running
-    // counts come from Ranks.groupRunningSum (range repartition +
-    // broadcast offsets), so parallelism scales with partitions, not
-    // with the 5-group cardinality. The 5-row median table broadcasts
-    // back for the deviation pass.
+    // Selection, not ranking: ops/Quantiles.groupMedian histograms
+    // the values (a map-side-combinable aggregate, GROUPS × BUCKETS
+    // output), locates the bucket holding rank (n+1) div 2 with a
+    // histogram-sized running sum, and re-scans only that bucket's
+    // rows for the exact value — two scans per median, zero
+    // data-sized shuffles, parallelism independent of the 5-group
+    // cardinality. The MAD pass repeats it on |v - median| with the
+    // 5-row median table broadcast.
     QueryDef("q131_median_mad",
       (s, d) => {
         val o = table(s, d, "orders")
           .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("v"))
-        val tot = o.groupBy("grp").agg(count(lit(1)).as("nt")) // 5 rows
-        val oc = o.groupBy("grp", "v").agg(count(lit(1)).as("cnt"))
-          .localCheckpoint() // value-domain-sized; the rank pass executes its input twice
-        // pin the 5-ROW median table: the deviation frame feeds the
-        // second rank pass's consumers, and without the pin each
-        // would re-execute the whole first pass through this lineage.
-        val med = Ranks.groupRunningSum(oc, "grp", "v", "cnt")
-          .join(broadcast(tot), "grp")
-          .groupBy("grp")
-          .agg(min(when(expr("rsum >= (nt + 1) div 2"), col("v"))).as("median"))
-          .localCheckpoint()
-        val devc = o.join(broadcast(med), "grp")
-          .select(col("grp"), col("median"), abs(col("v") - col("median")).as("ad"))
-          .groupBy("grp", "median", "ad").agg(count(lit(1)).as("cnt"))
-          .localCheckpoint()
-        Ranks.groupRunningSum(devc, "grp", "ad", "cnt")
-          .join(broadcast(tot), "grp")
-          .groupBy("grp", "median")
-          .agg(max(col("nt")).as("n"),
-            min(when(expr("rsum >= (nt + 1) div 2"), col("ad"))).as("mad"))
+        // exact selection by histogram refinement (ops/Quantiles):
+        // two map-side-combined scans per median, zero data-sized
+        // shuffles — replaces the two full rank passes + 3 pinned
+        // frames of the round-10 form (7.6 s -> ~2 s at sf0.1). The
+        // 5-ROW median table IS pinned so the deviation frame's two
+        // histogram passes don't re-execute the median's two.
+        val med = Quantiles.groupMedian(o, "grp", "v").localCheckpoint()
+        val dev = o.join(broadcast(med.select("grp", "median")), "grp")
+          .select(col("grp"), abs(col("v") - col("median")).as("ad"))
+        Quantiles.groupMedian(dev, "grp", "ad")
+          .select(col("grp"), col("median").as("mad"))
+          .join(broadcast(med), "grp")
           .select(col("grp"), col("n"), col("median"), col("mad"))
           .orderBy("grp")
       },
