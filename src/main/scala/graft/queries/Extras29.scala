@@ -23,9 +23,9 @@ object Extras29 {
 
   /** md5 token hash into one of `m` buckets — the q261/q284 hashing
     * trick widened to a parameterized modulus. */
-  private def slot(tok: String, m: Int): String =
+  private[queries] def slot(tok: String, m: Int): String =
     s"(CAST(conv(substring(md5($tok), 1, 4), 16, 10) AS BIGINT) % $m)"
-  private def slotDuck(tok: String, m: Int): String =
+  private[queries] def slotDuck(tok: String, m: Int): String =
     s"(CAST(CAST('0x' || substr(md5($tok), 1, 4) AS INTEGER) AS BIGINT) % $m)"
 
   val all: Seq[QueryDef] = Seq(
