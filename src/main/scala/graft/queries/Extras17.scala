@@ -97,23 +97,21 @@ object Extras17 {
     // IQR outlier screen with two fences: the standard Tukey 1.5×IQR
     // (n_low/n_high — legitimately zero on this uniform-ish data) and
     // a tight 0.5×IQR screen (n_low_t/n_high_t) that does fire.
-    // Quartiles collapse ties first (distinct (pri, cents) + counts,
-    // map-side combined — rank input bounded by the value domain) and
-    // read the ranked value as the running-count crossing; fences are
+    // Quartiles come from ONE histogram-refinement pass
+    // (ops/Quantiles.groupRankValues — both rank lookups share the
+    // bucket histogram; crossing-bucket re-scan only); fences are
     // integer cents (k·IQR = (3·IQR) div 2 and IQR div 2 — no float
     // math).
     QueryDef("q213_iqr_outliers",
       (s, d) => {
+        import graft.ops.Quantiles.RankSpec
         val c = table(s, d, "orders")
           .select(col("o_orderpriority").as("pri"),
             expr("CAST(floor(o_totalprice * 100.0) AS BIGINT)").as("p_c"))
-        val tot = c.groupBy("pri").agg(count(lit(1)).as("nt"))
-        val cc = c.groupBy("pri", "p_c").agg(count(lit(1)).as("cnt"))
-          .localCheckpoint() // value-domain-sized; the rank pass executes its input twice
-        val r = graft.ops.Ranks.groupRunningSum(cc, "pri", "p_c", "cnt")
-        val q = r.join(broadcast(tot), "pri").groupBy("pri").agg(
-          min(when(expr("rsum >= (nt + 3) div 4"), col("p_c"))).as("q1_c"),
-          min(when(expr("rsum >= (3 * nt + 3) div 4"), col("p_c"))).as("q3_c"))
+        val q = graft.ops.Quantiles.groupRankValues(c, "pri", col("p_c"), lit(1L),
+            Seq(RankSpec("q1d", 1, 4, 3), RankSpec("q3d", 3, 4, 3)))
+          .select(col("pri"), col("q1d").cast("long").as("q1_c"), // exact: integer cents
+            col("q3d").cast("long").as("q3_c"))
         c.join(broadcast(q), "pri")
           .groupBy("pri", "q1_c", "q3_c")
           .agg(

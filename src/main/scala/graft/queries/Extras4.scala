@@ -248,12 +248,29 @@ object Extras4 {
     // range-partition planning and skew reports.
     QueryDef("q134_equidepth_hist",
       (s, d) => {
+        import graft.ops.Quantiles.RankSpec
         val o = table(s, d, "orders")
-          .select(lit(1).as("g"), col("o_totalprice").as("v"), col("o_orderkey"))
-        graft.ops.Ranks.groupRanked(o, "g", "v", ties = Seq("o_orderkey"))
-          .withColumn("bucket", expr("(rn - 1) * 8 div n"))
-          .groupBy("bucket")
-          .agg(count(lit(1)).as("n_rows"), min("v").as("lo"), max("v").as("hi"))
+          .select(lit(1).as("g"), col("o_totalprice").as("v"))
+        // bucket b of the rank-equidepth split holds ranks
+        // [(b*n+7) div 8 + 1 .. ((b+1)*n+7) div 8] — its row count
+        // and its lo/hi VALUES are pure rank lookups, so the whole
+        // 8-bucket histogram is 16 crossings over ONE value-bucket
+        // histogram pass (ops/Quantiles.groupRankValues) instead of
+        // a corpus-wide rank. Ties: the value at rank t is the same
+        // whatever order equal values take, so the old o_orderkey
+        // tie-break is unnecessary here.
+        val specs = (0 until 8).flatMap(b => Seq(
+          RankSpec(s"lo$b", b.toLong, 8, 15), // (b*n+7) div 8 + 1 = (b*n+15) div 8
+          RankSpec(s"hi$b", b.toLong + 1, 8, 7)))
+        val wideRow = graft.ops.Quantiles
+          .groupRankValues(o, "g", col("v"), lit(1L), specs)
+        val stackArgs = (0 until 8).map(b =>
+          s"${b}L, lo$b, hi$b, (($b + 1) * w_total + 7) div 8 - ($b * w_total + 7) div 8")
+          .mkString(", ")
+        wideRow
+          .select(expr(s"stack(8, $stackArgs) AS (bucket, lo, hi, n_rows)"))
+          .filter(col("n_rows") >= 1)
+          .select("bucket", "n_rows", "lo", "hi")
           .orderBy("bucket")
       },
       Some("""WITH r AS (SELECT o_totalprice AS v,
@@ -357,21 +374,24 @@ object Extras4 {
               GROUP BY 1 ORDER BY prev_type""")),
 
     // winsorized mean: clip to the exact per-group [p05, p95] values
-    // (de-skewed rank pass), then a decimal-exact mean — the robust
-    // average that outlier documents can't drag. Percentile indices
-    // are pure integer ceil ((n*k + 99) div 100): a double 0.05*n
-    // could round either side of an integer and silently shift the
-    // cut row. Bounds are 5 rows, broadcast back.
+    // (histogram-refinement selection, ops/Quantiles), then a
+    // decimal-exact mean — the robust average that outlier documents
+    // can't drag. Percentile indices are pure integer ceil
+    // ((n*k + 99) div 100): a double 0.05*n could round either side
+    // of an integer and silently shift the cut row. Bounds are 5
+    // rows, broadcast back.
     QueryDef("q138_winsorized_mean",
       (s, d) => {
+        import graft.ops.Quantiles.RankSpec
         val o = table(s, d, "orders")
           .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("v"))
-        val r = Ranks.groupRanked(o, "grp", "v")
-        val bounds = r
-          .filter(col("rn") === expr("greatest(1L, (n * 5 + 99) div 100)"))
-          .select(col("grp"), col("v").as("lo"))
-          .join(r.filter(col("rn") === expr("(n * 95 + 99) div 100"))
-            .select(col("grp"), col("v").as("hi")), "grp")
+        // both percentile cuts from one histogram pass; the (num,
+        // den, add) forms are the same integer ceil formulas the
+        // oracle uses ((n*5+99) div 100 etc. — GREATEST(1,·) is
+        // implied: t >= 1 whenever n >= 1)
+        val bounds = Quantiles.groupRankValues(o, "grp", col("v"), lit(1L),
+            Seq(RankSpec("lo", 5, 100, 99), RankSpec("hi", 95, 100, 99)))
+          .select(col("grp"), col("lo"), col("hi"))
         o.join(broadcast(bounds), "grp")
           .select(col("grp"), col("lo"), col("hi"),
             least(greatest(col("v"), col("lo")), col("hi")).as("w"))

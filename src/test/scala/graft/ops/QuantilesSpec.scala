@@ -40,6 +40,19 @@ class QuantilesSpec extends SparkSpec {
     assert(got.toSeq === Seq(("a", 20.0, 6L)))
   }
 
+  test("groupRankValues serves several rank lookups from one histogram pass") {
+    import Quantiles.RankSpec
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    // q1 at rank (n+3) div 4 = 25, q3 at (3n+3) div 4 = 75, median at 50
+    val r = Quantiles.groupRankValues(df, "g", col("v"), lit(1L), Seq(
+      RankSpec("q1", 1, 4, 3), RankSpec("med", 1, 2, 1), RankSpec("q3", 3, 4, 3)))
+      .head()
+    assert(r.getAs[Long]("w_total") === 100L)
+    assert(r.getAs[Double]("q1") === 25.0)
+    assert(r.getAs[Double]("med") === 50.0)
+    assert(r.getAs[Double]("q3") === 75.0)
+  }
+
   test("groupWeightedMedian with unit weights equals groupMedian on negatives too") {
     // negative values exercise floor-division bucketing below zero
     val df = Seq(("g", -3000.5), ("g", -10.0), ("g", 4.25), ("g", 2222.0))
