@@ -182,11 +182,16 @@ object Extras13 {
 
     // weekly leaderboard churn: top-10 parts by shipped revenue per
     // week, with each part's rank movement vs the previous week
-    // (NULL = new entrant). Ranks come from the de-skewed range pass
-    // keyed by week; the churn join touches only 10 rows per week.
+    // (NULL = new entrant). The rank input is the AGGREGATED
+    // (week, part) frame — bounded by calendar × catalog at any
+    // corpus size, never corpus-sized — so a plain per-week window
+    // is the right tool (each week's task ranks one catalog's rows);
+    // the de-skewed range machinery is for rank inputs that grow
+    // with the fact table. The churn join touches 10 rows per week.
     // The "trending items" op every marketplace dashboard runs.
     QueryDef("q187_rank_churn",
       (s, d) => {
+        import org.apache.spark.sql.expressions.Window
         val wk = table(s, d, "lineitem")
           .select(
             col("l_shipdate").cast(TimestampType).cast(LongType).as("sec"),
@@ -195,14 +200,15 @@ object Extras13 {
               .as("c"))
           .select(expr("sec div 604800").as("week"), col("l_partkey"), col("c"))
           .groupBy("week", "l_partkey").agg(sum("c").as("rev_c"))
+        val w = Window.partitionBy("week")
+          .orderBy(col("rev_c").desc, col("l_partkey"))
         // the top-10-per-week frame is ~10 rows/week; localCheckpoint
         // pins it so the self-join (current vs previous week) doesn't
-        // re-execute the lineitem aggregation + rank pass twice
-        val ranked = graft.ops.Ranks.groupRanked(
-            wk.withColumn("negrev", -col("rev_c")),
-            "week", "negrev", Seq("l_partkey"))
-          .filter(col("rn") <= 10)
-          .select(col("week"), col("l_partkey"), col("rev_c"), col("rn").as("rank"))
+        // re-execute the lineitem aggregation + rank twice
+        val ranked = wk
+          .withColumn("rank", row_number().over(w).cast(LongType))
+          .filter(col("rank") <= 10)
+          .select(col("week"), col("l_partkey"), col("rev_c"), col("rank"))
           .localCheckpoint()
         val prev = ranked.select(col("week").as("pw"),
           col("l_partkey").as("pk"), col("rank").as("prev_rank"))
