@@ -98,7 +98,11 @@ object Bench {
     val gcs = results.map { case (k, _, _, g) => s"\"" + k + "\":" + g }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false, _) => s"\"$k\"" }.mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    // the headline total excludes failed queries too: summing a
+    // crash's near-zero fail-fast elapsed would let a regression READ
+    // as a total-time improvement in the round-over-round diff (the
+    // non-empty "errors" array is the failure signal)
+    val total = results.filter(_._3).map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"errors":$errors,"sf":"$sfDir"}"""
     println(line)
     // the driver captures stdout with a 2000-char tail (every round's

@@ -66,8 +66,13 @@ object Profile {
       val kPruned = math.max(8L, math.ceil(math.sqrt(math.ceil(math.sqrt(n)))).toLong)
       def cents(k: Long) = fv.filter(col("vec_id") < k)
         .select(col("vec_id").as("cell"), col("v").as("cv"))
+      // ONE n×kExact assignment serves both same-quantizer variants
+      // (the FromAssignment split exists exactly for this)
+      val asgE = graft.ops.Dedup
+        .assignCellsWithDist(fv, cents(kExact), "vec_id", "v").localCheckpoint()
       val exactDrops = graft.ops.Dedup
-        .semanticDupPairs(fv, cents(kExact), "vec_id", "v", tau = 0.35)
+        .semanticDupPairsFromAssignment(fv, asgE.select("vec_id", "cell"),
+          "vec_id", "v", tau = 0.35)
         .select(col("j2").as("d")).distinct().localCheckpoint()
       val prunedDrops = graft.ops.Dedup
         .semanticDupPairsPruned(fv, cents(kPruned), "vec_id", "v", tau = 0.35)
@@ -75,7 +80,7 @@ object Profile {
       // same-quantizer variant isolates the pruning effect from the
       // coarser k the linear regime affords
       val prunedSameK = graft.ops.Dedup
-        .semanticDupPairsPruned(fv, cents(kExact), "vec_id", "v", tau = 0.35)
+        .semanticDupPairsPrunedFromAssignment(fv, asgE, "vec_id", "v", tau = 0.35)
         .select(col("drop_id").as("d")).distinct().localCheckpoint()
       val ne = exactDrops.count(); val np = prunedDrops.count()
       val nsk = prunedSameK.count()

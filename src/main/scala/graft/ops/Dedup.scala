@@ -187,19 +187,17 @@ object Dedup {
     * at k ~ sqrt(n) centroids the n×k distance evaluation is half the
     * operator's cost, so recomputing it doubles the bill. */
   def assignCells(vecs: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String): DataFrame = {
-    val sq = s"aggregate(zip_with($vecCol, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
-    vecs.crossJoin(broadcast(centroids))
-      .withColumn("__d2", expr(sq))
-      .groupBy(idCol)
-      .agg(min(struct(col("__d2"), col("cell"))).as("__best"))
-      .select(col(idCol), col("__best.cell").as("cell"))
-  }
+      idCol: String, vecCol: String): DataFrame =
+    assignCellsWithDist(vecs, centroids, idCol, vecCol)
+      .select(col(idCol), col("cell"))
 
   /** Nearest-centroid assignment WITH the squared distance kept —
     * the variant [[semanticDupPairsPruned]] needs (the per-cell
-    * representative is the member closest to its centroid). Same
-    * broadcast argmin as [[assignCells]]; output (idCol, cell, d2).
+    * representative is the member closest to its centroid). THE one
+    * definition of the assignment semantics: [[assignCells]]
+    * delegates here, so the distance expression and the
+    * ties-to-smallest-cell rule live in a single place. Output
+    * (idCol, cell, d2).
     */
   def assignCellsWithDist(vecs: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {

@@ -50,8 +50,15 @@ object Quantiles {
     */
   def groupRankValues(df: DataFrame, grp: String, v: Column, wt: Column,
       specs: Seq[RankSpec], bucketWidth: Double = 1024.0): DataFrame = {
+    // NULL values are excluded up front (the aggregate-function
+    // convention: a median over v is the median of the NON-NULL v).
+    // Without this, NULLs would land in a NULL bucket that sorts
+    // first in the running-sum window, shifting every crossing — and
+    // a crossing landing IN the null bucket would silently drop the
+    // lookup at the pass-2 equi-join.
     val b = df.select(col(grp), v.cast("double").as("__v"),
         wt.cast("long").as("__w"))
+      .filter(col("__v").isNotNull)
       .withColumn("__bk", floor(col("__v") / lit(bucketWidth)).cast("long"))
     // GROUPS × BUCKETS rows — the only aggregate that sees all data,
     // and it combines map-side

@@ -393,7 +393,14 @@ object Extras30 {
           .agg(count(lit(1)).as("n_docs"),
             sum(col("wt")).as("sw"),
             sum(col("wt") * col("wt")).as("sw2"))
-          .withColumn("ess_pm", expr("(sw * sw * 1000) div (n_docs * sw2)"))
+          // sw <= 256*n, so sw*sw*1000 overflows int64 near 6M docs
+          // per source; the numerator rides DECIMAL(38,0) (exact to
+          // ~1e38 — n up to ~1e16) and only the <=1000 quotient
+          // returns to BIGINT. DuckDB mirror: HUGEINT intermediates.
+          .withColumn("ess_pm", expr(
+            "CAST((CAST(sw AS DECIMAL(38,0)) * CAST(sw AS DECIMAL(38,0)) " +
+              "* 1000) div (CAST(n_docs AS DECIMAL(38,0)) " +
+              "* CAST(sw2 AS DECIMAL(38,0))) AS BIGINT)"))
           .select("source", "n_docs", "sw", "sw2", "ess_pm")
           .orderBy("source")
       },
@@ -422,9 +429,10 @@ object Extras30 {
               SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                      CAST(SUM(wt) AS BIGINT) AS sw,
                      CAST(SUM(wt * wt) AS BIGINT) AS sw2,
-                     (CAST(SUM(wt) AS BIGINT) * CAST(SUM(wt) AS BIGINT) * 1000) //
-                       (CAST(COUNT(*) AS BIGINT) * CAST(SUM(wt * wt) AS BIGINT))
-                       AS ess_pm
+                     CAST((CAST(SUM(wt) AS HUGEINT) * CAST(SUM(wt) AS HUGEINT)
+                         * 1000) //
+                       (CAST(COUNT(*) AS HUGEINT) * CAST(SUM(wt * wt) AS HUGEINT))
+                       AS BIGINT) AS ess_pm
               FROM wts GROUP BY source ORDER BY source""")),
 
     // Cross-source duplication matrix over WINNOWING fingerprints:

@@ -891,6 +891,12 @@ object TxLogTable {
       // its schema silently overwritten by the stale DDL — the same
       // pre-conflict-read race class, on the schema axis
       val cur = replayState(fs, tablePath, commits.max, commits)
+      // the write-protocol gate must also run per attempt: the
+      // caller's pre-loop gate read a snapshot from before the retry
+      // window, so a racing upgradeProtocol declaring a writer
+      // feature this build lacks would otherwise be committed over
+      // (the same race propertiesCommitWith closes for properties)
+      checkWriteProtocol(cur.props, tablePath)
       val propSets = declFeature.map(f => featureDecl(cur.props, f))
         .getOrElse(Map.empty)
       try {
@@ -1072,6 +1078,11 @@ object TxLogTable {
       mayRangeIntersect: (String, String, Option[Any], Option[Any]) => Boolean,
       hasDeletionVectors: Boolean = false,
       renames: Map[String, String] = Map.empty,
+      // logical names retired by DROP COLUMN (grows monotonically —
+      // a dropped name can never be re-added); the V2 stream's
+      // first-batch race guard compares this against its
+      // scan-build-time value
+      dropped: Set[String] = Set.empty,
       // (file, LOGICAL column) → (exact null count, exact row count)
       // when both were recorded at write time; None → no null pruning
       nullCounts: (String, String) => Option[(Long, Long)] =
@@ -1099,6 +1110,7 @@ object TxLogTable {
         },
       hasDeletionVectors = snap.dvs.nonEmpty,
       renames = snap.renames,
+      dropped = snap.dropped,
       nullCounts = (file, column) => {
         def statLong(key: String, kind: String): Option[Long] =
           snap.stats.get(file).flatMap(_.get(key))

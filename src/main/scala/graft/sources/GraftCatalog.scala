@@ -347,7 +347,8 @@ final class GraftTable(tablePath: String, ident: Identifier,
         ParquetScanBuilder(spark, index, schema, index.dataSchema, options),
         spark, tablePath, schema,
         ignoreDeletes = Option(options.get("ignoreDeletes"))
-          .exists(_.trim.toBoolean))
+          .exists(_.trim.toBoolean),
+        buildDropped = snap.dropped)
     }
   }
 
@@ -404,7 +405,7 @@ final class GraftTable(tablePath: String, ident: Identifier,
   */
 final class GraftScanBuilder(inner: ParquetScanBuilder,
     sparkSession: SparkSession, tablePath: String, tableSchema: StructType,
-    ignoreDeletes: Boolean)
+    ignoreDeletes: Boolean, buildDropped: Set[String])
   extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -424,7 +425,7 @@ final class GraftScanBuilder(inner: ParquetScanBuilder,
 
   override def build(): org.apache.spark.sql.connector.read.Scan =
     new GraftScan(inner.build(), sparkSession, tablePath, tableSchema,
-      ignoreDeletes)
+      ignoreDeletes, buildDropped)
 }
 
 /** The built scan: batch reads delegate untouched to the vectorized
@@ -434,7 +435,7 @@ final class GraftScanBuilder(inner: ParquetScanBuilder,
   */
 final class GraftScan(inner: org.apache.spark.sql.connector.read.Scan,
     sparkSession: SparkSession, tablePath: String, tableSchema: StructType,
-    ignoreDeletes: Boolean)
+    ignoreDeletes: Boolean, buildDropped: Set[String])
   extends org.apache.spark.sql.connector.read.Scan {
 
   override def readSchema(): StructType = inner.readSchema()
@@ -459,7 +460,7 @@ final class GraftScan(inner: org.apache.spark.sql.connector.read.Scan,
       // requested schema, timezone — so streaming batches decode
       // through the identical path as batch scans
       () => inner.toBatch.createReaderFactory(),
-      ignoreDeletes)
+      ignoreDeletes, buildDropped)
 }
 
 /** Micro-batch stream off the commit log through the V2 connector
@@ -475,7 +476,7 @@ final class GraftScan(inner: org.apache.spark.sql.connector.read.Scan,
 final class GraftMicroBatchStream(sparkSession: SparkSession,
     tablePath: String,
     batchFactory: () => org.apache.spark.sql.connector.read.PartitionReaderFactory,
-    ignoreDeletes: Boolean)
+    ignoreDeletes: Boolean, buildDropped: Set[String])
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
 
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -548,6 +549,17 @@ final class GraftMicroBatchStream(sparkSession: SparkSession,
         s"table $tablePath gained a column mapping (rename/drop column) " +
           "before the stream's first batch — restart the query (the " +
           "scan re-plans through the mapping-aware path)")
+      // a DROP COLUMN leaves renames empty (only `dropped` grows), and
+      // once it lands below `lo` no later batch's mappingChangeVersions
+      // range ever sees it — so the ONLY place to catch a drop racing
+      // the first batch is here, against the scan-build-time dropped
+      // set (historical drops present at build are vectorized-safe:
+      // old files carry the column as ignorable extra data)
+      if (snap.dropped != buildDropped) throw new IllegalStateException(
+        s"table $tablePath dropped column(s) " +
+          s"${(snap.dropped -- buildDropped).mkString(", ")} before the " +
+          "stream's first batch — restart the query (the stream's fixed " +
+          "start schema would silently null-fill them from post-drop files)")
       return partitionsFor(snap.files)
     }
     // retention guard: versions this batch owes that expireLog

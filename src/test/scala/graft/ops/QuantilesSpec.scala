@@ -40,6 +40,14 @@ class QuantilesSpec extends SparkSpec {
     assert(got.toSeq === Seq(("a", 20.0, 6L)))
   }
 
+  test("NULL values are excluded, not bucketed: median over the non-null values") {
+    val df = Seq(("g", Some(10.0)), ("g", None), ("g", Some(20.0)),
+      ("g", None), ("g", Some(30.0))).toDF("g", "v")
+    val r = Quantiles.groupMedian(df, "g", "v").head()
+    // n counts the 3 non-null values; rank (3+1) div 2 = 2 -> 20
+    assert(r.getDouble(1) === 20.0 && r.getLong(2) === 3L)
+  }
+
   test("groupRankValues serves several rank lookups from one histogram pass") {
     import Quantiles.RankSpec
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")

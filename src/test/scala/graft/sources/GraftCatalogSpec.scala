@@ -168,6 +168,40 @@ class GraftCatalogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a DROP COLUMN racing the stream's first batch is refused; historical drops pass") {
+    warehouse
+    spark.sql("CREATE TABLE graft.lake.dropstr (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.lake.dropstr VALUES (1, 'a')")
+    val path = s"$warehouse/lake/dropstr"
+    // the stream handle as a scan built on the PRE-drop snapshot
+    // would carry it (buildDropped empty); drive planInputPartitions
+    // directly so the race window is deterministic
+    val st = new GraftMicroBatchStream(spark, path,
+      () => null, ignoreDeletes = false, buildDropped = Set.empty)
+    spark.sql("ALTER TABLE graft.lake.dropstr DROP COLUMN v")
+    spark.sql("INSERT INTO graft.lake.dropstr VALUES (2)")
+    val hi = TxLogTable.versions(spark, path).max
+    val e = intercept[IllegalStateException] {
+      st.planInputPartitions(st.deserializeOffset("0"),
+        st.deserializeOffset(hi.toString))
+    }
+    assert(e.getMessage.contains("dropped column"),
+      s"drop racing the first batch must refuse, got: ${e.getMessage}")
+    // a drop already present at scan build is vectorized-safe (old
+    // files carry the column as ignorable extra data): must serve
+    val st2 = new GraftMicroBatchStream(spark, path,
+      () => null, ignoreDeletes = false, buildDropped = Set("v"))
+    assert(st2.planInputPartitions(st2.deserializeOffset("0"),
+      st2.deserializeOffset(hi.toString)).nonEmpty)
+    // and a drop landing MID-stream (in a later batch's range) is
+    // caught by the incremental mapping check, as for renames
+    val e2 = intercept[IllegalStateException] {
+      st2.planInputPartitions(st2.deserializeOffset("1"),
+        st2.deserializeOffset(hi.toString))
+    }
+    assert(e2.getMessage.contains("column-mapping"))
+  }
+
   test("spark.readStream.table streams commits as micro-batches, resumes on restart") {
     warehouse
     spark.sql("CREATE TABLE graft.lake.str (k BIGINT, v STRING)")
