@@ -92,6 +92,12 @@ object Bench {
     // which would silently IMPROVE the total) and is listed in "errors"
     val qs = results.map { case (k, v, ok, _) => s"\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
+    // self-describing artifact: a leftover SPARK_GRAFT_BENCH_ONLY in an
+    // official run would otherwise produce a plausible-looking but
+    // partial suite — the active filter rides in the JSON so a partial
+    // artifact can never masquerade as a full one
+    val onlyStamp =
+      if (only.isEmpty) "" else only.map("\"" + _ + "\"").mkString(""","only":[""", ",", "]")
     // per-query GC ms of the KEPT run: a timing dominated by GC is a
     // memory-pressure artifact, not a plan cost — self-diagnosing in
     // the archive instead of needing a cold-JVM re-measure
@@ -103,7 +109,12 @@ object Bench {
     // as a total-time improvement in the round-over-round diff (the
     // non-empty "errors" array is the failure signal)
     val total = results.filter(_._3).map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"errors":$errors,"sf":"$sfDir"}"""
+    // explicit ok/failed counts: the total excludes failed queries, so
+    // round-over-round totals are only comparable when n_failed is
+    // visible without inspecting the errors array
+    val nOk = results.count(_._3)
+    val nFailed = results.length - nOk
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":$nOk,"n_failed":$nFailed$onlyStamp,"queries":$qs,"gc_ms":$gcs,"errors":$errors,"sf":"$sfDir"}"""
     println(line)
     // the driver captures stdout with a 2000-char tail (every round's
     // BENCH_r*.json shows parsed:null because the ~9 KB full line's
@@ -117,10 +128,17 @@ object Bench {
       // round-stamped archive copy: BENCH_TIMINGS.json is overwritten
       // every run, so per-query round-over-round regression diffs
       // (tools/bench_diff.py) need a kept copy per round
+      // the round-stamped archive is the official per-round record:
+      // refuse to write it from a filtered (partial) run — a leftover
+      // dev filter must never overwrite a round's full-suite artifact
       sys.env.get("SPARK_GRAFT_BENCH_TAG").foreach { tag =>
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"BENCH_TIMINGS_$tag.json"),
-          (line + "\n").getBytes("UTF-8"))
+        if (only.nonEmpty)
+          System.err.println(
+            s"[bench] SPARK_GRAFT_BENCH_ONLY active — NOT writing BENCH_TIMINGS_$tag.json")
+        else
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"BENCH_TIMINGS_$tag.json"),
+            (line + "\n").getBytes("UTF-8"))
       }
     }
     catch { case e: Throwable => System.err.println(s"[bench] could not write $out: $e") }
@@ -139,7 +157,7 @@ object Bench {
     // last-line parser (build.sbt's StdoutOutput + showSuccess:=false
     // remove the sbt-side "[info] " prefix and "[success]" trailer)
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":${slow.take(keep).mkString("{", ",", "}")},"errors":$errors,"sf":"$sfDir","full_timings":"$out"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"n_ok":$nOk,"n_failed":$nFailed$onlyStamp,"queries":${slow.take(keep).mkString("{", ",", "}")},"errors":$errors,"sf":"$sfDir","full_timings":"$out"}""")
     System.out.flush()
   }
 }

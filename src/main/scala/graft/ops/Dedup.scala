@@ -175,6 +175,11 @@ object Dedup {
     * centroids, e.g. a [[graft.queries]] q142-style k-means set, to
     * scale out). Returns one row per (cell, id, drop_id) pair above
     * the threshold — callers aggregate or anti-join as needed.
+    *
+    * This is the AUDIT regime: prefer [[semanticDup]], which routes
+    * here only while the corpus count stays under
+    * [[ExactRegimeMaxRows]] and flips to the linear
+    * [[semanticDupPairsPruned]] beyond it.
     */
   def semanticDupPairs(vecs: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, tau: Double): DataFrame =
@@ -252,6 +257,51 @@ object Dedup {
       .filter(col("cos") >= tau)
       .select(col("cell"), col("rep"), col(idCol).as("drop_id"), col("cos"))
   }
+
+  /** Default corpus-count ceiling for the EXACT SemDeDup regime.
+    * Below it the exact within-cell all-pairs audit (~n^1.5 cosines
+    * at k ~ sqrt(n) cells: 2^24 rows → ~16M pairs) is cheap enough
+    * that its extra recall is free; above it the pair stage must be
+    * the linear pruned form or the operator grows super-linearly
+    * with the corpus. The same count-derived-sizing discipline as
+    * [[Similarity.derivedBits]]: ONE definition, referenced by the
+    * router and mirrored verbatim by SQL oracles.
+    */
+  val ExactRegimeMaxRows: Long = 1L << 24
+
+  /** Count-derived regime routing for SemDeDup — the entry point a
+    * pipeline should call. Picks the EXACT within-cell all-pairs
+    * form ([[semanticDupPairs]], the paper's audit regime, ~n²/k
+    * pairs) while the corpus fits under `exactMaxRows`, and the
+    * LINEAR per-cell-representative form
+    * ([[semanticDupPairsPruned]]) once it outgrows it — so a growing
+    * corpus can never silently ride the n^1.5 tail. Both regimes
+    * normalize to the same drop frame (cell, drop_id), distinct —
+    * the set of members SemDeDup removes — so downstream anti-joins
+    * are regime-agnostic. `corpusCount` is passed in (callers have
+    * already counted to size the quantizer — recounting here would
+    * add a scan).
+    */
+  def semanticDup(vecs: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, tau: Double, corpusCount: Long,
+      exactMaxRows: Long = ExactRegimeMaxRows): DataFrame =
+    semanticDupFromAssignment(vecs,
+      assignCellsWithDist(vecs, centroids, idCol, vecCol),
+      idCol, vecCol, tau, corpusCount, exactMaxRows)
+
+  /** [[semanticDup]] over a precomputed [[assignCellsWithDist]]
+    * frame `(idCol, cell, d2)` — callers that also census the cells
+    * compute the n×k assignment once. */
+  def semanticDupFromAssignment(vecs: DataFrame, asg: DataFrame,
+      idCol: String, vecCol: String, tau: Double, corpusCount: Long,
+      exactMaxRows: Long = ExactRegimeMaxRows): DataFrame =
+    if (corpusCount <= exactMaxRows)
+      semanticDupPairsFromAssignment(vecs,
+          asg.select(col(idCol), col("cell")), idCol, vecCol, tau)
+        .select(col("cell"), col("j2").as("drop_id")).distinct()
+    else
+      semanticDupPairsPrunedFromAssignment(vecs, asg, idCol, vecCol, tau)
+        .select(col("cell"), col("drop_id")).distinct()
 
   /** The pair half of [[semanticDupPairs]] over a precomputed
     * assignment frame `(idCol, cell)`. */

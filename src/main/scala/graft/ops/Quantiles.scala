@@ -46,6 +46,16 @@ object Quantiles {
     * (grp, w_total, <spec names in order>). A group whose total
     * weight leaves some target rank at 0 (e.g. W = 0) drops that
     * lookup — and the group entirely if no lookup lands.
+    *
+    * Per-spec NULL contract: a group survives if ANY spec's lookup
+    * lands, and every spec whose own rank never lands (its target is
+    * 0 for that group — degenerate tiny/zero-weight groups) reports
+    * NULL in that spec's column. Callers that clamp/clip against the
+    * returned bounds (q138-style winsorization) must either tolerate
+    * a NULL bound propagating into the clipped value or drop groups
+    * missing a requested spec — this op deliberately does not choose
+    * for them (the whole-group drop happens only when NO spec lands).
+    *
     * `bucketWidth` must be a power of two (exact double division).
     */
   def groupRankValues(df: DataFrame, grp: String, v: Column, wt: Column,

@@ -279,22 +279,31 @@ object Extras11 {
             size(array_intersect(array_distinct(split(col("text"), " ")),
               col("__qt"))).cast(LongType).as("overlap"))
           .localCheckpoint()
-        val lrank = graft.ops.Ranks.groupRanked(
-            lexical.withColumn("g", lit("all"))
-              .withColumn("negov", -col("overlap")),
-            "g", "negov", Seq("doc_id"))
-          .select(col("doc_id"), col("rn").as("r_lex"))
         val emb = table(s, d, "embeddings")
         val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
         val vec = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
           .select(col("vec_id").as("doc_id"),
             graft.functions.VectorExprs.cosineSim(col("embedding"), col("__qv")).as("cos"))
           .localCheckpoint()
-        val vrank = graft.ops.Ranks.groupRanked(
-            vec.withColumn("g", lit("all")).withColumn("negcos", -col("cos")),
-            "g", "negcos", Seq("doc_id"))
-          .select(col("doc_id"), col("rn").as("r_vec"))
-        lrank.join(vrank, "doc_id")
+        // ONE de-skewed rank pass for BOTH modalities: the rank
+        // machinery's fixed cost (cache build, boundary sample,
+        // offset rollup, final pass) is per-CALL, so ranking the two
+        // lists as two GROUPS of one union halves it vs. two calls.
+        // -overlap rides exactly in a double (small ints), so the
+        // lexical order is unchanged; ties break by doc_id as before.
+        val keyed = lexical
+          .select(lit("lex").as("g"), col("doc_id"),
+            (-col("overlap")).cast(DoubleType).as("key"))
+          .unionByName(vec.select(lit("vec").as("g"), col("doc_id"),
+            (-col("cos")).as("key")))
+        val ranked = graft.ops.Ranks.groupRanked(keyed, "g", "key", Seq("doc_id"))
+        // pivot instead of self-join: one consumption of the ranked
+        // frame; docs missing from either list drop (inner-join
+        // semantics of the old lrank⋈vrank)
+        ranked.groupBy("doc_id")
+          .agg(max(when(col("g") === "lex", col("rn"))).as("r_lex"),
+            max(when(col("g") === "vec", col("rn"))).as("r_vec"))
+          .filter(col("r_lex").isNotNull && col("r_vec").isNotNull)
           .withColumn("rrf",
             lit(1.0) / (lit(60.0) + col("r_lex").cast(DoubleType)) +
               lit(1.0) / (lit(60.0) + col("r_vec").cast(DoubleType)))

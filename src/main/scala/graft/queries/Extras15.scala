@@ -280,15 +280,25 @@ object Extras15 {
           .withColumn("recency_d", datediff(col("gmax"), col("last_d")).cast(LongType))
           .drop("gmax", "last_d")
           .localCheckpoint()
-        def bucket(metric: String): DataFrame =
-          graft.ops.Ranks.groupRanked(
-            base.select(col("custkey"), col(metric)).withColumn("g", lit(1)),
-            "g", metric, Seq("custkey"))
-            .select(col("custkey"), expr("((rn - 1) * 4) div n").as(s"b_$metric"))
+        // ONE de-skewed rank pass for all three metrics: each metric
+        // is a GROUP of one union, so the rank machinery's fixed cost
+        // (cache build, boundary sample, offset rollup, final pass)
+        // is paid once instead of three times — per-group ranks and
+        // group sizes are unchanged, so every bucket is identical
+        val metrics = Seq("recency_d", "freq", "monetary_c")
+        val keyed = metrics.map(m =>
+            base.select(lit(m).as("g"), col("custkey"), col(m).as("key")))
+          .reduce(_ unionByName _)
+        val ranked = graft.ops.Ranks.groupRanked(keyed, "g", "key", Seq("custkey"))
+          .withColumn("b", expr("((rn - 1) * 4) div n"))
+        // pivot instead of three joins: one consumption of the ranked
+        // frame, one row per customer with all three buckets
+        val buckets = ranked.groupBy("custkey")
+          .agg(max(when(col("g") === "recency_d", col("b"))).as("b_recency_d"),
+            max(when(col("g") === "freq", col("b"))).as("b_freq"),
+            max(when(col("g") === "monetary_c", col("b"))).as("b_monetary_c"))
         base
-          .join(bucket("recency_d"), "custkey")
-          .join(bucket("freq"), "custkey")
-          .join(bucket("monetary_c"), "custkey")
+          .join(buckets, "custkey")
           .select(expr("(4 - b_recency_d) * 100 + (b_freq + 1) * 10 + (b_monetary_c + 1)")
             .cast(LongType).as("rfm"), col("monetary_c"))
           .groupBy("rfm")

@@ -36,6 +36,12 @@ object Extras27 {
     // a pinned 8-cell quantizer gave (round-9 64× probe: 31 s).
     // sqrt/ceil on a <2^53 integer are correctly-rounded IEEE ops —
     // bit-identical in the JVM and DuckDB.
+    // REGIME NOTE: this is SemDeDup's exact AUDIT form — within-cell
+    // all-pairs, ~n^1.5 at k ~ sqrt(n). Production callers go through
+    // Dedup.semanticDup, which routes to this form only under
+    // Dedup.ExactRegimeMaxRows and flips to the linear
+    // representative-pruned form (q304's shape) beyond it; q311/q312
+    // gate the router on both sides of the threshold.
     QueryDef("q273_semantic_dedup",
       (s, d) => {
         val fv = table(s, d, "embeddings").select(col("vec_id"),

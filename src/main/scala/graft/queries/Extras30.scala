@@ -68,11 +68,19 @@ object Extras30 {
                      WHERE vec_id < (SELECT GREATEST(8, CAST(CEIL(SQRT(
                          CEIL(SQRT(COUNT(*))))) AS BIGINT))
                        FROM embeddings)),
+              -- window orders by the d2 ALIAS (computed once in the
+              -- innermost select): inlining the 64-term expression
+              -- into the window ORDER BY re-evaluates it per sort
+              -- comparison — measured ~5k transient jemalloc mappings
+              -- here (q311's wider variant: ~50k), enough to trip
+              -- vm.max_map_count across a long oracle batch
               asg AS (SELECT vec_id, cell, d2 FROM (
-                  SELECT e.vec_id, cc.cell, ${d2Sql("e.v", "cc.cv")} AS d2,
-                         ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                           ORDER BY ${d2Sql("e.v", "cc.cv")}, cc.cell) AS rn
-                  FROM emb e JOIN cc ON TRUE) WHERE rn = 1),
+                  SELECT vec_id, cell, d2,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY d2, cell) AS rn
+                  FROM (SELECT e.vec_id, cc.cell,
+                               ${d2Sql("e.v", "cc.cv")} AS d2
+                        FROM emb e JOIN cc ON TRUE)) WHERE rn = 1),
               reps AS (SELECT cell, vec_id AS rep FROM (
                   SELECT cell, vec_id, ROW_NUMBER() OVER (PARTITION BY cell
                            ORDER BY d2, vec_id) AS rn
@@ -183,7 +191,10 @@ object Extras30 {
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .withColumn("ng", (size(col("toks")) - 2).cast(LongType))
           .filter(col("ng") >= 1)
-          .withColumn("shard", expr(s"(doc_id * 16) div ${n}L"))
+          // least(15, ...) guards the 1-based-dense-id edge: doc_id == n
+          // would otherwise mint a 17th shard (16) — the clamp keeps the
+          // "16 shards at ANY corpus size" contract for 0- AND 1-based ids
+          .withColumn("shard", expr(s"least(15L, (doc_id * 16) div ${n}L)"))
         val grams = tokd
           .select(col("shard"), explode(
             expr("transform(sequence(1, CAST(ng AS INT)), " +
@@ -204,7 +215,8 @@ object Extras30 {
                    FROM documents),
               tokd AS (SELECT doc_id, toks,
                               CAST(len(toks) - 2 AS BIGINT) AS ng,
-                       (doc_id * 16) // (SELECT COUNT(*) FROM documents) AS shard
+                       LEAST(15, (doc_id * 16) //
+                         (SELECT COUNT(*) FROM documents)) AS shard
                        FROM tok WHERE len(toks) - 2 >= 1),
               grams AS (
                 SELECT DISTINCT shard,
@@ -227,8 +239,21 @@ object Extras30 {
     // centroid, s = (b-a)/b — the standard k-means quality audit that
     // pairs with q142/q273/q304: a cell with low mean silhouette is
     // where SemDeDup's representative pruning loses recall first).
-    // One n×k distance frame — the same shape the assignment already
-    // pays — ranked by (d2, cell) per vector; the per-row double
+    // The audit runs over a SAMPLE, not the corpus: an n×k distance
+    // pass for a quality STATISTIC is the wrong trade once n grows
+    // (the round-11 full-corpus form measured 26× wall at 64× — both
+    // the m×k work and k itself grow with n). The sample is the
+    // Corpus.sampleFlag discipline widened to two md5 hex chars
+    // (fractions of 1/256): the keep-fraction ceil(256·512/n)/256
+    // targets ~512 sampled vectors at ANY corpus size — the audit
+    // cost is m×k ~ 512·sqrt(n), sublinear — and degrades to
+    // fraction 1 (exact audit, bit-identical to the round-11 form)
+    // whenever the corpus is small enough that sampling would save
+    // nothing (n ≤ ~527). Deterministic, partition-invariant, and
+    // mirrored in SQL, so the sampled statistic is hash-verified
+    // like everything else; cells none of whose members are sampled
+    // drop from the audit (they hold <1/512th of the corpus).
+    // Ranked by (d2, cell) per sampled vector; the per-row double
     // division is floor-quantized to basis points BEFORE aggregation
     // so every cross-row sum is exact-integer (q295's pinned-mass
     // trick; d2 is the left-associated 64-term sum both engines fold
@@ -237,13 +262,20 @@ object Extras30 {
       (s, d) => {
         val fv = table(s, d, "embeddings").select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        val k = math.max(8L, math.ceil(math.sqrt(fv.count().toDouble)).toLong)
+        val n = fv.count()
+        val k = math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong)
         val cc = fv.filter(col("vec_id") < k)
           .select(col("vec_id").as("cell"), col("v").as("cv"))
+        val frac256 = math.min(256L, math.max(1L, (256L * 512L + n - 1) / n))
+        val sampled =
+          if (frac256 >= 256L) fv
+          else fv.filter(
+            substring(md5(concat(lit("sil:"),
+              col("vec_id").cast("string"))), 1, 2) < lit(f"$frac256%02x"))
         val sq = "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), " +
           "0D, (acc, x) -> acc + x)"
         val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell"))
-        val ab = fv.crossJoin(broadcast(cc))
+        val ab = sampled.crossJoin(broadcast(cc))
           .withColumn("d2", expr(sq))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 2)
@@ -265,16 +297,23 @@ object Extras30 {
       Some(s"""WITH emb AS (SELECT vec_id,
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    FROM embeddings),
+              p AS (SELECT LEAST(256, GREATEST(1,
+                       (256 * 512 + COUNT(*) - 1) // COUNT(*))) AS c
+                    FROM embeddings),
               cc AS (SELECT vec_id AS cell, v AS cv FROM emb
                      WHERE vec_id < (SELECT GREATEST(8,
                          CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
                        FROM embeddings)),
+              sv AS (SELECT * FROM emb
+                     WHERE (SELECT c FROM p) >= 256
+                        OR substring(md5('sil:' || CAST(vec_id AS VARCHAR)),
+                             1, 2) < printf('%02x', (SELECT c FROM p))),
               rk AS (SELECT vec_id, cell, d2,
                             ROW_NUMBER() OVER (PARTITION BY vec_id
                               ORDER BY d2, cell) AS rn FROM (
                        SELECT e.vec_id, cc.cell,
                               ${d2Sql("e.v", "cc.cv")} AS d2
-                       FROM emb e JOIN cc ON TRUE)),
+                       FROM sv e JOIN cc ON TRUE)),
               ab AS (SELECT vec_id,
                             MAX(CASE WHEN rn = 1 THEN cell END) AS cell,
                             MAX(CASE WHEN rn = 1 THEN d2 END) AS a,

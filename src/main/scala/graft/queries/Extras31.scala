@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import QueryDef.table
+
+/** Round-12 batch: the count-derived SemDeDup regime router gated on
+  * BOTH sides of its threshold (q311 exact / q312 pruned — the same
+  * corpus, two thresholds, so the driver verifies that crossing the
+  * ceiling flips the plan without changing the contract), and the
+  * multimodal perceptual-hash near-dup pass (q313) — the image
+  * analogue of q128's text LSH. Same determinism discipline as
+  * Extras27-30: exact integer accumulators, one pinned double
+  * expression tree per row where floats are unavoidable, total ORDER
+  * BY everywhere, sizing constants derived from corpus counts with
+  * pure-SQL mirrors.
+  */
+object Extras31 {
+
+  /** Left-associated explicit squared-distance sum over the 64-dim
+    * embedding — term-for-term the same double additions Spark's
+    * `aggregate(zip_with(...), 0D, acc + x)` folds (q304's trick). */
+  private def d2Sql(a: String, b: String): String =
+    (1 to 64).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])").mkString(" + ")
+
+  /** One routed-SemDeDup gate at an explicit regime ceiling.
+    *
+    * The router (`Dedup.semanticDup`) picks the exact within-cell
+    * all-pairs form under the ceiling and the linear per-cell-
+    * representative form above it; the quantizer sizing follows the
+    * regime the same way (pair-bound k ~ sqrt(n) while exact,
+    * assignment-bound k ~ n^(1/4) once pruned — k stops being a
+    * pair-count bound the moment the pair stage is linear). The two
+    * instantiations pin ceilings on either side of the test corpus
+    * count, so BOTH regimes are driver-verified at sf0.01 and the
+    * q311 gate itself flips exact→pruned between sf0.01 (500 rows)
+    * and sf0.1 (2000): the threshold crossing is data, not a code
+    * path the oracle can't reach. The `regime` output column makes
+    * the active side part of the hash-verified contract.
+    */
+  private def routedGate(name: String, ceiling: Long): QueryDef =
+    QueryDef(name,
+      (s, d) => {
+        val fv = table(s, d, "embeddings").select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val n = fv.count()
+        val exact = n <= ceiling
+        val k =
+          if (exact) math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong)
+          else math.max(8L, math.ceil(math.sqrt(
+            math.ceil(math.sqrt(n.toDouble)))).toLong)
+        val cc = fv.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cell"), col("v").as("cv"))
+        // ONE n×k assignment pass, pinned — census and pair stage
+        // both read it (q273's documented pattern)
+        val asg = graft.ops.Dedup.assignCellsWithDist(fv, cc, "vec_id", "v")
+          .localCheckpoint()
+        val drops = graft.ops.Dedup
+          .semanticDupFromAssignment(fv, asg, "vec_id", "v",
+            tau = 0.35, corpusCount = n, exactMaxRows = ceiling)
+          .groupBy("cell").agg(count(lit(1)).as("n_dropped"))
+        asg.groupBy("cell").agg(count(lit(1)).as("n_docs"))
+          .join(drops, Seq("cell"), "left")
+          .na.fill(0L, Seq("n_dropped"))
+          .select(col("cell"),
+            lit(if (exact) "exact" else "pruned").as("regime"),
+            col("n_docs"), col("n_dropped"),
+            (col("n_docs") - col("n_dropped")).as("n_kept"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH emb AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+              nn AS (SELECT COUNT(*) AS n FROM embeddings),
+              cc AS (SELECT vec_id AS cell, v AS cv FROM emb
+                     WHERE vec_id < (SELECT CASE WHEN n <= $ceiling
+                         THEN GREATEST(8, CAST(CEIL(SQRT(n)) AS BIGINT))
+                         ELSE GREATEST(8, CAST(CEIL(SQRT(
+                             CEIL(SQRT(n)))) AS BIGINT)) END FROM nn)),
+              -- d2 is computed ONCE in the innermost select and the
+              -- window orders by the ALIAS: inlining the 64-term
+              -- expression into the window ORDER BY makes DuckDB
+              -- re-evaluate it during sort comparisons — measured 30×
+              -- slower AND ~50k transient jemalloc mappings, enough
+              -- to trip vm.max_map_count in a long oracle batch
+              asg AS (SELECT vec_id, cell, d2 FROM (
+                  SELECT vec_id, cell, d2,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY d2, cell) AS rn
+                  FROM (SELECT e.vec_id, cc.cell,
+                               ${d2Sql("e.v", "cc.cv")} AS d2
+                        FROM emb e JOIN cc ON TRUE)) WHERE rn = 1),
+              reps AS (SELECT cell, vec_id AS rep FROM (
+                  SELECT cell, vec_id, ROW_NUMBER() OVER (PARTITION BY cell
+                           ORDER BY d2, vec_id) AS rn
+                  FROM asg) WHERE rn = 1),
+              -- regime gates applied to the JOIN INPUTS, not the join
+              -- output: the inactive regime's relation is empty before
+              -- any pairing happens, so the planner can never evaluate
+              -- the dead branch's quadratic join (a WHERE-side guard
+              -- left it running the all-pairs scan just to filter it)
+              exa AS (SELECT * FROM asg
+                      WHERE (SELECT n FROM nn) <= $ceiling),
+              pra AS (SELECT * FROM asg
+                      WHERE (SELECT n FROM nn) > $ceiling),
+              exd AS (SELECT DISTINCT a.cell, b.vec_id AS drop_id
+                      FROM exa a JOIN exa b
+                        ON a.cell = b.cell AND a.vec_id < b.vec_id
+                      JOIN emb e1 ON e1.vec_id = a.vec_id
+                      JOIN emb e2 ON e2.vec_id = b.vec_id
+                      WHERE list_cosine_similarity(e1.v, e2.v) >= 0.35),
+              prd AS (SELECT DISTINCT a.cell, a.vec_id AS drop_id
+                      FROM pra a JOIN reps r ON a.cell = r.cell
+                      JOIN emb m ON m.vec_id = a.vec_id
+                      JOIN emb rv ON rv.vec_id = r.rep
+                      WHERE a.vec_id <> r.rep
+                        AND list_cosine_similarity(m.v, rv.v) >= 0.35),
+              drops AS (SELECT cell, COUNT(*) AS n_dropped FROM
+                          (SELECT * FROM exd UNION ALL SELECT * FROM prd)
+                        GROUP BY cell),
+              docs AS (SELECT cell, COUNT(*) AS n_docs FROM asg GROUP BY 1)
+              SELECT d.cell,
+                     (SELECT CASE WHEN n <= $ceiling THEN 'exact'
+                             ELSE 'pruned' END FROM nn) AS regime,
+                     d.n_docs, COALESCE(dr.n_dropped, 0) AS n_dropped,
+                     d.n_docs - COALESCE(dr.n_dropped, 0) AS n_kept
+              FROM docs d LEFT JOIN drops dr ON dr.cell = d.cell
+              ORDER BY d.cell"""))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Routed SemDeDup, ceiling ABOVE the sf0.01 corpus (500 ≤ 1024 →
+    // exact regime there; the sf0.1 corpus (2000) crosses it → pruned).
+    routedGate("q311_semantic_dedup_routed", ceiling = 1024L),
+
+    // Same router, ceiling BELOW every test corpus (256 < 500) — the
+    // pruned side of the switch is driver-verified at sf0.01 too.
+    routedGate("q312_semantic_dedup_routed_big", ceiling = 256L),
+
+    // Multimodal near-dup by PERCEPTUAL hash — the image analogue of
+    // q128's text LSH (a training-data pipeline dedups images too).
+    // aHash (average hash), the classic perceptual-hash family's
+    // simplest member, over the stubbed byte-as-pixel decode the
+    // multimodal family already uses (q44/q45/q181: the corpus'
+    // ASCII text doubles as the binary payload, so the oracle can
+    // replay the codec exactly): the payload is cut into 32 equal
+    // strips (the "downsampled image"), each strip's bit = 1 iff its
+    // mean byte exceeds the whole payload's mean — cross-multiplied
+    // integers (ss*tc > ts*sc), no division — giving a 32-bit hash
+    // that tolerates small local edits where md5 flips completely.
+    // Near-dups band the hash SimHash-style (2 bands × 16 bits: any
+    // pair within Hamming ≤ 3 of 32 bits shares at least one intact
+    // half by pigeonhole... with 3 flips one 16-bit half can hold at
+    // most all 3, so the other is intact — recall is EXACT for the
+    // ≤3 gate, not probabilistic) and verify with bit_count(xor) ≤ 3
+    // on banded candidates only. Scale: strip stats are linear in
+    // bytes and map-side; the only shuffles are the per-doc hash agg
+    // and the (band,key)-bucket join; q129's hot-key contract (drop
+    // buckets > 64 docs: a hash that common is a blank/solid-color
+    // template, not a near-dup signal) bounds pair expansion at
+    // 2016 pairs per bucket at ANY corpus size.
+    QueryDef("q313_phash_near_dup",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            length(col("text")).cast(LongType).as("n"))
+          .filter(col("n") >= 32) // one full strip minimum apiece
+        val strips = docs
+          .select(col("doc_id"), col("n"), posexplode(expr(
+            "transform(sequence(1, CAST(n AS INT)), " +
+              "i -> ascii(substring(text, i, 1)))")).as(Seq("p0", "b")))
+          .withColumn("strip", expr("(p0 * 32) div n"))
+          .groupBy("doc_id", "strip")
+          .agg(sum("b").as("ss"), count(lit(1)).as("sc"))
+        val wdoc = Window.partitionBy("doc_id")
+        val hashes = strips
+          .withColumn("ts", sum("ss").over(wdoc))
+          .withColumn("tc", sum("sc").over(wdoc))
+          .withColumn("bit",
+            when(col("ss") * col("tc") > col("ts") * col("sc"), 1L)
+              .otherwise(0L))
+          .groupBy("doc_id")
+          .agg(sum(expr("shiftleft(bit, CAST(strip AS INT))")).as("ah"))
+        val bands = hashes.select(col("doc_id"), explode(array(
+            struct(lit(0L).as("band"), expr("ah & 65535").as("sig")),
+            struct(lit(1L).as("band"),
+              expr("shiftright(ah, 16) & 65535").as("sig")))).as("bs"))
+          .select(col("doc_id"), col("bs.band").as("band"),
+            col("bs.sig").as("sig"))
+        val cand = graft.ops.Dedup
+          .lshCandidatePairsFromBands(bands, "doc_id", maxBucketSize = 64)
+        cand
+          .join(hashes.select(col("doc_id").as("id1"), col("ah").as("h1")), "id1")
+          .join(hashes.select(col("doc_id").as("id2"), col("ah").as("h2")), "id2")
+          .select(col("id1"), col("id2"),
+            expr("CAST(bit_count(h1 ^ h2) AS BIGINT)").as("hamming"))
+          .filter(col("hamming") <= 3)
+          .orderBy("id1", "id2")
+      },
+      Some("""WITH docs AS (SELECT doc_id, text,
+                       CAST(length(text) AS BIGINT) AS n
+                   FROM documents WHERE length(text) >= 32),
+              strips AS (
+                SELECT doc_id, (CAST(t.i - 1 AS BIGINT) * 32) // n AS strip,
+                       CAST(SUM(ascii(substr(text, t.i, 1))) AS BIGINT) AS ss,
+                       CAST(COUNT(*) AS BIGINT) AS sc
+                FROM docs, UNNEST(generate_series(1, CAST(n AS INT))) AS t(i)
+                GROUP BY doc_id, strip),
+              hashes AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN ss * tc > ts * sc THEN
+                         CAST(1 AS BIGINT) << CAST(strip AS INT)
+                         ELSE 0 END) AS BIGINT) AS ah
+                FROM (SELECT doc_id, strip, ss, sc,
+                             SUM(ss) OVER (PARTITION BY doc_id) AS ts,
+                             SUM(sc) OVER (PARTITION BY doc_id) AS tc
+                      FROM strips)
+                GROUP BY doc_id),
+              bands AS (
+                SELECT doc_id, 0 AS band, ah & 65535 AS sig FROM hashes
+                UNION ALL
+                SELECT doc_id, 1 AS band, (ah >> 16) & 65535 AS sig FROM hashes),
+              keep AS (SELECT band, sig FROM (
+                         SELECT band, sig, COUNT(*) AS c
+                         FROM bands GROUP BY 1, 2)
+                       WHERE c BETWEEN 2 AND 64),
+              kb AS (SELECT b.* FROM bands b JOIN keep k
+                       ON k.band = b.band AND k.sig = b.sig),
+              cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                       FROM kb a JOIN kb b
+                         ON a.band = b.band AND a.sig = b.sig
+                            AND a.doc_id < b.doc_id)
+              SELECT c.id1, c.id2,
+                     CAST(bit_count(xor(h1.ah, h2.ah)) AS BIGINT) AS hamming
+              FROM cand c
+              JOIN hashes h1 ON h1.doc_id = c.id1
+              JOIN hashes h2 ON h2.doc_id = c.id2
+              WHERE bit_count(xor(h1.ah, h2.ah)) <= 3
+              ORDER BY c.id1, c.id2"""))
+  )
+}

@@ -421,7 +421,7 @@ object Extras4 {
                        / CAST(COUNT(*) AS DOUBLE) AS wmean
               FROM w GROUP BY grp ORDER BY grp""")),
 
-    // prefix-filtered EXACT Jaccard similarity join (Vernica et al.'s
+    // prefix-filtered Jaccard similarity join (Vernica et al.'s
     // MapReduce set-similarity join): order each doc's token set by
     // ascending global document frequency; two sets can reach Jaccard
     // >= 4/5 only if they share a token in their first
@@ -429,7 +429,9 @@ object Extras4 {
     // on those prefix postings only — the exact-threshold complement
     // to the probabilistic LSH path (q36/q128). The final predicate
     // is pure integers (inter * 5 >= union * 4): no float threshold
-    // on the cut line.
+    // on the cut line. Verification is exact; candidate RECALL is
+    // bounded by the absolute prefix-df cap below (the hot-key
+    // contract — see the `prefix` comment for the tradeoff).
     QueryDef("q139_prefix_jaccard",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -448,12 +450,26 @@ object Extras4 {
         // shuffled into verification shrink to ints — the verify stage
         // moves |cand| × |doc| array cells, and at 8× data that is the
         // dominant cost of the whole query
-        val pos = tok.join(broadcast(ord.select("tok", "trank")), "tok")
+        val pos = tok.join(broadcast(ord.select("tok", "trank", "df")), "tok")
           .withColumn("idx",
             row_number().over(Window.partitionBy("doc_id").orderBy("trank")))
           .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-          .select(col("doc_id"), col("trank"), col("idx"), col("n"))
-        val prefix = pos.filter(col("idx") <= expr("n - ((n * 4 + 4) div 5) + 1"))
+          .select(col("doc_id"), col("trank"), col("df"), col("idx"), col("n"))
+        // hot-key contract on the CANDIDATE stage (q129's absolute df
+        // cap): a prefix token in > 64 docs spawns ~df²/2 candidate
+        // pairs that each ship whole posting arrays into verification —
+        // at 8× data that quadratic tail WAS the query (6.0× wall).
+        // Dropping hot tokens from candidate generation only (the
+        // verification sets keep every token) bounds any token's pair
+        // fan-out at 2016 at ANY corpus size. Recall tradeoff, mirrored
+        // in the oracle: a pair whose EVERY shared prefix token is
+        // hotter than the cap is missed — for J >= 0.8 near-dups the
+        // shared-prefix tokens are the pair's RAREST tokens, so losses
+        // concentrate on boilerplate-only overlaps, the pairs a dedup
+        // pipeline caps for the same reason (q128's maxBucketSize).
+        val prefix = pos
+          .filter(col("idx") <= expr("n - ((n * 4 + 4) div 5) + 1") &&
+            col("df") <= 64)
           .select(col("doc_id"), col("trank"), col("idx"), col("n"))
         // two PPJoin filters INSIDE the prefix equi-join, both provably
         // semantics-preserving for J >= 0.8:
@@ -496,14 +512,15 @@ object Extras4 {
       Some("""WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
               tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
                       FROM batch),
-              ord AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*), tok) AS trank
+              ord AS (SELECT tok, COUNT(*) AS df,
+                             ROW_NUMBER() OVER (ORDER BY COUNT(*), tok) AS trank
                       FROM tok GROUP BY tok),
-              pos AS (SELECT t.doc_id, t.tok,
+              pos AS (SELECT t.doc_id, t.tok, o.df,
                         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY o.trank) AS idx,
                         COUNT(*) OVER (PARTITION BY t.doc_id) AS n
                       FROM tok t JOIN ord o USING (tok)),
               pre AS (SELECT doc_id, tok FROM pos
-                      WHERE idx <= n - ((n * 4 + 4) // 5) + 1),
+                      WHERE idx <= n - ((n * 4 + 4) // 5) + 1 AND df <= 64),
               cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
                        FROM pre a JOIN pre b
                          ON a.tok = b.tok AND a.doc_id < b.doc_id),

@@ -1438,6 +1438,12 @@ object TxLogTable {
     * would corrupt the commit that is about to name it. Only files
     * whose modification time predates the window are touched; pass 0
     * only when no writer can be in flight (tests, cold maintenance).
+    * The 10-minute default is sized for OBJECT STORES, not just the
+    * move→claim latency: listing timestamps there come from the
+    * store's clock, so the window must also absorb store↔maintenance-
+    * host clock skew — a store stamping uploads minutes in the past
+    * would walk a short window straight into live writers
+    * (VacuumWriterRaceSpec exercises both sides of the window).
     */
   def vacuum(spark: SparkSession, tablePath: String,
       olderThanMillis: Long = 10L * 60 * 1000): Int = {

@@ -144,6 +144,38 @@ class DedupSpec extends SparkSpec {
     assert(restored === Set((2L, 3L)))
   }
 
+  test("semanticDup routes by corpus count: exact under the ceiling, pruned above, plan flips") {
+    // cell 0 holds a near-rep dup (1,2) AND a planted far-from-rep dup
+    // pair (3,7); cell 1 holds a near-rep dup (4,5) and a loner (6).
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.99, 0.01)),
+      (3L, Array(0.6, 0.35)), (7L, Array(0.61, 0.34)),
+      (4L, Array(0.0, 1.0)), (5L, Array(0.01, 0.98)),
+      (6L, Array(-1.0, 0.2))).toDF("vec_id", "v")
+    val cents = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+      .toDF("cell", "cv")
+    def drops(ceiling: Long) = Dedup.semanticDup(
+      vecs, cents, "vec_id", "v", tau = 0.9,
+      corpusCount = 7L, exactMaxRows = ceiling)
+    val exact = drops(7L)   // count == ceiling -> exact regime
+    val pruned = drops(6L)  // count > ceiling -> pruned regime
+    val exactSet = exact.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prunedSet = pruned.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact catches the far-from-rep pair (drops 7); pruned misses it —
+    // the documented linear-regime recall tradeoff, here proving the
+    // ceiling crossing actually flipped the executed operator
+    assert(exactSet === Set((0L, 2L), (0L, 7L), (1L, 5L)))
+    assert(prunedSet === Set((0L, 2L), (1L, 5L)))
+    assert(exact.queryExecution.optimizedPlan.toString !==
+      pruned.queryExecution.optimizedPlan.toString,
+      "the regime switch must change the plan, not just filter rows")
+    // default ceiling: a small corpus stays in the exact regime
+    val routedDefault = Dedup.semanticDup(
+      vecs, cents, "vec_id", "v", tau = 0.9, corpusCount = 7L)
+    assert(routedDefault.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === exactSet)
+  }
+
   test("assignCellsWithDist ties break to the smallest cell id, d2 is exact") {
     def v(x: Double, y: Double) = Array(x, y, 0.0, 0.0)
     val vecs = Seq((7L, v(0.5, 0.5))).toDF("id", "v")

@@ -46,6 +46,13 @@ def main():
     common = [(new_q[k] - old_q[k], k) for k in new_q
               if k in old_q and old_q[k] != -1 and new_q[k] != -1]
     fresh = [(new_q[k], k) for k in new_q if k not in old_q and new_q[k] != -1]
+    # failed-in-old but ok-in-new: not in `common` (old is -1) and not
+    # in `fresh` (the key exists in old) — without this section a
+    # recovered query would be invisible in the report
+    recovered = [(new_q[k], k) for k in new_q
+                 if k in old_q and old_q[k] == -1 and new_q[k] != -1]
+    for t, k in sorted(recovered, reverse=True):
+        print(f"  recovered: {k} (failed in old, now {t:.2f}s)")
 
     print(f"\nworst {n} regressions (new - old):")
     for d, k in sorted(common, reverse=True)[:n]:
