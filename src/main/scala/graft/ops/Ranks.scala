@@ -58,6 +58,19 @@ object Ranks {
     * groups, so this is a backstop, not a working mode. */
   private val MaxCollectedOffsets = 1 << 20
 
+  /** Count-derived plan routing (the [[graft.ops.Dedup.semanticDup]]
+    * discipline applied to ranking): frames at or under this row
+    * count take ONE plain per-group window — a single reducer sorting
+    * <= 2^20 narrow rows is milliseconds — while larger frames take
+    * the de-skew machinery, whose extra fixed jobs (cache build,
+    * boundary sample, offset rollup) exist to protect BILLION-row
+    * groups, not to tax small ones. The threshold crossing changes
+    * the PLAN, never the result: every call site orders with a total
+    * tie-break, so both paths assign identical ranks (RanksSpec pins
+    * the two outputs row-identical). Overridable per call (tests
+    * force the machinery; an unusually wide row can lower it). */
+  val SmallFrameMaxRows: Long = 1L << 20
+
   /** Sampled boundary keys over the cached narrow key frame, as
     * literal structs comparable against the key struct: one cached
     * count sizes the hash filter, one cached scan collects
@@ -67,8 +80,8 @@ object Ranks {
     * 0, matching nulls-first range order.
     */
   private def boundaryStructs(
-      keyed: DataFrame, keyNames: Seq[String], parts: Int): Seq[Column] = {
-    val n = keyed.count()
+      keyed: DataFrame, keyNames: Seq[String], parts: Int,
+      n: Long): Seq[Column] = {
     if (n == 0) return Seq.empty
     val target = parts * 128L
     val p = math.max(1L, n / target)
@@ -131,7 +144,8 @@ object Ranks {
       df: DataFrame,
       group: String,
       value: String,
-      ties: Seq[String] = Seq.empty): DataFrame = {
+      ties: Seq[String] = Seq.empty,
+      smallFrameMaxRows: Long = SmallFrameMaxRows): DataFrame = {
     val spark = df.sparkSession
     val orderCols = (value +: ties).map(col)
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -141,7 +155,17 @@ object Ranks {
 
     val keyed = df.select(named: _*).persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val bounds = boundaryStructs(keyed, keyNames, parts)
+      val total = keyed.count()
+      if (total <= smallFrameMaxRows) {
+        // small-frame route: one plain window, no sampling/offset jobs
+        keyed.unpersist(false)
+        val grp = Window.partitionBy(col(group))
+        return df
+          .withColumn("n", count(lit(1)).over(grp).cast("long"))
+          .withColumn("rn",
+            row_number().over(grp.orderBy(orderCols: _*)).cast("long"))
+      }
+      val bounds = boundaryStructs(keyed, keyNames, parts, total)
       val pidK = pidExpr(struct(keyNames.map(col): _*), bounds)
       val counts = keyed.withColumn("__pid", pidK)
         .groupBy(col("__pid"), col("f0")).agg(count(lit(1)).as("__c"))
@@ -191,7 +215,8 @@ object Ranks {
       group: String,
       order: String,
       value: String,
-      ties: Seq[String] = Seq.empty): DataFrame = {
+      ties: Seq[String] = Seq.empty,
+      smallFrameMaxRows: Long = SmallFrameMaxRows): DataFrame = {
     val spark = df.sparkSession
     val orderCols = (order +: ties).map(col)
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -202,7 +227,21 @@ object Ranks {
     val keyed = df.select(named :+ col(value).as("__v"): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val bounds = boundaryStructs(keyed, keyNames, parts)
+      val total = keyed.count()
+      if (total <= smallFrameMaxRows) {
+        // small-frame route — see [[SmallFrameMaxRows]]. The prefix
+        // sum is over the same pinned (order, ties) order, so the
+        // running totals are identical to the machinery path's.
+        keyed.unpersist(false)
+        val grp = Window.partitionBy(col(group))
+        val local0 = grp.orderBy(orderCols: _*)
+        return df
+          .withColumn("n", count(lit(1)).over(grp).cast("long"))
+          .withColumn("rn", row_number().over(local0).cast("long"))
+          .withColumn("rsum", sum(col(value))
+            .over(local0.rowsBetween(Window.unboundedPreceding, 0)))
+      }
+      val bounds = boundaryStructs(keyed, keyNames, parts, total)
       val pidK = pidExpr(struct(keyNames.map(col): _*), bounds)
       val counts = keyed.withColumn("__pid", pidK)
         .groupBy(col("__pid"), col("f0"))
