@@ -155,26 +155,53 @@ object Extras31 {
     // half by pigeonhole... with 3 flips one 16-bit half can hold at
     // most all 3, so the other is intact — recall is EXACT for the
     // ≤3 gate, not probabilistic) and verify with bit_count(xor) ≤ 3
-    // on banded candidates only. Scale: strip stats are linear in
-    // bytes and map-side; the only shuffles are the per-doc hash agg
-    // and the (band,key)-bucket join; q129's hot-key contract (drop
-    // buckets > 64 docs: a hash that common is a blank/solid-color
+    // on banded candidates only. BYTE-IDENTICAL payloads collapse to
+    // their min-id representative FIRST (content-md5 group, the same
+    // stage a production image pipeline runs before perceptual
+    // matching): exact duplicates are the exact-dedup operator's job
+    // (q33), and without the collapse an N-way identical payload
+    // fills its perceptual bucket with N copies whose N²/2 pairwise
+    // verifications say nothing banding's cap should have to absorb.
+    // Scale: the collapse is two (md5,id)-keyed linear shuffles;
+    // strip stats are linear in bytes and map-side; the only other
+    // shuffles are the per-doc hash agg and the (band,key)-bucket
+    // join; q129's hot-key contract (drop buckets > 64 docs: a hash
+    // that common among DISTINCT payloads is a blank/solid-color
     // template, not a near-dup signal) bounds pair expansion at
     // 2016 pairs per bucket at ANY corpus size.
     QueryDef("q313_phash_near_dup",
       (s, d) => {
-        val docs = table(s, d, "documents")
+        val docs0 = table(s, d, "documents")
           .select(col("doc_id"), col("text"),
             length(col("text")).cast(LongType).as("n"))
           .filter(col("n") >= 32) // one full strip minimum apiece
+        val keep = docs0
+          .select(col("doc_id"), md5(col("text")).as("f"))
+          .groupBy("f").agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val docs = docs0.join(keep, Seq("doc_id"), "left_semi")
+        // split-into-chars, not transform(sequence, i ->
+        // substring(text, i, 1)): higher-order-function lambdas run
+        // interpreted AND substring is O(position), so the lambda
+        // form is quadratic per doc — measured most of a 21 s wall
+        // at the 64× replica vs ~3 s for this codegen'd
+        // split+posexplode shape. Java's split("", -1) keeps a
+        // trailing "" element; the filter drops it, leaving p0 =
+        // 0..n-1 exactly as the oracle's generate_series positions.
         val strips = docs
-          .select(col("doc_id"), col("n"), posexplode(expr(
-            "transform(sequence(1, CAST(n AS INT)), " +
-              "i -> ascii(substring(text, i, 1)))")).as(Seq("p0", "b")))
+          .select(col("doc_id"), col("n"),
+            posexplode(split(col("text"), "")).as(Seq("p0", "ch")))
+          .filter(col("ch") =!= "")
+          .select(col("doc_id"), col("n"), col("p0"),
+            ascii(col("ch")).cast(LongType).as("b"))
           .withColumn("strip", expr("(p0 * 32) div n"))
           .groupBy("doc_id", "strip")
           .agg(sum("b").as("ss"), count(lit(1)).as("sc"))
         val wdoc = Window.partitionBy("doc_id")
+        // pinned: three consumers (banding + both verify joins) would
+        // otherwise re-run the scan→collapse→char-explode→window
+        // lineage each — measured 22 s vs ~6 s at the 64× replica.
+        // One narrow (doc_id, ah) row per doc, tiny at any scale.
         val hashes = strips
           .withColumn("ts", sum("ss").over(wdoc))
           .withColumn("tc", sum("sc").over(wdoc))
@@ -183,6 +210,7 @@ object Extras31 {
               .otherwise(0L))
           .groupBy("doc_id")
           .agg(sum(expr("shiftleft(bit, CAST(strip AS INT))")).as("ah"))
+          .localCheckpoint()
         val bands = hashes.select(col("doc_id"), explode(array(
             struct(lit(0L).as("band"), expr("ah & 65535").as("sig")),
             struct(lit(1L).as("band"),
@@ -199,9 +227,12 @@ object Extras31 {
           .filter(col("hamming") <= 3)
           .orderBy("id1", "id2")
       },
-      Some("""WITH docs AS (SELECT doc_id, text,
+      Some("""WITH docs0 AS (SELECT doc_id, text,
                        CAST(length(text) AS BIGINT) AS n
                    FROM documents WHERE length(text) >= 32),
+              canon AS (SELECT MIN(doc_id) AS doc_id
+                        FROM docs0 GROUP BY md5(text)),
+              docs AS (SELECT d.* FROM docs0 d JOIN canon USING (doc_id)),
               strips AS (
                 SELECT doc_id, (CAST(t.i - 1 AS BIGINT) * 32) // n AS strip,
                        CAST(SUM(ascii(substr(text, t.i, 1))) AS BIGINT) AS ss,
