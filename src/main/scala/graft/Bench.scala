@@ -57,9 +57,17 @@ object Bench {
           catch { case e: Throwable => System.err.println(s"[bench] unpersist: $e") })
     }
     // dev-only subset filter (comma-separated name prefixes); the
-    // driver leaves it unset so official runs always cover the suite
+    // driver leaves it unset so official runs always cover the suite.
+    // Prefixes are validated to [A-Za-z0-9_]: they ride verbatim in
+    // the artifact's "only" stamp, so a quote or backslash in the env
+    // var would emit invalid JSON and silently break the tail parse
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    only.find(!_.matches("[A-Za-z0-9_]+")).foreach { bad =>
+      System.err.println(
+        s"[bench] SPARK_GRAFT_BENCH_ONLY prefix has non-word chars: '$bad' — refusing to run")
+      sys.exit(64) // fail fast: dropping it would silently run a DIFFERENT subset
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
       .map { case (name, fn) =>

@@ -139,10 +139,10 @@ object Corpus {
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val fwd = pairs.select(col("id1").as("src"), col("id2").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .transform(graft.ops.Pinned.pin)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .transform(graft.ops.Pinned.pin)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -153,7 +153,7 @@ object Corpus {
         .union(viaNeighbors)
         .groupBy("id")
         .agg(min(col("label")).as("label"))
-        .localCheckpoint() // eager: materialized before old labels go
+        .transform(graft.ops.Pinned.pin) // eager: materialized before old labels go
       converged = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old"))
         .isEmpty

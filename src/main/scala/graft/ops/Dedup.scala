@@ -158,6 +158,54 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-duplicate pairs by Hamming distance over an integer hash
+    * column (the SimHash/pHash family): the hash is cut into `bands`
+    * contiguous fields of `bits` bits each, ids sharing any band
+    * value bucket-join ([[lshCandidatePairsFromBands]], inheriting
+    * its hot-bucket cap), and candidates verify exactly with
+    * bit_count(xor) <= maxHamming.
+    *
+    * Recall contract (pigeonhole): `maxHamming` flipped bits can
+    * touch at most `maxHamming` bands, so every pair within the gate
+    * shares an INTACT band — exact recall — iff maxHamming < bands;
+    * the require makes that explicit instead of silently
+    * probabilistic (a 2-band split claiming Hamming<=3 drops 2+1
+    * flip splits: no intact half). Hot buckets above `maxBucketSize`
+    * are dropped — the one deliberate recall exception, and it fires
+    * on degenerate all-alike signatures (blank/solid templates), not
+    * near-dup signal. bands*bits <= 63 keeps every band value and
+    * the hash itself positive: DuckDB oracles error on a 64th-bit
+    * shift, and signed-shift mirroring is a bug farm both engines
+    * can simply avoid.
+    *
+    * Scale: one narrow (id, band, sig) explode (bands rows/doc), one
+    * bucket aggregation, per-bucket pair expansion capped at
+    * maxBucketSize²/2, and a hash-lookup verify join — no all-pairs
+    * stage at any corpus size. Output (id1, id2, hamming), id1 < id2.
+    */
+  def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      bits: Int, bands: Int, maxHamming: Int,
+      maxBucketSize: Int): DataFrame = {
+    require(bits > 0 && bands > 0 && bands * bits <= 63,
+      s"bands*bits must stay under the sign bit: $bands x $bits")
+    require(maxHamming < bands,
+      s"pigeonhole-exact recall needs maxHamming < bands: $maxHamming >= $bands")
+    val mask = (1L << bits) - 1
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b.toLong).as("band"),
+        expr(s"shiftright($hashCol, ${b * bits}) & $mask").as("sig"))
+    }
+    val banded = hashes
+      .select(col(idCol), explode(array(bandCols: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    lshCandidatePairsFromBands(banded, idCol, maxBucketSize)
+      .join(hashes.select(col(idCol).as("id1"), col(hashCol).as("__h1")), "id1")
+      .join(hashes.select(col(idCol).as("id2"), col(hashCol).as("__h2")), "id2")
+      .select(col("id1"), col("id2"),
+        expr("CAST(bit_count(__h1 ^ __h2) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard similarity between two token-array columns. */
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * near-dup removal in embedding space. Vectors are routed to their
@@ -258,16 +306,30 @@ object Dedup {
       .select(col("cell"), col("rep"), col(idCol).as("drop_id"), col("cos"))
   }
 
-  /** Default corpus-count ceiling for the EXACT SemDeDup regime.
-    * Below it the exact within-cell all-pairs audit (~n^1.5 cosines
-    * at k ~ sqrt(n) cells: 2^24 rows → ~16M pairs) is cheap enough
-    * that its extra recall is free; above it the pair stage must be
-    * the linear pruned form or the operator grows super-linearly
-    * with the corpus. The same count-derived-sizing discipline as
-    * [[Similarity.derivedBits]]: ONE definition, referenced by the
-    * router and mirrored verbatim by SQL oracles.
+  /** Total-cosine budget for the EXACT SemDeDup regime: the number
+    * of pairwise comparisons the router may spend on the all-pairs
+    * audit before it must flip to the linear pruned form. 2^31
+    * (~2.1e9) cosines is minutes of vector math on one executor
+    * core and embarrassingly parallel across cells — the most the
+    * audit's extra recall is worth before pruning wins.
     */
-  val ExactRegimeMaxRows: Long = 1L << 24
+  val ExactPairBudget: Long = 1L << 31
+
+  /** Default corpus-count ceiling for the EXACT SemDeDup regime,
+    * DERIVED from [[ExactPairBudget]] rather than pinned. At
+    * k ~ sqrt(n) cells the per-cell pair count is (n/k)²/2 but the
+    * TOTAL across k cells is k·(n/k)²/2 = n²/(2k) = n^1.5/2 — it is
+    * the total the cluster pays, so the total is what the budget
+    * bounds: n^1.5/2 ≤ B  ⇔  n ≤ (2B)^(2/3). At B = 2^31 the
+    * ceiling is (2^32)^(2/3) = 2^(64/3) ≈ 2.6M rows (total ~2.1e9
+    * cosines); a fixed 2^24 ceiling would have let a default-config
+    * caller ride ~3.4e10 cosines (n^1.5/2 at 2^24) — 16× the
+    * budget — before flipping. The same count-derived-sizing
+    * discipline as [[Similarity.derivedBits]]: ONE definition,
+    * referenced by the router and pinned by DedupSpec.
+    */
+  val ExactRegimeMaxRows: Long =
+    math.floor(math.pow(2.0 * ExactPairBudget.toDouble, 2.0 / 3.0)).toLong
 
   /** Count-derived regime routing for SemDeDup — the entry point a
     * pipeline should call. Picks the EXACT within-cell all-pairs
@@ -302,6 +364,63 @@ object Dedup {
     else
       semanticDupPairsPrunedFromAssignment(vecs, asg, idCol, vecCol, tau)
         .select(col("cell"), col("drop_id")).distinct()
+
+  /** Per-cell representatives of a clustered corpus — the STATE an
+    * incremental SemDeDup pipeline persists between ingest batches
+    * (a TxLog table is the natural home: k rows, one per non-empty
+    * cell). `rep` is the member nearest its centroid, ties to the
+    * smallest id — the SAME election [[semanticDupPairsPruned]]
+    * makes internally, so a batch deduped incrementally against this
+    * state sees the contract the pruned regime would have applied.
+    * Output (cell, rep, rep_vec).
+    */
+  def cellRepresentatives(vecs: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val asg = assignCellsWithDist(vecs, centroids, idCol, vecCol)
+    asg.groupBy("cell").agg(min(struct(col("d2"), col(idCol))).as("__r"))
+      .select(col("cell"), col(s"__r.$idCol").as("rep"))
+      .join(vecs.select(col(idCol).as("rep"), col(vecCol).as("rep_vec")), "rep")
+      .select("cell", "rep", "rep_vec")
+  }
+
+  /** INCREMENTAL SemDeDup — the operator a continuously-ingesting
+    * pipeline actually runs: dedup an ARRIVING batch against the
+    * state of everything already seen (the existing centroids plus
+    * the stored [[cellRepresentatives]]), never re-reading — let
+    * alone re-clustering — the seen corpus itself. Each new vector
+    * is assigned to its nearest existing centroid (broadcast argmin)
+    * and compared against that cell's stored representative only:
+    * cost is O(|batch| × k) assignment + O(|batch|) cosines,
+    * INDEPENDENT of how many rows the state summarizes — batch 10^6
+    * against a 10^11-row seen corpus costs the same as against 10^4.
+    * Recall matches the pruned regime's contract (a new dup far from
+    * its cell's representative is missed; tighten with more cells);
+    * batch-INTERNAL dups are a separate composition — run
+    * [[semanticDup]] over the batch alone. Returns (cell, rep,
+    * drop_id, cos) — the new-batch members the stored state drops.
+    */
+  def semanticDupIncremental(newVecs: DataFrame, reps: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame =
+    semanticDupIncrementalFromAssignment(newVecs,
+      assignCells(newVecs, centroids, idCol, vecCol),
+      reps, idCol, vecCol, tau)
+
+  /** [[semanticDupIncremental]] over a precomputed [[assignCells]]
+    * frame `(idCol, cell)` — callers that also census the batch's
+    * cell occupancy compute the |batch| × k assignment once. */
+  def semanticDupIncrementalFromAssignment(newVecs: DataFrame,
+      asg: DataFrame, reps: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame =
+    asg.join(newVecs, idCol)
+      .join(broadcast(reps), Seq("cell"))
+      // a caller replaying ids already in the state must not
+      // self-drop the representative itself
+      .filter(col(idCol) =!= col("rep"))
+      .withColumn("cos",
+        graft.functions.VectorExprs.cosineSim(col(vecCol), col("rep_vec")))
+      .filter(col("cos") >= tau)
+      .select(col("cell"), col("rep"), col(idCol).as("drop_id"), col("cos"))
 
   /** The pair half of [[semanticDupPairs]] over a precomputed
     * assignment frame `(idCol, cell)`. */

@@ -40,7 +40,7 @@ object Frontier {
     val ranged = stair
       .repartitionByRange(parts, col(maxCol).desc)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .transform(graft.ops.Pinned.pin)
 
     // tiny frame: one row per partition
     val prior = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -60,7 +60,7 @@ object Frontier {
       // it so `ranged` — same magnitude but now superseded — releases
       // before the full-data join below; the pref checkpoint backing
       // the returned frame is caller-owned ([[Pinned]])
-      .localCheckpoint()
+      .transform(graft.ops.Pinned.pin)
     Pinned.release(ranged)
 
     df.join(pref, Seq(maxCol))

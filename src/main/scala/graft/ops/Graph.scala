@@ -64,7 +64,7 @@ object Graph {
     // the edge list feeds four consumers (vertex count, edge count,
     // adjacency build, intersection probe) — pin it once or the
     // upstream build (a self-join + distinct) re-executes per consumer
-    val e0 = edges.select(col("u"), col("v")).localCheckpoint()
+    val e0 = edges.select(col("u"), col("v")).transform(graft.ops.Pinned.pin)
     val e =
       if (!orientByDegree) e0
       else {
@@ -82,7 +82,7 @@ object Graph {
           // the oriented list feeds adjacency build + probe; its
           // lineage is two joins over e0 — pin it like e0 rather than
           // re-running them per consumer
-          .localCheckpoint()
+          .transform(graft.ops.Pinned.pin)
       }
     val verts = e.select(col("u").as("x")).union(e.select(col("v").as("x"))).distinct()
     val adj = e.groupBy(col("u").as("x")).agg(sort_array(collect_list(col("v"))).as("nbr"))
@@ -97,7 +97,7 @@ object Graph {
     val out = verts.agg(count(lit(1)).as("n_vertices"))
       .crossJoin(e.agg(count(lit(1)).as("n_edges")))
       .crossJoin(tris.agg(coalesce(sum("t"), lit(0L)).as("n_triangles")))
-      .localCheckpoint()
+      .transform(graft.ops.Pinned.pin)
     if (!(e eq e0)) Pinned.release(e)
     Pinned.release(e0)
     out
@@ -129,7 +129,7 @@ object Graph {
     // pinned: the edge list is re-joined every superstep (and its
     // upstream is typically a self-join) — at cluster scale this is
     // the cached, pre-partitioned edge RDD every Pregel system keeps
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).transform(graft.ops.Pinned.pin)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = deg.select(col("src").as("node"), col("deg"))
     val n = nodes.agg(count(lit(1)).as("n"))
@@ -154,7 +154,7 @@ object Graph {
     // every superstep materializes anyway) so the edge pin can be
     // released before returning; the result checkpoint itself is
     // caller-owned ([[Pinned]])
-    val out = pr.select(col("node"), col("pr")).localCheckpoint()
+    val out = pr.select(col("node"), col("pr")).transform(graft.ops.Pinned.pin)
     Pinned.release(e)
     out
   }

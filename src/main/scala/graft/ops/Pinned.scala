@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.execution.LogicalRDD
 
 /** Release discipline for `localCheckpoint()` frames.
@@ -19,6 +19,32 @@ import org.apache.spark.sql.execution.LogicalRDD
   * done; the hermetic bench drops it between queries either way).
   */
 object Pinned {
+
+  /** `localCheckpoint()` with an audit tap. A pin truncates lineage
+    * to a `LogicalRDD` stub, so a plan audit inspecting only the
+    * FINAL frame is blind to everything upstream of the last pin —
+    * round 12's PLANS.md recorded "0 shuffles" for the two most
+    * expensive graph queries because their real join/aggregate
+    * shapes sat behind `localCheckpoint()`. All query/operator pins
+    * go through here; in audit mode ([[withAuditTap]], used by
+    * `graft.PlanAudit`) the PRE-pin physical plan is recorded before
+    * the cut. Normal runs pay one null-check.
+    */
+  def pin(df: DataFrame): DataFrame = {
+    val tap = auditTap
+    if (tap != null) tap(df.queryExecution.executedPlan.toString)
+    df.localCheckpoint()
+  }
+
+  @volatile private var auditTap: String => Unit = null
+
+  /** Run `body` with every [[pin]]'s pre-checkpoint plan streamed to
+    * `sink`. Audit-only (PlanAudit runs queries one at a time on one
+    * thread); not for concurrent use. */
+  def withAuditTap[A](sink: String => Unit)(body: => A): A = {
+    auditTap = sink
+    try body finally auditTap = null
+  }
 
   /** Free the storage behind a `localCheckpoint()`ed frame. Safe only
     * once nothing will read `df` again: a checkpointed RDD has no

@@ -122,7 +122,7 @@ object Ranks {
     * localCheckpoint'ed instead — lineage-free without pulling data
     * to the driver. Returns (frame, smallEnoughToBroadcast). */
   private def localized(offsets: DataFrame, rows: Long): (DataFrame, Boolean) =
-    if (rows > MaxCollectedOffsets) (offsets.localCheckpoint(true), false)
+    if (rows > MaxCollectedOffsets) (graft.ops.Pinned.pin(offsets), false)
     else {
       val local = offsets.collect()
       (offsets.sparkSession.createDataFrame(

@@ -285,7 +285,7 @@ object Extended {
         // the tf frame per w — checkpointed so its two consumers (join
         // side and df rollup) don't re-run the corpus explode
         val tf = terms.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-          .localCheckpoint()
+          .transform(graft.ops.Pinned.pin)
         val df_ = tf.groupBy("w").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("tf").desc, col("df").asc, col("w").asc)

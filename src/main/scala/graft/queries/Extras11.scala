@@ -37,7 +37,7 @@ object Extras11 {
           .select(col("l_orderkey").as("g"), col("l_partkey").as("i"))
           .filter(substring(md5(col("i").cast(StringType)), 1, 1).isin("0", "1", "2", "3"))
           .distinct()
-          .localCheckpoint() // both sides of the edge self-join
+          .transform(graft.ops.Pinned.pin) // both sides of the edge self-join
         val e = m.as("a").join(m.as("b"),
             col("a.g") === col("b.g") && col("a.i") < col("b.i"))
           .select(col("a.i").as("u"), col("b.i").as("v"))
@@ -46,7 +46,7 @@ object Extras11 {
         // anti-join, the degree agg) — pin it once or the upstream
         // self-join + distinct re-executes per consumer (q130 lesson)
         val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-          .localCheckpoint()
+          .transform(graft.ops.Pinned.pin)
         val twoHop = sym.as("e1")
           .join(sym.as("e2"), col("e1.v") === col("e2.u"))
           .select(col("e1.u").as("u"), col("e2.v").as("w"))
@@ -278,13 +278,13 @@ object Extras11 {
           .select(col("doc_id"),
             size(array_intersect(array_distinct(split(col("text"), " ")),
               col("__qt"))).cast(LongType).as("overlap"))
-          .localCheckpoint()
+          .transform(graft.ops.Pinned.pin)
         val emb = table(s, d, "embeddings")
         val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
         val vec = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
           .select(col("vec_id").as("doc_id"),
             graft.functions.VectorExprs.cosineSim(col("embedding"), col("__qv")).as("cos"))
-          .localCheckpoint()
+          .transform(graft.ops.Pinned.pin)
         // ONE de-skewed rank pass for BOTH modalities: the rank
         // machinery's fixed cost (cache build, boundary sample,
         // offset rollup, final pass) is per-CALL, so ranking the two

@@ -79,7 +79,7 @@ object Extras12 {
     QueryDef("q180_entity_resolution",
       (s, d) => {
         val names = table(s, d, "part").select(col("p_name")).distinct()
-          .localCheckpoint() // feeds variant build AND the final mapping
+          .transform(graft.ops.Pinned.pin) // feeds variant build AND the final mapping
         val vars = names.select(col("p_name"), explode(expr(
           """array_append(
                transform(sequence(1, length(p_name)),

@@ -209,7 +209,7 @@ object Extras13 {
           .withColumn("rank", row_number().over(w).cast(LongType))
           .filter(col("rank") <= 10)
           .select(col("week"), col("l_partkey"), col("rev_c"), col("rank"))
-          .localCheckpoint()
+          .transform(graft.ops.Pinned.pin)
         val prev = ranked.select(col("week").as("pw"),
           col("l_partkey").as("pk"), col("rank").as("prev_rank"))
         ranked
@@ -387,7 +387,7 @@ object Extras13 {
         val m = table(s, d, "lineitem")
           .select(col("l_orderkey").as("ord"), col("l_partkey").as("item"))
           .distinct()
-          .localCheckpoint() // pair join + item counts + basket count
+          .transform(graft.ops.Pinned.pin) // pair join + item counts + basket count
         val pairs = m.as("a").join(m.as("b"),
             col("a.ord") === col("b.ord") && col("a.item") < col("b.item"))
           .groupBy(col("a.item").as("part_a"), col("b.item").as("part_b"))

@@ -279,7 +279,7 @@ object Extras15 {
           .crossJoin(broadcast(orders.agg(max(to_date(col("o_orderdate"))).as("gmax"))))
           .withColumn("recency_d", datediff(col("gmax"), col("last_d")).cast(LongType))
           .drop("gmax", "last_d")
-          .localCheckpoint()
+          .transform(graft.ops.Pinned.pin)
         // ONE de-skewed rank pass for all three metrics: each metric
         // is a GROUP of one union, so the rank machinery's fixed cost
         // (cache build, boundary sample, offset rollup, final pass)
@@ -361,7 +361,7 @@ object Extras15 {
         val docs = table(s, d, "documents")
         val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
           .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-          .localCheckpoint()
+          .transform(graft.ops.Pinned.pin)
         val dfr = tf.groupBy("w").agg(count(lit(1)).as("df"))
         val nd = docs.agg(count(lit(1)).as("n_docs"))
         tf.join(dfr, "w").crossJoin(broadcast(nd))
@@ -399,7 +399,7 @@ object Extras15 {
       (s, d) => {
         val c = table(s, d, "events")
           .groupBy("user_id").agg(count(lit(1)).as("n_events"))
-          .localCheckpoint()
+          .transform(graft.ops.Pinned.pin)
         val t = c.agg(sum("n_events").as("total"), count(lit(1)).as("n_users"))
         c.orderBy(col("n_events").desc, col("user_id")).limit(20)
           .crossJoin(broadcast(t))

@@ -65,7 +65,7 @@ object Extras16 {
             expr("CAST(floor(value * 100.0) AS BIGINT)").as("rev_c"))
         // cohort frame: one aggregation, two consumers (sizes + join)
         val cohort = p.groupBy("user_id").agg(min("wk").as("cohort_week"))
-          .localCheckpoint()
+          .transform(graft.ops.Pinned.pin)
         val sizes = cohort.groupBy("cohort_week")
           .agg(count(lit(1)).as("cohort_users"))
         val rev = p.join(cohort, "user_id")

@@ -21,7 +21,7 @@ object Extras17 {
       (s, d) => {
         val c = table(s, d, "events").groupBy("user_id")
           .agg(count(lit(1)).as("n_events"))
-          .localCheckpoint() // two consumers: totals + distribution
+          .transform(graft.ops.Pinned.pin) // two consumers: totals + distribution
         val t = c.agg(count(lit(1)).as("n_users"))
         val dist = c.groupBy("n_events").agg(count(lit(1)).as("n_at"))
         val ge = Window.orderBy(col("n_events").desc)
@@ -67,7 +67,7 @@ object Extras17 {
             .when(col("gap_d") <= 7, "2_4_7d")
             .when(col("gap_d") <= 14, "3_8_14d")
             .otherwise("4_15d_plus").as("bucket"))
-          .localCheckpoint() // total + per-bucket counts
+          .transform(graft.ops.Pinned.pin) // total + per-bucket counts
         val t = b.agg(count(lit(1)).as("total"))
         b.groupBy("bucket").agg(count(lit(1)).as("n_gaps"))
           .crossJoin(broadcast(t))

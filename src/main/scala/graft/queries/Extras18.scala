@@ -100,7 +100,7 @@ object Extras18 {
           expr("CAST(floor(l_extendedprice * 100.0) AS BIGINT)" +
             " * (10000 - CAST(floor(l_discount * 10000.0) AS BIGINT)) div 10000")
             .as("rev_c"))
-          .localCheckpoint() // total + per-level rollup
+          .transform(graft.ops.Pinned.pin) // total + per-level rollup
         val t = li.agg(sum("rev_c").as("total_c"))
         li.groupBy("disc_bp")
           .agg(count(lit(1)).as("n_items"), sum("qty").as("total_qty"),

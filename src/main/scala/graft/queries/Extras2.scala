@@ -417,7 +417,7 @@ object Extras2 {
         val tokLangs = table(s, d, "documents")
           .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
           .groupBy("tok").agg(sort_array(collect_set(col("lang"))).as("langs"))
-          .localCheckpoint()
+          .transform(graft.ops.Pinned.pin)
         val sizes = tokLangs.select(explode(col("langs")).as("lang"))
           .groupBy("lang").agg(count(lit(1)).as("v"))
         val inter = tokLangs

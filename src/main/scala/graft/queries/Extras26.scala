@@ -47,7 +47,7 @@ object Extras26 {
           .withColumn("d2", expr(sq.format("v", "qv")))
           .orderBy(col("d2"), col("vec_id")).limit(10)
           .select(col("vec_id").as("xid"))
-          .localCheckpoint()
+          .transform(graft.ops.Pinned.pin)
         // the 8 cells ranked by distance to the query (8 rows; the
         // no-partition window is over the broadcast centroid set only)
         val cc = fv.filter(col("vec_id") >= coarseBase &&
@@ -72,7 +72,7 @@ object Extras26 {
           .join(broadcast(cellRank), Seq("cell"))
           .filter(col("cr") <= 4)
           .select("vec_id", "adc_d2", "cr")
-          .localCheckpoint()
+          .transform(graft.ops.Pinned.pin)
         def at(p: Int) = cand.filter(col("cr") <= p)
           .orderBy(col("adc_d2"), col("vec_id")).limit(10)
           .join(exact, col("vec_id") === col("xid"), "left")
@@ -170,7 +170,7 @@ object Extras26 {
           .withColumn("d2", expr(sq.format("v", "qv")))
           .orderBy(col("d2"), col("vec_id")).limit(10)
           .select(col("vec_id").as("xid"))
-          .localCheckpoint()
+          .transform(graft.ops.Pinned.pin)
         val cc = fv.filter(col("vec_id") >= coarseBase &&
             col("vec_id") < coarseBase + nlist)
           .select((col("vec_id") - coarseBase).as("cell"), col("v").as("cv"))
@@ -187,7 +187,7 @@ object Extras26 {
           .join(Pq.coarseAssign(emb, nlist, coarseBase), Seq("vec_id"))
           .join(broadcast(probed), Seq("cell"))
           .select("vec_id", "adc_d2")
-          .localCheckpoint()
+          .transform(graft.ops.Pinned.pin)
         def at(c: Int) = cand
           .orderBy(col("adc_d2"), col("vec_id")).limit(c)
           .join(fv, Seq("vec_id")).crossJoin(broadcast(qv))
@@ -298,10 +298,10 @@ object Extras26 {
             Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))))
           .filter(col("rn") <= 10)
           .select(col("qid").as("xqid"), col("vec_id").as("xid"))
-          .localCheckpoint()
+          .transform(graft.ops.Pinned.pin)
         // the learned codebook is one corpus pass — pin its 64 rows so
         // the encode and LUT consumers don't re-run the training plan
-        val cbLearned = Pq.learnedCodebook(emb, m, ds, k).localCheckpoint()
+        val cbLearned = Pq.learnedCodebook(emb, m, ds, k).transform(graft.ops.Pinned.pin)
         // per-query ADC LUT: (qid, j, c) -> qq - 2qc + cc
         def lutAll(cb: org.apache.spark.sql.DataFrame) = {
           val qsub = Pq.subvectors(emb.filter(col("vec_id") <= 3), m, ds)

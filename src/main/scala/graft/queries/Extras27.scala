@@ -54,10 +54,10 @@ object Extras27 {
         // pair stage both read it (recomputing it doubled the 64×
         // cost: at k ~ sqrt(n) assignment is half the operator)
         val asg = graft.ops.Dedup.assignCells(fv, cc, "vec_id", "v")
-          .localCheckpoint()
+          .transform(graft.ops.Pinned.pin)
         val pairs = graft.ops.Dedup
           .semanticDupPairsFromAssignment(fv, asg, "vec_id", "v", tau = 0.35)
-          .localCheckpoint() // feeds both the pair count and the drop set
+          .transform(graft.ops.Pinned.pin) // feeds both the pair count and the drop set
         val drops = pairs.select(col("cell"), col("j2")).distinct()
           .groupBy("cell").agg(count(lit(1)).as("n_dropped"))
         val nPairs = pairs.groupBy("cell").agg(count(lit(1)).as("n_pairs"))

@@ -51,7 +51,7 @@ object Extras28 {
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .withColumn("seq", expr("trim(regexp_replace(word, '(.)', '$1 '))"))
-      .localCheckpoint() // distinct-word frame: value-domain-sized
+      .transform(graft.ops.Pinned.pin) // distinct-word frame: value-domain-sized
 
   /** One BPE merge round over the word frame: count adjacent symbol
     * pairs (frequency-weighted), pick the max (ties to the
@@ -67,13 +67,13 @@ object Extras28 {
           "i -> concat(sy[i], ' ', sy[i + 1])) END")).as("pair"))
       .groupBy("pair").agg(sum("freq").as("cnt"))
     val best = pairs.orderBy(col("cnt").desc, col("pair")).limit(1)
-      .localCheckpoint() // 1 row — pin so every consumer sees one choice
+      .transform(graft.ops.Pinned.pin) // 1 row — pin so every consumer sees one choice
     val merged = w.crossJoin(broadcast(best))
       .withColumn("seq", expr(
         "trim(replace(concat(' ', seq, ' '), concat(' ', pair, ' '), " +
           "concat(' ', replace(pair, ' ', ''), ' ')))"))
       .select("word", "freq", "seq")
-      .localCheckpoint() // next round re-reads it twice (pairs + rewrite)
+      .transform(graft.ops.Pinned.pin) // next round re-reads it twice (pairs + rewrite)
     (merged, best)
   }
 
@@ -162,11 +162,11 @@ object Extras28 {
       (s, d) => {
         val e = Graph.coOccurrenceEdges(
           table(s, d, "lineitem"), "l_orderkey", "l_partkey")
-          .localCheckpoint() // both rounds + node list re-read the edges
+          .transform(graft.ops.Pinned.pin) // both rounds + node list re-read the edges
         val sym = e.select(col("u").as("src"), col("v").as("dst"))
           .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
         val nodes = sym.select(col("src").as("node")).distinct()
-          .localCheckpoint()
+          .transform(graft.ops.Pinned.pin)
         val l0 = nodes.withColumn("label", col("node"))
         def round(l: DataFrame): DataFrame = {
           val best = sym.join(l.select(col("node").as("dst"), col("label")), "dst")
@@ -177,7 +177,7 @@ object Extras28 {
             .select(col("src").as("node"), col("b.label").as("nlabel"))
           nodes.join(best, Seq("node"), "left")
             .select(col("node"), coalesce(col("nlabel"), col("node")).as("label"))
-            .localCheckpoint() // next round reads it as both sides
+            .transform(graft.ops.Pinned.pin) // next round reads it as both sides
         }
         val l2 = round(round(l0))
         l2.groupBy(col("label").as("community"))
@@ -294,7 +294,7 @@ object Extras28 {
           .select(Seq(col("doc_id"), col("y")) ++ (0 until F).map(f =>
             expr(s"CAST(size(filter(w, t -> ${featSlot("t")} = $f)) AS BIGINT)")
               .as(s"x$f")): _*)
-          .localCheckpoint() // feeds both gradient passes
+          .transform(graft.ops.Pinned.pin) // feeds both gradient passes
         // step 1: w=0 -> p=1/2 exactly -> residual quantizes to +-2^19
         val a1 = feats.agg(
           count(lit(1)).as("n"),
@@ -468,7 +468,7 @@ object Extras28 {
         val sample = table(s, d, "documents")
           .filter(col("doc_id") % 10 === 0)
           .select(col("doc_id"), col("text"))
-          .localCheckpoint() // truth + three config sweeps re-read it
+          .transform(graft.ops.Pinned.pin) // truth + three config sweeps re-read it
         val dw = sample.select(col("doc_id"),
           explode(array_distinct(split(col("text"), " "))).as("w"))
         val sizes = dw.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -481,7 +481,7 @@ object Extras28 {
           .filter(col("ni").cast(DoubleType) /
             (col("n1") + col("n2") - col("ni")).cast(DoubleType) >= 0.5)
           .select("id1", "id2")
-          .localCheckpoint() // joined against every config's candidates
+          .transform(graft.ops.Pinned.pin) // joined against every config's candidates
         val nTruth = truth.agg(count(lit(1)).as("n_truth"))
         val configs = Seq((8, 2), (4, 4), (2, 8))
         // ONE minhash pass, banded three ways. The production
@@ -492,7 +492,7 @@ object Extras28 {
         // the candidate set a production dedup run would generate.
         val sig = Dedup.minhashSignatures(sample, "doc_id",
           array_distinct(split(col("text"), " ")), 16)
-          .localCheckpoint()
+          .transform(graft.ops.Pinned.pin)
         val perConfig = configs.map { case (b, r) =>
           val cand = Dedup.lshCandidatePairsFromBands(
             Dedup.lshBandsFromSignatures(sig, "doc_id", 16, r),
@@ -607,7 +607,7 @@ object Extras28 {
           .select(col("source"), explode(
             Dedup.shingles(col("text"), 3)).as("sh"))
           .distinct()
-          .localCheckpoint() // sizes + both join sides re-read it
+          .transform(graft.ops.Pinned.pin) // sizes + both join sides re-read it
         val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("n"))
         val common = srcSh.select(col("source").as("src1"), col("sh"))
           .join(srcSh.select(col("source").as("src2"), col("sh")), "sh")
@@ -914,7 +914,7 @@ object Extras28 {
           .select(col("doc_id"), col("source"),
             explode(Dedup.shingles(col("text"), 3)).as("sh"))
           .distinct()
-          .localCheckpoint() // df aggregate + novelty join both read it
+          .transform(graft.ops.Pinned.pin) // df aggregate + novelty join both read it
         val df_ = docSh.groupBy("sh").agg(count(lit(1)).as("df"))
         val perDoc = docSh.join(df_, "sh")
           .groupBy("doc_id", "source")
@@ -1033,7 +1033,7 @@ object Extras28 {
         val base = table(s, d, "nation").select(
           col("n_nationkey").cast(LongType).as("k"),
           col("n_regionkey").cast(LongType).as("r"))
-          .orderBy("k").limit(12).localCheckpoint()
+          .orderBy("k").limit(12).transform(graft.ops.Pinned.pin)
         val rows12 = base.collect().sortBy(_.getLong(0))
         rows12.foreach { row =>
           TxLogTable.append(

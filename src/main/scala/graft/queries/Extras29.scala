@@ -98,7 +98,7 @@ object Extras29 {
             explode(split(col("text"), " ")).as("w"))
           .filter(length(col("w")) > 0)
           .withColumn("b", expr(slot("w", B)))
-          .localCheckpoint() // three consumers: raw LM, target LM, scoring
+          .transform(graft.ops.Pinned.pin) // three consumers: raw LM, target LM, scoring
         val raw = toks.groupBy("b").agg(count(lit(1)).as("r_cnt"))
         val tgt = toks.filter(col("lang") === "en")
           .groupBy("b").agg(count(lit(1)).as("t_cnt"))
@@ -232,7 +232,7 @@ object Extras29 {
         val base = table(s, d, "documents")
           .select(col("doc_id"), col("lang"),
             size(split(col("text"), " ")).cast(LongType).as("n"))
-          .localCheckpoint() // spine + per-doc totals share it
+          .transform(graft.ops.Pinned.pin) // spine + per-doc totals share it
         val pos = base.select(col("doc_id"), col("n"),
           explode(expr("sequence(1L, n)")).as("pos"))
         val starts = pos
@@ -241,7 +241,7 @@ object Extras29 {
           .withColumn("len",
             lit(1L) + expr(
               "CAST(conv(substring(h, 2, 1), 16, 10) AS BIGINT) % 3"))
-          .localCheckpoint() // span count + masked-union both read it
+          .transform(graft.ops.Pinned.pin) // span count + masked-union both read it
         val spansPerDoc = starts.groupBy("doc_id")
           .agg(count(lit(1)).as("n_spans"))
         val maskedPerDoc = starts
@@ -310,7 +310,7 @@ object Extras29 {
               "i -> struct(w[i] AS w1, w[i + 1] AS w2))")).as("p"))
           .select(col("doc_id"), col("lang"),
             col("p.w1").as("w1"), col("p.w2").as("w2"))
-          .localCheckpoint() // LM counts + scoring share one pass
+          .transform(graft.ops.Pinned.pin) // LM counts + scoring share one pass
         val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
         val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
         val scored = bg

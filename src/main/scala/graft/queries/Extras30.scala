@@ -50,7 +50,7 @@ object Extras30 {
         // q273's documented pattern) — census and pruned pair stage
         // both read it
         val asg = graft.ops.Dedup.assignCellsWithDist(fv, cc, "vec_id", "v")
-          .localCheckpoint()
+          .transform(graft.ops.Pinned.pin)
         val drops = graft.ops.Dedup
           .semanticDupPairsPrunedFromAssignment(fv, asg, "vec_id", "v", tau = 0.35)
           .groupBy("cell").agg(count(lit(1)).as("n_dropped"))
@@ -266,7 +266,12 @@ object Extras30 {
         val k = math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong)
         val cc = fv.filter(col("vec_id") < k)
           .select(col("vec_id").as("cell"), col("v").as("cv"))
-        val frac256 = math.min(256L, math.max(1L, (256L * 512L + n - 1) / n))
+        // max(1, n) in the divisor: an EMPTY embeddings table must
+        // yield an empty audit, not an ArithmeticException at plan
+        // build (frac256 then clamps to 256 = exact regime over no
+        // rows; the oracle mirrors with GREATEST(COUNT(*), 1))
+        val frac256 = math.min(256L,
+          math.max(1L, (256L * 512L + n - 1) / math.max(1L, n)))
         val sampled =
           if (frac256 >= 256L) fv
           else fv.filter(
@@ -298,7 +303,7 @@ object Extras30 {
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    FROM embeddings),
               p AS (SELECT LEAST(256, GREATEST(1,
-                       (256 * 512 + COUNT(*) - 1) // COUNT(*))) AS c
+                       (256 * 512 + COUNT(*) - 1) // GREATEST(COUNT(*), 1))) AS c
                     FROM embeddings),
               cc AS (SELECT vec_id AS cell, v AS cv FROM emb
                      WHERE vec_id < (SELECT GREATEST(8,
@@ -413,7 +418,7 @@ object Extras30 {
             explode(split(col("text"), " ")).as("w"))
           .filter(length(col("w")) > 0)
           .withColumn("b", expr(Extras29.slot("w", B)))
-          .localCheckpoint() // two consumers: LM build and doc scoring
+          .transform(graft.ops.Pinned.pin) // two consumers: LM build and doc scoring
         val raw = toks.groupBy("b").agg(count(lit(1)).as("r_cnt"))
         val tgt = toks.filter(col("lang") === "en")
           .groupBy("b").agg(count(lit(1)).as("t_cnt"))

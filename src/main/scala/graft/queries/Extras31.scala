@@ -56,7 +56,7 @@ object Extras31 {
         // ONE n×k assignment pass, pinned — census and pair stage
         // both read it (q273's documented pattern)
         val asg = graft.ops.Dedup.assignCellsWithDist(fv, cc, "vec_id", "v")
-          .localCheckpoint()
+          .transform(graft.ops.Pinned.pin)
         val drops = graft.ops.Dedup
           .semanticDupFromAssignment(fv, asg, "vec_id", "v",
             tau = 0.35, corpusCount = n, exactMaxRows = ceiling)
@@ -145,22 +145,26 @@ object Extras31 {
     // simplest member, over the stubbed byte-as-pixel decode the
     // multimodal family already uses (q44/q45/q181: the corpus'
     // ASCII text doubles as the binary payload, so the oracle can
-    // replay the codec exactly): the payload is cut into 32 equal
+    // replay the codec exactly): the payload is cut into 60 equal
     // strips (the "downsampled image"), each strip's bit = 1 iff its
     // mean byte exceeds the whole payload's mean — cross-multiplied
-    // integers (ss*tc > ts*sc), no division — giving a 32-bit hash
+    // integers (ss*tc > ts*sc), no division — giving a 60-bit hash
     // that tolerates small local edits where md5 flips completely.
-    // Near-dups band the hash SimHash-style (2 bands × 16 bits: any
-    // pair within Hamming ≤ 3 of 32 bits shares at least one intact
-    // half by pigeonhole... with 3 flips one 16-bit half can hold at
-    // most all 3, so the other is intact — recall is EXACT for the
-    // ≤3 gate, not probabilistic) and verify with bit_count(xor) ≤ 3
-    // on banded candidates only. BYTE-IDENTICAL payloads collapse to
-    // their min-id representative FIRST (content-md5 group, the same
-    // stage a production image pipeline runs before perceptual
-    // matching): exact duplicates are the exact-dedup operator's job
-    // (q33), and without the collapse an N-way identical payload
-    // fills its perceptual bucket with N copies whose N²/2 pairwise
+    // (60 bits, not 64: the DuckDB mirror errors on a shift into the
+    // sign bit, and 60 = 4×15 keeps every band value positive in
+    // both engines — no signed-shift mirroring traps.)
+    // Near-dups go through Dedup.hammingNearDupPairs: 4 bands × 15
+    // bits, so by pigeonhole ANY pair within Hamming ≤ 3 shares an
+    // intact band — genuinely exact recall for the ≤3 gate (the
+    // round-12 2×16 banding claimed this but dropped 2+1 flip
+    // splits; 4 bands is the smallest count that covers 3 flips),
+    // then exact bit_count(xor) ≤ 3 verification on candidates only.
+    // BYTE-IDENTICAL payloads collapse to their min-id
+    // representative FIRST (content-md5 group, the same stage a
+    // production image pipeline runs before perceptual matching):
+    // exact duplicates are the exact-dedup operator's job (q33), and
+    // without the collapse an N-way identical payload fills its
+    // perceptual bucket with N copies whose N²/2 pairwise
     // verifications say nothing banding's cap should have to absorb.
     // Scale: the collapse is two (md5,id)-keyed linear shuffles;
     // strip stats are linear in bytes and map-side; the only other
@@ -168,73 +172,133 @@ object Extras31 {
     // join; q129's hot-key contract (drop buckets > 64 docs: a hash
     // that common among DISTINCT payloads is a blank/solid-color
     // template, not a near-dup signal) bounds pair expansion at
-    // 2016 pairs per bucket at ANY corpus size.
+    // 2016 pairs per bucket at ANY corpus size; 15-bit bands give
+    // 32768 buckets per band, so average occupancy stays ~n/32768.
     QueryDef("q313_phash_near_dup",
+      (s, d) => phashPairs(aHash60(table(s, d, "documents")
+        .select(col("doc_id"), col("text")))),
+      Some(s"""WITH ${aHashSql("documents")}
+              SELECT id1, id2, hamming FROM pairs
+              ORDER BY id1, id2""")),
+
+    // Near-dup-RICH pHash gate: the natural corpus yields ~1 q313
+    // pair at sf0.01, so the banding/cap/collapse machinery was
+    // barely exercised by the driver. This variant SEEDS near-dups
+    // deterministically — the 32 smallest qualifying docs each get a
+    // mutated twin (one mid-payload character replaced by a
+    // deterministic different character: chr(33 + (ascii+13) mod 94)
+    // never maps a printable byte to itself) — and runs the same
+    // pipeline over original ∪ mutants. A one-byte edit moves one
+    // strip mean and the global mean by ≤93/n, so most twins land
+    // within Hamming 0–3 (margin-dependent, hash-verified either
+    // way): the gate exercises tens of pairs across all four bands,
+    // including multi-band flip splits the 2-band design missed.
+    // Top-k by doc_id (TakeOrderedAndProject — no global window) so
+    // the seeded frame is O(1)-sized at ANY corpus scale.
+    QueryDef("q314_phash_near_dup_seeded",
       (s, d) => {
-        val docs0 = table(s, d, "documents")
+        val base = table(s, d, "documents")
           .select(col("doc_id"), col("text"),
             length(col("text")).cast(LongType).as("n"))
-          .filter(col("n") >= 32) // one full strip minimum apiece
-        val keep = docs0
-          .select(col("doc_id"), md5(col("text")).as("f"))
-          .groupBy("f").agg(min("doc_id").as("doc_id"))
-          .select("doc_id")
-        val docs = docs0.join(keep, Seq("doc_id"), "left_semi")
-        // split-into-chars, not transform(sequence, i ->
-        // substring(text, i, 1)): higher-order-function lambdas run
-        // interpreted AND substring is O(position), so the lambda
-        // form is quadratic per doc — measured most of a 21 s wall
-        // at the 64× replica vs ~3 s for this codegen'd
-        // split+posexplode shape. Java's split("", -1) keeps a
-        // trailing "" element; the filter drops it, leaving p0 =
-        // 0..n-1 exactly as the oracle's generate_series positions.
-        val strips = docs
-          .select(col("doc_id"), col("n"),
-            posexplode(split(col("text"), "")).as(Seq("p0", "ch")))
-          .filter(col("ch") =!= "")
-          .select(col("doc_id"), col("n"), col("p0"),
-            ascii(col("ch")).cast(LongType).as("b"))
-          .withColumn("strip", expr("(p0 * 32) div n"))
-          .groupBy("doc_id", "strip")
-          .agg(sum("b").as("ss"), count(lit(1)).as("sc"))
-        val wdoc = Window.partitionBy("doc_id")
-        // pinned: three consumers (banding + both verify joins) would
-        // otherwise re-run the scan→collapse→char-explode→window
-        // lineage each — measured 22 s vs ~6 s at the 64× replica.
-        // One narrow (doc_id, ah) row per doc, tiny at any scale.
-        val hashes = strips
-          .withColumn("ts", sum("ss").over(wdoc))
-          .withColumn("tc", sum("sc").over(wdoc))
-          .withColumn("bit",
-            when(col("ss") * col("tc") > col("ts") * col("sc"), 1L)
-              .otherwise(0L))
-          .groupBy("doc_id")
-          .agg(sum(expr("shiftleft(bit, CAST(strip AS INT))")).as("ah"))
-          .localCheckpoint()
-        val bands = hashes.select(col("doc_id"), explode(array(
-            struct(lit(0L).as("band"), expr("ah & 65535").as("sig")),
-            struct(lit(1L).as("band"),
-              expr("shiftright(ah, 16) & 65535").as("sig")))).as("bs"))
-          .select(col("doc_id"), col("bs.band").as("band"),
-            col("bs.sig").as("sig"))
-        val cand = graft.ops.Dedup
-          .lshCandidatePairsFromBands(bands, "doc_id", maxBucketSize = 64)
-        cand
-          .join(hashes.select(col("doc_id").as("id1"), col("ah").as("h1")), "id1")
-          .join(hashes.select(col("doc_id").as("id2"), col("ah").as("h2")), "id2")
-          .select(col("id1"), col("id2"),
-            expr("CAST(bit_count(h1 ^ h2) AS BIGINT)").as("hamming"))
-          .filter(col("hamming") <= 3)
-          .orderBy("id1", "id2")
+          .filter(col("n") >= 60)
+          .orderBy("doc_id").limit(32)
+        val mut = expr(
+          "concat(substring(text, 1, CAST(n div 2 AS INT) - 1), " +
+            "chr(33 + ((ascii(substring(text, CAST(n div 2 AS INT), 1)) + 13) % 94)), " +
+            "substring(text, CAST(n div 2 AS INT) + 1))")
+        val variants = base.select(explode(array(
+            struct((col("doc_id") * 2).as("doc_id"), col("text").as("text")),
+            struct((col("doc_id") * 2 + 1).as("doc_id"), mut.as("text"))))
+            .as("r"))
+          .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+        phashPairs(aHash60(variants))
       },
-      Some("""WITH docs0 AS (SELECT doc_id, text,
+      Some(s"""WITH base AS (SELECT doc_id, text,
                        CAST(length(text) AS BIGINT) AS n
-                   FROM documents WHERE length(text) >= 32),
+                   FROM documents WHERE length(text) >= 60
+                   ORDER BY doc_id LIMIT 32),
+              vsrc AS (
+                SELECT doc_id * 2 AS doc_id, text FROM base
+                UNION ALL
+                SELECT doc_id * 2 + 1 AS doc_id,
+                       substr(text, 1, CAST(n // 2 AS INT) - 1) ||
+                       chr(33 + ((ascii(substr(text, CAST(n // 2 AS INT), 1)) + 13) % 94)) ||
+                       substr(text, CAST(n // 2 AS INT) + 1) AS text
+                FROM base),
+              ${aHashSql("vsrc")}
+              SELECT id1, id2, hamming FROM pairs
+              ORDER BY id1, id2"""))
+  )
+
+  /** Shared aHash stage for q313/q314 over a (doc_id, text) payload
+    * frame: md5-collapse byte-identical payloads to their min-id
+    * representative, then the 60-strip average hash. Returns one
+    * narrow (doc_id, ah) row per surviving payload of >= 60 chars.
+    *
+    * split-into-chars, not transform(sequence, i -> substring(text,
+    * i, 1)): higher-order-function lambdas run interpreted AND
+    * substring is O(position), so the lambda form is quadratic per
+    * doc — measured most of a 21 s wall at the 64× replica vs ~3 s
+    * for this codegen'd split+posexplode shape. Java's split("", -1)
+    * keeps a trailing "" element; the filter drops it, leaving p0 =
+    * 0..n-1 exactly as the oracle's generate_series positions.
+    */
+  private def aHash60(payloads: DataFrame): DataFrame = {
+    val docs0 = payloads
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast(LongType).as("n"))
+      .filter(col("n") >= 60) // one full strip minimum apiece
+    val keep = docs0
+      .select(col("doc_id"), md5(col("text")).as("f"))
+      .groupBy("f").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val docs = docs0.join(keep, Seq("doc_id"), "left_semi")
+    val strips = docs
+      .select(col("doc_id"), col("n"),
+        posexplode(split(col("text"), "")).as(Seq("p0", "ch")))
+      .filter(col("ch") =!= "")
+      .select(col("doc_id"), col("n"), col("p0"),
+        ascii(col("ch")).cast(LongType).as("b"))
+      .withColumn("strip", expr("(p0 * 60) div n"))
+      .groupBy("doc_id", "strip")
+      .agg(sum("b").as("ss"), count(lit(1)).as("sc"))
+    val wdoc = Window.partitionBy("doc_id")
+    strips
+      .withColumn("ts", sum("ss").over(wdoc))
+      .withColumn("tc", sum("sc").over(wdoc))
+      .withColumn("bit",
+        when(col("ss") * col("tc") > col("ts") * col("sc"), 1L)
+          .otherwise(0L))
+      .groupBy("doc_id")
+      .agg(sum(expr("shiftleft(bit, CAST(strip AS INT))")).as("ah"))
+  }
+
+  /** The banding+verify half, shared by q313/q314: pin the narrow
+    * per-doc hash frame (the op reads it three times — banding plus
+    * both verify joins — and would otherwise re-run the
+    * scan→collapse→char-explode→window lineage each time; measured
+    * 22 s vs ~6 s at the 64× replica), then 4×15 banding with exact
+    * Hamming ≤ 3 verification. */
+  private def phashPairs(hashes: DataFrame): DataFrame =
+    graft.ops.Dedup.hammingNearDupPairs(
+        hashes.transform(graft.ops.Pinned.pin), "doc_id", "ah",
+        bits = 15, bands = 4, maxHamming = 3, maxBucketSize = 64)
+      .orderBy("id1", "id2")
+
+  /** DuckDB mirror of [[aHash60]] + the 4×15 banding over source
+    * relation `src` — a WITH-clause body ending in `pairs(id1, id2,
+    * hamming)`. Band values and the hash itself stay under the sign
+    * bit (60 = 4×15), so no signed-shift semantics are in play in
+    * either engine. */
+  private def aHashSql(src: String): String =
+    s"""docs0 AS (SELECT doc_id, text,
+                       CAST(length(text) AS BIGINT) AS n
+                   FROM $src WHERE length(text) >= 60),
               canon AS (SELECT MIN(doc_id) AS doc_id
                         FROM docs0 GROUP BY md5(text)),
               docs AS (SELECT d.* FROM docs0 d JOIN canon USING (doc_id)),
               strips AS (
-                SELECT doc_id, (CAST(t.i - 1 AS BIGINT) * 32) // n AS strip,
+                SELECT doc_id, (CAST(t.i - 1 AS BIGINT) * 60) // n AS strip,
                        CAST(SUM(ascii(substr(text, t.i, 1))) AS BIGINT) AS ss,
                        CAST(COUNT(*) AS BIGINT) AS sc
                 FROM docs, UNNEST(generate_series(1, CAST(n AS INT))) AS t(i)
@@ -250,9 +314,13 @@ object Extras31 {
                       FROM strips)
                 GROUP BY doc_id),
               bands AS (
-                SELECT doc_id, 0 AS band, ah & 65535 AS sig FROM hashes
+                SELECT doc_id, 0 AS band, ah & 32767 AS sig FROM hashes
                 UNION ALL
-                SELECT doc_id, 1 AS band, (ah >> 16) & 65535 AS sig FROM hashes),
+                SELECT doc_id, 1 AS band, (ah >> 15) & 32767 AS sig FROM hashes
+                UNION ALL
+                SELECT doc_id, 2 AS band, (ah >> 30) & 32767 AS sig FROM hashes
+                UNION ALL
+                SELECT doc_id, 3 AS band, (ah >> 45) & 32767 AS sig FROM hashes),
               keep AS (SELECT band, sig FROM (
                          SELECT band, sig, COUNT(*) AS c
                          FROM bands GROUP BY 1, 2)
@@ -262,13 +330,12 @@ object Extras31 {
               cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
                        FROM kb a JOIN kb b
                          ON a.band = b.band AND a.sig = b.sig
-                            AND a.doc_id < b.doc_id)
-              SELECT c.id1, c.id2,
-                     CAST(bit_count(xor(h1.ah, h2.ah)) AS BIGINT) AS hamming
-              FROM cand c
-              JOIN hashes h1 ON h1.doc_id = c.id1
-              JOIN hashes h2 ON h2.doc_id = c.id2
-              WHERE bit_count(xor(h1.ah, h2.ah)) <= 3
-              ORDER BY c.id1, c.id2"""))
-  )
+                            AND a.doc_id < b.doc_id),
+              pairs AS (
+                SELECT c.id1, c.id2,
+                       CAST(bit_count(xor(h1.ah, h2.ah)) AS BIGINT) AS hamming
+                FROM cand c
+                JOIN hashes h1 ON h1.doc_id = c.id1
+                JOIN hashes h2 ON h2.doc_id = c.id2
+                WHERE bit_count(xor(h1.ah, h2.ah)) <= 3)"""
 }

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryDef.table
+
+/** Round-13 batch: INCREMENTAL semantic dedup across ingest batches
+  * (q315) — the missing member of the incremental family (exact
+  * dedup has had its anti-join form since q123). A continuously-
+  * ingesting pipeline must dedup batch N+1 against everything seen
+  * WITHOUT re-clustering the seen corpus: the persisted state is the
+  * centroid set plus one representative vector per cell
+  * (Dedup.cellRepresentatives — k rows), and the arriving batch pays
+  * O(|batch| × k) assignment + O(|batch|) cosines whatever the seen
+  * corpus size. Same determinism discipline as Extras27-31: exact
+  * integer outputs, one pinned double expression tree per comparison,
+  * total ORDER BY, count-derived sizing mirrored in pure SQL.
+  */
+object Extras32 {
+
+  /** Left-associated explicit squared-distance sum over the 64-dim
+    * embedding — term-for-term the same double additions Spark's
+    * `aggregate(zip_with(...), 0D, acc + x)` folds (q304's trick). */
+  private def d2Sql(a: String, b: String): String =
+    (1 to 64).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])").mkString(" + ")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Incremental SemDeDup: the corpus is split by a count-derived
+    // boundary into batch 1 (first 3/4 — "already ingested") and
+    // batch 2 (last 1/4 — "arriving"). Batch 1 is clustered once
+    // (k ~ sqrt(n1) centroids, its per-cell representatives elected
+    // and pinned — in production these k-row frames live in a TxLog
+    // state table); batch 2 is then deduped against THAT STATE ONLY:
+    // nearest-centroid assignment + one cosine against the stored
+    // representative per new vector. Batch-1 vectors are never
+    // rescanned by the batch-2 stage (the operator's signature takes
+    // only the state frames — IncrementalDedupSpec pins the plan-
+    // shape independence), which is exactly what makes the op viable
+    // on a 100 TB seen corpus. Output: per cell with arrivals, the
+    // stored rep, how many arrived, how many the state dropped.
+    QueryDef("q315_semantic_dedup_incremental",
+      (s, d) => {
+        val fv = table(s, d, "embeddings").select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val n = fv.count()
+        val split = 3L * n / 4
+        val b1 = fv.filter(col("vec_id") < split)
+        val n1 = b1.count()
+        val k = math.max(8L, math.ceil(math.sqrt(n1.toDouble)).toLong)
+        val cc = b1.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cell"), col("v").as("cv"))
+        // the persisted state: k rows, pinned = "stored"
+        val reps = graft.ops.Dedup
+          .cellRepresentatives(b1, cc, "vec_id", "v")
+          .transform(graft.ops.Pinned.pin)
+        val b2 = fv.filter(col("vec_id") >= split)
+        // ONE |batch|×k assignment pass, pinned — the arrival census
+        // and the drop stage both read it (q273's pattern)
+        val asg2 = graft.ops.Dedup.assignCells(b2, cc, "vec_id", "v")
+          .transform(graft.ops.Pinned.pin)
+        val drops = graft.ops.Dedup
+          .semanticDupIncrementalFromAssignment(b2, asg2, reps,
+            "vec_id", "v", tau = 0.35)
+          .groupBy("cell").agg(count(lit(1)).as("n_dropped"))
+        asg2.groupBy("cell").agg(count(lit(1)).as("n_new"))
+          .join(reps.select("cell", "rep"), Seq("cell"))
+          .join(drops, Seq("cell"), "left")
+          .na.fill(0L, Seq("n_dropped"))
+          .select(col("cell"), col("rep"), col("n_new"), col("n_dropped"),
+            (col("n_new") - col("n_dropped")).as("n_kept"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH emb AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+              nn AS (SELECT (3 * COUNT(*)) // 4 AS s FROM embeddings),
+              b1 AS (SELECT * FROM emb
+                     WHERE vec_id < (SELECT s FROM nn)),
+              kk AS (SELECT GREATEST(8,
+                       CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM b1),
+              cc AS (SELECT vec_id AS cell, v AS cv FROM b1
+                     WHERE vec_id < (SELECT k FROM kk)),
+              -- d2 computed ONCE in the innermost select, window
+              -- orders by the alias (the q311 lesson: inlining the
+              -- 64-term sum into the window ORDER BY re-evaluates it
+              -- per sort comparison — 30× slower and it churns
+              -- jemalloc mappings until vm.max_map_count trips)
+              asg1 AS (SELECT vec_id, cell, d2 FROM (
+                  SELECT vec_id, cell, d2,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY d2, cell) AS rn
+                  FROM (SELECT e.vec_id, cc.cell,
+                               ${d2Sql("e.v", "cc.cv")} AS d2
+                        FROM b1 e JOIN cc ON TRUE)) WHERE rn = 1),
+              reps AS (SELECT cell, vec_id AS rep FROM (
+                  SELECT cell, vec_id, ROW_NUMBER() OVER (PARTITION BY cell
+                           ORDER BY d2, vec_id) AS rn
+                  FROM asg1) WHERE rn = 1),
+              b2 AS (SELECT * FROM emb
+                     WHERE vec_id >= (SELECT s FROM nn)),
+              asg2 AS (SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell, d2,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY d2, cell) AS rn
+                  FROM (SELECT e.vec_id, cc.cell,
+                               ${d2Sql("e.v", "cc.cv")} AS d2
+                        FROM b2 e JOIN cc ON TRUE)) WHERE rn = 1),
+              drops AS (SELECT a.cell, COUNT(*) AS n_dropped
+                        FROM asg2 a JOIN reps r ON r.cell = a.cell
+                        JOIN emb m ON m.vec_id = a.vec_id
+                        JOIN emb rv ON rv.vec_id = r.rep
+                        WHERE a.vec_id <> r.rep
+                          AND list_cosine_similarity(m.v, rv.v) >= 0.35
+                        GROUP BY a.cell),
+              news AS (SELECT cell, COUNT(*) AS n_new FROM asg2 GROUP BY cell)
+              SELECT n.cell, r.rep, n.n_new,
+                     COALESCE(d.n_dropped, 0) AS n_dropped,
+                     n.n_new - COALESCE(d.n_dropped, 0) AS n_kept
+              FROM news n JOIN reps r ON r.cell = n.cell
+              LEFT JOIN drops d ON d.cell = n.cell
+              ORDER BY n.cell"""))
+  )
+}

@@ -144,7 +144,7 @@ object Extras4 {
         // frames of the round-10 form (7.6 s -> ~2 s at sf0.1). The
         // 5-ROW median table IS pinned so the deviation frame's two
         // histogram passes don't re-execute the median's two.
-        val med = Quantiles.groupMedian(o, "grp", "v").localCheckpoint()
+        val med = Quantiles.groupMedian(o, "grp", "v").transform(graft.ops.Pinned.pin)
         val dev = o.join(broadcast(med.select("grp", "median")), "grp")
           .select(col("grp"), abs(col("v") - col("median")).as("ad"))
         Quantiles.groupMedian(dev, "grp", "ad")
@@ -594,7 +594,7 @@ object Extras4 {
             .select((col("c_custkey") + 2000000L).as("k"), col("c_acctbal").as("bal")))
         val j = base.select(col("k"), col("bal").as("bal_a"))
           .join(next.select(col("k"), col("bal").as("bal_b")), Seq("k"), "full_outer")
-          .localCheckpoint()
+          .transform(graft.ops.Pinned.pin)
         val dels = j.filter(col("bal_b").isNull ||
             (col("bal_a").isNotNull && col("bal_a") =!= col("bal_b"))).select("k")
         val ups = j.filter(col("bal_b").isNotNull &&

@@ -116,7 +116,7 @@ object Extras9 {
         val ded = table(s, d, "lineitem")
           .select(col("l_returnflag").as("flag"), col("l_orderkey").as("key"))
           .distinct()
-          .localCheckpoint()
+          .transform(graft.ops.Pinned.pin)
         val hashed = ded.withColumn("hx", md5(col("key").cast(StringType)))
         // classic two-stage top-k: per-(flag, input-partition) local
         // top-64 first — the global k minima are necessarily among the

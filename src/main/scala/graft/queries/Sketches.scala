@@ -114,7 +114,7 @@ object Sketches {
         // ReuseExchange; the pin is released by the caller (bench
         // drops all blocks per query; Verify's session is per-run).
         val shardRegs = rho.groupBy("shard", "bucket").agg(max(col("rho")).as("r"))
-          .localCheckpoint()
+          .transform(graft.ops.Pinned.pin)
         val merged = estOf(shardRegs.groupBy("bucket").agg(max(col("r")).as("r")))
           .select(col("e").as("est_merged"))
         val direct = estOf(shardRegs.groupBy("bucket").agg(max(col("r")).as("r")))

@@ -154,7 +154,7 @@ object TxLogTable {
     // the batch arrives under LOGICAL names; internal frames and the
     // staged bytes are physical (see the column-mapping notes above)
     val order = snap.logicalSchema.fieldNames.toSeq
-    val up = updates.localCheckpoint()
+    val up = updates.transform(graft.ops.Pinned.pin)
     val batch = toPhysicalDf(
       up.select(order.map(col): _*), snap.renames) // loud error on missing columns
     // rewrite commits keep the committed DDL verbatim, so type drift

@@ -176,6 +176,24 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet === exactSet)
   }
 
+  test("ExactRegimeMaxRows is derived from the TOTAL-pair budget") {
+    // at k ~ sqrt(n) cells the exact regime's total pair count is
+    // k·(n/k)²/2 = n^1.5/2 (NOT the per-cell (n/k)²/2 — the round-12
+    // scaladoc's conflation); the ceiling must be the largest n whose
+    // total fits ExactPairBudget: n ≤ (2B)^(2/3)
+    val b = Dedup.ExactPairBudget.toDouble
+    assert(Dedup.ExactRegimeMaxRows ===
+      math.floor(math.pow(2.0 * b, 2.0 / 3.0)).toLong)
+    val n = Dedup.ExactRegimeMaxRows.toDouble
+    assert(math.pow(n, 1.5) / 2.0 <= b,
+      "total pairs at the ceiling must fit the budget")
+    assert(math.pow(n + 1.0, 1.5) / 2.0 > b,
+      "one row above the ceiling must exceed the budget")
+    // magnitude sanity: ~2.6M rows at B = 2^31, not the old 2^24
+    assert(Dedup.ExactRegimeMaxRows > (1L << 21) &&
+      Dedup.ExactRegimeMaxRows < (1L << 22))
+  }
+
   test("assignCellsWithDist ties break to the smallest cell id, d2 is exact") {
     def v(x: Double, y: Double) = Array(x, y, 0.0, 0.0)
     val vecs = Seq((7L, v(0.5, 0.5))).toDF("id", "v")

@@ -67,9 +67,17 @@ class VacuumWriterRaceSpec extends SparkSpec {
     })
     writer.start()
     // hammer vacuum (default window) while the writer publishes —
-    // every pass may observe some writer mid-stage or mid-claim
-    try while (writer.isAlive) TxLogTable.vacuum(spark, t)
-    finally writer.join()
+    // every pass may observe some writer mid-stage or mid-claim. A
+    // short pause between passes keeps this from busy-spinning the
+    // driver thread against the append jobs on a loaded host (the
+    // overlap is what the test needs, not the pass COUNT), and the
+    // iteration bound keeps a wedged writer from hanging the suite.
+    try {
+      var passes = 0
+      while (writer.isAlive && passes < 500) {
+        TxLogTable.vacuum(spark, t); passes += 1; Thread.sleep(20)
+      }
+    } finally writer.join()
     TxLogTable.vacuum(spark, t)
     assert(errs.isEmpty, s"append failed under concurrent vacuum: ${errs.peek()}")
     val got = TxLogTable.read(spark, t).select("id")
