@@ -178,10 +178,21 @@ object Dedup {
     * shift, and signed-shift mirroring is a bug farm both engines
     * can simply avoid.
     *
-    * Scale: one narrow (id, band, sig) explode (bands rows/doc), one
-    * bucket aggregation, per-bucket pair expansion capped at
-    * maxBucketSize²/2, and a hash-lookup verify join — no all-pairs
-    * stage at any corpus size. Output (id1, id2, hamming), id1 < id2.
+    * Scale: one narrow (id, hash, band, sig) explode (bands
+    * rows/doc), one bucket aggregation, per-bucket pair expansion
+    * capped at maxBucketSize²/2 — the hash RIDES THROUGH the bucket
+    * (8 bytes/row) so candidates verify inline in codegen instead of
+    * re-joining the hash table twice (two shuffles of the full
+    * candidate volume: measured 14.3 s → that join was most of it at
+    * the 64× replica, where 15-bit bands' random-collision floor
+    * makes ~9M candidates), and the cross-band dedup runs AFTER the
+    * Hamming gate, on survivors only. No all-pairs stage at any
+    * corpus size. Random-collision floor to plan around: with b-bit
+    * bands, expected bucket occupancy is n/2^b per band — past
+    * n ≈ maxBucketSize·2^b docs (~2M at 15/64) hot-bucket drops stop
+    * being rare; band a WIDER perceptual hash (the op takes any
+    * bits×bands ≤ 63) before that point. Output (id1, id2, hamming),
+    * id1 < id2, one row per pair.
     */
   def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
       bits: Int, bands: Int, maxHamming: Int,
@@ -196,14 +207,34 @@ object Dedup {
         expr(s"shiftright($hashCol, ${b * bits}) & $mask").as("sig"))
     }
     val banded = hashes
-      .select(col(idCol), explode(array(bandCols: _*)).as("bs"))
-      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    lshCandidatePairsFromBands(banded, idCol, maxBucketSize)
-      .join(hashes.select(col(idCol).as("id1"), col(hashCol).as("__h1")), "id1")
-      .join(hashes.select(col(idCol).as("id2"), col(hashCol).as("__h2")), "id2")
+      .select(col(idCol), col(hashCol).as("__h"),
+        explode(array(bandCols: _*)).as("bs"))
+      .select(col(idCol), col("__h"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // (id, hash) members sorted by id — struct ordering is
+    // field-order, ids first, so pair expansion emits id1 < id2
+    // exactly like lshCandidatePairsFromBands
+    val buckets = banded
+      .groupBy("band", "sig")
+      .agg(sort_array(collect_list(
+        struct(col(idCol).as("id"), col("__h").as("h")))).as("__m"))
+      .filter(size(col("__m")) >= 2)
+    val capped =
+      if (maxBucketSize > 0) buckets.filter(size(col("__m")) <= maxBucketSize)
+      else buckets
+    capped
+      .select(posexplode(col("__m")).as(Seq("__i", "__a")), col("__m"))
+      .select(col("__a.id").as("id1"), col("__a.h").as("__h1"),
+        explode(slice(col("__m"), col("__i") + 2, size(col("__m")))).as("__b"))
+      .select(col("id1"), col("__h1"),
+        col("__b.id").as("id2"), col("__b.h").as("__h2"))
+      // duplicate input ids would land adjacent in the sorted bucket
+      // and emit (x,x) — same guard as the LSH pair expansion
+      .filter(col("id1") =!= col("id2"))
       .select(col("id1"), col("id2"),
         expr("CAST(bit_count(__h1 ^ __h2) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity between two token-array columns. */
