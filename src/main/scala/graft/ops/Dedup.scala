@@ -472,4 +472,64 @@ object Dedup {
     val uni = size(array_union(a, b)).cast(DoubleType)
     round(inter / greatest(uni, lit(1.0)), 4)
   }
+
+  /** The persistable LSH INDEX of a seen corpus — the state an
+    * incremental MinHash-LSH pipeline stores between ingest batches
+    * (alongside the per-doc signature table): one row per (band,
+    * signature) bucket holding the sorted member ids. Hot signatures
+    * (more than `maxIdsPerSig` members) are dropped AT WRITE TIME —
+    * a signature that common is a stop-phrase, not a near-dup
+    * signal, and capping here is what keeps every future probe's
+    * per-hit fan-out bounded (same rationale as
+    * [[lshCandidatePairs]]' `maxBucketSize`). Compact: the index
+    * never stores text, only ids — ~bands rows per seen doc
+    * amortized, collapsed to one row per occupied bucket.
+    */
+  def lshIndex(bands: DataFrame, idCol: String,
+      maxIdsPerSig: Int = 10000): DataFrame = {
+    val buckets = bands
+      .groupBy("band", "sig")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+    if (maxIdsPerSig > 0) buckets.filter(size(col("ids")) <= maxIdsPerSig)
+    else buckets
+  }
+
+  /** INCREMENTAL MinHash-LSH near-dup — dedup an ARRIVING batch
+    * against the stored index of everything already seen, never
+    * re-shingling (let alone re-reading) the seen corpus. The
+    * arriving batch's signatures band and probe the stored
+    * [[lshIndex]] with one hash join on (band, sig) — per-probe cost
+    * is O(bands) lookups whatever the seen-corpus size — and every
+    * candidate (new, seen) pair then VERIFIES against the stored
+    * per-doc SIGNATURE table, not the seen text: `n_match` counts
+    * agreeing minhashes, an unbiased Jaccard estimator
+    * (E[n_match/k] = J, Broder's theorem) that costs k column
+    * comparisons per candidate and keeps the state text-free. A band
+    * collision already implies `rowsPerBand` agreeing minhashes, so
+    * `minMatches` below that is a no-op and above it is the
+    * precision knob. Output (new_id, seen_id, n_match), one row per
+    * surviving pair. Batch-internal dups are a separate composition
+    * — run [[lshCandidatePairs]] over the batch alone.
+    */
+  def lshDupIncremental(newSigs: DataFrame, stateSigs: DataFrame,
+      stateIndex: DataFrame, idCol: String, numHashes: Int,
+      rowsPerBand: Int, minMatches: Int): DataFrame = {
+    val newBands = lshBandsFromSignatures(newSigs, idCol, numHashes, rowsPerBand)
+    val cand = newBands
+      .select(col(idCol).as("new_id"), col("band"), col("sig"))
+      .join(stateIndex, Seq("band", "sig"))
+      .select(col("new_id"), explode(col("ids")).as("seen_id"))
+      // replayed ids (a batch re-ingested after a failed commit) must
+      // not match themselves
+      .filter(col("new_id") =!= col("seen_id"))
+      .distinct()
+    val nMatch = (0 until numHashes)
+      .map(i => when(col(s"__na.mh$i") === col(s"__sb.mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(newSigs.as("__na"), cand("new_id") === col(s"__na.$idCol"))
+      .join(stateSigs.as("__sb"), cand("seen_id") === col(s"__sb.$idCol"))
+      .select(col("new_id"), col("seen_id"), nMatch.as("n_match"))
+      .filter(col("n_match") >= minMatches)
+  }
 }

@@ -119,6 +119,79 @@ object Extras32 {
                      n.n_new - COALESCE(d.n_dropped, 0) AS n_kept
               FROM news n JOIN reps r ON r.cell = n.cell
               LEFT JOIN drops d ON d.cell = n.cell
-              ORDER BY n.cell"""))
+              ORDER BY n.cell""")),
+
+    // Incremental MinHash-LSH near-dup: the LSH member of the
+    // incremental family (exact: q123, semantic: q315). The seen 3/4
+    // persists TWO compact state tables — the per-doc 8-minhash
+    // signature frame and the (band, sig) -> member-ids index with
+    // hot signatures dropped at write time (cap 64: a signature
+    // shared by >64 docs is a stop-phrase, and capping at write time
+    // bounds every FUTURE probe's fan-out). The arriving 1/4 bands
+    // its own signatures, probes the index with one (band, sig) hash
+    // join, and verifies candidates against the stored SIGNATURES,
+    // never the seen text: n_match (0..8 agreeing minhashes) is the
+    // unbiased Jaccard estimate k*J. Cross-split pairs only by
+    // construction; n_match >= 2 is implied by any band collision
+    // (rowsPerBand = 2), so the gate exercises the estimator while
+    // dropping hash-tie accidents.
+    QueryDef("q316_lsh_dedup_incremental",
+      (s, d) => {
+        val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+        val n = docs.count()
+        val split = 3L * n / 4
+        val sh = graft.ops.Dedup.shingles(col("text"), 3)
+        // stored state: per-doc signatures + write-time-capped index
+        val sigs1 = graft.ops.Dedup
+          .minhashSignatures(docs.filter(col("doc_id") < split), "doc_id", sh, 8)
+          .transform(graft.ops.Pinned.pin)
+        val index = graft.ops.Dedup.lshIndex(
+            graft.ops.Dedup.lshBandsFromSignatures(sigs1, "doc_id", 8, 2),
+            "doc_id", maxIdsPerSig = 64)
+          .transform(graft.ops.Pinned.pin)
+        // arriving batch: one signature pass, read by band + verify
+        val sigs2 = graft.ops.Dedup
+          .minhashSignatures(docs.filter(col("doc_id") >= split), "doc_id", sh, 8)
+          .transform(graft.ops.Pinned.pin)
+        graft.ops.Dedup.lshDupIncremental(sigs2, sigs1, index,
+            "doc_id", numHashes = 8, rowsPerBand = 2, minMatches = 2)
+          .orderBy("new_id", "seen_id")
+      },
+      Some {
+        val mhs = (0 until 8).map(i => s"MIN(md5('$i:' || s)) AS mh$i").mkString(", ")
+        val nm = (0 until 8).map(i =>
+          s"(CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH nn AS (SELECT (3 * COUNT(*)) // 4 AS s FROM documents),
+            ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            shg AS (SELECT DISTINCT doc_id, s FROM
+              (SELECT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s FROM
+                (SELECT doc_id, w, unnest(range(1, GREATEST(len(w) - 1, 2))) AS i FROM ws) t1) t2),
+            sg AS (SELECT doc_id, $mhs FROM shg GROUP BY doc_id),
+            sg1 AS (SELECT * FROM sg WHERE doc_id < (SELECT s FROM nn)),
+            sg2 AS (SELECT * FROM sg WHERE doc_id >= (SELECT s FROM nn)),
+            bands1 AS (
+              SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS sig FROM sg1 UNION ALL
+              SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS sig FROM sg1 UNION ALL
+              SELECT doc_id, 2 AS band, md5(mh4 || mh5) AS sig FROM sg1 UNION ALL
+              SELECT doc_id, 3 AS band, md5(mh6 || mh7) AS sig FROM sg1),
+            -- write-time hot-signature cap on the stored index
+            idx AS (SELECT band, sig FROM bands1
+                    GROUP BY band, sig HAVING COUNT(*) <= 64),
+            bands1c AS (SELECT b.* FROM bands1 b JOIN idx USING (band, sig)),
+            bands2 AS (
+              SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS sig FROM sg2 UNION ALL
+              SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS sig FROM sg2 UNION ALL
+              SELECT doc_id, 2 AS band, md5(mh4 || mh5) AS sig FROM sg2 UNION ALL
+              SELECT doc_id, 3 AS band, md5(mh6 || mh7) AS sig FROM sg2),
+            cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS seen_id
+                     FROM bands2 a JOIN bands1c b
+                       ON a.band = b.band AND a.sig = b.sig
+                      AND a.doc_id <> b.doc_id)
+            SELECT c.new_id, c.seen_id, CAST($nm AS BIGINT) AS n_match
+            FROM cand c JOIN sg2 x ON x.doc_id = c.new_id
+                        JOIN sg1 y ON y.doc_id = c.seen_id
+            WHERE $nm >= 2
+            ORDER BY c.new_id, c.seen_id"""
+      })
   )
 }
