@@ -557,4 +557,63 @@ object StreamingOps {
         ()
       }
       .start()
+
+  /** STREAMING LSH-dedup ingest — the continuous form of the
+    * incremental MinHash-LSH dedup (`graft.ops.Dedup.lshDupIncremental`,
+    * q316's loop run as a stream). Per micro-batch (foreachBatch):
+    * (1) signature the arriving docs once; (2) probe the stored ACID
+    * state — the per-doc signature table plus the (band, sig) member
+    * index, hot-capped at probe — for near-dups of anything KEPT so
+    * far; (3) append the verdict pairs; (4) append the kept arrivals'
+    * signatures and band entries, growing the state for the next
+    * batch. All three appends are txn-tagged (appId, batchId), so a
+    * replayed micro-batch no-ops on every table and the state stays
+    * exactly-once over at-least-once delivery — a doc dropped in
+    * batch N never enters the state, so batch N+1 cannot match it.
+    *
+    * Cost per batch: O(|batch|) signature work + O(|batch| x bands)
+    * index probes + one bounded verify per candidate — independent of
+    * the seen-corpus row count (the 100 TB property;
+    * StreamingDedupIngestSpec pins stream-equals-sequential-batch
+    * semantics, IncrementalLshSpec pins the plan-shape independence).
+    * NOT an oracle-suite query: three drained micro-batches cost
+    * ~8 s of stream/commit machinery regardless of data size
+    * (measured — 1/7th of sf0.1 still 8.4 s vs 12.8 s full), which
+    * says nothing about the plans; the sequential SEMANTICS are
+    * oracle-gated by q316 and spec-gated here.
+    */
+  def lshDedupIngest(
+      stream: DataFrame,
+      sigTable: String, idxTable: String, outTable: String,
+      appId: String, checkpoint: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      numHashes: Int = 8, rowsPerBand: Int = 2, minMatches: Int = 2,
+      maxIdsPerSig: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.{Dedup, Pinned}
+    import graft.sink.TxLogTable
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bs = Dedup.minhashSignatures(batch, idCol,
+            Dedup.shingles(col(textCol), 3), numHashes)
+          .transform(Pinned.pin)
+        val drops = Dedup.lshDupIncremental(bs,
+            TxLogTable.read(s, sigTable),
+            Dedup.lshIndex(TxLogTable.read(s, idxTable), idCol, maxIdsPerSig),
+            idCol, numHashes, rowsPerBand, minMatches)
+          .transform(Pinned.pin)
+        TxLogTable.append(drops, outTable, Some((s"$appId-out", batchId)))
+        val kept = bs.join(drops.select(col("new_id").as(idCol)),
+            Seq(idCol), "left_anti")
+          .transform(Pinned.pin)
+        TxLogTable.append(kept, sigTable, Some((s"$appId-sig", batchId)))
+        TxLogTable.append(
+          Dedup.lshBandsFromSignatures(kept, idCol, numHashes, rowsPerBand),
+          idxTable, Some((s"$appId-idx", batchId)))
+        Pinned.release(bs); Pinned.release(drops); Pinned.release(kept)
+        ()
+      }
+      .start()
+  }
 }
