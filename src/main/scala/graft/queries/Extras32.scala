@@ -4,17 +4,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import QueryDef.table
 
-/** Round-13 batch: INCREMENTAL semantic dedup across ingest batches
-  * (q315) — the missing member of the incremental family (exact
-  * dedup has had its anti-join form since q123). A continuously-
-  * ingesting pipeline must dedup batch N+1 against everything seen
-  * WITHOUT re-clustering the seen corpus: the persisted state is the
-  * centroid set plus one representative vector per cell
-  * (Dedup.cellRepresentatives — k rows), and the arriving batch pays
-  * O(|batch| × k) assignment + O(|batch|) cosines whatever the seen
-  * corpus size. Same determinism discipline as Extras27-31: exact
-  * integer outputs, one pinned double expression tree per comparison,
-  * total ORDER BY, count-derived sizing mirrored in pure SQL.
+/** Round-13 batch: INCREMENTAL dedup across ingest batches — the
+  * missing members of the incremental family (exact dedup has had
+  * its anti-join form since q123). A continuously-ingesting pipeline
+  * must dedup batch N+1 against everything seen WITHOUT re-reading
+  * (let alone re-clustering) the seen corpus:
+  *
+  *   - q315 semantic: state = centroids + one representative vector
+  *     per cell (Dedup.cellRepresentatives — k rows); the arriving
+  *     batch pays O(|batch| × k) assignment + O(|batch|) cosines
+  *     whatever the seen corpus size.
+  *   - q316 MinHash-LSH: state = per-doc signatures + the write-time-
+  *     capped (band, sig) → ids index (Dedup.lshIndex); the arriving
+  *     batch probes with one hash join and verifies by stored-
+  *     signature agreement (Broder's estimator) — seen TEXT is never
+  *     re-read. The streaming form is StreamingOps.lshDedupIngest
+  *     (op + spec; see its scaladoc for why it is not a suite query).
+  *
+  * Same determinism discipline as Extras27-31: exact integer
+  * outputs, one pinned double expression tree per comparison, total
+  * ORDER BY, count-derived sizing mirrored in pure SQL.
   */
 object Extras32 {
 
