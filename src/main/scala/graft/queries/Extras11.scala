@@ -42,22 +42,32 @@ object Extras11 {
             col("a.g") === col("b.g") && col("a.i") < col("b.i"))
           .select(col("a.i").as("u"), col("b.i").as("v"))
           .distinct()
-        // sym feeds four consumers (both wedge sides, the 1-hop
-        // anti-join, the degree agg) — pin it once or the upstream
-        // self-join + distinct re-executes per consumer (q130 lesson)
+        // sym feeds the adjacency build and the neighbor-list probe —
+        // pin it once or the upstream self-join + distinct re-executes
+        // per consumer (q130 lesson)
         val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
           .transform(graft.ops.Pinned.pin)
-        val twoHop = sym.as("e1")
-          .join(sym.as("e2"), col("e1.v") === col("e2.u"))
-          .select(col("e1.u").as("u"), col("e2.v").as("w"))
-          .filter(col("u") =!= col("w"))
-          .distinct()
-          .join(sym.select(col("u"), col("v").as("w")), Seq("u", "w"), "left_anti")
-          .groupBy("u").agg(count(lit(1)).as("n_two_hop"))
-        val oneHop = sym.groupBy("u").agg(count(lit(1)).as("n_one_hop"))
-        oneHop.join(twoHop, Seq("u"), "left")
-          .na.fill(0L, Seq("n_two_hop"))
-          .select(col("u").as("part"), col("n_one_hop"), col("n_two_hop"))
+        // adjacency-gather form (q130's adjacency-intersection trick
+        // applied to reach): the wedge Σdeg² stays irreducible, but it
+        // moves as ARRAY CELLS in ONE per-u gather instead of as
+        // individual (u, w) rows shuffled twice (wedge distinct + the
+        // 1-hop anti-join) — the row form measured 6.3 s warm at
+        // sf0.1 (~100M wedge rows), this form 2.4 s moving ~30M cells
+        // once; the per-u dedup/one-hop-exclusion runs as
+        // array_distinct/array_except inside codegen
+        val adj = sym.groupBy(col("u").as("x"))
+          .agg(sort_array(collect_set(col("v"))).as("nbr"))
+        val gathered = sym
+          .join(adj.select(col("x").as("v"), col("nbr").as("nv")), Seq("v"))
+          .groupBy("u").agg(flatten(collect_list(col("nv"))).as("allw"))
+        adj.select(col("x").as("u"), col("nbr").as("nu"))
+          .join(gathered, Seq("u"), "left")
+          .select(col("u").as("part"),
+            size(col("nu")).cast("long").as("n_one_hop"),
+            coalesce(
+              size(array_except(array_distinct(col("allw")),
+                array_union(col("nu"), array(col("u"))))).cast("long"),
+              lit(0L)).as("n_two_hop"))
           .orderBy("part")
       },
       Some("""WITH m AS (
