@@ -101,12 +101,24 @@ object Corpus {
     val benchGrams = benchmark.select(col(idCol).as("bench_id"),
       explode(Dedup.shingles(col(textCol), n)).as("gram"))
       .distinct()
-    val bloom = benchGrams.stat.bloomFilter("gram", expectedGrams, fpp)
-    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((g: String) => g != null && bc.value.mightContainString(g))
+    val bloom = benchGrams.select(xxhash64(col("gram")).as("h"))
+      .stat.bloomFilter("h", expectedGrams, fpp)
+    val bytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(out); out.toByteArray
+    }
+    // Native codegen predicate (Catalyst's own runtime-bloom-join
+    // expression) over the serialized filter literal — no scalar UDF,
+    // stays inside whole-stage codegen. Keys are xxhash64(gram) on
+    // both build and probe sides, matching Spark's runtime filters.
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val mightContain = ColumnShim.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      ColumnShim.expression(xxhash64(col("gram")))))
     corpus
       .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
-      .filter(mightContain(col("gram")))
+      .filter(mightContain)
       .join(broadcast(benchGrams), "gram")
       .groupBy(col(idCol))
       .agg(countDistinct(col("gram")).as("n_shared_grams"),
