@@ -197,15 +197,9 @@ object Dedup {
   def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
       bits: Int, bands: Int, maxHamming: Int,
       maxBucketSize: Int): DataFrame = {
-    require(bits > 0 && bands > 0 && bands * bits <= 63,
-      s"bands*bits must stay under the sign bit: $bands x $bits")
     require(maxHamming < bands,
       s"pigeonhole-exact recall needs maxHamming < bands: $maxHamming >= $bands")
-    val mask = (1L << bits) - 1
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b.toLong).as("band"),
-        expr(s"shiftright($hashCol, ${b * bits}) & $mask").as("sig"))
-    }
+    val bandCols = hammingBandStructs(hashCol, bits, bands)
     val banded = hashes
       .select(col(idCol), col(hashCol).as("__h"),
         explode(array(bandCols: _*)).as("bs"))
@@ -235,6 +229,77 @@ object Dedup {
         expr("CAST(bit_count(__h1 ^ __h2) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** The (band, sig) cut of an integer hash: `bands` contiguous
+    * fields of `bits` bits each, every value positive (<= 63 total
+    * bits) so both engines mirror it shift-for-shift. ONE definition
+    * of the geometry, shared by the batch pair op and the
+    * incremental banding. */
+  private def hammingBandStructs(hashCol: String, bits: Int,
+      bands: Int): Seq[Column] = {
+    require(bits > 0 && bands > 0 && bands * bits <= 63,
+      s"bands*bits must stay under the sign bit: $bands x $bits")
+    val mask = (1L << bits) - 1
+    (0 until bands).map { b =>
+      struct(lit(b.toLong).as("band"),
+        expr(s"shiftright($hashCol, ${b * bits}) & $mask").as("sig"))
+    }
+  }
+
+  /** Banded view of an integer-hash frame — the (id, band, sig) rows
+    * [[hammingNearDupPairs]] buckets on, exposed so a pipeline can
+    * PERSIST the banding as incremental state: feed the output to
+    * [[lshIndex]] (the index shape is sig-type-agnostic) and probe
+    * future batches with [[hammingDupIncremental]]. Same geometry
+    * contract as the pair op: bands*bits <= 63, sig = the bits-wide
+    * field b of the hash. Narrow (id, band, sig) — `bands` rows per
+    * input row, no payload bytes. */
+  def hammingBands(hashes: DataFrame, idCol: String, hashCol: String,
+      bits: Int, bands: Int): DataFrame =
+    hashes
+      .select(col(idCol),
+        explode(array(hammingBandStructs(hashCol, bits, bands): _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+  /** INCREMENTAL Hamming near-dup — the multimodal (perceptual-hash)
+    * member of the incremental family, [[lshDupIncremental]]'s exact
+    * analog. State between ingest batches: the per-media hash table
+    * (idCol, hashCol — 8 bytes a row) plus the [[lshIndex]]-shaped
+    * (band, sig) -> ids index built from [[hammingBands]]. The
+    * arriving batch bands its own hashes, probes the index with ONE
+    * (band, sig) hash join — O(bands) lookups per arriving row
+    * whatever the seen-corpus size — and every candidate verifies
+    * exactly against the STORED hash (`bit_count(xor) <= maxHamming`);
+    * seen payload bytes are never re-read, let alone re-hashed.
+    * Pigeonhole recall contract as [[hammingNearDupPairs]]
+    * (maxHamming < bands required — every qualifying pair shares an
+    * intact band, so the index probe cannot miss one); the only
+    * recall exception is the index's own write-time hot-signature
+    * cap. Output (new_id, seen_id, hamming). Replayed ids match
+    * nothing (self-pairs filtered), so a re-ingested batch after a
+    * failed commit is safe; batch-INTERNAL pairs are a separate
+    * composition — run [[hammingNearDupPairs]] over the batch alone.
+    */
+  def hammingDupIncremental(newHashes: DataFrame, stateHashes: DataFrame,
+      stateIndex: DataFrame, idCol: String, hashCol: String,
+      bits: Int, bands: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole-exact recall needs maxHamming < bands: $maxHamming >= $bands")
+    val cand = hammingBands(newHashes, idCol, hashCol, bits, bands)
+      .select(col(idCol).as("new_id"), col("band"), col("sig"))
+      .join(stateIndex, Seq("band", "sig"))
+      .select(col("new_id"), explode(col("ids")).as("seen_id"))
+      .filter(col("new_id") =!= col("seen_id"))
+      .distinct()
+    cand
+      .join(newHashes.select(col(idCol).as("new_id"), col(hashCol).as("__hn")),
+        "new_id")
+      .join(stateHashes.select(col(idCol).as("seen_id"), col(hashCol).as("__hs")),
+        "seen_id")
+      .select(col("new_id"), col("seen_id"),
+        expr("CAST(bit_count(__hn ^ __hs) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Exact n-gram Jaccard similarity between two token-array columns. */
@@ -358,6 +423,17 @@ object Dedup {
     * budget — before flipping. The same count-derived-sizing
     * discipline as [[Similarity.derivedBits]]: ONE definition,
     * referenced by the router and pinned by DedupSpec.
+    *
+    * BEHAVIOR CHANGE (round 13): this ceiling used to be a pinned
+    * 2^24 (~16.8M rows). Deriving it from the pair budget moved it
+    * down to ~2.6M, so default-config [[semanticDup]] callers with
+    * corpora between ~2.6M and ~16.8M rows now route to the PRUNED
+    * regime (linear cost, lower recall: only per-cell-representative
+    * cosines are audited) where they previously got the exact
+    * all-pairs audit. Callers who want the old routing at their own
+    * compute cost pass `exactMaxRows = 1L << 24` explicitly. No
+    * oracle SQL encodes the boundary — q311/q312 gate each regime by
+    * forcing it via the `exactMaxRows` parameter, not by corpus size.
     */
   val ExactRegimeMaxRows: Long =
     math.floor(math.pow(2.0 * ExactPairBudget.toDouble, 2.0 / 3.0)).toLong
@@ -494,6 +570,39 @@ object Dedup {
     else buckets
   }
 
+  /** Merge + hot-cap the PROBED slice of an APPEND-ONLY sharded LSH
+    * index. A continuously-ingesting pipeline cannot rewrite stored
+    * buckets (ACID appends only), so it appends one [[lshIndex]]-
+    * shaped SHARD per commit and a (band, sig) bucket may span
+    * several rows — one per commit that touched it. This
+    * reconstructs the capped single-row view for exactly the buckets
+    * one arriving batch probes: the batch's (band, sig) keys
+    * broadcast (batch-sized), the shard scan matches against them
+    * without shuffling the state, and the merge groupBy runs over
+    * the MATCHED rows only — never a collect_list over the whole
+    * seen index (the full rebuild is what made the first streaming
+    * ingest linear in the seen corpus per batch). The membership cap
+    * applies to the MERGED size, so a signature that turned hot
+    * across commits drops exactly as a single write-time cap would
+    * have dropped it. Output is [[lshIndex]]-shaped: (band, sig,
+    * ids sorted), cap-filtered — feed it to
+    * [[lshDupIncrementalFromBands]] / [[hammingDupIncremental]].
+    *
+    * The one remaining seen-size cost is the shard SCAN itself
+    * (narrow rows, no shuffle); at lakehouse scale, partition the
+    * shard table by `band` and cluster by `sig` so the scan prunes.
+    */
+  def lshIndexMergeProbe(shards: DataFrame, probeBands: DataFrame,
+      maxIdsPerSig: Int): DataFrame = {
+    val merged = shards
+      .join(broadcast(probeBands.select("band", "sig").distinct()),
+        Seq("band", "sig"))
+      .groupBy("band", "sig")
+      .agg(array_sort(flatten(collect_list(col("ids")))).as("ids"))
+    if (maxIdsPerSig > 0) merged.filter(size(col("ids")) <= maxIdsPerSig)
+    else merged
+  }
+
   /** INCREMENTAL MinHash-LSH near-dup — dedup an ARRIVING batch
     * against the stored index of everything already seen, never
     * re-shingling (let alone re-reading) the seen corpus. The
@@ -513,8 +622,18 @@ object Dedup {
     */
   def lshDupIncremental(newSigs: DataFrame, stateSigs: DataFrame,
       stateIndex: DataFrame, idCol: String, numHashes: Int,
-      rowsPerBand: Int, minMatches: Int): DataFrame = {
-    val newBands = lshBandsFromSignatures(newSigs, idCol, numHashes, rowsPerBand)
+      rowsPerBand: Int, minMatches: Int): DataFrame =
+    lshDupIncrementalFromBands(
+      lshBandsFromSignatures(newSigs, idCol, numHashes, rowsPerBand),
+      newSigs, stateSigs, stateIndex, idCol, numHashes, minMatches)
+
+  /** [[lshDupIncremental]] over the arriving batch's precomputed
+    * [[lshBandsFromSignatures]] frame — callers that ALSO append
+    * those bands to the stored index (the streaming ingest) band
+    * once and reuse the frame on both paths. */
+  def lshDupIncrementalFromBands(newBands: DataFrame, newSigs: DataFrame,
+      stateSigs: DataFrame, stateIndex: DataFrame, idCol: String,
+      numHashes: Int, minMatches: Int): DataFrame = {
     val cand = newBands
       .select(col(idCol).as("new_id"), col("band"), col("sig"))
       .join(stateIndex, Seq("band", "sig"))

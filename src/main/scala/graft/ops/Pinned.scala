@@ -32,18 +32,25 @@ object Pinned {
     */
   def pin(df: DataFrame): DataFrame = {
     val tap = auditTap
-    if (tap != null) tap(df.queryExecution.executedPlan.toString)
+    if (tap != null && (Thread.currentThread() eq auditThread))
+      tap(df.queryExecution.executedPlan.toString)
     df.localCheckpoint()
   }
 
   @volatile private var auditTap: String => Unit = null
+  @volatile private var auditThread: Thread = null
 
   /** Run `body` with every [[pin]]'s pre-checkpoint plan streamed to
-    * `sink`. Audit-only (PlanAudit runs queries one at a time on one
-    * thread); not for concurrent use. */
+    * `sink`. Audit-only (PlanAudit runs queries one at a time); the
+    * single-thread restriction is ENFORCED, not just documented: the
+    * tap fires only for pins executed on the installing thread, so a
+    * concurrent pin (e.g. a streaming query's foreachBatch in the
+    * same JVM) falls back to a plain localCheckpoint instead of
+    * polluting the audited query's shuffle/codegen sums. */
   def withAuditTap[A](sink: String => Unit)(body: => A): A = {
+    auditThread = Thread.currentThread()
     auditTap = sink
-    try body finally auditTap = null
+    try body finally { auditTap = null; auditThread = null }
   }
 
   /** Free the storage behind a `localCheckpoint()`ed frame. Safe only

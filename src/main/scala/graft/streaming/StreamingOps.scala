@@ -561,21 +561,43 @@ object StreamingOps {
   /** STREAMING LSH-dedup ingest — the continuous form of the
     * incremental MinHash-LSH dedup (`graft.ops.Dedup.lshDupIncremental`,
     * q316's loop run as a stream). Per micro-batch (foreachBatch):
-    * (1) signature the arriving docs once; (2) probe the stored ACID
-    * state — the per-doc signature table plus the (band, sig) member
-    * index, hot-capped at probe — for near-dups of anything KEPT so
-    * far; (3) append the verdict pairs; (4) append the kept arrivals'
-    * signatures and band entries, growing the state for the next
-    * batch. All three appends are txn-tagged (appId, batchId), so a
-    * replayed micro-batch no-ops on every table and the state stays
-    * exactly-once over at-least-once delivery — a doc dropped in
-    * batch N never enters the state, so batch N+1 cannot match it.
+    * (1) signature + band the arriving docs ONCE; (2) resolve
+    * CO-ARRIVING near-dups inside the batch itself — the higher id of
+    * every verified same-batch pair drops (self-probe of the batch's
+    * own bands; without this, two near-identical docs landing in one
+    * micro-batch would both enter the state forever, diverging from
+    * any one-at-a-time ingest); (3) probe the stored ACID state — the
+    * per-doc signature table plus the APPEND-ONLY SHARDED (band, sig)
+    * index, merged + hot-capped over ONLY the buckets this batch
+    * touches (`Dedup.lshIndexMergeProbe`) — for near-dups of anything
+    * kept so far; (4) append the verdict pairs; (5) append the kept
+    * arrivals' signatures and ONE pre-aggregated index shard, growing
+    * the state for the next batch. All three appends are txn-tagged
+    * (appId, batchId), so a replayed micro-batch no-ops on every
+    * table and the state stays exactly-once over at-least-once
+    * delivery — a doc dropped in batch N never enters the state, so
+    * batch N+1 cannot match it.
     *
-    * Cost per batch: O(|batch|) signature work + O(|batch| x bands)
-    * index probes + one bounded verify per candidate — independent of
-    * the seen-corpus row count (the 100 TB property;
+    * Batch-internal contract (pinned by StreamingDedupIngestSpec):
+    * the HIGHER id of every verified co-arrival pair drops, even if
+    * its lower partner also drops against the stored state — the
+    * batch-parallel clique collapse, deliberately order-free so the
+    * verdict is independent of intra-batch arrival order (a strictly
+    * sequential one-doc-at-a-time replay could keep such a doc; a
+    * deterministic stream cannot depend on intra-batch order).
+    *
+    * Cost per batch: O(|batch|) signature/banding work, O(|batch| x
+    * bands) broadcast-probe keys, the index-shard scan (narrow rows,
+    * no shuffle of the state, no re-aggregation of unmatched
+    * buckets — the merge groupBy touches probed buckets only), and
+    * one bounded verify per candidate. No stage re-reads the seen
+    * TEXT, and no stage re-aggregates the whole seen index (the
+    * first cut of this op re-ran `lshIndex` over every stored band
+    * row per batch — a full groupBy/collect_list of the seen corpus
+    * each micro-batch); at lakehouse scale, partition the shard
+    * table by `band` so even the scan prunes.
     * StreamingDedupIngestSpec pins stream-equals-sequential-batch
-    * semantics, IncrementalLshSpec pins the plan-shape independence).
+    * semantics, IncrementalLshSpec the plan-shape independence.
     * NOT an oracle-suite query: three drained micro-batches cost
     * ~8 s of stream/commit machinery regardless of data size
     * (measured — 1/7th of sf0.1 still 8.4 s vs 12.8 s full), which
@@ -598,20 +620,35 @@ object StreamingOps {
         val bs = Dedup.minhashSignatures(batch, idCol,
             Dedup.shingles(col(textCol), 3), numHashes)
           .transform(Pinned.pin)
-        val drops = Dedup.lshDupIncremental(bs,
-            TxLogTable.read(s, sigTable),
-            Dedup.lshIndex(TxLogTable.read(s, idxTable), idCol, maxIdsPerSig),
-            idCol, numHashes, rowsPerBand, minMatches)
+        val newBands = Dedup
+          .lshBandsFromSignatures(bs, idCol, numHashes, rowsPerBand)
           .transform(Pinned.pin)
+        // co-arrival pass: the batch probes ITSELF (state-shaped
+        // index over its own bands), higher id of each pair drops
+        val innerPairs = Dedup.lshDupIncrementalFromBands(newBands, bs, bs,
+          Dedup.lshIndex(newBands, idCol, maxIdsPerSig),
+          idCol, numHashes, minMatches)
+          .filter(col("new_id") > col("seen_id"))
+        // cross-batch pass: merged + capped view of ONLY the stored
+        // buckets this batch's bands touch
+        val probeIdx = Dedup.lshIndexMergeProbe(
+          TxLogTable.read(s, idxTable), newBands, maxIdsPerSig)
+        val crossPairs = Dedup.lshDupIncrementalFromBands(newBands, bs,
+          TxLogTable.read(s, sigTable), probeIdx,
+          idCol, numHashes, minMatches)
+        val drops = crossPairs.unionAll(innerPairs).transform(Pinned.pin)
         TxLogTable.append(drops, outTable, Some((s"$appId-out", batchId)))
         val kept = bs.join(drops.select(col("new_id").as(idCol)),
             Seq(idCol), "left_anti")
           .transform(Pinned.pin)
         TxLogTable.append(kept, sigTable, Some((s"$appId-sig", batchId)))
         TxLogTable.append(
-          Dedup.lshBandsFromSignatures(kept, idCol, numHashes, rowsPerBand),
+          Dedup.lshIndex(
+            Dedup.lshBandsFromSignatures(kept, idCol, numHashes, rowsPerBand),
+            idCol, maxIdsPerSig),
           idxTable, Some((s"$appId-idx", batchId)))
-        Pinned.release(bs); Pinned.release(drops); Pinned.release(kept)
+        Pinned.release(bs); Pinned.release(newBands)
+        Pinned.release(drops); Pinned.release(kept)
         ()
       }
       .start()

@@ -9,15 +9,21 @@ import org.apache.spark.sql.functions._
 
 /** `StreamingOps.lshDedupIngest`: the streamed incremental LSH dedup
   * must produce EXACTLY the verdicts of the sequential batch
-  * composition (probe state → drop → append kept state, batch by
-  * batch, via the same `Dedup` ops q316 oracle-gates), and a doc
-  * dropped in batch N must never enter the state batch N+1 probes.
+  * composition (co-arrival collapse → probe state → drop → append
+  * kept state, batch by batch, via the same `Dedup` ops q316
+  * oracle-gates), and a doc dropped in batch N — whether to the
+  * stored state or to a same-batch co-arrival — must never enter the
+  * state batch N+1 probes. The index state is APPEND-ONLY SHARDED
+  * (one pre-aggregated `lshIndex` shard per commit, merged at probe
+  * over touched buckets only via `lshIndexMergeProbe`), so this also
+  * pins that the sharded scheme reproduces single-index semantics.
   */
 class StreamingDedupIngestSpec extends SparkSpec {
   import spark.implicits._
 
   private val K = 8
   private val RPB = 2
+  private val CAP = 64
 
   private def sigs(df: DataFrame): DataFrame =
     Dedup.minhashSignatures(df, "doc_id", Dedup.shingles(col("text"), 3), K)
@@ -28,7 +34,9 @@ class StreamingDedupIngestSpec extends SparkSpec {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     TxLogTable.create(spark, sigT, sigs(empty).schema)
     TxLogTable.create(spark, idxT,
-      Dedup.lshBandsFromSignatures(sigs(empty), "doc_id", K, RPB).schema)
+      Dedup.lshIndex(
+        Dedup.lshBandsFromSignatures(sigs(empty), "doc_id", K, RPB),
+        "doc_id", CAP).schema)
     TxLogTable.create(spark, outT, org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("new_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("seen_id", org.apache.spark.sql.types.LongType),
@@ -39,35 +47,51 @@ class StreamingDedupIngestSpec extends SparkSpec {
   // batch 1: two distinct docs. batch 2: a dup of doc 1 (dropped) and
   // a novel doc (kept). batch 3: a dup of batch 2's DROPPED doc — it
   // must still match doc 1 (the kept original), never doc 10 — and a
-  // dup of batch 2's KEPT doc.
+  // dup of batch 2's KEPT doc. batch 4: two CO-ARRIVING copies of a
+  // novel doc — the higher id drops against the lower in the same
+  // micro-batch. batch 5: another copy — it must match 30 (the kept
+  // co-arrival), never 31 (the dropped one).
   private val batches = Seq(
     Seq((1L, "the quick brown fox jumps over the lazy dog by the river"),
       (2L, "an entirely different document about spark catalyst optimizer rules")),
     Seq((10L, "the quick brown fox jumps over the lazy dog by the river"),
       (11L, "novel prose describing adaptive query execution and skew handling")),
     Seq((20L, "the quick brown fox jumps over the lazy dog by the river"),
-      (21L, "novel prose describing adaptive query execution and skew handling")))
+      (21L, "novel prose describing adaptive query execution and skew handling")),
+    Seq((30L, "structured streaming watermarks bound state growth for late arriving events"),
+      (31L, "structured streaming watermarks bound state growth for late arriving events")),
+    Seq((40L, "structured streaming watermarks bound state growth for late arriving events")))
 
   test("stream verdicts equal the sequential batch composition; dropped docs never enter state") {
     // reference: the same ops applied batch-by-batch directly
     val (rSig, rIdx, rOut) = freshTables()
     for ((b, i) <- batches.zipWithIndex) {
       val bs = sigs(b.toDF("doc_id", "text")).localCheckpoint()
-      val drops = Dedup.lshDupIncremental(bs, TxLogTable.read(spark, rSig),
-          Dedup.lshIndex(TxLogTable.read(spark, rIdx), "doc_id", 64),
-          "doc_id", K, RPB, 2)
+      val newBands = Dedup.lshBandsFromSignatures(bs, "doc_id", K, RPB)
         .localCheckpoint()
+      val inner = Dedup.lshDupIncrementalFromBands(newBands, bs, bs,
+          Dedup.lshIndex(newBands, "doc_id", CAP), "doc_id", K, 2)
+        .filter(col("new_id") > col("seen_id"))
+      val cross = Dedup.lshDupIncrementalFromBands(newBands, bs,
+        TxLogTable.read(spark, rSig),
+        Dedup.lshIndexMergeProbe(TxLogTable.read(spark, rIdx), newBands, CAP),
+        "doc_id", K, 2)
+      val drops = cross.unionAll(inner).localCheckpoint()
       TxLogTable.append(drops, rOut, Some(("ref-out", i.toLong)))
       val kept = bs.join(drops.select(col("new_id").as("doc_id")),
         Seq("doc_id"), "left_anti").localCheckpoint()
       TxLogTable.append(kept, rSig, Some(("ref-sig", i.toLong)))
-      TxLogTable.append(Dedup.lshBandsFromSignatures(kept, "doc_id", K, RPB),
+      TxLogTable.append(
+        Dedup.lshIndex(
+          Dedup.lshBandsFromSignatures(kept, "doc_id", K, RPB), "doc_id", CAP),
         rIdx, Some(("ref-idx", i.toLong)))
     }
     val expected = TxLogTable.read(spark, rOut)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // the dropped-doc contract, pinned explicitly
-    assert(expected === Set((10L, 1L, 8L), (20L, 1L, 8L), (21L, 11L, 8L)))
+    // the dropped-doc AND co-arrival contracts, pinned explicitly
+    assert(expected === Set(
+      (10L, 1L, 8L), (20L, 1L, 8L), (21L, 11L, 8L),
+      (31L, 30L, 8L), (40L, 30L, 8L)))
 
     // stream: MemoryStream drained batch by batch through the sink
     val (sSig, sIdx, sOut) = freshTables()
@@ -81,5 +105,11 @@ class StreamingDedupIngestSpec extends SparkSpec {
     val got = TxLogTable.read(spark, sOut)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === expected)
+    // the index state is sharded pre-aggregated buckets: no raw band
+    // rows, one shard row per (commit, touched bucket), and dropped
+    // ids (10, 20, 21, 31, 40) appear in NO shard
+    val idxIds = TxLogTable.read(spark, sIdx)
+      .select(explode(col("ids")).as("id")).as[Long].collect().toSet
+    assert(idxIds === Set(1L, 2L, 11L, 30L))
   }
 }
