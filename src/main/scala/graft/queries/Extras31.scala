@@ -174,10 +174,34 @@ object Extras31 {
     // template, not a near-dup signal) bounds pair expansion at
     // 2016 pairs per bucket at ANY corpus size; 15-bit bands give
     // 32768 buckets per band, so average occupancy stays ~n/32768.
+    // GATE SEEDS: the natural corpus yields ~1 qualifying pair at
+    // sf0.01, so a regression that silently dropped ALL pairs would
+    // hash-match an (almost) empty oracle. Eight deterministic
+    // near-dup twins ([[mutMidChar]] of the 8 smallest qualifying
+    // docs, NEGATIVE ids so they can never collide with corpus ids
+    // at any SF) ride along with the FULL natural corpus through the
+    // unchanged production parameters — the gate now verifies tens
+    // of real pairs at every scale while still covering whatever
+    // natural pairs exist.
     QueryDef("q313_phash_near_dup",
-      (s, d) => phashPairs(aHash60(table(s, d, "documents")
-        .select(col("doc_id"), col("text")))),
-      Some(s"""WITH ${aHashSql("documents")}
+      (s, d) => {
+        val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+        val seeds = docs
+          .withColumn("n", length(col("text")).cast(LongType))
+          .filter(col("n") >= 60)
+          .orderBy("doc_id").limit(8)
+          .select((-col("doc_id") - 1).as("doc_id"), mutMidChar.as("text"))
+        phashPairs(aHash60(docs.unionAll(seeds)))
+      },
+      Some(s"""WITH sbase AS (SELECT doc_id, text,
+                       CAST(length(text) AS BIGINT) AS n
+                   FROM documents WHERE length(text) >= 60
+                   ORDER BY doc_id LIMIT 8),
+              seeded AS (SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT -doc_id - 1 AS doc_id, $mutMidCharSql AS text
+                FROM sbase),
+              ${aHashSql("seeded")}
               SELECT id1, id2, hamming FROM pairs
               ORDER BY id1, id2""")),
 
@@ -202,13 +226,9 @@ object Extras31 {
             length(col("text")).cast(LongType).as("n"))
           .filter(col("n") >= 60)
           .orderBy("doc_id").limit(32)
-        val mut = expr(
-          "concat(substring(text, 1, CAST(n div 2 AS INT) - 1), " +
-            "chr(33 + ((ascii(substring(text, CAST(n div 2 AS INT), 1)) + 13) % 94)), " +
-            "substring(text, CAST(n div 2 AS INT) + 1))")
         val variants = base.select(explode(array(
             struct((col("doc_id") * 2).as("doc_id"), col("text").as("text")),
-            struct((col("doc_id") * 2 + 1).as("doc_id"), mut.as("text"))))
+            struct((col("doc_id") * 2 + 1).as("doc_id"), mutMidChar.as("text"))))
             .as("r"))
           .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
         phashPairs(aHash60(variants))
@@ -221,14 +241,35 @@ object Extras31 {
                 SELECT doc_id * 2 AS doc_id, text FROM base
                 UNION ALL
                 SELECT doc_id * 2 + 1 AS doc_id,
-                       substr(text, 1, CAST(n // 2 AS INT) - 1) ||
-                       chr(33 + ((ascii(substr(text, CAST(n // 2 AS INT), 1)) + 13) % 94)) ||
-                       substr(text, CAST(n // 2 AS INT) + 1) AS text
+                       $mutMidCharSql AS text
                 FROM base),
               ${aHashSql("vsrc")}
               SELECT id1, id2, hamming FROM pairs
               ORDER BY id1, id2"""))
   )
+
+  /** Deterministic one-character mid-payload mutation over (text, n)
+    * columns — chr(33 + (ascii+13) mod 94) never maps a printable
+    * byte to itself, so the twin is a GENUINE near-dup (typically
+    * Hamming 0-3 of the original's aHash: one strip mean and the
+    * global mean move by <= 93/n). Shared by q313's gate seeds,
+    * q314's seeded variant, and q317's arriving-batch twins. */
+  // defs, not vals: `all` above initializes EAGERLY at object load
+  // and interpolates these into oracle SQL — a val declared after
+  // `all` would still be null at that point (a "null" literal
+  // silently lands in the SQL; the gate catches it as duck=0 rows,
+  // but only because the gate is non-empty — which is the point of
+  // this round's q313 seeding).
+  private[queries] def mutMidChar = expr(
+    "concat(substring(text, 1, CAST(n div 2 AS INT) - 1), " +
+      "chr(33 + ((ascii(substring(text, CAST(n div 2 AS INT), 1)) + 13) % 94)), " +
+      "substring(text, CAST(n div 2 AS INT) + 1))")
+
+  /** DuckDB mirror of [[mutMidChar]]. */
+  private[queries] def mutMidCharSql: String =
+    "substr(text, 1, CAST(n // 2 AS INT) - 1) || " +
+      "chr(33 + ((ascii(substr(text, CAST(n // 2 AS INT), 1)) + 13) % 94)) || " +
+      "substr(text, CAST(n // 2 AS INT) + 1)"
 
   /** Shared aHash stage for q313/q314 over a (doc_id, text) payload
     * frame: md5-collapse byte-identical payloads to their min-id
@@ -243,7 +284,7 @@ object Extras31 {
     * keeps a trailing "" element; the filter drops it, leaving p0 =
     * 0..n-1 exactly as the oracle's generate_series positions.
     */
-  private def aHash60(payloads: DataFrame): DataFrame = {
+  private[queries] def aHash60(payloads: DataFrame): DataFrame = {
     val docs0 = payloads
       .select(col("doc_id"), col("text"),
         length(col("text")).cast(LongType).as("n"))
@@ -285,25 +326,26 @@ object Extras31 {
         bits = 15, bands = 4, maxHamming = 3, maxBucketSize = 64)
       .orderBy("id1", "id2")
 
-  /** DuckDB mirror of [[aHash60]] + the 4×15 banding over source
-    * relation `src` — a WITH-clause body ending in `pairs(id1, id2,
-    * hamming)`. Band values and the hash itself stay under the sign
-    * bit (60 = 4×15), so no signed-shift semantics are in play in
-    * either engine. */
-  private def aHashSql(src: String): String =
-    s"""docs0 AS (SELECT doc_id, text,
+  /** DuckDB mirror of [[aHash60]] ALONE over source relation `src`,
+    * every intermediate relation prefixed `p` — a WITH-clause body
+    * ending in `${p}hashes(doc_id, ah)`. Factored out so queries
+    * that hash TWO payload frames (q317's seen/arriving splits)
+    * instantiate it twice without relation-name collisions. */
+  private[queries] def aHashHashesSql(src: String, p: String): String =
+    s"""${p}docs0 AS (SELECT doc_id, text,
                        CAST(length(text) AS BIGINT) AS n
                    FROM $src WHERE length(text) >= 60),
-              canon AS (SELECT MIN(doc_id) AS doc_id
-                        FROM docs0 GROUP BY md5(text)),
-              docs AS (SELECT d.* FROM docs0 d JOIN canon USING (doc_id)),
-              strips AS (
+              ${p}canon AS (SELECT MIN(doc_id) AS doc_id
+                        FROM ${p}docs0 GROUP BY md5(text)),
+              ${p}docs AS (SELECT d.* FROM ${p}docs0 d
+                        JOIN ${p}canon USING (doc_id)),
+              ${p}strips AS (
                 SELECT doc_id, (CAST(t.i - 1 AS BIGINT) * 60) // n AS strip,
                        CAST(SUM(ascii(substr(text, t.i, 1))) AS BIGINT) AS ss,
                        CAST(COUNT(*) AS BIGINT) AS sc
-                FROM docs, UNNEST(generate_series(1, CAST(n AS INT))) AS t(i)
+                FROM ${p}docs, UNNEST(generate_series(1, CAST(n AS INT))) AS t(i)
                 GROUP BY doc_id, strip),
-              hashes AS (
+              ${p}hashes AS (
                 SELECT doc_id,
                        CAST(SUM(CASE WHEN ss * tc > ts * sc THEN
                          CAST(1 AS BIGINT) << CAST(strip AS INT)
@@ -311,16 +353,29 @@ object Extras31 {
                 FROM (SELECT doc_id, strip, ss, sc,
                              SUM(ss) OVER (PARTITION BY doc_id) AS ts,
                              SUM(sc) OVER (PARTITION BY doc_id) AS tc
-                      FROM strips)
-                GROUP BY doc_id),
-              bands AS (
-                SELECT doc_id, 0 AS band, ah & 32767 AS sig FROM hashes
+                      FROM ${p}strips)
+                GROUP BY doc_id)"""
+
+  /** The 4×15 band cut of a `(doc_id, ah)` relation — mirror of
+    * `Dedup.hammingBands` at the q313 geometry. Band values and the
+    * hash itself stay under the sign bit (60 = 4×15), so no
+    * signed-shift semantics are in play in either engine. */
+  private[queries] def hammingBandsSql(hashesRel: String, out: String): String =
+    s"""$out AS (
+                SELECT doc_id, 0 AS band, ah & 32767 AS sig FROM $hashesRel
                 UNION ALL
-                SELECT doc_id, 1 AS band, (ah >> 15) & 32767 AS sig FROM hashes
+                SELECT doc_id, 1 AS band, (ah >> 15) & 32767 AS sig FROM $hashesRel
                 UNION ALL
-                SELECT doc_id, 2 AS band, (ah >> 30) & 32767 AS sig FROM hashes
+                SELECT doc_id, 2 AS band, (ah >> 30) & 32767 AS sig FROM $hashesRel
                 UNION ALL
-                SELECT doc_id, 3 AS band, (ah >> 45) & 32767 AS sig FROM hashes),
+                SELECT doc_id, 3 AS band, (ah >> 45) & 32767 AS sig FROM $hashesRel)"""
+
+  /** DuckDB mirror of [[aHash60]] + the 4×15 banding over source
+    * relation `src` — a WITH-clause body ending in `pairs(id1, id2,
+    * hamming)`. */
+  private def aHashSql(src: String): String =
+    s"""${aHashHashesSql(src, "")},
+              ${hammingBandsSql("hashes", "bands")},
               keep AS (SELECT band, sig FROM (
                          SELECT band, sig, COUNT(*) AS c
                          FROM bands GROUP BY 1, 2)
