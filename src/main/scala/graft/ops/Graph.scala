@@ -24,20 +24,63 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Count-derived route for the iterative ops: does the per-vertex
+    * state frame (rank/label/adjacency — `rowBytes` a row) outgrow
+    * the session's broadcast threshold? Below it, AQE broadcasts the
+    * node-sized frame every superstep and the per-round joins are
+    * already exchange-free on the edge side — the round-13
+    * measurement showed an unconditional pre-partitioned pin LOSES
+    * there (the up-front exchange+sort buys nothing; SCALE.md
+    * "co-partitioned pins measured"). Above it the joins fall back
+    * to SMJ and a pre-partitioned edge pin deletes the edge-side
+    * exchange from EVERY superstep — the classic Pregel layout. Same
+    * router discipline as `Dedup.semanticDup`: the caller passes the
+    * count it already knows (vertex counts live in table stats /
+    * manifests at lakehouse scale); the threshold is derived, not
+    * pinned.
+    */
+  def largeVertexState(spark: org.apache.spark.sql.SparkSession,
+      vertexCount: Long, rowBytes: Long = 24L): Boolean =
+    vertexCount * rowBytes > spark.sessionState.conf.autoBroadcastJoinThreshold
+
+  /** Pin an edge frame for per-superstep reuse — pre-partitioned on
+    * `key` when `coPartition` (the [[largeVertexState]] route), plain
+    * otherwise. Under AQE a checkpoint's LogicalRDD advertises
+    * UnknownPartitioning even when the data is hash-placed (one
+    * reason the round-13 unconditional experiment saw no superstep
+    * saving), so the route stamps the layout it just guaranteed —
+    * `repartition(n, key)` is REPARTITION_BY_NUM, never coalesced —
+    * back onto the pinned frame; every downstream join/groupBy on
+    * `key` then reads it exchange-free.
+    */
+  def pinEdges(edges: DataFrame, key: String, coPartition: Boolean): DataFrame =
+    if (coPartition) {
+      val n = edges.sparkSession.sessionState.conf.numShufflePartitions
+      org.apache.spark.sql.graftshim.ColumnShim.withDeclaredHashPartitioning(
+        Pinned.pin(edges.repartition(n, col(key))), key, n)
+    } else Pinned.pin(edges)
+
   /** Undirected co-occurrence edges: items sharing a group key.
     *
-    * One self-join per group key — the shuffle is by `groupCol`, and
-    * the pair expansion is bounded by the per-group item count (order
-    * baskets are small and bounded by the business domain, unlike the
-    * global item count). Emits each edge once as (u, v) with u < v.
+    * Basket-collect form, not a self-join: ONE map-side-combined
+    * groupBy collects each group's distinct item set (sorted), and
+    * the u < v pair expansion runs in-row via the slice pattern
+    * ([[Dedup.lshCandidatePairsFromBands]]) — the raw fact shuffles
+    * once (by `groupCol`, partial collect_set combining map-side)
+    * where the self-join form paid a (g, i) distinct AND a join pass
+    * over it. Pair expansion is bounded by the per-group item count
+    * (order baskets are small and bounded by the business domain,
+    * unlike the global item count) — identical quadratic-per-basket
+    * output under either form, this one without the second shuffle.
+    * Emits each edge once as (u, v) with u < v.
     */
-  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
-    val m = df.select(col(groupCol).as("__g"), col(itemCol).as("__i")).distinct()
-    m.as("a").join(m.as("b"),
-        col("a.__g") === col("b.__g") && col("a.__i") < col("b.__i"))
-      .select(col("a.__i").as("u"), col("b.__i").as("v"))
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
+    df.select(col(groupCol).as("__g"), col(itemCol).as("__i"))
+      .groupBy("__g").agg(sort_array(collect_set(col("__i"))).as("__is"))
+      .select(posexplode(col("__is")).as(Seq("__x", "u")), col("__is"))
+      .select(col("u"),
+        explode(slice(col("__is"), col("__x") + 2, size(col("__is")))).as("v"))
       .distinct()
-  }
 
   /** Triangle count over an oriented (u < v) edge list.
     *
@@ -60,11 +103,16 @@ object Graph {
     * default stays id-based so the oracle SQL matches line for line.
     * Returns one row: (n_vertices, n_edges, n_triangles).
     */
-  def triangleStats(edges: DataFrame, orientByDegree: Boolean = false): DataFrame = {
+  def triangleStats(edges: DataFrame, orientByDegree: Boolean = false,
+      vertexCount: Option[Long] = None): DataFrame = {
     // the edge list feeds four consumers (vertex count, edge count,
     // adjacency build, intersection probe) — pin it once or the
-    // upstream build (a self-join + distinct) re-executes per consumer
-    val e0 = edges.select(col("u"), col("v")).transform(graft.ops.Pinned.pin)
+    // upstream build (a groupBy + pair expansion) re-executes per
+    // consumer. Above the broadcast route ([[largeVertexState]]) the
+    // pin is pre-partitioned on u, making the adjacency groupBy AND
+    // the u-side probe join exchange-free.
+    val route = vertexCount.exists(largeVertexState(edges.sparkSession, _))
+    val e0 = pinEdges(edges.select(col("u"), col("v")), "u", route)
     val e =
       if (!orientByDegree) e0
       else {
@@ -81,8 +129,8 @@ object Graph {
             when(fwd, col("v")).otherwise(col("u")).as("v"))
           // the oriented list feeds adjacency build + probe; its
           // lineage is two joins over e0 — pin it like e0 rather than
-          // re-running them per consumer
-          .transform(graft.ops.Pinned.pin)
+          // re-running them per consumer (same route as e0's pin)
+          .transform((d: DataFrame) => pinEdges(d, "u", route))
       }
     val verts = e.select(col("u").as("x")).union(e.select(col("v").as("x"))).distinct()
     val adj = e.groupBy(col("u").as("x")).agg(sort_array(collect_list(col("v"))).as("nbr"))
@@ -125,11 +173,19 @@ object Graph {
     * node is assumed to have degree >= 1 (true for co-occurrence
     * edges); dangling mass handling is not modeled.
     */
-  def pageRankFixedPoint(edges: DataFrame, iters: Int, scale: Long = 1000000000000L): DataFrame = {
+  def pageRankFixedPoint(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000000L,
+      vertexCount: Option[Long] = None): DataFrame = {
     // pinned: the edge list is re-joined every superstep (and its
-    // upstream is typically a self-join) — at cluster scale this is
-    // the cached, pre-partitioned edge RDD every Pregel system keeps
-    val e = edges.select(col("src"), col("dst")).transform(graft.ops.Pinned.pin)
+    // upstream is typically a basket expansion) — at cluster scale
+    // this is the cached, pre-partitioned edge RDD every Pregel
+    // system keeps. Above the broadcast route ([[largeVertexState]])
+    // the pin is pre-partitioned on src, so the degree groupBy and
+    // every superstep's rank join read it exchange-free; below it
+    // the rank frame broadcasts and the plain pin wins (measured,
+    // SCALE.md round-13).
+    val route = vertexCount.exists(largeVertexState(edges.sparkSession, _))
+    val e = pinEdges(edges.select(col("src"), col("dst")), "src", route)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = deg.select(col("src").as("node"), col("deg"))
     val n = nodes.agg(count(lit(1)).as("n"))
@@ -157,5 +213,50 @@ object Graph {
     val out = pr.select(col("node"), col("pr")).transform(graft.ops.Pinned.pin)
     Pinned.release(e)
     out
+  }
+
+  /** Synchronous majority label propagation, `rounds` supersteps,
+    * over a SYMMETRIZED (src, dst) edge list — community detection
+    * as the Pregel superstep. Labels start as node ids; each round
+    * every node takes its neighbors' most frequent label (ties to
+    * the smallest label — a deterministic min-struct, never a
+    * sampled tie-break). Returns (node, label).
+    *
+    * Superstep shape: one edges-to-labels equi-join on dst + a
+    * two-level groupBy (count per (src, label), then argmax per
+    * src) — degree-bounded shuffles like [[pageRankFixedPoint]]'s,
+    * no vertex ever holding more than one label. Each round's label
+    * frame is pinned (the next round reads it through two stages)
+    * and released as soon as its successor is materialized; only the
+    * FINAL frame stays pinned, caller-owned ([[Pinned]]). Routing as
+    * the other iterative ops: pass `vertexCount` and the edge pin
+    * pre-partitions on dst (the per-round join key) once the label
+    * frame outgrows broadcast ([[largeVertexState]]).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      vertexCount: Option[Long] = None): DataFrame = {
+    require(rounds >= 1, s"labelPropagation needs >= 1 round, got $rounds")
+    val route = vertexCount.exists(largeVertexState(edges.sparkSession, _))
+    val sym = pinEdges(edges.select(col("src"), col("dst")), "dst", route)
+    val nodes = sym.select(col("src").as("node")).distinct()
+      .transform(Pinned.pin)
+    var l = nodes.withColumn("label", col("node"))
+    var prevPin: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val best = sym.join(l.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("src")
+        .agg(min(struct((-col("cnt")).as("negc"), col("label"))).as("b"))
+        .select(col("src").as("node"), col("b.label").as("nlabel"))
+      val next = nodes.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("nlabel"), col("node")).as("label"))
+        .transform(Pinned.pin)
+      if (prevPin != null) Pinned.release(prevPin)
+      prevPin = next
+      l = next
+    }
+    Pinned.release(sym); Pinned.release(nodes)
+    l
   }
 }

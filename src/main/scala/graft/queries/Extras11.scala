@@ -33,18 +33,18 @@ object Extras11 {
     // ScaleLayoutSpec).
     QueryDef("q172_two_hop_reach",
       (s, d) => {
-        val m = table(s, d, "lineitem")
-          .select(col("l_orderkey").as("g"), col("l_partkey").as("i"))
-          .filter(substring(md5(col("i").cast(StringType)), 1, 1).isin("0", "1", "2", "3"))
-          .distinct()
-          .transform(graft.ops.Pinned.pin) // both sides of the edge self-join
-        val e = m.as("a").join(m.as("b"),
-            col("a.g") === col("b.g") && col("a.i") < col("b.i"))
-          .select(col("a.i").as("u"), col("b.i").as("v"))
-          .distinct()
+        // basket-collect edge build (Graph.coOccurrenceEdges): the
+        // sampled fact shuffles ONCE by order key — the old
+        // pinned-distinct + self-join paid two passes over it
+        val e = graft.ops.Graph.coOccurrenceEdges(
+            table(s, d, "lineitem")
+              .filter(substring(md5(col("l_partkey").cast(StringType)), 1, 1)
+                .isin("0", "1", "2", "3")),
+            "l_orderkey", "l_partkey")
+          .transform(graft.ops.Pinned.pin) // both directions read it
         // sym feeds the adjacency build and the neighbor-list probe —
-        // pin it once or the upstream self-join + distinct re-executes
-        // per consumer (q130 lesson)
+        // pin it once or the upstream build re-executes per consumer
+        // (q130 lesson)
         val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
           .transform(graft.ops.Pinned.pin)
         // adjacency-gather form (q130's adjacency-intersection trick

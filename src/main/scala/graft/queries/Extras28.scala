@@ -162,24 +162,14 @@ object Extras28 {
       (s, d) => {
         val e = Graph.coOccurrenceEdges(
           table(s, d, "lineitem"), "l_orderkey", "l_partkey")
-          .transform(graft.ops.Pinned.pin) // both rounds + node list re-read the edges
+          .transform(graft.ops.Pinned.pin) // both directions of the symmetrize read it
         val sym = e.select(col("u").as("src"), col("v").as("dst"))
           .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
-        val nodes = sym.select(col("src").as("node")).distinct()
-          .transform(graft.ops.Pinned.pin)
-        val l0 = nodes.withColumn("label", col("node"))
-        def round(l: DataFrame): DataFrame = {
-          val best = sym.join(l.select(col("node").as("dst"), col("label")), "dst")
-            .groupBy(col("src"), col("label"))
-            .agg(count(lit(1)).as("cnt"))
-            .groupBy("src")
-            .agg(min(struct((-col("cnt")).as("negc"), col("label"))).as("b"))
-            .select(col("src").as("node"), col("b.label").as("nlabel"))
-          nodes.join(best, Seq("node"), "left")
-            .select(col("node"), coalesce(col("nlabel"), col("node")).as("label"))
-            .transform(graft.ops.Pinned.pin) // next round reads it as both sides
-        }
-        val l2 = round(round(l0))
+        // the factored op (Graph.labelPropagation) — same superstep
+        // plans, plus per-round pin release and the vertexCount route
+        // for corpora whose label frame outgrows broadcast
+        val l2 = Graph.labelPropagation(sym, rounds = 2)
+        graft.ops.Pinned.release(e) // l2 is checkpointed; the edge pin is done
         l2.groupBy(col("label").as("community"))
           .agg(count(lit(1)).as("size"),
             min("node").as("min_node"), max("node").as("max_node"))

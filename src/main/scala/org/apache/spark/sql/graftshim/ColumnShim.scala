@@ -40,6 +40,40 @@ object ColumnShim {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rows, schema, isStreaming)
 
+  /** Re-declare the physical layout of a checkpointed frame.
+    *
+    * Under AQE, `repartition(n, col).localCheckpoint()` produces a
+    * LogicalRDD advertising `UnknownPartitioning` — the adaptive
+    * plan's pre-execution outputPartitioning is unknown, so the
+    * checkpoint cannot carry the layout forward and every downstream
+    * join/groupBy on the key re-exchanges data that is ALREADY
+    * hash-placed. When the caller has GUARANTEED the layout
+    * (`repartition(n, col)` is REPARTITION_BY_NUM: AQE never
+    * coalesces it, so the materialized RDD is exactly
+    * HashPartitioning(key, n)), this stamps that fact onto the
+    * LogicalRDD — the same thing `Dataset.checkpoint` does when AQE
+    * is off. No-op if the frame is not a direct LogicalRDD or the
+    * key is absent. UNSOUND if the declared layout is not the true
+    * one — only call it right after the guaranteeing repartition.
+    */
+  def withDeclaredHashPartitioning(df: org.apache.spark.sql.DataFrame,
+      key: String, numPartitions: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.LogicalRDD
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        lr.output.find(_.name == key) match {
+          case Some(attr) => ofRows(df.sparkSession,
+            LogicalRDD(lr.output, lr.rdd,
+              HashPartitioning(Seq(attr), numPartitions),
+              Nil, lr.isStreaming, lr.stream)(
+              df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]))
+          case None => df
+        }
+      case _ => df
+    }
+  }
+
   /** Register a function on an EXISTING session's registry (the
     * extensions path only applies when a brand-new session is built).
     */

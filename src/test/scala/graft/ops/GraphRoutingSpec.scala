@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Routed co-partitioning for the iterative graph family
+  * (`Graph.largeVertexState` + `Graph.pinEdges`): below the broadcast
+  * threshold the plain pin runs (AQE broadcasts node-sized state —
+  * the round-13 measurement showed a pre-partitioned pin LOSES
+  * there), above it the edge pin pre-partitions on the per-round join
+  * key and the superstep joins read it exchange-free. Both routes
+  * must be bit-identical — the route moves exchanges, never results.
+  */
+class GraphRoutingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ring + chords: every node has degree >= 2, communities exist
+  private def symEdges(n: Int): DataFrame = {
+    val e = (0L until n.toLong).map(i => (i, (i + 1) % n)) ++
+      (0L until n.toLong by 7).map(i => (i, (i + 3) % n))
+    val d = e.filter { case (u, v) => u != v }.toDF("src", "dst")
+    d.unionAll(d.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  private def oriented(n: Int): DataFrame =
+    symEdges(n).filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+
+  test("largeVertexState derives from the session's broadcast threshold") {
+    val t = spark.sessionState.conf.autoBroadcastJoinThreshold
+    assert(t > 0)
+    assert(!Graph.largeVertexState(spark, t / 24))
+    assert(Graph.largeVertexState(spark, t / 24 + 1))
+  }
+
+  test("pagerank / LPA / triangles are bit-identical on both routes") {
+    val sym = symEdges(200)
+    val e = oriented(200)
+    // force the route: a claimed vertex count far over any threshold
+    val big = Some(Long.MaxValue / 64)
+    def rows(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Graph.pageRankFixedPoint(sym, 2)) ===
+      rows(Graph.pageRankFixedPoint(sym, 2, vertexCount = big)))
+    assert(rows(Graph.labelPropagation(sym, 2)) ===
+      rows(Graph.labelPropagation(sym, 2, vertexCount = big)))
+    assert(rows(Graph.triangleStats(e)) ===
+      rows(Graph.triangleStats(e, vertexCount = big)))
+    assert(rows(Graph.triangleStats(e, orientByDegree = true)) ===
+      rows(Graph.triangleStats(e, orientByDegree = true, vertexCount = big)))
+  }
+
+  test("above threshold the pre-partitioned pin deletes per-round exchanges") {
+    // disable broadcast so the superstep joins would otherwise SMJ
+    // with BOTH sides exchanging — the regime the route exists for
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      def exchanges(vertexCount: Option[Long]): Int = {
+        val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+        val out = Pinned.withAuditTap(plans += _) {
+          val pr = Graph.pageRankFixedPoint(symEdges(300), 2,
+            vertexCount = vertexCount)
+          plans += pr.queryExecution.executedPlan.toString
+          pr
+        }
+        Pinned.release(out)
+        plans.map(p => "Exchange hashpartitioning".r.findAllIn(p).length).sum
+      }
+      val off = exchanges(None)
+      val on = exchanges(Some(Long.MaxValue / 64))
+      assert(on < off,
+        s"route-on should delete edge-side exchanges: on=$on off=$off")
+    } finally spark.conf.set(key, saved)
+  }
+}
