@@ -125,18 +125,28 @@ object Extras30 {
               "i -> md5(concat_ws(' ', slice(toks, i, 3))))")))
           .select(col("doc_id"), col("ng"),
             (col("pos") + 1).cast(LongType).as("p"), col("col").as("h"))
-        // each gram serves the 4 windows ending at/after it: window
-        // start w = p - off; keep starts that index a full window
-        val x = grams
-          .withColumn("off", explode(array(lit(0L), lit(1L), lit(2L), lit(3L))))
-          .withColumn("w", col("p") - col("off"))
-          .filter(col("w") >= 1 && col("w") <= col("ng") - 3)
-          .select("doc_id", "w", "p", "h")
-        val wins = x.groupBy("doc_id", "w").agg(min(col("h")).as("wmin"))
-        val winner = x.join(wins, Seq("doc_id", "w"))
-          .filter(col("h") === col("wmin"))
-          .groupBy("doc_id", "w").agg(max(col("p")).as("fp_pos")) // rightmost min
-        val sel = winner.select("doc_id", "fp_pos").distinct()
+        // selection as ONE doc-ordered window pass (the q310 trick —
+        // no 4x explode, no wins self-join): position p is a selected
+        // fingerprint iff it is the RIGHTMOST min of some window
+        // [p-k, p-k+3], i.e. h <= its k left neighbors and h <
+        // (strictly — rightmost among ties) its 3-k right neighbors,
+        // for some valid k in 0..3. Bit-identical to the explicit
+        // window/offset form the oracle still states.
+        val wd = Window.partitionBy("doc_id").orderBy("p")
+        def lg(j: Int) = coalesce(lag(col("h"), j).over(wd), lit("~"))
+        def ld(j: Int) = coalesce(lead(col("h"), j).over(wd), lit("~"))
+        val lmin1 = lg(1); val lmin2 = least(lg(1), lg(2))
+        val lmin3 = least(lg(1), lg(2), lg(3))
+        val rmin1 = ld(1); val rmin2 = least(ld(1), ld(2))
+        val rmin3 = least(ld(1), ld(2), ld(3))
+        def valid(k: Int) =
+          (col("p") - k >= 1) && (col("p") - k <= col("ng") - 3)
+        val selected =
+          (valid(0) && col("h") < rmin3) ||
+          (valid(1) && col("h") <= lmin1 && col("h") < rmin2) ||
+          (valid(2) && col("h") <= lmin2 && col("h") < rmin1) ||
+          (valid(3) && col("h") <= lmin3)
+        val sel = grams.withColumn("s", selected).filter(col("s"))
           .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
         tokd.select(col("doc_id"), col("ng").as("n_grams"),
             (col("ng") - 3).as("n_windows"))
@@ -501,14 +511,32 @@ object Extras30 {
               "i -> md5(concat_ws(' ', slice(toks, i, 3))))")))
           .select(col("doc_id"), col("source"), col("ng"),
             (col("pos") + 1).cast(LongType).as("p"), col("col").as("h"))
-        val x = grams
-          .withColumn("off", explode(array(lit(0L), lit(1L), lit(2L), lit(3L))))
-          .withColumn("w", col("p") - col("off"))
-          .filter(col("w") >= 1 && col("w") <= col("ng") - 3)
-          .select("doc_id", "source", "w", "p", "h")
-        val wins = x.groupBy("doc_id", "w").agg(min(col("h")).as("wmin"))
-        val fp = x.join(wins, Seq("doc_id", "w"))
-          .filter(col("h") === col("wmin"))
+        // selection as ONE doc-ordered window pass, no 4x explode, no
+        // wins self-join: gram p is a selected fingerprint iff it is
+        // the (tie-inclusive) min of SOME window w in [p-3, p] — i.e.
+        // iff for some k in 0..3 the valid window [p-k, p-k+3] has
+        // h <= its k left neighbors AND its 3-k right neighbors. The
+        // lag/lead mins make each k a pure row predicate; "~" sorts
+        // after every hex digit, so a missing neighbor (only possible
+        // when the window is invalid anyway) never wins. The r13 form
+        // materialized 4x the gram volume and re-ran the gram lineage
+        // twice (groupBy + join); results are bit-identical — the
+        // oracle still states the explicit window/offset form.
+        val wd = Window.partitionBy("doc_id").orderBy("p")
+        def lg(j: Int) = coalesce(lag(col("h"), j).over(wd), lit("~"))
+        def ld(j: Int) = coalesce(lead(col("h"), j).over(wd), lit("~"))
+        val lmin1 = lg(1); val lmin2 = least(lg(1), lg(2))
+        val lmin3 = least(lg(1), lg(2), lg(3))
+        val rmin1 = ld(1); val rmin2 = least(ld(1), ld(2))
+        val rmin3 = least(ld(1), ld(2), ld(3))
+        def valid(k: Int) =
+          (col("p") - k >= 1) && (col("p") - k <= col("ng") - 3)
+        val selected =
+          (valid(0) && col("h") <= rmin3) ||
+          (valid(1) && col("h") <= lmin1 && col("h") <= rmin2) ||
+          (valid(2) && col("h") <= lmin2 && col("h") <= rmin1) ||
+          (valid(3) && col("h") <= lmin3)
+        val fp = grams.withColumn("sel", selected).filter(col("sel"))
           .select(col("doc_id"), col("source"), col("h")).distinct()
         val rare = fp.groupBy("h").agg(count(lit(1)).as("df"))
           .filter(col("df") <= 64).select("h") // q129 hot-key cap

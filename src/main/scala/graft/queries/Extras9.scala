@@ -110,13 +110,22 @@ object Extras9 {
     // any data size); the pair stage touches <= 2k rows per pair.
     QueryDef("q166_kmv_set_ops",
       (s, d) => {
-        // ded feeds four consumers (sketch build, exact counts, both
-        // sides of the exact-intersection join) — pin the distinct
-        // once or the full fact dedup re-executes per consumer
-        val ded = table(s, d, "lineitem")
+        // ONE data-sized shuffle for the whole query: group the fact
+        // by key with a map-side-combined collect_set of flags. The
+        // round-13 form paid three: a (flag, key) distinct AND a
+        // self-join of that distinct on key for the exact
+        // intersection (two more shuffles of the deduped set). From
+        // the key-grouped frame, the distinct (flag, key) pairs are
+        // an explode, the exact per-flag counts an explode+count,
+        // and the exact PAIR intersection a per-key flag-pair
+        // expansion (baskets are <= nflags wide, so the expansion is
+        // bounded by nflags²/2 per key — never a join).
+        val byKey = table(s, d, "lineitem")
           .select(col("l_returnflag").as("flag"), col("l_orderkey").as("key"))
-          .distinct()
+          .groupBy("key")
+          .agg(sort_array(collect_set(col("flag"))).as("fs"))
           .transform(graft.ops.Pinned.pin)
+        val ded = byKey.select(explode(col("fs")).as("flag"), col("key"))
         val hashed = ded.withColumn("hx", md5(col("key").cast(StringType)))
         // classic two-stage top-k: per-(flag, input-partition) local
         // top-64 first — the global k minima are necessarily among the
@@ -129,10 +138,15 @@ object Extras9 {
           .withColumn("lrn", row_number().over(
             Window.partitionBy("flag", "pid").orderBy("hx")))
           .filter(col("lrn") <= KMV_K)
+        // the sketch frame is <= 64 x nflags rows but its lineage is
+        // the two-stage rank over the whole key set — pin it: five
+        // consumers below (flag list, per-flag estimate, pair merge)
+        // otherwise re-run that rank each
         val ks = local
           .withColumn("rn", row_number().over(
             Window.partitionBy("flag").orderBy("hx")))
           .filter(col("rn") <= KMV_K).select("flag", "hx", "rn")
+          .transform(graft.ops.Pinned.pin)
 
         // (k-1)/u_k over the row's hx column; 281474976710656 = 2^48
         val kmvEst = lit((KMV_K - 1).toDouble) /
@@ -162,9 +176,13 @@ object Extras9 {
             lit(KMV_K.toDouble)).as("jaccard_est"))
 
         val exactN = ded.groupBy("flag").agg(count(lit(1)).as("n"))
-        val interTrue = ded.select(col("flag").as("fa"), col("key"))
-          .join(ded.select(col("flag").as("fb"), col("key")), Seq("key"))
-          .filter(col("fa") < col("fb"))
+        // exact pair intersection WITHOUT a self-join: fs is sorted,
+        // so the in-basket pair expansion emits fa < fb directly
+        // (the lshCandidatePairs slice pattern)
+        val interTrue = byKey.filter(size(col("fs")) >= 2)
+          .select(posexplode(col("fs")).as(Seq("__i", "fa")), col("fs"))
+          .select(col("fa"),
+            explode(slice(col("fs"), col("__i") + 2, size(col("fs")))).as("fb"))
           .groupBy("fa", "fb").agg(count(lit(1)).as("n_inter_true"))
 
         pairs
