@@ -132,6 +132,35 @@ object Profile {
       spark.stop()
       return
     }
+    // stage breakdown for the co-occurrence graph family (dev scratch)
+    if (args.length > 2 && args(2) == "graphparts") {
+      val li2 = graft.queries.QueryDef.table(spark, sfDir, "lineitem")
+      val m = li2.select(col("l_orderkey").as("__g"), col("l_partkey").as("__i")).distinct()
+      val eJoin = m.as("a").join(m.as("b"),
+          col("a.__g") === col("b.__g") && col("a.__i") < col("b.__i"))
+        .select(col("a.__i").as("u"), col("b.__i").as("v"))
+        .distinct()
+      val eBasket = li2
+        .select(col("l_orderkey").as("__g"), col("l_partkey").as("__i"))
+        .groupBy("__g").agg(sort_array(collect_set(col("__i"))).as("is"))
+        .select(posexplode(col("is")).as(Seq("__x", "u")), col("is"))
+        .select(col("u"),
+          explode(slice(col("is"), col("__x") + 2, size(col("is")))).as("v"))
+        .distinct()
+      for (r <- 1 to 2) {
+        time(s"m distinct rep$r")(noop(m))
+        time(s"edges join-form rep$r")(noop(eJoin))
+        time(s"edges basket-form rep$r")(noop(eBasket))
+        time(s"edges join-form pinned rep$r") {
+          graft.ops.Pinned.release(graft.ops.Pinned.pin(eJoin)) }
+        time(s"edges basket-form pinned rep$r") {
+          graft.ops.Pinned.release(graft.ops.Pinned.pin(eBasket)) }
+        time(s"q130 full rep$r")(noop(SparkEntry.queries("q130_triangle_count")(spark, sfDir)))
+        time(s"q132 full rep$r")(noop(SparkEntry.queries("q132_pagerank")(spark, sfDir)))
+      }
+      spark.stop()
+      return
+    }
     // focused mode: args(2) = comma-separated query names, 3 reps each
     if (args.length > 2) {
       args(2).split(',').foreach { name =>
