@@ -424,6 +424,17 @@ object Extras29 {
           base.filter(pmod(col("doc_id"), lit(3)) === i).repartition(2)
         graft.sink.TxLogTable.append(wave(0), t)
         val sink = s"sqg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        // the stream's complete-mode state is <= (langs x 2) rows; at
+        // the session's 32 shuffle partitions every micro-batch pays
+        // ~6 stages x 32 near-empty tasks of pure scheduling. Streams
+        // capture the conf at start — pin the stream's shuffles to 4
+        // and restore after stop (bench runs queries sequentially, so
+        // the session-level set/restore window is confined to this
+        // query). A real deployment sets this per-job; the result is
+        // partitioning-invariant either way (STABILITY gate).
+        val spKey = "spark.sql.shuffle.partitions"
+        val spSaved = s.conf.get(spKey)
+        s.conf.set(spKey, "4")
         val q = s.readStream.format("graft-txlog").load(t)
           .withColumn("w", split(col("text"), " "))
           .withColumn("n_tokens", size(col("w")).cast(LongType))
@@ -443,7 +454,7 @@ object Extras29 {
           graft.sink.TxLogTable.append(wave(1), t)
           graft.sink.TxLogTable.append(wave(2), t)
           q.processAllAvailable() // incremental commit-log batches
-        } finally q.stop()
+        } finally { q.stop(); s.conf.set(spKey, spSaved) }
         s.table(sink).orderBy("lang", "keep")
       },
       Some("""SELECT lang, keep, CAST(COUNT(*) AS BIGINT) AS n_docs,
