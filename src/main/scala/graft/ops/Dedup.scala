@@ -570,6 +570,31 @@ object Dedup {
     else buckets
   }
 
+  /** [[lshIndex]] variant for APPEND-ONLY SHARDS. A single-index cap
+    * drops a hot bucket ENTIRELY; a sharded store must make the same
+    * decision at MERGE time ([[lshIndexMergeProbe]] filters on the
+    * merged size). If the shard writer FILTERED over-cap buckets the
+    * way [[lshIndex]] does, a bucket that went hot within one commit
+    * would vanish from that shard — and a few late ids appended by
+    * later commits would merge to an under-cap view whose probes
+    * match only the late members while the early hot ones stay
+    * permanently invisible: semantics no single capped index has. So
+    * the shard form KEEPS over-cap buckets, truncated to cap+1 ids —
+    * a tombstone just big enough that any merged view containing the
+    * row exceeds the cap and drops the bucket, exactly as a single
+    * write-time-capped index over the union would. Kept (under-cap)
+    * buckets are never truncated: a merged size <= cap implies every
+    * contributing shard row had <= cap ids. Shard rows stay bounded
+    * at cap+1 whatever the hot bucket's true size.
+    */
+  def lshIndexShard(bands: DataFrame, idCol: String,
+      maxIdsPerSig: Int): DataFrame = {
+    val buckets = lshIndex(bands, idCol, maxIdsPerSig = 0)
+    if (maxIdsPerSig > 0)
+      buckets.withColumn("ids", slice(col("ids"), 1, maxIdsPerSig + 1))
+    else buckets
+  }
+
   /** Merge + hot-cap the PROBED slice of an APPEND-ONLY sharded LSH
     * index. A continuously-ingesting pipeline cannot rewrite stored
     * buckets (ACID appends only), so it appends one [[lshIndex]]-
@@ -584,7 +609,13 @@ object Dedup {
     * ingest linear in the seen corpus per batch). The membership cap
     * applies to the MERGED size, so a signature that turned hot
     * across commits drops exactly as a single write-time cap would
-    * have dropped it. Output is [[lshIndex]]-shaped: (band, sig,
+    * have dropped it — PROVIDED shards are written with
+    * [[lshIndexShard]], whose cap+1 truncation tombstone keeps
+    * within-commit-hot buckets visible to this merged-size filter (a
+    * filtered shard write would resurrect such a bucket once later
+    * commits appended a few under-cap ids, probing only the late
+    * members while the early hot ones stay permanently invisible).
+    * Output is [[lshIndex]]-shaped: (band, sig,
     * ids sorted), cap-filtered — feed it to
     * [[lshDupIncrementalFromBands]] / [[hammingDupIncremental]].
     *

@@ -434,27 +434,34 @@ object Extras29 {
         // partitioning-invariant either way (STABILITY gate).
         val spKey = "spark.sql.shuffle.partitions"
         val spSaved = s.conf.get(spKey)
-        s.conf.set(spKey, "4")
-        val q = s.readStream.format("graft-txlog").load(t)
-          .withColumn("w", split(col("text"), " "))
-          .withColumn("n_tokens", size(col("w")).cast(LongType))
-          .withColumn("n_distinct",
-            size(array_distinct(col("w"))).cast(LongType))
-          .withColumn("keep",
-            col("n_tokens") >= 40L &&
-              col("n_distinct") * 10L >= col("n_tokens") * 4L)
-          .groupBy("lang", "keep")
-          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("complete")
-          .option("checkpointLocation", ckpt)
-          .start()
+        // set + start INSIDE the try: if start() (or the first wave
+        // append) throws, the finally still restores the session conf
+        // — otherwise every later query in the run inherits 4
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
         try {
+          s.conf.set(spKey, "4")
+          q = s.readStream.format("graft-txlog").load(t)
+            .withColumn("w", split(col("text"), " "))
+            .withColumn("n_tokens", size(col("w")).cast(LongType))
+            .withColumn("n_distinct",
+              size(array_distinct(col("w"))).cast(LongType))
+            .withColumn("keep",
+              col("n_tokens") >= 40L &&
+                col("n_distinct") * 10L >= col("n_tokens") * 4L)
+            .groupBy("lang", "keep")
+            .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
           q.processAllAvailable() // initial batch = wave-1 snapshot
           graft.sink.TxLogTable.append(wave(1), t)
           graft.sink.TxLogTable.append(wave(2), t)
           q.processAllAvailable() // incremental commit-log batches
-        } finally { q.stop(); s.conf.set(spKey, spSaved) }
+        } finally {
+          if (q != null) q.stop()
+          s.conf.set(spKey, spSaved)
+        }
         s.table(sink).orderBy("lang", "keep")
       },
       Some("""SELECT lang, keep, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -571,8 +571,14 @@ object StreamingOps {
     * index, merged + hot-capped over ONLY the buckets this batch
     * touches (`Dedup.lshIndexMergeProbe`) — for near-dups of anything
     * kept so far; (4) append the verdict pairs; (5) append the kept
-    * arrivals' signatures and ONE pre-aggregated index shard, growing
-    * the state for the next batch. All three appends are txn-tagged
+    * arrivals' signatures and ONE pre-aggregated index shard
+    * (`Dedup.lshIndexShard`: over-cap buckets truncated to cap+1, not
+    * filtered, so within-commit-hot signatures drop at probe time
+    * exactly as a single write-time-capped index drops them), growing
+    * the state for the next batch. The self-probe in (2) is UNCAPPED
+    * — the batch is bounded by construction, and a capped self-index
+    * would silently admit > maxIdsPerSig co-arriving copies the
+    * sequential composition collapses. All three appends are txn-tagged
     * (appId, batchId), so a replayed micro-batch no-ops on every
     * table and the state stays exactly-once over at-least-once
     * delivery — a doc dropped in batch N never enters the state, so
@@ -624,9 +630,15 @@ object StreamingOps {
           .lshBandsFromSignatures(bs, idCol, numHashes, rowsPerBand)
           .transform(Pinned.pin)
         // co-arrival pass: the batch probes ITSELF (state-shaped
-        // index over its own bands), higher id of each pair drops
+        // index over its own bands), higher id of each pair drops.
+        // The self-probe index is UNCAPPED: a micro-batch is bounded
+        // by construction, and capping here would silently admit
+        // > maxIdsPerSig co-arriving near-dups that any sequential
+        // one-at-a-time ingest collapses (the hot bucket would drop
+        // from the self-index, no intra-batch pairs would be found,
+        // and every copy would enter the state)
         val innerPairs = Dedup.lshDupIncrementalFromBands(newBands, bs, bs,
-          Dedup.lshIndex(newBands, idCol, maxIdsPerSig),
+          Dedup.lshIndex(newBands, idCol, maxIdsPerSig = 0),
           idCol, numHashes, minMatches)
           .filter(col("new_id") > col("seen_id"))
         // cross-batch pass: merged + capped view of ONLY the stored
@@ -642,8 +654,13 @@ object StreamingOps {
             Seq(idCol), "left_anti")
           .transform(Pinned.pin)
         TxLogTable.append(kept, sigTable, Some((s"$appId-sig", batchId)))
+        // shard write: lshIndexShard, NOT lshIndex — over-cap buckets
+        // are truncated to cap+1 (a tombstone the merge-probe's size
+        // filter still sees) instead of filtered, so a bucket that
+        // goes hot within ONE commit drops at probe time exactly as a
+        // single write-time-capped index would drop it
         TxLogTable.append(
-          Dedup.lshIndex(
+          Dedup.lshIndexShard(
             Dedup.lshBandsFromSignatures(kept, idCol, numHashes, rowsPerBand),
             idCol, maxIdsPerSig),
           idxTable, Some((s"$appId-idx", batchId)))

@@ -70,7 +70,7 @@ class StreamingDedupIngestSpec extends SparkSpec {
       val newBands = Dedup.lshBandsFromSignatures(bs, "doc_id", K, RPB)
         .localCheckpoint()
       val inner = Dedup.lshDupIncrementalFromBands(newBands, bs, bs,
-          Dedup.lshIndex(newBands, "doc_id", CAP), "doc_id", K, 2)
+          Dedup.lshIndex(newBands, "doc_id", maxIdsPerSig = 0), "doc_id", K, 2)
         .filter(col("new_id") > col("seen_id"))
       val cross = Dedup.lshDupIncrementalFromBands(newBands, bs,
         TxLogTable.read(spark, rSig),
@@ -82,7 +82,7 @@ class StreamingDedupIngestSpec extends SparkSpec {
         Seq("doc_id"), "left_anti").localCheckpoint()
       TxLogTable.append(kept, rSig, Some(("ref-sig", i.toLong)))
       TxLogTable.append(
-        Dedup.lshIndex(
+        Dedup.lshIndexShard(
           Dedup.lshBandsFromSignatures(kept, "doc_id", K, RPB), "doc_id", CAP),
         rIdx, Some(("ref-idx", i.toLong)))
     }
@@ -111,5 +111,75 @@ class StreamingDedupIngestSpec extends SparkSpec {
     val idxIds = TxLogTable.read(spark, sIdx)
       .select(explode(col("ids")).as("id")).as[Long].collect().toSet
     assert(idxIds === Set(1L, 2L, 11L, 30L))
+  }
+
+  // ADVICE r14: the co-arrival self-probe must be UNCAPPED — with a
+  // capped self-index, > maxIdsPerSig near-identical docs landing in
+  // ONE micro-batch drop their hot bucket from the self-index, no
+  // intra-batch pairs are found, and every copy enters the state,
+  // diverging from the sequential one-at-a-time composition (which
+  // keeps exactly the first copy). Cap of 2, five co-arriving copies.
+  test("co-arriving near-dup group larger than the index cap still collapses to its lowest id") {
+    val (sSig, sIdx, sOut) = freshTables()
+    val ckpt = java.nio.file.Files.createTempDirectory("sdi_ck2").toString
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingOps.lshDedupIngest(
+      ms.toDF.toDF("doc_id", "text"), sSig, sIdx, sOut, "sdi2", ckpt,
+      maxIdsPerSig = 2)
+    val burst = (50L to 54L).map(i =>
+      (i, "five identical documents arriving in one micro batch together"))
+    try {
+      ms.addData(burst); q.processAllAvailable()
+      // a later copy must match 50 — the kept co-arrival — proving
+      // the collapse happened and only one copy entered the state
+      ms.addData(Seq((60L,
+        "five identical documents arriving in one micro batch together")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val drops = TxLogTable.read(spark, sOut)
+      .select("new_id", "seen_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the order-free clique collapse emits EVERY verified
+    // higher-vs-lower pair (all C(5,2) of them), and the later copy
+    // matches only 50 — the sole id that entered the state
+    val clique = for (j <- 50L to 54L; i <- (j + 1) to 54L) yield (i, j)
+    assert(drops === (clique.toSet + ((60L, 50L))))
+    val idxIds = TxLogTable.read(spark, sIdx)
+      .select(explode(col("ids")).as("id")).as[Long].collect().toSet
+    assert(idxIds === Set(50L))
+  }
+
+  // ADVICE r14: within-commit-hot buckets must stay visible to the
+  // merge-probe's cap filter. lshIndexShard truncates an over-cap
+  // bucket to cap+1 ids (a tombstone) instead of filtering it; the
+  // merged view then exceeds the cap and drops, exactly as a single
+  // write-time-capped index over the union would — where a filtered
+  // shard write would resurrect the bucket once later commits added
+  // a few under-cap ids. Synthetic band rows, cap 2.
+  test("lshIndexShard tombstone reproduces single-index cap semantics across commits") {
+    import spark.implicits._
+    val cap = 2
+    // commit 1: bucket X hot within the commit (3 ids), bucket Y cool
+    val c1 = Seq((0, 7L, 101L), (0, 7L, 102L), (0, 7L, 103L),
+      (0, 9L, 201L)).toDF("band", "sig", "doc_id")
+    // commit 2: one late id into X, one more into Y
+    val c2 = Seq((0, 7L, 104L), (0, 9L, 202L)).toDF("band", "sig", "doc_id")
+    val shards = Dedup.lshIndexShard(c1, "doc_id", cap)
+      .unionAll(Dedup.lshIndexShard(c2, "doc_id", cap))
+    val probe = Seq((0, 7L), (0, 9L)).toDF("band", "sig")
+    val merged = Dedup.lshIndexMergeProbe(shards, probe, cap)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)),
+        r.getSeq[Long](2).toList)).toMap
+    // the single write-time-capped index over the union of commits
+    val single = Dedup.lshIndex(c1.unionAll(c2), "doc_id", cap)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)),
+        r.getSeq[Long](2).toList)).toMap
+    assert(single === Map((0, 9L) -> List(201L, 202L))) // X dropped, Y kept
+    assert(merged === single)
+    // shard rows stay bounded: the hot bucket's tombstone is cap+1 ids
+    val xShard = shards.filter(col("sig") === 7L)
+      .select(size(col("ids"))).as[Int].collect().toList
+    assert(xShard === List(cap + 1, 1))
   }
 }
