@@ -175,24 +175,53 @@ object Graph {
     */
   def pageRankFixedPoint(edges: DataFrame, iters: Int,
       scale: Long = 1000000000000L,
-      vertexCount: Option[Long] = None): DataFrame = {
+      vertexCount: Option[Long] = None): DataFrame =
+    pageRankPinned(edges, iters, scale,
+      vertexCount.exists(largeVertexState(edges.sparkSession, _)), "src")
+
+  /** [[pageRankFixedPoint]] with the route and pin key explicit —
+    * the spec's A/B hook. Pin key A/B (round-15, GraphRoutingSpec):
+    * src — the per-round JOIN key — beats dst above the broadcast
+    * threshold, same asymmetry as LPA's: the inflow aggregate's
+    * input is the JOIN OUTPUT, which no edge pin can pre-cluster on
+    * dst, so a dst pin saves nothing per round while forcing the
+    * full edge list to re-shuffle to src for every superstep's
+    * rank join; the src pin deletes that edge-side exchange from
+    * every round and concedes the (partial-agg-reduced) inflow
+    * exchange — the unavoidable one. The degree groupBy rides the
+    * src pin for free.
+    *
+    * Round-15 restructure: the rank frame now carries (node, deg,
+    * pr) with the vertex count folded in as a LITERAL (one eager
+    * node-sized count against the pinned edges) and each round
+    * joins the STATIC pinned degree frame to the fresh inflow —
+    * the old form threaded `pr` through BOTH the contribution
+    * projection and the next-rank join, doubling the rank
+    * lineage per round (2^iters subplan copies that only
+    * ReuseExchange clawed back); this chain reads each round's
+    * frame exactly once, so no per-round checkpoint is needed at
+    * all (A/B'd: per-round pins cost 0.3-0.5 s at sf0.1). Every
+    * arithmetic op stays exact 64-bit integer — bit-identical to
+    * the two-round oracle SQL.
+    */
+  private[ops] def pageRankPinned(edges: DataFrame, iters: Int,
+      scale: Long, route: Boolean, pinKey: String): DataFrame = {
     // pinned: the edge list is re-joined every superstep (and its
     // upstream is typically a basket expansion) — at cluster scale
     // this is the cached, pre-partitioned edge RDD every Pregel
-    // system keeps. Above the broadcast route ([[largeVertexState]])
-    // the pin is pre-partitioned on src, so the degree groupBy and
-    // every superstep's rank join read it exchange-free; below it
-    // the rank frame broadcasts and the plain pin wins (measured,
-    // SCALE.md round-13).
-    val route = vertexCount.exists(largeVertexState(edges.sparkSession, _))
-    val e = pinEdges(edges.select(col("src"), col("dst")), "src", route)
+    // system keeps.
+    val e = pinEdges(edges.select(col("src"), col("dst")), pinKey, route)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = deg.select(col("src").as("node"), col("deg"))
-    val n = nodes.agg(count(lit(1)).as("n"))
-    val base = nodes.crossJoin(n)
-      .select(col("node"), col("deg"), expr(s"${scale}L div n").as("pr0"), col("n"))
-
-    var pr = base.select(col("node"), col("deg"), col("pr0").as("pr"), col("n"))
+      .select(col("src").as("node"), col("deg"))
+      .transform(Pinned.pin)
+    // the vertex count is an iteration CONSTANT — one node-sized
+    // count against the pinned degree frame, folded into the round
+    // expressions as a literal (the bounded-scalar pattern `Ranks`
+    // uses for offsets; the old crossJoin(n) carried it as a column
+    // through every round)
+    val n = deg.count()
+    val tele = 15L * (scale / n) // 15 * (scale div n), exact
+    var pr = deg.withColumn("pr", lit(scale / n))
     for (_ <- 1 to iters) {
       val contrib = pr.select(col("node").as("src"), expr("pr div deg").as("c"))
       val inflow = e.join(contrib, "src")
@@ -201,17 +230,15 @@ object Graph {
       // left join + coalesce: a node with no in-edges still holds its
       // teleport share (cannot happen on symmetrized edges, but the
       // operator shouldn't silently drop rows on directed input)
-      pr = pr.drop("pr").join(inflow, Seq("node"), "left")
-        .withColumn("inflow", coalesce(col("inflow"), lit(0L)))
+      pr = deg.join(inflow, Seq("node"), "left")
         .select(col("node"), col("deg"),
-          expr(s"(15 * (${scale}L div n) + 85 * inflow) div 100").as("pr"), col("n"))
+          expr(s"(${tele}L + 85 * coalesce(inflow, 0L)) div 100").as("pr"))
     }
-    // eager-checkpoint the final ranks (node-sized — the same frame
-    // every superstep materializes anyway) so the edge pin can be
-    // released before returning; the result checkpoint itself is
-    // caller-owned ([[Pinned]])
+    // eager-checkpoint the final ranks (node-sized) so the edge and
+    // degree pins can be released before returning; the result
+    // checkpoint itself is caller-owned ([[Pinned]])
     val out = pr.select(col("node"), col("pr")).transform(graft.ops.Pinned.pin)
-    Pinned.release(e)
+    Pinned.release(e); Pinned.release(deg)
     out
   }
 
@@ -219,44 +246,68 @@ object Graph {
     * over a SYMMETRIZED (src, dst) edge list — community detection
     * as the Pregel superstep. Labels start as node ids; each round
     * every node takes its neighbors' most frequent label (ties to
-    * the smallest label — a deterministic min-struct, never a
-    * sampled tie-break). Returns (node, label).
+    * the smallest label — `mode(deterministic = true)` picks the
+    * lowest value among equally-frequent ones, never a sampled
+    * tie-break). Returns (node, label).
     *
-    * Superstep shape: one edges-to-labels equi-join on dst + a
-    * two-level groupBy (count per (src, label), then argmax per
-    * src) — degree-bounded shuffles like [[pageRankFixedPoint]]'s,
-    * no vertex ever holding more than one label. Each round's label
-    * frame is pinned (the next round reads it through two stages)
-    * and released as soon as its successor is materialized; only the
-    * FINAL frame stays pinned, caller-owned ([[Pinned]]). Routing as
-    * the other iterative ops: pass `vertexCount` and the edge pin
-    * pre-partitions on dst (the per-round join key) once the label
-    * frame outgrows broadcast ([[largeVertexState]]).
+    * Superstep shape (round 15 — was a two-level groupBy): one
+    * edges-to-labels equi-join on dst + ONE `mode` aggregate per
+    * src. The old form counted per (src, label) then argmax'd per
+    * src — two exchanges per round, because HashPartitioning(src,
+    * label) does not satisfy the second groupBy's
+    * ClusteredDistribution(src); the mode aggregate folds count and
+    * argmax into one map-side-combinable pass (per-partition
+    * label-count maps merge across the single src exchange). Round
+    * 1 needs NO join at all: labels start as node ids, so joining
+    * l0 on dst just relabels the edge's dst column — the superstep
+    * collapses to `groupBy(src).agg(mode(dst))`. The per-round
+    * nodes left-join is gone too: on a symmetrized edge list every
+    * node appears as src, so the aggregate output IS the full label
+    * frame (4.3 s -> 1.5 s at sf0.1, bit-identical, A/B'd against
+    * the two-level form). Each round's label frame is pinned (the
+    * next round joins it) and released when its successor
+    * materializes; only the FINAL frame stays pinned, caller-owned
+    * ([[Pinned]]). Routing as the other iterative ops: pass
+    * `vertexCount` and the edge pin pre-partitions on dst once the
+    * label frame outgrows broadcast ([[largeVertexState]]).
+    *
+    * Pin key A/B (round-15, GraphRoutingSpec): dst — the per-round
+    * JOIN key — beats src above the broadcast threshold. The src
+    * candidate (the aggregate key) saves only round 1's aggregate
+    * exchange, because the per-round aggregate input is the JOIN
+    * OUTPUT (dst-partitioned after the SMJ), which a src-pinned
+    * edge list cannot make src-clustered; meanwhile every round
+    * >= 2 would re-shuffle the full edge list to dst for the join.
+    * A dst pin deletes that edge-side exchange from every joining
+    * round and concedes one node-frame-sized aggregate exchange per
+    * round — the unavoidable one.
     */
   def labelPropagation(edges: DataFrame, rounds: Int,
-      vertexCount: Option[Long] = None): DataFrame = {
+      vertexCount: Option[Long] = None): DataFrame =
+    labelPropagationPinned(edges, rounds,
+      vertexCount.exists(largeVertexState(edges.sparkSession, _)), "dst")
+
+  /** [[labelPropagation]] with the route and pin key explicit — the
+    * spec's A/B hook (exchange counts per key, bit-identity across
+    * keys and routes). Production callers use the public form. */
+  private[ops] def labelPropagationPinned(edges: DataFrame, rounds: Int,
+      route: Boolean, pinKey: String): DataFrame = {
     require(rounds >= 1, s"labelPropagation needs >= 1 round, got $rounds")
-    val route = vertexCount.exists(largeVertexState(edges.sparkSession, _))
-    val sym = pinEdges(edges.select(col("src"), col("dst")), "dst", route)
-    val nodes = sym.select(col("src").as("node")).distinct()
+    val sym = pinEdges(edges.select(col("src"), col("dst")), pinKey, route)
+    // round 1: l0.label == node, so the join on dst collapses away
+    var l = sym.groupBy(col("src").as("node"))
+      .agg(mode(col("dst"), deterministic = true).as("label"))
       .transform(Pinned.pin)
-    var l = nodes.withColumn("label", col("node"))
-    var prevPin: DataFrame = null
-    for (_ <- 1 to rounds) {
-      val best = sym.join(l.select(col("node").as("dst"), col("label")), "dst")
-        .groupBy(col("src"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy("src")
-        .agg(min(struct((-col("cnt")).as("negc"), col("label"))).as("b"))
-        .select(col("src").as("node"), col("b.label").as("nlabel"))
-      val next = nodes.join(best, Seq("node"), "left")
-        .select(col("node"), coalesce(col("nlabel"), col("node")).as("label"))
+    var prev = l
+    for (_ <- 2 to rounds) {
+      l = sym.join(l.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(mode(col("label"), deterministic = true).as("label"))
         .transform(Pinned.pin)
-      if (prevPin != null) Pinned.release(prevPin)
-      prevPin = next
-      l = next
+      Pinned.release(prev)
+      prev = l
     }
-    Pinned.release(sym); Pinned.release(nodes)
+    Pinned.release(sym)
     l
   }
 }

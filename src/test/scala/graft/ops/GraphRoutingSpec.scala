@@ -51,6 +51,67 @@ class GraphRoutingSpec extends SparkSpec {
       rows(Graph.triangleStats(e, orientByDegree = true, vertexCount = big)))
   }
 
+  // round-15 pin-key A/B (the r14 verdict's task 1): for BOTH
+  // iterative ops the winning pin key is the per-round JOIN key (dst
+  // for LPA, src for pagerank), NOT the aggregate key. The aggregate's
+  // input is the join OUTPUT — partitioned by the join key after the
+  // SMJ, so no edge pin can pre-cluster it on the aggregate key —
+  // while the join side re-shuffles the FULL edge list every round
+  // the pin key doesn't match. Both keys must stay bit-identical;
+  // the exchange count decides the winner. (Below the threshold the
+  // pin key is ignored by construction — pinEdges pins plain.)
+  test("LPA pin-key A/B: dst (join key) deletes exchanges src cannot") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      def run(pinKey: String): (Int, Seq[String]) = {
+        val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+        val out = Pinned.withAuditTap(plans += _) {
+          val l = Graph.labelPropagationPinned(symEdges(300), 3,
+            route = true, pinKey = pinKey)
+          plans += l.queryExecution.executedPlan.toString
+          l
+        }
+        val rows = out.collect().map(_.toString).sorted.toSeq
+        Pinned.release(out)
+        (plans.map(p =>
+          "Exchange hashpartitioning".r.findAllIn(p).length).sum, rows)
+      }
+      val (exDst, rowsDst) = run("dst")
+      val (exSrc, rowsSrc) = run("src")
+      assert(rowsDst === rowsSrc, "pin key must never change results")
+      assert(exDst < exSrc,
+        s"dst pin (join key) should delete per-round edge exchanges: dst=$exDst src=$exSrc")
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("pagerank pin-key A/B: src (join key) deletes exchanges dst cannot") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      def run(pinKey: String): (Int, Seq[String]) = {
+        val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+        val out = Pinned.withAuditTap(plans += _) {
+          val pr = Graph.pageRankPinned(symEdges(300), 3,
+            scale = 1000000000000L, route = true, pinKey = pinKey)
+          plans += pr.queryExecution.executedPlan.toString
+          pr
+        }
+        val rows = out.collect().map(_.toString).sorted.toSeq
+        Pinned.release(out)
+        (plans.map(p =>
+          "Exchange hashpartitioning".r.findAllIn(p).length).sum, rows)
+      }
+      val (exSrc, rowsSrc) = run("src")
+      val (exDst, rowsDst) = run("dst")
+      assert(rowsDst === rowsSrc, "pin key must never change results")
+      assert(exSrc < exDst,
+        s"src pin (join key) should delete per-round edge exchanges: src=$exSrc dst=$exDst")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("above threshold the pre-partitioned pin deletes per-round exchanges") {
     // disable broadcast so the superstep joins would otherwise SMJ
     // with BOTH sides exchanging — the regime the route exists for
