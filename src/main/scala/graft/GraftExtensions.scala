@@ -41,6 +41,12 @@ object GraftExtensions {
         require(children.length == 1, "simhash64(tokens: array<string>) takes one argument")
         SimHash64(children.head)
       }),
+    ("ahash60",
+      new ExpressionInfo(classOf[graft.functions.AHash60].getName, "ahash60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "ahash60(text: string) takes one argument")
+        graft.functions.AHash60(children.head)
+      }),
     ("cosine_sim",
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => {

@@ -271,18 +271,21 @@ object Extras31 {
       "chr(33 + ((ascii(substr(text, CAST(n // 2 AS INT), 1)) + 13) % 94)) || " +
       "substr(text, CAST(n // 2 AS INT) + 1)"
 
-  /** Shared aHash stage for q313/q314 over a (doc_id, text) payload
-    * frame: md5-collapse byte-identical payloads to their min-id
-    * representative, then the 60-strip average hash. Returns one
-    * narrow (doc_id, ah) row per surviving payload of >= 60 chars.
+  /** Shared aHash stage for q313/q314/q317 over a (doc_id, text)
+    * payload frame: md5-collapse byte-identical payloads to their
+    * min-id representative, then the 60-strip average hash. Returns
+    * one narrow (doc_id, ah) row per surviving payload of >= 60
+    * chars.
     *
-    * split-into-chars, not transform(sequence, i -> substring(text,
-    * i, 1)): higher-order-function lambdas run interpreted AND
-    * substring is O(position), so the lambda form is quadratic per
-    * doc — measured most of a 21 s wall at the 64× replica vs ~3 s
-    * for this codegen'd split+posexplode shape. Java's split("", -1)
-    * keeps a trailing "" element; the filter drops it, leaving p0 =
-    * 0..n-1 exactly as the oracle's generate_series positions.
+    * The hash itself is [[graft.functions.AHash60]] — a native
+    * codegen expression doing one tight loop over the payload's
+    * bytes (round 15; the previous split("")+posexplode+groupBy+
+    * window pipeline materialized one ROW PER CHARACTER through an
+    * aggregate and a window — measured ~2.8 s of q317's 3.9 s at
+    * sf0.1 across its two hash passes, vs ~0.1 s for the
+    * expression). Bit-identical: same (p * 60) div n strip, same
+    * cross-multiplied integer mean comparison, code-point iteration
+    * exactly as the oracle's substr/ascii positions.
     */
   private[queries] def aHash60(payloads: DataFrame): DataFrame = {
     val docs0 = payloads
@@ -293,25 +296,9 @@ object Extras31 {
       .select(col("doc_id"), md5(col("text")).as("f"))
       .groupBy("f").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    val docs = docs0.join(keep, Seq("doc_id"), "left_semi")
-    val strips = docs
-      .select(col("doc_id"), col("n"),
-        posexplode(split(col("text"), "")).as(Seq("p0", "ch")))
-      .filter(col("ch") =!= "")
-      .select(col("doc_id"), col("n"), col("p0"),
-        ascii(col("ch")).cast(LongType).as("b"))
-      .withColumn("strip", expr("(p0 * 60) div n"))
-      .groupBy("doc_id", "strip")
-      .agg(sum("b").as("ss"), count(lit(1)).as("sc"))
-    val wdoc = Window.partitionBy("doc_id")
-    strips
-      .withColumn("ts", sum("ss").over(wdoc))
-      .withColumn("tc", sum("sc").over(wdoc))
-      .withColumn("bit",
-        when(col("ss") * col("tc") > col("ts") * col("sc"), 1L)
-          .otherwise(0L))
-      .groupBy("doc_id")
-      .agg(sum(expr("shiftleft(bit, CAST(strip AS INT))")).as("ah"))
+    docs0.join(keep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        graft.functions.AHash.ahash60(col("text")).as("ah"))
   }
 
   /** The banding+verify half, shared by q313/q314: pin the narrow
