@@ -302,6 +302,90 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Winnowing fingerprint SELECTION (Schleimer, Wilkerson, Aiken —
+    * MOSS, SIGMOD 2003) over a per-doc gram-hash sequence: slide a
+    * `w`-gram window over each doc's hashes and select the window
+    * MINIMUM, ties to the RIGHTMOST position (the paper's rule,
+    * which makes consecutive windows reuse a selection and bounds
+    * expected density at 2/(w+1)). Guarantee: two docs sharing a
+    * gram run of >= w consecutive grams share a selected
+    * fingerprint.
+    *
+    * Input `grams`: (idCol, ng, p, h) — p the 1-based gram position,
+    * ng the doc's gram count, h the gram hash (hex string; "~"
+    * sorts above every hex digit and stands in for "no neighbor").
+    * Selection runs as ONE doc-ordered window pass (no w-times
+    * explode, no window self-join — the q305/q310 shape): position
+    * p is selected iff for SOME offset k in 0..w-1 with a valid
+    * window [p-k, p-k+w-1], h <= its k left neighbors and
+    * h < (strictly — rightmost among ties) its w-1-k right
+    * neighbors. `rightmostTies = false` switches to the
+    * tie-INCLUSIVE variant (every position holding a window's min
+    * is selected — q310's form): the selected POSITION set grows on
+    * ties, but the selected distinct-HASH set per doc is identical
+    * under both rules (each window contributes exactly its min
+    * value), so fingerprint-set consumers may use either. Returns
+    * the selected rows unchanged.
+    */
+  def winnowSelect(grams: DataFrame, idCol: String, w: Int = 4,
+      rightmostTies: Boolean = true): DataFrame = {
+    require(w >= 2, s"winnowing needs a window of >= 2 grams, got $w")
+    val wd = Window.partitionBy(idCol).orderBy("p")
+    def lg(j: Int) = coalesce(lag(col("h"), j).over(wd), lit("~"))
+    def ld(j: Int) = coalesce(lead(col("h"), j).over(wd), lit("~"))
+    def lmin(k: Int) = (1 to k).map(lg).reduce(least(_, _))
+    def rmin(k: Int) = (1 to k).map(ld).reduce(least(_, _))
+    def valid(k: Int) =
+      (col("p") - k >= 1) && (col("p") - k <= col("ng") - (w - 1))
+    val selected = (0 until w).map { k =>
+      val leftOk = if (k == 0) lit(true) else col("h") <= lmin(k)
+      val rightOk =
+        if (k == w - 1) lit(true)
+        else if (rightmostTies) col("h") < rmin(w - 1 - k)
+        else col("h") <= rmin(w - 1 - k)
+      valid(k) && leftOk && rightOk
+    }.reduce(_ || _)
+    grams.withColumn("__sel", selected).filter(col("__sel")).drop("__sel")
+  }
+
+  /** INCREMENTAL fingerprint-overlap near-dup — the MOSS member of
+    * the incremental family ([[lshDupIncremental]] /
+    * [[hammingDupIncremental]]'s analog for winnowing fingerprints).
+    * State between ingest batches: the seen docs' selected
+    * fingerprint table plus the [[lshIndex]]-shaped fingerprint →
+    * ids index (band a constant 0 — winnowing has one fingerprint
+    * space — so the sharded/merge-probe machinery is shared
+    * verbatim: [[lshIndexShard]] / [[lshIndexMergeProbe]] work
+    * unchanged). The arriving batch fingerprints ONLY ITSELF
+    * (O(batch) gram/window work), probes the index with one hash
+    * join — per-probe cost O(fingerprints per doc) whatever the
+    * seen-corpus size — and each candidate pair scores by its
+    * DISTINCT shared-fingerprint count, MOSS's match strength.
+    * Fingerprint equality IS the verification (a shared fingerprint
+    * is a shared gram run by construction), so unlike the
+    * MinHash/pHash members there is no second verify join and the
+    * seen TEXT is never re-read. The index's write-time hot cap is
+    * the only recall exception (a boilerplate run shared by more
+    * than `maxIdsPerSig` docs stops generating candidates — the
+    * MOSS "too common to be interesting" filter). Replayed ids
+    * match nothing (self-pairs filtered), so a re-ingested batch
+    * after a failed commit is safe; batch-internal pairs are a
+    * separate composition — probe the batch against its own index.
+    * Output (new_id, seen_id, n_shared), n_shared >= minShared.
+    */
+  def fingerprintDupIncremental(newBands: DataFrame, stateIndex: DataFrame,
+      idCol: String, minShared: Int): DataFrame =
+    newBands
+      .select(col(idCol).as("new_id"), col("band"), col("sig"))
+      .join(stateIndex, Seq("band", "sig"))
+      .select(col("new_id"), col("band"), col("sig"),
+        explode(col("ids")).as("seen_id"))
+      .filter(col("new_id") =!= col("seen_id"))
+      .distinct()
+      .groupBy("new_id", "seen_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+
   /** Exact n-gram Jaccard similarity between two token-array columns. */
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * near-dup removal in embedding space. Vectors are routed to their

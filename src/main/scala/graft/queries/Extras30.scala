@@ -126,27 +126,12 @@ object Extras30 {
           .select(col("doc_id"), col("ng"),
             (col("pos") + 1).cast(LongType).as("p"), col("col").as("h"))
         // selection as ONE doc-ordered window pass (the q310 trick —
-        // no 4x explode, no wins self-join): position p is a selected
-        // fingerprint iff it is the RIGHTMOST min of some window
-        // [p-k, p-k+3], i.e. h <= its k left neighbors and h <
-        // (strictly — rightmost among ties) its 3-k right neighbors,
-        // for some valid k in 0..3. Bit-identical to the explicit
-        // window/offset form the oracle still states.
-        val wd = Window.partitionBy("doc_id").orderBy("p")
-        def lg(j: Int) = coalesce(lag(col("h"), j).over(wd), lit("~"))
-        def ld(j: Int) = coalesce(lead(col("h"), j).over(wd), lit("~"))
-        val lmin1 = lg(1); val lmin2 = least(lg(1), lg(2))
-        val lmin3 = least(lg(1), lg(2), lg(3))
-        val rmin1 = ld(1); val rmin2 = least(ld(1), ld(2))
-        val rmin3 = least(ld(1), ld(2), ld(3))
-        def valid(k: Int) =
-          (col("p") - k >= 1) && (col("p") - k <= col("ng") - 3)
-        val selected =
-          (valid(0) && col("h") < rmin3) ||
-          (valid(1) && col("h") <= lmin1 && col("h") < rmin2) ||
-          (valid(2) && col("h") <= lmin2 && col("h") < rmin1) ||
-          (valid(3) && col("h") <= lmin3)
-        val sel = grams.withColumn("s", selected).filter(col("s"))
+        // no 4x explode, no wins self-join); factored to
+        // ops/Dedup.winnowSelect in round 15 so the incremental
+        // member (q318) selects with the SAME expressions.
+        // Bit-identical to the explicit window/offset form the
+        // oracle still states.
+        val sel = graft.ops.Dedup.winnowSelect(grams, "doc_id", w = 4)
           .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
         tokd.select(col("doc_id"), col("ng").as("n_grams"),
             (col("ng") - 3).as("n_windows"))
@@ -512,31 +497,15 @@ object Extras30 {
           .select(col("doc_id"), col("source"), col("ng"),
             (col("pos") + 1).cast(LongType).as("p"), col("col").as("h"))
         // selection as ONE doc-ordered window pass, no 4x explode, no
-        // wins self-join: gram p is a selected fingerprint iff it is
-        // the (tie-inclusive) min of SOME window w in [p-3, p] — i.e.
-        // iff for some k in 0..3 the valid window [p-k, p-k+3] has
-        // h <= its k left neighbors AND its 3-k right neighbors. The
-        // lag/lead mins make each k a pure row predicate; "~" sorts
-        // after every hex digit, so a missing neighbor (only possible
-        // when the window is invalid anyway) never wins. The r13 form
-        // materialized 4x the gram volume and re-ran the gram lineage
-        // twice (groupBy + join); results are bit-identical — the
-        // oracle still states the explicit window/offset form.
-        val wd = Window.partitionBy("doc_id").orderBy("p")
-        def lg(j: Int) = coalesce(lag(col("h"), j).over(wd), lit("~"))
-        def ld(j: Int) = coalesce(lead(col("h"), j).over(wd), lit("~"))
-        val lmin1 = lg(1); val lmin2 = least(lg(1), lg(2))
-        val lmin3 = least(lg(1), lg(2), lg(3))
-        val rmin1 = ld(1); val rmin2 = least(ld(1), ld(2))
-        val rmin3 = least(ld(1), ld(2), ld(3))
-        def valid(k: Int) =
-          (col("p") - k >= 1) && (col("p") - k <= col("ng") - 3)
-        val selected =
-          (valid(0) && col("h") <= rmin3) ||
-          (valid(1) && col("h") <= lmin1 && col("h") <= rmin2) ||
-          (valid(2) && col("h") <= lmin2 && col("h") <= rmin1) ||
-          (valid(3) && col("h") <= lmin3)
-        val fp = grams.withColumn("sel", selected).filter(col("sel"))
+        // wins self-join — ops/Dedup.winnowSelect in its tie-INCLUSIVE
+        // form (every position holding a window min): this query
+        // consumes the DISTINCT fingerprint set, which is identical
+        // under either tie rule, and the oracle states the explicit
+        // window/offset form with the same inclusive predicate. The
+        // r13 form materialized 4x the gram volume and re-ran the
+        // gram lineage twice (groupBy + join); bit-identical.
+        val fp = graft.ops.Dedup
+          .winnowSelect(grams, "doc_id", w = 4, rightmostTies = false)
           .select(col("doc_id"), col("source"), col("h")).distinct()
         val rare = fp.groupBy("h").agg(count(lit(1)).as("df"))
           .filter(col("df") <= 64).select("h") // q129 hot-key cap
