@@ -147,21 +147,137 @@ object Pq {
     emb.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
 
-  /** IVF coarse assignment: nearest of `nlist` centroids (the vectors
-    * with ids `coarseBase until coarseBase+nlist`), full-dimension L2,
-    * ties to the smaller cell. Broadcast-argmin like [[encode]] —
-    * map-only over the corpus.
+  /** The IVF coarse centroid frame: `nlist` full-dimension vectors
+    * (ids `coarseBase until coarseBase+nlist`) keyed by cell id.
+    * Constant-size — always broadcast. Incremental pipelines FREEZE
+    * this frame at index-build time ([[coarseAssignWith]]).
     */
-  def coarseAssign(emb: DataFrame, nlist: Int, coarseBase: Long): DataFrame = {
-    val cc = fullVec(emb.filter(col("vec_id") >= coarseBase &&
+  def coarseCentroids(emb: DataFrame, nlist: Int, coarseBase: Long): DataFrame =
+    fullVec(emb.filter(col("vec_id") >= coarseBase &&
         col("vec_id") < coarseBase + nlist))
       .select((col("vec_id") - coarseBase).as("cell"), col("v").as("cv"))
+
+  /** IVF coarse assignment against an EXPLICIT centroid frame
+    * (cols cell, cv): nearest centroid by full-dimension L2, ties to
+    * the smaller cell. Broadcast-argmin like [[encode]] — map-only
+    * over the corpus, so an arriving ingest batch assigns in
+    * O(batch) against frozen centroids.
+    */
+  def coarseAssignWith(emb: DataFrame, cc: DataFrame): DataFrame =
     fullVec(emb).crossJoin(broadcast(cc))
       .withColumn("d2",
         expr("aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
       .groupBy("vec_id")
       .agg(min(struct(col("d2"), col("cell"))).as("best"))
       .select(col("vec_id"), col("best.cell").as("cell"))
+
+  /** IVF coarse assignment deriving the centroids from the frame's
+    * own id range — the batch form ([[coarseAssignWith]] over
+    * [[coarseCentroids]]). */
+  def coarseAssign(emb: DataFrame, nlist: Int, coarseBase: Long): DataFrame =
+    coarseAssignWith(emb, coarseCentroids(emb, nlist, coarseBase))
+
+  /** IVF-PQ top-k FROM STORED STATE — the query side of the
+    * INCREMENTAL ANN index ([[lshDupIncremental]]'s analog for
+    * similarity search). State between ingest batches: the codes
+    * table (vec_id, j, code — [[encodeWith]]), the cells table
+    * (vec_id, cell — [[coarseAssignWith]]), and the FROZEN codebook
+    * + coarse centroid frames they were built against (constant-
+    * size; retrained offline, never per batch — the standard IVF-PQ
+    * deployment contract). An arriving corpus batch extends the
+    * state by encoding/assigning ONLY itself against the frozen
+    * frames (O(batch) map-side work, zero seen-vector re-reads);
+    * a query then probes the STORED tables: nprobe nearest cells by
+    * broadcast argmin over the centroid frame, candidates from the
+    * cells table by one hash join, ranking by ADC lookups over the
+    * codes table — per-query cost proportional to the probed
+    * cells' populations, independent of how many batches built the
+    * state. `query` is ONE (vec_id, embedding) row — it need not
+    * belong to the indexed corpus; its id only excludes a self-
+    * match. Candidates below `minCandId` (the codebook/centroid id
+    * range) are excluded, as in [[ivfAdcTopK]].
+    */
+  def ivfAdcTopKFromState(codes: DataFrame, cells: DataFrame,
+      cb: DataFrame, cc: DataFrame, query: DataFrame, m: Int, ds: Int,
+      nprobe: Int, topK: Int, minCandId: Long): DataFrame = {
+    val qsub = subvectors(query, m, ds).select(col("j").as("qj"), col("sv").as("qv"))
+    val lut = cb.join(broadcast(qsub), col("cj") === col("qj"))
+      .withColumn("d2",
+        expr(ip("qv", "qv")) - lit(2.0) * expr(ip("qv", "cv")) + expr(ip("cv", "cv")))
+      .select(col("cj").as("j"), col("c"), col("d2"))
+    val probed = fullVec(query).crossJoin(broadcast(cc))
+      .withColumn("qd2",
+        expr("aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
+      .orderBy(col("qd2"), col("cell"))
+      .limit(nprobe)
+      .select("cell")
+    val qid = query.select(col("vec_id").as("__qid"))
+    val cand = cells.filter(col("vec_id") >= minCandId)
+      .join(broadcast(probed), Seq("cell"))
+      .join(broadcast(qid), col("vec_id") === col("__qid"), "left_anti")
+    codes.join(cand, Seq("vec_id"))
+      .join(broadcast(lut), Seq("j"), "inner")
+      .filter(col("code") === col("c"))
+      .groupBy("vec_id", "cell")
+      .agg(sum(col("d2")).as("adc_d2"))
+      .select(col("vec_id"),
+        col("cell").cast(org.apache.spark.sql.types.LongType).as("cell"),
+        col("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(topK)
+  }
+
+  /** Fold one change-feed window of the base embeddings TxLog table
+    * into the STORED ANN index — the maintenance half of the
+    * incremental IVF-PQ ([[ivfAdcTopKFromState]] is the query half).
+    * Inserted vectors encode ([[encodeWith]]) and assign
+    * ([[coarseAssignWith]]) against the FROZEN codebook/centroid
+    * frames — O(changes) map-side work, zero seen-vector re-reads —
+    * and APPEND to the codes/cells tables stamped with their commit
+    * version; deleted ids append (vec_id, v) TOMBSTONES. Nothing
+    * stored is ever rewritten (the dedup family's append-only state
+    * discipline: at 100 TB a retention delete must not rewrite the
+    * codes table); [[liveState]] reconstructs the current view
+    * version-aware, so a vector deleted and later re-ingested
+    * resolves to its NEWEST codes, never its tombstoned ones. All
+    * three appends are txn-tagged (appId-table, window end), so a
+    * replayed maintenance window no-ops on every table.
+    */
+  def applyChangesToIndex(spark: org.apache.spark.sql.SparkSession,
+      baseTable: String, fromV: Long, toV: Long,
+      cb: DataFrame, cc: DataFrame, m: Int, ds: Int,
+      codesTable: String, cellsTable: String, tombTable: String,
+      appId: String): Unit = {
+    import graft.sink.TxLogTable
+    val feed = TxLogTable.changes(spark, baseTable, fromV, toV)
+    val ins = feed.filter(col("_change_type") === "insert")
+      .select(col("vec_id"), col("embedding"), col("_commit_version").as("v"))
+      .transform(Pinned.pin)
+    val ver = ins.select(col("vec_id"), col("v"))
+    TxLogTable.append(
+      encodeWith(ins, m, ds, cb).join(broadcast(ver), Seq("vec_id")),
+      codesTable, Some((s"$appId-codes", toV)))
+    TxLogTable.append(
+      coarseAssignWith(ins, cc).join(broadcast(ver), Seq("vec_id")),
+      cellsTable, Some((s"$appId-cells", toV)))
+    TxLogTable.append(
+      feed.filter(col("_change_type") === "delete")
+        .select(col("vec_id"), col("_commit_version").as("v")),
+      tombTable, Some((s"$appId-tomb", toV)))
+    Pinned.release(ins)
+    ()
+  }
+
+  /** Current view of an append-only versioned state table against its
+    * tombstones: a row survives iff no tombstone for its id is as new
+    * as it. O(state) with the tombstone aggregate broadcast-or-hash
+    * joined — never a rewrite of the state.
+    */
+  def liveState(state: DataFrame, tomb: DataFrame): DataFrame = {
+    val tm = tomb.groupBy("vec_id").agg(max(col("v")).as("__tv"))
+    state.join(tm, Seq("vec_id"), "left")
+      .filter(col("__tv").isNull || col("v") > col("__tv"))
+      .drop("__tv")
   }
 
   /** IVF-PQ (non-residual form): the coarse quantizer routes the
@@ -188,7 +304,8 @@ object Pq {
       .limit(nprobe)
       .select("cell")
     val cand = coarseAssign(emb, nlist, coarseBase)
-      .filter(col("vec_id") >= coarseBase + nlist)
+      .filter(col("vec_id") >= coarseBase + nlist &&
+        col("vec_id") =!= queryVecId) // a self-match is never an answer
       .join(broadcast(probed), Seq("cell"))
     val enc = encode(emb, m, ds, k)
     val lut = adcLut(emb, m, ds, k, queryVecId)

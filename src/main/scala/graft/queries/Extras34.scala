@@ -130,6 +130,99 @@ object Extras34 {
               FROM a_fps a JOIN s_kept b
                 ON a.h = b.h AND a.doc_id <> b.doc_id
               GROUP BY 1, 2 HAVING COUNT(*) >= 2
-              ORDER BY new_id, seen_id"""))
+              ORDER BY new_id, seen_id""")),
+
+    // INCREMENTAL IVF-PQ ANN — the similarity-search member of the
+    // incremental-state family (the dedup members are q315-q318).
+    // The corpus splits at the count-derived 3/4 boundary: the seen
+    // side is indexed ONCE into the stored state — PQ codes
+    // (vec_id, j, code), coarse cell assignments (vec_id, cell), and
+    // the FROZEN codebook + coarse-centroid frames they were built
+    // against (constant-size; retrained offline, never per batch —
+    // the standard IVF-PQ deployment contract; in production the
+    // state lives in TxLog tables maintained off the change feed by
+    // ops/Pq.applyChangesToIndex, spec-gated by IncrementalPqSpec).
+    // The arriving 1/4 then extends the index by encoding/assigning
+    // ONLY ITSELF against the frozen frames — O(batch) map-side
+    // work, zero seen-vector re-reads — and the FIRST ARRIVING
+    // vector queries the combined state: nprobe=2 of nlist=8 cells,
+    // candidates by one hash join on the cells table, ranking by ADC
+    // lookups over the codes table. Same parameters and id
+    // conventions as q267; every cell assignment and ADC distance is
+    // recomputed by the oracle — hash-verified. Probe-plan
+    // independence from the seen-corpus size is pinned by
+    // IncrementalPqSpec.
+    QueryDef("q319_ivfpq_incremental",
+      (s, d) => {
+        import graft.ops.{Pq, Pinned}
+        val emb = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val n = emb.count()
+        val splitAt = 3L * n / 4
+        val (m, ds, k, nlist, coarseBase) = (4, 16, 16, 8, 16L)
+        val seen = emb.filter(col("vec_id") < splitAt)
+        // frozen quantizer frames, built once from the seen side and
+        // PINNED (each is read by both encode passes and the query
+        // stage; production stores them alongside the TxLog state).
+        // The seen codes/cells flow straight into the union — each
+        // has exactly one consumer, so in-query materialization would
+        // only re-pay what production already paid at ingest.
+        val cb = Pq.codebook(seen, m, ds, k).transform(Pinned.pin)
+        val cc = Pq.coarseCentroids(seen, nlist, coarseBase)
+          .transform(Pinned.pin)
+        // arriving batch: O(batch) encode+assign against frozen frames
+        val arr = emb.filter(col("vec_id") >= splitAt)
+        val codes = Pq.encodeWith(seen, m, ds, cb)
+          .unionAll(Pq.encodeWith(arr, m, ds, cb))
+        val cells = Pq.coarseAssignWith(seen, cc)
+          .unionAll(Pq.coarseAssignWith(arr, cc))
+        val query = emb.filter(col("vec_id") === splitAt)
+        Pq.ivfAdcTopKFromState(codes, cells, cb, cc, query, m, ds,
+          nprobe = 2, topK = 10, minCandId = coarseBase + nlist)
+      },
+      Some("""WITH nn AS (SELECT (3 * COUNT(*)) // 4 AS q FROM embeddings),
+              emb AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+              cc AS (SELECT vec_id - 16 AS cell, v AS cv FROM emb
+                     WHERE vec_id BETWEEN 16 AND 23),
+              asg AS (SELECT vec_id, cell FROM (
+                  SELECT e.vec_id, cc.cell,
+                         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_distance(e.v, cc.cv), cc.cell) AS rn
+                  FROM emb e JOIN cc ON TRUE) WHERE rn = 1),
+              probe AS (SELECT cell FROM (
+                  SELECT cc.cell, ROW_NUMBER() OVER (
+                           ORDER BY list_distance(q.v, cc.cv), cc.cell) AS rn
+                  FROM cc JOIN (SELECT v FROM emb
+                                WHERE vec_id = (SELECT q FROM nn)) q ON TRUE)
+                  WHERE rn <= 2),
+              sub AS (
+                SELECT vec_id, t.j,
+                       list_transform(embedding[(t.j*16+1):(t.j*16+16)],
+                                      x -> CAST(x AS DOUBLE)) AS sv
+                FROM embeddings, UNNEST([0,1,2,3]) AS t(j)),
+              cb AS (SELECT vec_id AS c, j, sv AS cv FROM sub WHERE vec_id < 16),
+              dist AS (SELECT s.vec_id, s.j, cb.c,
+                              list_distance(s.sv, cb.cv) AS dst
+                       FROM sub s JOIN cb ON s.j = cb.j),
+              enc AS (SELECT vec_id, j, c AS code
+                      FROM (SELECT *, ROW_NUMBER() OVER (
+                              PARTITION BY vec_id, j ORDER BY dst, c) AS rn
+                            FROM dist) WHERE rn = 1),
+              lut AS (SELECT cb.j, cb.c,
+                             list_inner_product(q.sv, q.sv)
+                               - 2 * list_inner_product(q.sv, cb.cv)
+                               + list_inner_product(cb.cv, cb.cv) AS d2
+                      FROM cb JOIN (SELECT j, sv FROM sub
+                                    WHERE vec_id = (SELECT q FROM nn)) q
+                        ON q.j = cb.j)
+              SELECT e.vec_id AS vec_id, CAST(a.cell AS BIGINT) AS cell,
+                     SUM(l.d2) AS adc_d2
+              FROM enc e
+              JOIN lut l ON e.j = l.j AND e.code = l.c
+              JOIN asg a ON a.vec_id = e.vec_id
+              JOIN probe p ON p.cell = a.cell
+              WHERE e.vec_id >= 24 AND e.vec_id <> (SELECT q FROM nn)
+              GROUP BY e.vec_id, a.cell ORDER BY adc_d2, vec_id LIMIT 10"""))
   )
 }
