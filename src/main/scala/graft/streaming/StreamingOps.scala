@@ -670,4 +670,86 @@ object StreamingOps {
       }
       .start()
   }
+
+  /** STREAMING perceptual-hash dedup ingest — the MULTIMODAL member
+    * of the streaming family, composing `Dedup.hammingDupIncremental`
+    * the way [[lshDedupIngest]] composes `lshDupIncremental` (q317's
+    * loop run as a stream). The stream carries (idCol, hashCol) rows
+    * — the per-media 60-bit perceptual hash, computed upstream in
+    * the decode/feature map stage (`ahash60` here; a real image
+    * pipeline swaps the hash function, not this state machinery).
+    * Per micro-batch: (1) band the arriving hashes ONCE; (2) resolve
+    * CO-ARRIVING near-dups inside the batch (UNCAPPED self-probe —
+    * same contract as the text form: the batch is bounded by
+    * construction, and a capped self-index would silently admit
+    * > maxIdsPerSig co-arriving copies any sequential ingest
+    * collapses); (3) probe the stored ACID state — the hash table
+    * plus the APPEND-ONLY SHARDED (band, sig) index, merged +
+    * hot-capped over only the touched buckets
+    * (`Dedup.lshIndexMergeProbe`) — verifying
+    * `bit_count(xor) <= maxHamming` against STORED hashes, payloads
+    * never re-read; (4) append the verdict pairs; (5) append the
+    * kept arrivals' hashes and ONE pre-aggregated index shard
+    * (`Dedup.lshIndexShard`: over-cap buckets truncated to cap+1,
+    * not filtered — the within-commit-hot tombstone contract). All
+    * three appends are txn-tagged, so a replayed micro-batch no-ops
+    * everywhere and the state stays exactly-once over at-least-once
+    * delivery. Pigeonhole recall is exact per batch (maxHamming <
+    * bands enforced by the op); the index cap is the only recall
+    * exception, identical to a single write-time-capped index by
+    * the shard tombstone argument. Batch-internal contract as the
+    * text form: the HIGHER id of every verified co-arrival pair
+    * drops, order-free. NOT an oracle-suite query for the same
+    * documented reason as [[lshDedupIngest]] (fixed multi-batch
+    * stream machinery measures commits, not plans); the sequential
+    * semantics are oracle-gated by q317 and spec-gated by
+    * StreamingPhashIngestSpec (stream == sequential batch
+    * composition, dropped ids in no shard, over-cap co-arrival
+    * collapse).
+    */
+  def phashDedupIngest(
+      stream: DataFrame,
+      hashTable: String, idxTable: String, outTable: String,
+      appId: String, checkpoint: String,
+      idCol: String = "doc_id", hashCol: String = "ah",
+      bits: Int = 15, bands: Int = 4, maxHamming: Int = 3,
+      maxIdsPerSig: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.{Dedup, Pinned}
+    import graft.sink.TxLogTable
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bh = batch.select(col(idCol), col(hashCol)).transform(Pinned.pin)
+        val newBands = Dedup.hammingBands(bh, idCol, hashCol, bits, bands)
+          .transform(Pinned.pin)
+        // co-arrival pass: the batch probes ITSELF, uncapped
+        val innerPairs = Dedup.hammingDupIncremental(bh, bh,
+            Dedup.lshIndex(newBands, idCol, maxIdsPerSig = 0),
+            idCol, hashCol, bits, bands, maxHamming)
+          .filter(col("new_id") > col("seen_id"))
+        // cross-batch pass: merged + capped view of ONLY the stored
+        // buckets this batch's bands touch
+        val probeIdx = Dedup.lshIndexMergeProbe(
+          TxLogTable.read(s, idxTable), newBands, maxIdsPerSig)
+        val crossPairs = Dedup.hammingDupIncremental(bh,
+          TxLogTable.read(s, hashTable), probeIdx,
+          idCol, hashCol, bits, bands, maxHamming)
+        val drops = crossPairs.unionAll(innerPairs).transform(Pinned.pin)
+        TxLogTable.append(drops, outTable, Some((s"$appId-out", batchId)))
+        val kept = bh.join(drops.select(col("new_id").as(idCol)),
+            Seq(idCol), "left_anti")
+          .transform(Pinned.pin)
+        TxLogTable.append(kept, hashTable, Some((s"$appId-hash", batchId)))
+        TxLogTable.append(
+          Dedup.lshIndexShard(
+            Dedup.hammingBands(kept, idCol, hashCol, bits, bands),
+            idCol, maxIdsPerSig),
+          idxTable, Some((s"$appId-idx", batchId)))
+        Pinned.release(bh); Pinned.release(newBands)
+        Pinned.release(drops); Pinned.release(kept)
+        ()
+      }
+      .start()
+  }
 }
