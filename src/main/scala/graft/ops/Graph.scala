@@ -151,6 +151,75 @@ object Graph {
     out
   }
 
+  /** 2-hop reach per vertex over a SYMMETRIZED, DISTINCT (u, v) edge
+    * list: (u, n_one_hop, n_two_hop) where n_two_hop counts vertices
+    * reachable in exactly two hops (not u, not a direct neighbor).
+    * The wedge volume Σ deg² is the semantics — what routes is HOW
+    * it moves:
+    *
+    *  - gather form (default): build the per-vertex sorted neighbor
+    *    set once, join each edge (u,v) to N(v), gather per u with
+    *    ONE aggregation, and run dedup + 1-hop/self exclusion as
+    *    array ops inside codegen — the wedge volume moves once as
+    *    array cells instead of twice as shuffled rows (6.3 s -> 2.8 s
+    *    at sf0.1, SCALE.md round-13). Its boundary: a hub u gathers
+    *    Σ_{v∈N(u)} deg(v) <= maxDeg² cells into one aggregation
+    *    buffer, and AQE can split skewed ROWS but never a single
+    *    array — a social-graph hub with 10^6-degree neighbors would
+    *    overwhelm the buffer.
+    *  - row form (the route above the boundary): materialize wedge
+    *    (u, w) rows, DISTINCT, anti-join the 1-hop edges, count —
+    *    two extra data-sized shuffles, but every stage is row-shaped
+    *    and AQE skew-splits it.
+    *
+    * Routing discipline as [[largeVertexState]]: the caller passes
+    * the degree census it already has (max degree lives in table
+    * stats at lakehouse scale); the gather route is taken while the
+    * worst-case hub buffer maxDeg² × 8 bytes fits `gatherBufferBytes`
+    * (default 256 MiB — a fraction of a production executor's task
+    * memory, so the boundary errs toward the splittable form).
+    * Both routes are bit-identical (GraphRoutingSpec).
+    */
+  def twoHopReach(sym: DataFrame, maxDegree: Option[Long] = None,
+      gatherBufferBytes: Long = 256L << 20): DataFrame = {
+    val hubUnsafe = maxDegree.exists(d =>
+      d > 0 && (d > (1L << 30) || d * d > gatherBufferBytes / 8))
+    if (hubUnsafe) twoHopRows(sym) else twoHopGather(sym)
+  }
+
+  /** [[twoHopReach]]'s gather form — see the routing scaladoc. */
+  private[ops] def twoHopGather(sym: DataFrame): DataFrame = {
+    val adj = sym.groupBy(col("u").as("x"))
+      .agg(sort_array(collect_set(col("v"))).as("nbr"))
+    val gathered = sym
+      .join(adj.select(col("x").as("v"), col("nbr").as("nv")), Seq("v"))
+      .groupBy("u").agg(flatten(collect_list(col("nv"))).as("allw"))
+    adj.select(col("x").as("u"), col("nbr").as("nu"))
+      .join(gathered, Seq("u"), "left")
+      .select(col("u"),
+        size(col("nu")).cast("long").as("n_one_hop"),
+        coalesce(
+          size(array_except(array_distinct(col("allw")),
+            array_union(col("nu"), array(col("u"))))).cast("long"),
+          lit(0L)).as("n_two_hop"))
+  }
+
+  /** [[twoHopReach]]'s row form — wedge rows, DISTINCT, 1-hop
+    * anti-join; AQE-splittable at every stage. */
+  private[ops] def twoHopRows(sym: DataFrame): DataFrame = {
+    val wedges = sym.select(col("u"), col("v").as("m"))
+      .join(sym.select(col("u").as("m"), col("v").as("w")), Seq("m"))
+      .filter(col("u") =!= col("w"))
+      .select("u", "w").distinct()
+    val two = wedges
+      .join(sym.select(col("u"), col("v").as("w")), Seq("u", "w"), "left_anti")
+      .groupBy("u").agg(count(lit(1)).as("n_two_hop"))
+    sym.groupBy("u").agg(count(lit(1)).as("n_one_hop"))
+      .join(two, Seq("u"), "left")
+      .select(col("u"), col("n_one_hop"),
+        coalesce(col("n_two_hop"), lit(0L)).as("n_two_hop"))
+  }
+
   /** PageRank in 64-bit integer fixed-point, `iters` rounds.
     *
     * Total mass `scale` is split evenly (integer div) as the start

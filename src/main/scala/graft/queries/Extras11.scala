@@ -47,27 +47,19 @@ object Extras11 {
         // (q130 lesson)
         val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
           .transform(graft.ops.Pinned.pin)
-        // adjacency-gather form (q130's adjacency-intersection trick
-        // applied to reach): the wedge Σdeg² stays irreducible, but it
-        // moves as ARRAY CELLS in ONE per-u gather instead of as
-        // individual (u, w) rows shuffled twice (wedge distinct + the
-        // 1-hop anti-join) — the row form measured 6.3 s warm at
-        // sf0.1 (~100M wedge rows), this form 2.4 s moving ~30M cells
-        // once; the per-u dedup/one-hop-exclusion runs as
-        // array_distinct/array_except inside codegen
-        val adj = sym.groupBy(col("u").as("x"))
-          .agg(sort_array(collect_set(col("v"))).as("nbr"))
-        val gathered = sym
-          .join(adj.select(col("x").as("v"), col("nbr").as("nv")), Seq("v"))
-          .groupBy("u").agg(flatten(collect_list(col("nv"))).as("allw"))
-        adj.select(col("x").as("u"), col("nbr").as("nu"))
-          .join(gathered, Seq("u"), "left")
-          .select(col("u").as("part"),
-            size(col("nu")).cast("long").as("n_one_hop"),
-            coalesce(
-              size(array_except(array_distinct(col("allw")),
-                array_union(col("nu"), array(col("u"))))).cast("long"),
-              lit(0L)).as("n_two_hop"))
+        // routed reach (ops/Graph.twoHopReach): adjacency-gather form
+        // here — the wedge Σdeg² stays irreducible, but it moves as
+        // ARRAY CELLS in ONE per-u gather instead of as individual
+        // (u, w) rows shuffled twice (the row form measured 6.3 s
+        // warm at sf0.1 vs 2.4 s). The row form is the ROUTE above
+        // the hub-degree boundary (a gather buffer is one array AQE
+        // cannot skew-split) — pass the degree census to flip;
+        // basket-co-occurrence degrees are bounded by catalog
+        // structure, so this graph stays on the gather side at any
+        // corpus size. Bit-identity of the routes is spec-pinned
+        // (GraphRoutingSpec).
+        graft.ops.Graph.twoHopReach(sym)
+          .select(col("u").as("part"), col("n_one_hop"), col("n_two_hop"))
           .orderBy("part")
       },
       Some("""WITH m AS (

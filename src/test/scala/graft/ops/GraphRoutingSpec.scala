@@ -112,6 +112,25 @@ class GraphRoutingSpec extends SparkSpec {
     } finally spark.conf.set(key, saved)
   }
 
+  test("two-hop reach routes on the degree census; both forms bit-identical") {
+    val sym = symEdges(200).select(col("src").as("u"), col("dst").as("v"))
+    def rows(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // bit-identity of the two forms
+    assert(rows(Graph.twoHopGather(sym)) === rows(Graph.twoHopRows(sym)))
+    // the router: gather below the hub boundary, row form above it
+    def plan(maxDeg: Option[Long]): String =
+      Graph.twoHopReach(sym, maxDeg).queryExecution.optimizedPlan.toString
+    assert(!plan(None).contains("LeftAnti"))
+    assert(!plan(Some(1000L)).contains("LeftAnti"),
+      "a bounded-degree census stays on the gather form")
+    assert(plan(Some(1L << 20)).contains("LeftAnti"),
+      "a hub census flips to the AQE-splittable row form")
+    // and the routed results match on both sides of the flip
+    assert(rows(Graph.twoHopReach(sym, Some(1000L))) ===
+      rows(Graph.twoHopReach(sym, Some(1L << 20))))
+  }
+
   test("above threshold the pre-partitioned pin deletes per-round exchanges") {
     // disable broadcast so the superstep joins would otherwise SMJ
     // with BOTH sides exchanging — the regime the route exists for
