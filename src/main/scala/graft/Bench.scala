@@ -4,7 +4,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // shuffle/spill files on the memory-backed tmpfs when the host has
+    // one: three rounds of official-artifact attribution traced the
+    // recorded spike clusters to host DISK slow windows landing on
+    // shuffle-heavy, code-unchanged queries (SCALE.md r14/r15 receipts)
+    // — tmpfs local dirs take the bench off that substrate the same
+    // way a production cluster puts them on local NVMe. Data volume at
+    // sf0.1 is MBs against a 126 GiB tmpfs; Spark removes its
+    // blockmgr-*/spark-* subdirs on exit.
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val localDir =
+      if (!sys.env.contains("SPARK_GRAFT_NO_SHM") &&
+          java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm))
+        Some(java.nio.file.Files.createDirectories(
+          shm.resolve("graft_spark_local")).toString)
+      else None
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -15,6 +31,7 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.sql.files.openCostInBytes", "65536")
       .config("spark.ui.enabled", "false")
+    val spark = localDir.fold(builder0)(d => builder0.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import scala.jdk.CollectionConverters._
