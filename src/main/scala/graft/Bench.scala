@@ -12,11 +12,19 @@ object Bench {
     // way a production cluster puts them on local NVMe. Data volume at
     // sf0.1 is MBs against a 126 GiB tmpfs; Spark removes its
     // blockmgr-*/spark-* subdirs on exit.
+    // capacity floor (round 16): shuffle SPILL happens exactly when
+    // memory is tight, and spilling onto a small or contended
+    // RAM-backed tmpfs (Docker's default /dev/shm is 64 MiB) would
+    // ENOSPC or worsen the pressure it is relieving — require several
+    // GiB usable before taking the tmpfs, else default local dirs.
     val shm = java.nio.file.Paths.get("/dev/shm")
+    def shmUsable: Boolean =
+      try java.nio.file.Files.getFileStore(shm).getUsableSpace >= (8L << 30)
+      catch { case _: Throwable => false }
     val localDir =
       if (!sys.env.contains("SPARK_GRAFT_NO_SHM") &&
           java.nio.file.Files.isDirectory(shm) &&
-          java.nio.file.Files.isWritable(shm))
+          java.nio.file.Files.isWritable(shm) && shmUsable)
         Some(java.nio.file.Files.createDirectories(
           shm.resolve("graft_spark_local")).toString)
       else None

@@ -43,6 +43,38 @@ object Profile {
       spark.stop()
       return
     }
+    // `jobs:<prefix,...>` mode: count Spark JOBS (and their stages/
+    // tasks) per query — sequential eager actions (pins, counts,
+    // isEmpty convergence checks) are invisible in a plan dump but
+    // each one is a scheduler barrier: a query's stall sensitivity
+    // under host noise scales with its job count, not its task count
+    // (every barrier serially samples the noise window). Warm run.
+    if (args.length > 2 && args(2).startsWith("jobs:")) {
+      val prefixes = args(2).stripPrefix("jobs:").split(',').toSeq
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val stages = new java.util.concurrent.atomic.AtomicInteger
+      val tasks = new java.util.concurrent.atomic.AtomicInteger
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
+          tasks.addAndGet(j.stageInfos.map(_.numTasks).sum)
+        }
+      })
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => prefixes.exists(n.startsWith) }
+        .foreach { case (name, fn) =>
+          noop(fn(spark, sfDir)) // warm-up / JIT
+          jobs.set(0); stages.set(0); tasks.set(0)
+          val t0 = System.nanoTime()
+          noop(fn(spark, sfDir))
+          // listener delivery is async — drain before reading
+          org.apache.spark.sql.graftshim.ColumnShim.drainListenerBus(spark)
+          println(f"[profile] $name: jobs=${jobs.get}%3d stages=${stages.get}%4d " +
+            f"tasks=${tasks.get}%6d warm=${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+      spark.stop()
+      return
+    }
     // `only:<prefix,...>` mode: cold+warm for a targeted subset
     if (args.length > 2 && args(2).startsWith("only:")) {
       val prefixes = args(2).stripPrefix("only:").split(',').toSeq

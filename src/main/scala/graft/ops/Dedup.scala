@@ -283,10 +283,24 @@ object Dedup {
     */
   def hammingDupIncremental(newHashes: DataFrame, stateHashes: DataFrame,
       stateIndex: DataFrame, idCol: String, hashCol: String,
-      bits: Int, bands: Int, maxHamming: Int): DataFrame = {
+      bits: Int, bands: Int, maxHamming: Int): DataFrame =
+    hammingDupIncrementalFromBands(
+      hammingBands(newHashes, idCol, hashCol, bits, bands),
+      newHashes, stateHashes, stateIndex, idCol, hashCol, bands, maxHamming)
+
+  /** [[hammingDupIncremental]] over the arriving batch's precomputed
+    * [[hammingBands]] frame — callers that ALSO append those bands to
+    * the stored index (the streaming ingest) band once and reuse the
+    * frame on every path, exactly like
+    * [[lshDupIncrementalFromBands]] on the text side. `bands` rides
+    * along only to assert the pigeonhole contract. */
+  def hammingDupIncrementalFromBands(newBands: DataFrame,
+      newHashes: DataFrame, stateHashes: DataFrame,
+      stateIndex: DataFrame, idCol: String, hashCol: String,
+      bands: Int, maxHamming: Int): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole-exact recall needs maxHamming < bands: $maxHamming >= $bands")
-    val cand = hammingBands(newHashes, idCol, hashCol, bits, bands)
+    val cand = newBands
       .select(col(idCol).as("new_id"), col("band"), col("sig"))
       .join(stateIndex, Seq("band", "sig"))
       .select(col("new_id"), explode(col("ids")).as("seen_id"))
@@ -346,6 +360,38 @@ object Dedup {
       valid(k) && leftOk && rightOk
     }.reduce(_ || _)
     grams.withColumn("__sel", selected).filter(col("__sel")).drop("__sel")
+  }
+
+  /** Text → selected winnowing fingerprints, index-shaped: tokenize
+    * on single spaces, hash every `gramTokens`-token gram (md5 hex —
+    * deterministic across engines), select with [[winnowSelect]]'s
+    * one-window pass, and emit the per-doc DISTINCT fingerprint set
+    * as (idCol, band = 0, sig = hash) rows — `band` a constant
+    * because winnowing has ONE fingerprint space, which is exactly
+    * what lets [[lshIndex]] / [[lshIndexShard]] /
+    * [[lshIndexMergeProbe]] / [[fingerprintDupIncremental]] serve it
+    * verbatim. Docs with fewer than `w + gramTokens - 1` tokens
+    * produce no grams window and silently emit nothing — too short
+    * to carry a >= w-gram shared run, the MOSS guarantee's unit.
+    * This is q318's fingerprinting stage factored out for the
+    * streaming ingest; the q305/q310 production parameters are the
+    * defaults.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 4, gramTokens: Int = 3): DataFrame = {
+    val tokd = docs.select(col(idCol), split(col(textCol), " ").as("toks"))
+      .withColumn("ng",
+        (size(col("toks")) - (gramTokens - 1)).cast(org.apache.spark.sql.types.LongType))
+      .filter(col("ng") >= w)
+    val grams = tokd.select(col(idCol), col("ng"), posexplode(
+        expr("transform(sequence(1, CAST(ng AS INT)), " +
+          s"i -> md5(concat_ws(' ', slice(toks, i, $gramTokens))))")))
+      .select(col(idCol), col("ng"),
+        (col("pos") + 1).cast(org.apache.spark.sql.types.LongType).as("p"),
+        col("col").as("h"))
+    winnowSelect(grams, idCol, w)
+      .select(col(idCol), lit(0).as("band"), col("h").as("sig"))
+      .distinct()
   }
 
   /** INCREMENTAL fingerprint-overlap near-dup — the MOSS member of
@@ -670,10 +716,22 @@ object Dedup {
     * buckets are never truncated: a merged size <= cap implies every
     * contributing shard row had <= cap ids. Shard rows stay bounded
     * at cap+1 whatever the hot bucket's true size.
+    *
+    * Each shard row also records `n` — the TRUE pre-truncation bucket
+    * size. The cap+1 tombstone alone reproduces single-index
+    * semantics only when the merge-probe runs with the SAME cap as
+    * the writer; a larger probe-time cap would otherwise KEEP a
+    * truncated row (cap+1 <= probeCap) and silently probe an
+    * incomplete bucket. With `n` stored, [[lshIndexMergeProbe]]
+    * filters on the true merged size and drops any bucket whose
+    * stored ids are incomplete — the write cap is thus an explicit
+    * recall floor (ids above it are unrecoverable by construction),
+    * never a silent one.
     */
   def lshIndexShard(bands: DataFrame, idCol: String,
       maxIdsPerSig: Int): DataFrame = {
     val buckets = lshIndex(bands, idCol, maxIdsPerSig = 0)
+      .withColumn("n", size(col("ids")).cast("long"))
     if (maxIdsPerSig > 0)
       buckets.withColumn("ids", slice(col("ids"), 1, maxIdsPerSig + 1))
     else buckets
@@ -713,9 +771,17 @@ object Dedup {
       .join(broadcast(probeBands.select("band", "sig").distinct()),
         Seq("band", "sig"))
       .groupBy("band", "sig")
-      .agg(array_sort(flatten(collect_list(col("ids")))).as("ids"))
-    if (maxIdsPerSig > 0) merged.filter(size(col("ids")) <= maxIdsPerSig)
-    else merged
+      .agg(array_sort(flatten(collect_list(col("ids")))).as("ids"),
+        sum(col("n")).as("__n"))
+    // cap filter on the TRUE merged size (the pre-truncation `n`
+    // shards record), plus a completeness check: a bucket containing
+    // any write-time-truncated row (stored ids < n) is dropped even
+    // when a LARGER probe cap would admit its true size — the missing
+    // ids are unrecoverable, and probing the partial bucket would
+    // silently reduce recall. Shard-write cap = explicit recall floor.
+    val complete = merged.filter(size(col("ids")) === col("__n"))
+    (if (maxIdsPerSig > 0) complete.filter(col("__n") <= maxIdsPerSig)
+     else complete).drop("__n")
   }
 
   /** INCREMENTAL MinHash-LSH near-dup — dedup an ARRIVING batch

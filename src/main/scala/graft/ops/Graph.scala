@@ -102,51 +102,101 @@ object Graph {
     * point INTO it. Same count either way (invariance spec'd); the
     * default stays id-based so the oracle SQL matches line for line.
     * Returns one row: (n_vertices, n_edges, n_triangles).
+    *
+    * Adjacency routing (round 16): the edge count — REQUIRED OUTPUT
+    * anyway — is taken eagerly on the pinned edge RDD and routes the
+    * two intersection joins. Adjacency bytes ≈ 16 × edges (one 8-byte
+    * array cell per edge + per-vertex row overhead bounded by the
+    * cell bytes on graphs with average degree ≥ 2); below
+    * `broadcastBudgetBytes` the PINNED adjacency is broadcast to both
+    * joins (the groupBy runs once at pin time; the builds read
+    * checkpoint bytes), deleting every probe-side exchange
+    * and sort. Above the budget — the 100 TB regime — the edge pin
+    * re-partitions on u ([[pinEdges]] route), making the adjacency
+    * groupBy and the u-side SMJ exchange-free while the v-side probe
+    * pays the one unavoidable exchange. A caller-declared
+    * `vertexCount` above [[largeVertexState]] forces the scale route
+    * regardless of the measured count (the census is authoritative
+    * when the caller says the graph is huge — e.g. a sampled edge
+    * frame standing in for the full one).
     */
   def triangleStats(edges: DataFrame, orientByDegree: Boolean = false,
-      vertexCount: Option[Long] = None): DataFrame = {
+      vertexCount: Option[Long] = None,
+      broadcastBudgetBytes: Long = 256L << 20): DataFrame = {
     // the edge list feeds four consumers (vertex count, edge count,
     // adjacency build, intersection probe) — pin it once or the
     // upstream build (a groupBy + pair expansion) re-executes per
-    // consumer. Above the broadcast route ([[largeVertexState]]) the
-    // pin is pre-partitioned on u, making the adjacency groupBy AND
-    // the u-side probe join exchange-free.
-    val route = vertexCount.exists(largeVertexState(edges.sparkSession, _))
-    val e0 = pinEdges(edges.select(col("u"), col("v")), "u", route)
+    // consumer. Pin plain first: the route is count-derived, and the
+    // count needs the pin.
+    val e0 = Pinned.pin(edges.select(col("u"), col("v")))
+    val nEdges = Pinned.count(e0)
+    val forcedLarge = vertexCount.exists(largeVertexState(edges.sparkSession, _))
+    val bcast = !forcedLarge && nEdges * 16L <= broadcastBudgetBytes
+    // on the scale route, re-pin co-partitioned on u (one exchange
+    // over checkpoint bytes) so the adjacency groupBy AND the u-side
+    // probe join read it exchange-free
+    val e1 = if (bcast) e0 else pinEdges(e0, "u", coPartition = true)
     val e =
-      if (!orientByDegree) e0
+      if (!orientByDegree) e1
       else {
         // undirected degree per endpoint; the (degree, id) total order
         // picks each edge's arrow direction
-        val deg = e0.select(col("u").as("x")).union(e0.select(col("v").as("x")))
+        val deg = e1.select(col("u").as("x")).union(e1.select(col("v").as("x")))
           .groupBy("x").agg(count(lit(1)).as("d"))
         val fwd = col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v"))
-        e0.join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+        e1.join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
           .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
           .select(
             when(fwd, col("u")).otherwise(col("v")).as("u"),
             when(fwd, col("v")).otherwise(col("u")).as("v"))
           // the oriented list feeds adjacency build + probe; its
-          // lineage is two joins over e0 — pin it like e0 rather than
-          // re-running them per consumer (same route as e0's pin)
-          .transform((d: DataFrame) => pinEdges(d, "u", route))
+          // lineage is two joins over e1 — pin it like e1 rather than
+          // re-running them per consumer (same route as e1's pin)
+          .transform((d: DataFrame) => pinEdges(d, "u", !bcast))
       }
     val verts = e.select(col("u").as("x")).union(e.select(col("v").as("x"))).distinct()
-    val adj = e.groupBy(col("u").as("x")).agg(sort_array(collect_list(col("v"))).as("nbr"))
-    val tris = e
-      .join(adj.select(col("x").as("u"), col("nbr").as("nu")), Seq("u"))
-      .join(adj.select(col("x").as("v"), col("nbr").as("nv")), Seq("v"), "left")
-      .select(when(col("nv").isNull, lit(0L))
-        .otherwise(size(array_intersect(col("nu"), col("nv"))).cast("long")).as("t"))
-    // the result is ONE row: eager-checkpoint it (bytes) so both edge
-    // pins can be released before returning instead of leaking until
-    // the ContextCleaner notices
+    val tris =
+      if (bcast) {
+        // pin the adjacency (built once) and broadcast it to BOTH
+        // joins: the groupBy runs exactly once (the pin), and each
+        // broadcast build reads the checkpoint bytes — AQE's stage
+        // reuse dedupes the two builds when it canonicalizes the
+        // re-aliased LogicalRDD scans to the same RDD; even unreused,
+        // a duplicate build re-collects budget-bounded bytes, never
+        // re-runs the aggregation
+        val adjP = Pinned.pin(e.groupBy(col("u").as("x"))
+          .agg(sort_array(collect_list(col("v"))).as("nbr")))
+        val t = e
+          .join(broadcast(adjP), col("u") === col("x"))
+          .select(col("u"), col("v"), col("nbr").as("nu"))
+          .join(broadcast(adjP), col("v") === col("x"), "left")
+          .select(when(col("nbr").isNull, lit(0L))
+            .otherwise(size(array_intersect(col("nu"), col("nbr"))).cast("long")).as("t"))
+          .agg(coalesce(sum("t"), lit(0L)).as("n_triangles"))
+        (adjP, t)
+      } else {
+        val adj = e.groupBy(col("u").as("x"))
+          .agg(sort_array(collect_list(col("v"))).as("nbr"))
+        val t = e
+          .join(adj.select(col("x").as("u"), col("nbr").as("nu")), Seq("u"))
+          .join(adj.select(col("x").as("v"), col("nbr").as("nv")), Seq("v"), "left")
+          .select(when(col("nv").isNull, lit(0L))
+            .otherwise(size(array_intersect(col("nu"), col("nv"))).cast("long")).as("t"))
+          .agg(coalesce(sum("t"), lit(0L)).as("n_triangles"))
+        (null, t)
+      }
+    // the result is ONE row: eager-checkpoint it (bytes) so the edge
+    // and adjacency pins can be released before returning instead of
+    // leaking until the ContextCleaner notices; the edge count rides
+    // in as the literal the route already paid for
     val out = verts.agg(count(lit(1)).as("n_vertices"))
-      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(tris.agg(coalesce(sum("t"), lit(0L)).as("n_triangles")))
+      .withColumn("n_edges", lit(nEdges))
+      .crossJoin(tris._2)
       .transform(graft.ops.Pinned.pin)
-    if (!(e eq e0)) Pinned.release(e)
+    if (tris._1 != null) Pinned.release(tris._1)
+    if (!(e eq e1)) Pinned.release(e)
+    if (!(e1 eq e0)) Pinned.release(e1)
     Pinned.release(e0)
     out
   }
@@ -283,12 +333,26 @@ object Graph {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
       .transform(Pinned.pin)
-    // the vertex count is an iteration CONSTANT — one node-sized
-    // count against the pinned degree frame, folded into the round
-    // expressions as a literal (the bounded-scalar pattern `Ranks`
-    // uses for offsets; the old crossJoin(n) carried it as a column
-    // through every round)
-    val n = deg.count()
+    // the vertex count is an iteration CONSTANT — folded into the
+    // round expressions as a literal (the bounded-scalar pattern
+    // `Ranks` uses for offsets; the old crossJoin(n) carried it as a
+    // column through every round). Round 16: counted on the pin's
+    // BACKING RDD ([[Pinned.count]]) — the blocks the checkpoint just
+    // materialized — instead of a second SQL aggregate job.
+    val n = Pinned.count(deg)
+    if (n == 0) {
+      // empty edge list: no vertices, no ranks — return an empty
+      // (node, pr) frame instead of dividing by zero below (the old
+      // lazy crossJoin form returned empty here too)
+      val nodeT = deg.schema("node").dataType
+      Pinned.release(e); Pinned.release(deg)
+      return edges.sparkSession.createDataFrame(
+        edges.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", nodeT),
+          org.apache.spark.sql.types.StructField("pr",
+            org.apache.spark.sql.types.LongType))))
+    }
     val tele = 15L * (scale / n) // 15 * (scale div n), exact
     var pr = deg.withColumn("pr", lit(scale / n))
     for (_ <- 1 to iters) {

@@ -53,6 +53,20 @@ object Pinned {
     try body finally { auditTap = null; auditThread = null }
   }
 
+  /** Row count of a pinned frame, taken on the BACKING RDD: the
+    * blocks are already materialized (MEMORY_AND_DISK), so this is a
+    * single-stage per-partition count with no SQL planning, no
+    * partial-agg exchange — the cheap way an operator turns a frame
+    * it just pinned into a routing/literal constant (pagerank's
+    * vertex count, triangleStats' edge count). Falls back to
+    * `Dataset.count()` when the frame is not a direct checkpoint.
+    */
+  def count(df: Dataset[_]): Long =
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD => l.rdd.count()
+      case _             => df.count()
+    }
+
   /** Free the storage behind a `localCheckpoint()`ed frame. Safe only
     * once nothing will read `df` again: a checkpointed RDD has no
     * lineage to recompute from, so its data is gone for good. No-op

@@ -74,20 +74,11 @@ object Extras34 {
         val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
         val n = docs.count()
         val splitAt = 3L * n / 4
-        def gramsOf(df: DataFrame): DataFrame = {
-          val tokd = df.select(col("doc_id"), split(col("text"), " ").as("toks"))
-            .withColumn("ng", (size(col("toks")) - 2).cast(LongType))
-            .filter(col("ng") >= 4)
-          tokd.select(col("doc_id"), col("ng"), posexplode(
-              expr("transform(sequence(1, CAST(ng AS INT)), " +
-                "i -> md5(concat_ws(' ', slice(toks, i, 3))))")))
-            .select(col("doc_id"), col("ng"),
-              (col("pos") + 1).cast(LongType).as("p"), col("col").as("h"))
-        }
+        // the gram/winnow/fingerprint stage is Dedup.winnowFingerprints
+        // (factored for the streaming ingest — round 16); parameters
+        // are q305/q310's production set
         def fpsOf(df: DataFrame): DataFrame =
-          graft.ops.Dedup.winnowSelect(gramsOf(df), "doc_id", w = 4)
-            .select(col("doc_id"), lit(0).as("band"), col("h").as("sig"))
-            .distinct()
+          graft.ops.Dedup.winnowFingerprints(df, "doc_id", "text", w = 4)
         val seenSrc = docs.filter(col("doc_id") < splitAt)
         // stored state: selected fingerprints -> write-time-capped
         // fingerprint index (band constant — one fingerprint space —

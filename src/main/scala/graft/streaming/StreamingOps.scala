@@ -723,18 +723,21 @@ object StreamingOps {
         val bh = batch.select(col(idCol), col(hashCol)).transform(Pinned.pin)
         val newBands = Dedup.hammingBands(bh, idCol, hashCol, bits, bands)
           .transform(Pinned.pin)
-        // co-arrival pass: the batch probes ITSELF, uncapped
-        val innerPairs = Dedup.hammingDupIncremental(bh, bh,
+        // co-arrival pass: the batch probes ITSELF, uncapped. Both
+        // passes consume the PINNED banded frame (the FromBands
+        // variants) — the batch is banded exactly once per
+        // micro-batch, like the text ingest's lshDupIncrementalFromBands
+        val innerPairs = Dedup.hammingDupIncrementalFromBands(newBands, bh, bh,
             Dedup.lshIndex(newBands, idCol, maxIdsPerSig = 0),
-            idCol, hashCol, bits, bands, maxHamming)
+            idCol, hashCol, bands, maxHamming)
           .filter(col("new_id") > col("seen_id"))
         // cross-batch pass: merged + capped view of ONLY the stored
         // buckets this batch's bands touch
         val probeIdx = Dedup.lshIndexMergeProbe(
           TxLogTable.read(s, idxTable), newBands, maxIdsPerSig)
-        val crossPairs = Dedup.hammingDupIncremental(bh,
+        val crossPairs = Dedup.hammingDupIncrementalFromBands(newBands, bh,
           TxLogTable.read(s, hashTable), probeIdx,
-          idCol, hashCol, bits, bands, maxHamming)
+          idCol, hashCol, bands, maxHamming)
         val drops = crossPairs.unionAll(innerPairs).transform(Pinned.pin)
         TxLogTable.append(drops, outTable, Some((s"$appId-out", batchId)))
         val kept = bh.join(drops.select(col("new_id").as(idCol)),
@@ -748,6 +751,84 @@ object StreamingOps {
           idxTable, Some((s"$appId-idx", batchId)))
         Pinned.release(bh); Pinned.release(newBands)
         Pinned.release(drops); Pinned.release(kept)
+        ()
+      }
+      .start()
+  }
+
+  /** STREAMING winnowing-fingerprint dedup ingest — the MOSS member
+    * of the streaming family, completing the modality × mode matrix
+    * (text LSH: [[lshDedupIngest]]; perceptual hash:
+    * [[phashDedupIngest]]; this is the shared-gram-run member, q318's
+    * loop run as a stream). The stream carries (idCol, textCol) rows.
+    * Per micro-batch: (1) fingerprint the arriving docs ONCE
+    * (`Dedup.winnowFingerprints` — gram hash + the one-window-pass
+    * Schleimer-Wilkerson-Aiken selection, O(batch) work); (2) resolve
+    * CO-ARRIVING near-dups inside the batch (UNCAPPED self-probe —
+    * the batch is bounded by construction, and a capped self-index
+    * would silently admit > maxIdsPerSig co-arriving copies any
+    * sequential ingest collapses); (3) probe the stored ACID state
+    * with ONE hash join — the APPEND-ONLY SHARDED fingerprint → ids
+    * index, merged + hot-capped over only the touched buckets
+    * (`Dedup.lshIndexMergeProbe`). Fingerprint equality IS the
+    * verification (a shared fingerprint is a shared >= w-gram run by
+    * construction — `Dedup.fingerprintDupIncremental`), so unlike
+    * the other two ingests there is NO per-doc signature/hash state
+    * table and no verify join: the state is the index alone, and the
+    * seen TEXT is never re-read. (4) append the verdict pairs;
+    * (5) append ONE pre-aggregated index shard of the kept arrivals'
+    * fingerprints (`Dedup.lshIndexShard`: over-cap buckets truncated
+    * to cap+1 with the true size recorded — the within-commit-hot
+    * tombstone contract). Both appends are txn-tagged, so a replayed
+    * micro-batch no-ops everywhere and the state stays exactly-once
+    * over at-least-once delivery. Batch-internal contract as the
+    * other two: the HIGHER id of every verified co-arrival pair
+    * drops, order-free. A doc too short to fill one gram window
+    * (< w + gramTokens - 1 tokens) emits no fingerprints: it is
+    * always kept and never matched — the MOSS guarantee has no unit
+    * below one window. NOT an oracle-suite query for the same
+    * documented reason as the other ingests (fixed multi-batch
+    * stream machinery measures commits, not plans); the sequential
+    * semantics are oracle-gated by q318 and spec-gated by
+    * StreamingWinnowIngestSpec (stream == sequential batch
+    * composition, dropped ids in no shard, over-cap co-arrival
+    * collapse).
+    */
+  def winnowDedupIngest(
+      stream: DataFrame,
+      idxTable: String, outTable: String,
+      appId: String, checkpoint: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      w: Int = 4, gramTokens: Int = 3, minShared: Int = 2,
+      maxIdsPerSig: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.{Dedup, Pinned}
+    import graft.sink.TxLogTable
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val newFps = Dedup
+          .winnowFingerprints(batch, idCol, textCol, w, gramTokens)
+          .transform(Pinned.pin)
+        // co-arrival pass: the batch probes ITSELF, uncapped
+        val innerPairs = Dedup.fingerprintDupIncremental(newFps,
+            Dedup.lshIndex(newFps, idCol, maxIdsPerSig = 0),
+            idCol, minShared)
+          .filter(col("new_id") > col("seen_id"))
+        // cross-batch pass: merged + capped view of ONLY the stored
+        // buckets this batch's fingerprints touch
+        val probeIdx = Dedup.lshIndexMergeProbe(
+          TxLogTable.read(s, idxTable), newFps, maxIdsPerSig)
+        val crossPairs = Dedup.fingerprintDupIncremental(newFps, probeIdx,
+          idCol, minShared)
+        val drops = crossPairs.unionAll(innerPairs).transform(Pinned.pin)
+        TxLogTable.append(drops, outTable, Some((s"$appId-out", batchId)))
+        val kept = newFps.join(drops.select(col("new_id").as(idCol)),
+          Seq(idCol), "left_anti")
+        TxLogTable.append(
+          Dedup.lshIndexShard(kept, idCol, maxIdsPerSig),
+          idxTable, Some((s"$appId-idx", batchId)))
+        Pinned.release(newFps); Pinned.release(drops)
         ()
       }
       .start()

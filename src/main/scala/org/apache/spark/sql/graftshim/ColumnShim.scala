@@ -74,6 +74,13 @@ object ColumnShim {
     }
   }
 
+  /** Drain the context's listener bus (private[spark]) — event
+    * delivery is async, so a listener-based counter (graft.Profile's
+    * jobs: mode) must flush before reading its totals.
+    */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Register a function on an EXISTING session's registry (the
     * extensions path only applies when a brand-new session is built).
     */

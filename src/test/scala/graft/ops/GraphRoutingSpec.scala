@@ -112,6 +112,53 @@ class GraphRoutingSpec extends SparkSpec {
     } finally spark.conf.set(key, saved)
   }
 
+  // round-16: triangleStats routes on its own measured edge count
+  // (required output anyway). Below the broadcast budget BOTH
+  // intersection joins are BroadcastHashJoins over ONE reused build
+  // of the pinned adjacency; above it (or when the caller's census
+  // forces largeVertexState) the SMJ form with the u-co-partitioned
+  // pin runs. The route moves exchanges, never the three counts.
+  test("triangleStats broadcast route: BHJ both joins, one reused build, budget flips to SMJ") {
+    val e = oriented(200)
+    def plansOf(body: => DataFrame): (Seq[String], Seq[String]) = {
+      val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+      val out = Pinned.withAuditTap(plans += _)(body)
+      val rows = out.collect().map(_.toString).sorted.toSeq
+      Pinned.release(out)
+      (plans.toSeq, rows)
+    }
+    val (bPlans, bRows) = plansOf(Graph.triangleStats(e))
+    // the triangle-sum plan is the one pinning the final one-row
+    // output — the only audited plan containing the intersection joins
+    val triPlan = bPlans.filter(_.contains("array_intersect")) match {
+      case Seq(p) => p
+      case ps     => ps.mkString("\n")
+    }
+    assert("BroadcastHashJoin".r.findAllIn(triPlan).length >= 2,
+      "small adjacency should broadcast both intersection joins")
+    assert("BroadcastExchange".r.findAllIn(triPlan).length >= 2 &&
+      triPlan.contains("Scan ExistingRDD"),
+      "both broadcast builds read the pinned adjacency checkpoint, not the groupBy")
+    assert(!triPlan.contains("SortMergeJoin"),
+      "the broadcast route must not sort-merge the probe side")
+    // tiny budget flips to the SMJ/co-partitioned form (no explicit
+    // broadcast hint — whether AQE later broadcasts at runtime is its
+    // call on tiny test data; what the route guarantees is identity)
+    val (_, sRows) = plansOf(Graph.triangleStats(e, broadcastBudgetBytes = 1L))
+    assert(bRows === sRows, "broadcast budget must never change the counts")
+    // forced-large census also matches (covered in the routes test,
+    // re-asserted here against the tiny-budget form)
+    val (_, fRows) = plansOf(Graph.triangleStats(e, vertexCount = Some(Long.MaxValue / 64)))
+    assert(fRows === sRows)
+  }
+
+  test("pagerank on an empty edge list returns an empty (node, pr) frame") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val out = Graph.pageRankFixedPoint(empty, iters = 2)
+    assert(out.columns.toSeq === Seq("node", "pr"))
+    assert(out.count() === 0L)
+  }
+
   test("two-hop reach routes on the degree census; both forms bit-identical") {
     val sym = symEdges(200).select(col("src").as("u"), col("dst").as("v"))
     def rows(df: DataFrame): Seq[String] =

@@ -34,7 +34,7 @@ class StreamingDedupIngestSpec extends SparkSpec {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     TxLogTable.create(spark, sigT, sigs(empty).schema)
     TxLogTable.create(spark, idxT,
-      Dedup.lshIndex(
+      Dedup.lshIndexShard(
         Dedup.lshBandsFromSignatures(sigs(empty), "doc_id", K, RPB),
         "doc_id", CAP).schema)
     TxLogTable.create(spark, outT, org.apache.spark.sql.types.StructType(Seq(
@@ -181,5 +181,38 @@ class StreamingDedupIngestSpec extends SparkSpec {
     val xShard = shards.filter(col("sig") === 7L)
       .select(size(col("ids"))).as[Int].collect().toList
     assert(xShard === List(cap + 1, 1))
+  }
+
+  // ADVICE r15: the cap+1 tombstone alone reproduces single-index
+  // semantics only under EQUAL write/probe caps — a larger probe cap
+  // would keep a truncated hot bucket (cap+1 <= probeCap) and probe
+  // its incomplete ids. Shards now record the TRUE pre-truncation
+  // size `n`; the merge filters on the true merged size AND drops any
+  // bucket whose stored ids are incomplete, making the write cap an
+  // explicit recall floor instead of a silent one.
+  test("merge-probe with a larger cap never probes a write-truncated bucket") {
+    import spark.implicits._
+    val writeCap = 2
+    // bucket X: 4 true ids in one commit — truncated to 3 at write
+    val c1 = Seq((0, 7L, 101L), (0, 7L, 102L), (0, 7L, 103L), (0, 7L, 104L),
+      (0, 9L, 201L), (0, 9L, 202L), (0, 9L, 203L))
+      .toDF("band", "sig", "doc_id")
+    val shards = Dedup.lshIndexShard(c1, "doc_id", writeCap)
+    val probe = Seq((0, 7L), (0, 9L)).toDF("band", "sig")
+    // probe cap 10 > write cap: X's true size (4) fits the probe cap,
+    // but its stored ids are incomplete (3 of 4) — it must DROP, not
+    // probe a partial bucket. Y's 3 true ids all fit in the cap+1
+    // tombstone, so it is COMPLETE — a larger probe cap may keep it.
+    val merged = Dedup.lshIndexMergeProbe(shards, probe, maxIdsPerSig = 10)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)),
+        r.getSeq[Long](2).toList)).toMap
+    assert(merged === Map((0, 9L) -> List(201L, 202L, 203L)))
+    // under-cap buckets are untouched by the guard: 2 ids, complete
+    val cool = Seq((1, 5L, 301L), (1, 5L, 302L)).toDF("band", "sig", "doc_id")
+    val ok = Dedup.lshIndexMergeProbe(
+      Dedup.lshIndexShard(cool, "doc_id", writeCap),
+      Seq((1, 5L)).toDF("band", "sig"), maxIdsPerSig = 10)
+    assert(ok.select(explode(col("ids"))).as[Long].collect().toSet ===
+      Set(301L, 302L))
   }
 }

@@ -35,7 +35,7 @@ class StreamingPhashIngestSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("doc_id", "ah")
     TxLogTable.create(spark, hashT, empty.schema)
     TxLogTable.create(spark, idxT,
-      Dedup.lshIndex(
+      Dedup.lshIndexShard(
         Dedup.hammingBands(empty, "doc_id", "ah", BITS, BANDS),
         "doc_id", CAP).schema)
     TxLogTable.create(spark, outT, org.apache.spark.sql.types.StructType(Seq(
