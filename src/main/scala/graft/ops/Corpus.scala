@@ -147,6 +147,18 @@ object Corpus {
     * checkpoint is released as soon as the next one is materialized —
     * only the FINAL label frame stays pinned, backing the returned
     * frame (caller-owned, see [[Pinned]]).
+    *
+    * Convergence detection rides the round's own pin (round 16): the
+    * per-node `__changed` flag (new label strictly below the old — the
+    * only move min-propagation can make) is computed in the SAME plan
+    * that builds the next label frame, so the fixpoint check is a
+    * short-circuit scan of the just-materialized checkpoint instead
+    * of the old next-vs-old equi-join — one fewer shuffle and 1-2
+    * fewer scheduler barriers per round. Barriers are this operator's
+    * real latency shape: under AQE every exchange materializes as its
+    * own Spark JOB, and a stall window on the host is sampled
+    * serially by each of them (the q150 official-spike diagnosis —
+    * SCALE.md round 16).
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val fwd = pairs.select(col("id1").as("src"), col("id2").as("dst"))
@@ -154,21 +166,26 @@ object Corpus {
       .transform(graft.ops.Pinned.pin)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+      .withColumn("__changed", lit(false))
       .transform(graft.ops.Pinned.pin)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
+      // min neighbor label per node: every node appears as a dst of
+      // the bidirected edge list, so the aggregate covers all of them
+      // (the coalesce below is belt-and-braces for isolated ids)
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("label")), "src")
         .select(col("dst").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label"))
-        .union(viaNeighbors)
         .groupBy("id")
-        .agg(min(col("label")).as("label"))
+        .agg(min(col("label")).as("__nbr"))
+      val next = labels.select(col("id"), col("label"))
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__nbr"), col("label"))).as("label"),
+          (coalesce(col("__nbr"), col("label")) < col("label")).as("__changed"))
         .transform(graft.ops.Pinned.pin) // eager: materialized before old labels go
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old"))
-        .isEmpty
+      converged = next.filter(col("__changed")).isEmpty
       Pinned.release(labels) // superseded round — next no longer reads it
       labels = next
       iter += 1
