@@ -387,10 +387,22 @@ object Extras13 {
         val m = table(s, d, "lineitem")
           .select(col("l_orderkey").as("ord"), col("l_partkey").as("item"))
           .distinct()
-          .transform(graft.ops.Pinned.pin) // pair join + item counts + basket count
-        val pairs = m.as("a").join(m.as("b"),
-            col("a.ord") === col("b.ord") && col("a.item") < col("b.item"))
-          .groupBy(col("a.item").as("part_a"), col("b.item").as("part_b"))
+          .transform(graft.ops.Pinned.pin) // pair expansion + item counts + basket count
+        // basket-collect pair expansion (the coOccurrenceEdges slice
+        // pattern), NOT a self-join on ord: the old join's build-side
+        // estimate sat exactly at the AQE broadcast threshold (~10 MB
+        // at sf0.1), so the plan coin-flipped BHJ/SMJ across runs —
+        // the r14/r15 bimodality (1.4 s vs 3.2 s, same code). One
+        // map-side-combined collect per basket + in-row u<v expansion
+        // has no join to flip and one fewer shuffle; items are
+        // distinct per basket already, so sorted-list slicing emits
+        // each unordered pair exactly once — counts identical.
+        val pairs = m.groupBy("ord")
+          .agg(sort_array(collect_list(col("item"))).as("__is"))
+          .select(posexplode(col("__is")).as(Seq("__x", "part_a")), col("__is"))
+          .select(col("part_a"),
+            explode(slice(col("__is"), col("__x") + 2, size(col("__is")))).as("part_b"))
+          .groupBy("part_a", "part_b")
           .agg(count(lit(1)).as("c_ab"))
           .filter(col("c_ab") >= 2)
         val items = m.groupBy("item").agg(count(lit(1)).as("ci"))
