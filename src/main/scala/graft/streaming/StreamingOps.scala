@@ -833,4 +833,86 @@ object StreamingOps {
       }
       .start()
   }
+
+  /** STREAMING SemDeDup ingest — the SEMANTIC (embedding-space)
+    * member of the streaming family, closing the modality × mode
+    * matrix on the vector side (text LSH / pHash / winnowing above;
+    * q315's incremental loop run as a stream). The stream carries
+    * (idCol, vecCol) rows; `centroids` is the FROZEN coarse
+    * quantizer — constant-size, retrained offline, never per batch
+    * (the same deployment contract as q319's frozen codebook). The
+    * ACID state is O(k) — ONE row per non-empty cell (the
+    * [[graft.ops.Dedup.cellRepresentatives]] shape) — and never
+    * grows with the corpus: per micro-batch, (1) assign the batch to
+    * cells ONCE (broadcast argmin, with distances — the election
+    * needs them); (2) drop arrivals within `tau` cosine of their
+    * cell's STORED representative
+    * (`Dedup.semanticDupIncrementalFromAssignment` — O(batch)
+    * cosines, seen vectors never re-read); (3) cells with NO stored
+    * representative elect one from the batch's kept members —
+    * nearest the centroid, ties to the smallest id, the exact
+    * election `cellRepresentatives`/the pruned regime make, so the
+    * verdict is ORDER-FREE within the batch (a permuted batch elects
+    * the same rep — the family's batch-parallel co-arrival
+    * contract); remaining co-arrivals in such cells collapse against
+    * the fresh representative; (4) the verdict pairs and the
+    * newly-elected representatives append txn-tagged, so a replayed
+    * micro-batch no-ops everywhere. Recall matches the pruned
+    * regime's documented contract (a dup far from its cell's rep is
+    * missed — tighten with more cells); batch members who survive
+    * the rep check are admitted and NOT stored (the pruned state is
+    * the rep alone — that is what makes the state O(k) and the probe
+    * O(batch) against a 10^11-row seen corpus). NOT an oracle-suite
+    * query for the family's documented fixed-stream-cost reason; the
+    * sequential semantics are oracle-gated by q315 and spec-gated by
+    * StreamingSemanticIngestSpec (stream == sequential batch
+    * composition, order-free election, replay idempotence).
+    */
+  def semanticDedupIngest(
+      stream: DataFrame,
+      centroids: DataFrame,
+      repsTable: String, outTable: String,
+      appId: String, checkpoint: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tau: Double = 0.85): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.{Dedup, Pinned}
+    import graft.sink.TxLogTable
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.select(col(idCol), col(vecCol)).transform(Pinned.pin)
+        // one |batch| x k assignment, with distances (the election key)
+        val asg = Dedup.assignCellsWithDist(b, centroids, idCol, vecCol)
+          .transform(Pinned.pin)
+        val reps = TxLogTable.read(s, repsTable)
+        // cross-state pass: within tau of the stored representative
+        val crossDrops = Dedup.semanticDupIncrementalFromAssignment(
+          b, asg.select(col(idCol), col("cell")), reps, idCol, vecCol, tau)
+        val keptAsg = asg.join(
+          crossDrops.select(col("drop_id").as(idCol)), Seq(idCol), "left_anti")
+        // cells with no stored rep: order-free election among the
+        // batch's kept members (nearest centroid, ties to smallest id)
+        val newCells = keptAsg.join(
+          broadcast(reps.select("cell")), Seq("cell"), "left_anti")
+        val newReps = newCells.groupBy("cell")
+          .agg(min(struct(col("d2"), col(idCol))).as("__r"))
+          .select(col("cell"), col(s"__r.$idCol").as("rep"))
+          .join(b.select(col(idCol).as("rep"), col(vecCol).as("rep_vec")), "rep")
+          .select("cell", "rep", "rep_vec")
+          .transform(Pinned.pin)
+        // co-arrival collapse against the fresh representative (the
+        // rep itself is excluded by the op's id =!= rep guard)
+        val innerDrops = Dedup.semanticDupIncrementalFromAssignment(
+          b, newCells.select(col(idCol), col("cell")), newReps,
+          idCol, vecCol, tau)
+        val drops = crossDrops.unionAll(innerDrops).transform(Pinned.pin)
+        TxLogTable.append(drops, outTable, Some((s"$appId-out", batchId)))
+        TxLogTable.append(newReps, repsTable, Some((s"$appId-reps", batchId)))
+        Pinned.release(b); Pinned.release(asg)
+        Pinned.release(newReps); Pinned.release(drops)
+        ()
+      }
+      .start()
+  }
 }
