@@ -834,6 +834,65 @@ object StreamingOps {
       .start()
   }
 
+  /** STREAMING exact-dedup ingest — the EXACT member of the
+    * streaming family, completing the modality × mode matrix's last
+    * cell (near-dup members above; this is content-hash equality,
+    * the first stage every production dedup cascade runs before any
+    * banding). The stream carries (idCol, textCol) rows. State is
+    * the seen (content md5 → canonical id) table — one row per
+    * distinct KEPT content, so replicas never accumulate in state.
+    * Per micro-batch: (1) hash the batch once; (2) CO-ARRIVING exact
+    * copies collapse to the smallest id per hash (order-free —
+    * min(id), not first-arrival); (3) the survivors probe the stored
+    * hash table with ONE broadcast-able equi-join on the 16-byte
+    * hash — seen text never re-read; (4) verdict pairs (new_id,
+    * seen_id — the stored canonical) and the kept arrivals' hash
+    * rows append txn-tagged, so a replayed micro-batch no-ops and
+    * the state stays exactly-once. Cost per batch: O(|batch|) hash +
+    * one hash-key join against state; at lakehouse scale partition
+    * the hash table by hash prefix so the probe prunes. Spec-gated
+    * by StreamingExactIngestSpec (stream == sequential batch
+    * composition, co-arrival min-id collapse, dropped ids never in
+    * state, replay idempotence); the batch-form semantics are
+    * oracle-gated by q33/q123's exact-dedup queries.
+    */
+  def exactDedupIngest(
+      stream: DataFrame,
+      hashTable: String, outTable: String,
+      appId: String, checkpoint: String,
+      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.Pinned
+    import graft.sink.TxLogTable
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bh = batch
+          .select(col(idCol), md5(col(textCol)).as("__h"))
+          .transform(Pinned.pin)
+        // co-arrival collapse: smallest id per hash survives the batch
+        val canon = bh.groupBy("__h").agg(min(col(idCol)).as("__keep"))
+        val innerPairs = bh.join(canon, "__h")
+          .filter(col(idCol) =!= col("__keep"))
+          .select(col(idCol).as("new_id"), col("__keep").as("seen_id"))
+        // cross-batch probe: one equi-join on the stored hash table
+        val seen = TxLogTable.read(s, hashTable)
+          .select(col("__h"), col(idCol).as("__canon"))
+        val crossPairs = canon.join(seen, "__h")
+          .filter(col("__keep") =!= col("__canon"))
+          .select(col("__keep").as("new_id"), col("__canon").as("seen_id"))
+        val drops = crossPairs.unionAll(innerPairs).transform(Pinned.pin)
+        TxLogTable.append(drops, outTable, Some((s"$appId-out", batchId)))
+        val kept = bh.join(drops.select(col("new_id").as(idCol)),
+          Seq(idCol), "left_anti")
+        TxLogTable.append(kept, hashTable, Some((s"$appId-hash", batchId)))
+        Pinned.release(bh); Pinned.release(drops)
+        ()
+      }
+      .start()
+  }
+
   /** STREAMING SemDeDup ingest — the SEMANTIC (embedding-space)
     * member of the streaming family, closing the modality × mode
     * matrix on the vector side (text LSH / pHash / winnowing above;
