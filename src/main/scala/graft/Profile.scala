@@ -64,6 +64,10 @@ object Profile {
         .filter { case (n, _) => prefixes.exists(n.startsWith) }
         .foreach { case (name, fn) =>
           noop(fn(spark, sfDir)) // warm-up / JIT
+          // listener delivery is async — in-flight warm-up onJobStart
+          // events landing after the reset would inflate the measured
+          // counts; drain before zeroing
+          org.apache.spark.sql.graftshim.ColumnShim.drainListenerBus(spark)
           jobs.set(0); stages.set(0); tasks.set(0)
           val t0 = System.nanoTime()
           noop(fn(spark, sfDir))

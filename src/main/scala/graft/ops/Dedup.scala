@@ -767,7 +767,17 @@ object Dedup {
     */
   def lshIndexMergeProbe(shards: DataFrame, probeBands: DataFrame,
       maxIdsPerSig: Int): DataFrame = {
-    val merged = shards
+    // STATE-FORMAT NOTE: shard rows carry `n`, the TRUE pre-truncation
+    // bucket size, since [[lshIndexShard]] started recording it (r16).
+    // Index tables persisted by the earlier shard format (no `n`
+    // column) are backfilled here as n = size(ids) — the stored size,
+    // which for those tables IS the only size ever known — so a
+    // pre-existing TxLog index keeps its original cap semantics
+    // instead of hard-failing analysis on the missing column.
+    val withN =
+      if (shards.columns.contains("n")) shards
+      else shards.withColumn("n", size(col("ids")).cast("long"))
+    val merged = withN
       .join(broadcast(probeBands.select("band", "sig").distinct()),
         Seq("band", "sig"))
       .groupBy("band", "sig")

@@ -105,9 +105,13 @@ object Graph {
     *
     * Adjacency routing (round 16): the edge count — REQUIRED OUTPUT
     * anyway — is taken eagerly on the pinned edge RDD and routes the
-    * two intersection joins. Adjacency bytes ≈ 16 × edges (one 8-byte
-    * array cell per edge + per-vertex row overhead bounded by the
-    * cell bytes on graphs with average degree ≥ 2); below
+    * two intersection joins. Adjacency bytes ≈ 56 × edges: the raw
+    * payload is one 8-byte array cell per edge, but the DESERIALIZED
+    * broadcast (UnsafeRow per vertex + array headers + the
+    * HashedRelation's table and object overhead) runs several times
+    * the raw bytes — the estimate is derated so a graph that passes
+    * the budget check still fits executor/driver memory once
+    * hydrated, not just on the wire. Below
     * `broadcastBudgetBytes` the PINNED adjacency is broadcast to both
     * joins (the groupBy runs once at pin time; the builds read
     * checkpoint bytes), deleting every probe-side exchange
@@ -131,7 +135,7 @@ object Graph {
     val e0 = Pinned.pin(edges.select(col("u"), col("v")))
     val nEdges = Pinned.count(e0)
     val forcedLarge = vertexCount.exists(largeVertexState(edges.sparkSession, _))
-    val bcast = !forcedLarge && nEdges * 16L <= broadcastBudgetBytes
+    val bcast = !forcedLarge && nEdges * 56L <= broadcastBudgetBytes
     // on the scale route, re-pin co-partitioned on u (one exchange
     // over checkpoint bytes) so the adjacency groupBy AND the u-side
     // probe join read it exchange-free

@@ -868,8 +868,14 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        // a duplicated id within one batch would survive BOTH the
+        // id =!= __keep filter and the left_anti (each copy keeps the
+        // other alive), appending duplicate state rows for one
+        // content — collapse to one row per id first, order-free
+        // (min hash per id), before the co-arrival collapse
         val bh = batch
           .select(col(idCol), md5(col(textCol)).as("__h"))
+          .groupBy(idCol).agg(min(col("__h")).as("__h"))
           .transform(Pinned.pin)
         // co-arrival collapse: smallest id per hash survives the batch
         val canon = bh.groupBy("__h").agg(min(col(idCol)).as("__keep"))

@@ -81,7 +81,17 @@ class StateV2OpsSpec extends SparkSpec {
         // user 1's burst contains the extension iff it landed in time
         // (on an unloaded host it always does)
         if (extendedInTime) assert(got(1L) === ((3L, 16L)))
-        // a NEW burst for user 1 digests independently (state cleared)
+        // a NEW burst for user 1 digests independently (state cleared).
+        // Guard (same discipline as the :68/:83 wall-clock guards): if
+        // the extension event landed AFTER the first burst's gap lapsed
+        // it opened its OWN burst, which is still inside its gap window
+        // here — adding 100L now would merge into it as (2, 101). Wait
+        // until emitted user-1 digests account for ALL 3 prior user-1
+        // events, so no open burst remains to absorb the new event.
+        eventually(40000L, "all 3 prior user-1 events digested") {
+          spark.table("digest_out").as[Digest].collect()
+            .filter(_.userId == 1L).map(_.nEvents).sum == 3L
+        }
         val user1Before = spark.table("digest_out").as[Digest].collect()
           .count(_.userId == 1L)
         source.addData(DigestEvent(1L, 100L))

@@ -215,4 +215,24 @@ class StreamingDedupIngestSpec extends SparkSpec {
     assert(ok.select(explode(col("ids"))).as[Long].collect().toSet ===
       Set(301L, 302L))
   }
+
+  // ADVICE r16: index tables persisted by the pre-r16 shard format
+  // (no `n` true-size column) must not hard-fail at probe time — the
+  // merge backfills n = size(ids), the stored size, preserving those
+  // tables' original cap semantics (stored-size filter).
+  test("merge-probe backfills `n` for pre-r16 shard rows (no n column)") {
+    import spark.implicits._
+    val cap = 2
+    // old-format shards: exactly lshIndex output, no `n`
+    val oldShards = Dedup.lshIndex(
+      Seq((0, 7L, 101L), (0, 7L, 102L), (0, 7L, 103L),
+        (0, 9L, 201L)).toDF("band", "sig", "doc_id"), "doc_id", cap)
+    assert(!oldShards.columns.contains("n"))
+    val probe = Seq((0, 7L), (0, 9L)).toDF("band", "sig")
+    val merged = Dedup.lshIndexMergeProbe(oldShards, probe, cap)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)),
+        r.getSeq[Long](2).toList)).toMap
+    // bucket X was write-filtered by the old format (over cap), Y kept
+    assert(merged === Map((0, 9L) -> List(201L)))
+  }
 }

@@ -68,4 +68,26 @@ class StreamingExactIngestSpec extends SparkSpec {
       sOut, Some(("sei-out", (batches.length - 1).toLong)))
     assert(TxLogTable.read(spark, sOut).count() === outBefore)
   }
+
+  // ADVICE r16: a DUPLICATED ID within one micro-batch (at-least-once
+  // sources can deliver the same (id, text) row twice in one batch)
+  // must collapse to one state row — each copy would otherwise keep
+  // the other alive through the co-arrival filter and the left_anti,
+  // appending duplicate rows for one content to the hash state.
+  test("a duplicated id within one batch leaves exactly one state row") {
+    val (sHash, sOut) = freshTables()
+    val ckpt = java.nio.file.Files.createTempDirectory("sei_ck2").toString
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingOps.exactDedupIngest(
+      ms.toDF.toDF("doc_id", "text"), sHash, sOut, "sei2", ckpt)
+    try {
+      ms.addData(Seq((5L, A), (5L, A), (6L, B)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = TxLogTable.read(spark, sHash)
+      .select("doc_id").as[Long].collect().toList.sorted
+    assert(state === List(5L, 6L)) // one row per id, no duplicate 5s
+    assert(TxLogTable.read(spark, sOut).isEmpty) // no self-pair emitted
+  }
 }
