@@ -150,20 +150,48 @@ object Corpus {
     *
     * Convergence detection rides the round's own pin (round 16): the
     * per-node `__changed` flag (new label strictly below the old — the
-    * only move min-propagation can make) is computed in the SAME plan
-    * that builds the next label frame, so the fixpoint check is a
-    * short-circuit scan of the just-materialized checkpoint instead
-    * of the old next-vs-old equi-join — one fewer shuffle and 1-2
-    * fewer scheduler barriers per round. Barriers are this operator's
+    * only move min-propagation can make) is counted by an accumulator
+    * inside the SAME job that materializes the next label frame
+    * ([[Pinned.pinWithChangedCount]], round 17), so the fixpoint
+    * check costs zero extra jobs. Barriers are this operator's
     * real latency shape: under AQE every exchange materializes as its
     * own Spark JOB, and a stall window on the host is sampled
     * serially by each of them (the q150 official-spike diagnosis —
     * SCALE.md round 16).
+    *
+    * AQE routing (round 17): on a SMALL graph (measured edge count on
+    * the pin, node-sized state) the loop runs with adaptive execution
+    * OFF — each round's join+agg+pin then executes as ONE classic
+    * multi-stage job instead of one job per AQE query stage, cutting
+    * the loop's scheduler-barrier count ~4×; AQE buys nothing there
+    * (the frames are far below any skew/broadcast re-plan threshold)
+    * and each barrier is a serial sample of any host stall window.
+    * Above the threshold — the 100 TB regime — AQE stays ON for the
+    * loop: per-round skew handling and runtime join re-planning are
+    * worth the barriers when a round shuffles real data.
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
+      smallGraphMaxEdges: Long = 50L * 1000 * 1000): DataFrame = {
     val fwd = pairs.select(col("id1").as("src"), col("id2").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .transform(graft.ops.Pinned.pin)
+    val spark = pairs.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val shufKey = "spark.sql.shuffle.partitions"
+    val aqePrev = spark.conf.getOption(aqeKey)
+    val shufPrev = spark.conf.getOption(shufKey)
+    val nEdges = Pinned.count(edges)
+    val small = nEdges <= smallGraphMaxEdges
+    if (small) {
+      spark.conf.set(aqeKey, "false")
+      // AQE-off also loses post-shuffle coalescing — size the loop's
+      // shuffles by the measured edge count (~16 B/edge, ≥64 MB per
+      // partition target) instead of paying 32 near-empty tasks per
+      // exchange on a node-sized frame
+      val parts = math.max(1L, math.min(32L, nEdges * 16L / (64L << 20))).toInt
+      spark.conf.set(shufKey, parts.toString)
+    }
+    try {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .withColumn("__changed", lit(false))
@@ -179,19 +207,34 @@ object Corpus {
         .select(col("dst").as("id"), col("label"))
         .groupBy("id")
         .agg(min(col("label")).as("__nbr"))
-      val next = labels.select(col("id"), col("label"))
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("__nbr"), col("label"))).as("label"),
-          (coalesce(col("__nbr"), col("label")) < col("label")).as("__changed"))
-        .transform(graft.ops.Pinned.pin) // eager: materialized before old labels go
-      converged = next.filter(col("__changed")).isEmpty
+      // pin + convergence test in ONE job: the checkpoint's task set
+      // counts __changed rows while it persists the blocks (the old
+      // filter(__changed).isEmpty follow-up job is gone — one fewer
+      // scheduler barrier per round to amplify a host stall)
+      val (next, nChanged) = Pinned.pinWithChangedCount(
+        labels.select(col("id"), col("label"))
+          .join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("__nbr"), col("label"))).as("label"),
+            (coalesce(col("__nbr"), col("label")) < col("label")).as("__changed")),
+        "__changed")
+      converged = nChanged == 0L
       Pinned.release(labels) // superseded round — next no longer reads it
       labels = next
       iter += 1
     }
     Pinned.release(edges)
     labels.select(col("id"), col("label").as("cluster"))
+    } finally if (small) {
+      aqePrev match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None    => spark.conf.unset(aqeKey)
+      }
+      shufPrev match {
+        case Some(v) => spark.conf.set(shufKey, v)
+        case None    => spark.conf.unset(shufKey)
+      }
+    }
   }
 
   /** Deterministic global shuffle (training-order randomization):

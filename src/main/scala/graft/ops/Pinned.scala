@@ -53,6 +53,45 @@ object Pinned {
     try body finally { auditTap = null; auditThread = null }
   }
 
+  /** [[pin]] + "did any row set `flagCol`?" in ONE Spark job.
+    *
+    * An iterative operator that materializes each round AND tests a
+    * per-round convergence flag pays two job boundaries per round —
+    * the checkpoint job and the `filter(flag).isEmpty` job — and
+    * under a host stall every boundary serially samples the stall
+    * window (the q150 official-spike diagnosis, SCALE.md round 16).
+    * This folds the test into the materialization: the checkpoint's
+    * own task set counts flag-true rows into an accumulator while it
+    * persists the blocks, so the round costs ONE job and the flag
+    * costs zero extra passes. Same checkpoint mechanics as
+    * `Dataset.localCheckpoint` (toRdd + per-row copy +
+    * MEMORY_AND_DISK blocks); the returned frame is a direct
+    * LogicalRDD — [[count]]/[[release]] apply, and downstream plans
+    * read the blocks, never the lineage.
+    *
+    * The count is used as a ZERO / NON-ZERO signal: task retries can
+    * only inflate a non-zero count (a retry of an all-false partition
+    * adds nothing), so `changed == 0` is retry-safe even though
+    * transformation-side accumulators are at-least-once.
+    */
+  def pinWithChangedCount(df: DataFrame, flagCol: String): (DataFrame, Long) = {
+    val tap = auditTap
+    if (tap != null && (Thread.currentThread() eq auditThread))
+      tap(df.queryExecution.executedPlan.toString)
+    val spark = df.sparkSession
+    val acc = spark.sparkContext.longAccumulator
+    val idx = df.schema.fieldIndex(flagCol)
+    val rdd = df.queryExecution.toRdd.map { r =>
+      if (!r.isNullAt(idx) && r.getBoolean(idx)) acc.add(1L)
+      r.copy()
+    }
+    rdd.localCheckpoint()
+    rdd.count() // materialize blocks + drive the accumulator
+    val out = org.apache.spark.sql.graftshim.ColumnShim
+      .internalCreateDataFrame(spark, rdd, df.schema)
+    (out, acc.value)
+  }
+
   /** Row count of a pinned frame, taken on the BACKING RDD: the
     * blocks are already materialized (MEMORY_AND_DISK), so this is a
     * single-stage per-partition count with no SQL planning, no

@@ -58,12 +58,15 @@ object Extras27 {
         val pairs = graft.ops.Dedup
           .semanticDupPairsFromAssignment(fv, asg, "vec_id", "v", tau = 0.35)
           .transform(graft.ops.Pinned.pin) // feeds both the pair count and the drop set
-        val drops = pairs.select(col("cell"), col("j2")).distinct()
-          .groupBy("cell").agg(count(lit(1)).as("n_dropped"))
-        val nPairs = pairs.groupBy("cell").agg(count(lit(1)).as("n_pairs"))
+        // ONE aggregate carries both per-cell stats (count + distinct
+        // drop count) — the old two-groupBy + two-join shape paid an
+        // extra exchange and an extra join's job boundaries for
+        // values computable in a single pass over the pinned pairs
+        val stats = pairs.groupBy("cell").agg(
+          count(lit(1)).as("n_pairs"),
+          countDistinct(col("j2")).as("n_dropped"))
         asg.groupBy("cell").agg(count(lit(1)).as("n_docs"))
-          .join(nPairs, Seq("cell"), "left")
-          .join(drops, Seq("cell"), "left")
+          .join(stats, Seq("cell"), "left")
           .na.fill(0L, Seq("n_pairs", "n_dropped"))
           .select(col("cell"), col("n_docs"), col("n_pairs"), col("n_dropped"),
             (col("n_docs") - col("n_dropped")).as("n_kept"))

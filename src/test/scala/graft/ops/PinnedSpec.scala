@@ -29,6 +29,36 @@ class PinnedSpec extends SparkSpec {
     Pinned.release(ck2)
   }
 
+  test("pinWithChangedCount: one materialization carries the flag count; frame is a releasable pin") {
+    dropAll()
+    val base = pinnedCount
+    val df = Seq((1L, false), (2L, true), (3L, true)).toDF("id", "__changed")
+    val (pinned, n) = Pinned.pinWithChangedCount(df, "__changed")
+    assert(n === 2L)
+    assert(pinnedCount === base + 1)
+    // the frame reads the materialized blocks and keeps the schema
+    assert(pinned.columns.toSeq === Seq("id", "__changed"))
+    assert(pinned.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(Pinned.count(pinned) === 3L) // direct LogicalRDD fast path
+    Pinned.release(pinned)
+    assert(pinnedCount === base)
+    // all-false flags (the fixpoint signal) report zero
+    val (p2, z) = Pinned.pinWithChangedCount(
+      Seq((9L, false)).toDF("id", "__changed"), "__changed")
+    assert(z === 0L)
+    Pinned.release(p2)
+  }
+
+  test("duplicateClusters restores AQE and shuffle-partition confs after the small-graph loop") {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val shuf = spark.conf.get("spark.sql.shuffle.partitions")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    Corpus.duplicateClusters(pairs).collect()
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === aqe)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === shuf)
+    dropAll()
+  }
+
   test("duplicateClusters leaves exactly one pin (the returned labels) and stays correct") {
     dropAll()
     val base = pinnedCount
