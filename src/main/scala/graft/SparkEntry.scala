@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Extended, Extras, Extras2, Extras3, Extras4, Extras5, Extras6, Extras7, Extras8, Extras9, Extras10, Extras11, Extras12, Extras13, Extras14, Extras15, Extras16, Extras17, Extras18, Extras19, Extras20, Extras21, Extras22, Extras23, Extras24, Extras25, Extras26, Extras27, Extras28, Extras29, Extras30, Extras31, Extras32, Extras33, Extras34, PipelineOps, QueryDef, Relational, Sketches, TextOps, VectorOps}
+import graft.queries.{Extended, Extras, Extras2, Extras3, Extras4, Extras5, Extras6, Extras7, Extras8, Extras9, Extras10, Extras11, Extras12, Extras13, Extras14, Extras15, Extras16, Extras17, Extras18, Extras19, Extras20, Extras21, Extras22, Extras23, Extras24, Extras25, Extras26, Extras27, Extras28, Extras29, Extras30, Extras31, Extras32, Extras33, Extras34, Extras35, PipelineOps, QueryDef, Relational, Sketches, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,7 @@ import graft.queries.{Extended, Extras, Extras2, Extras3, Extras4, Extras5, Extr
 object SparkEntry {
 
   private val defs: Seq[QueryDef] =
-    Relational.all ++ TextOps.all ++ VectorOps.all ++ Extended.all ++ PipelineOps.all ++ Sketches.all ++ Extras.all ++ Extras2.all ++ Extras3.all ++ Extras4.all ++ Extras5.all ++ Extras6.all ++ Extras7.all ++ Extras8.all ++ Extras9.all ++ Extras10.all ++ Extras11.all ++ Extras12.all ++ Extras13.all ++ Extras14.all ++ Extras15.all ++ Extras16.all ++ Extras17.all ++ Extras18.all ++ Extras19.all ++ Extras20.all ++ Extras21.all ++ Extras22.all ++ Extras23.all ++ Extras24.all ++ Extras25.all ++ Extras26.all ++ Extras27.all ++ Extras28.all ++ Extras29.all ++ Extras30.all ++ Extras31.all ++ Extras32.all ++ Extras33.all ++ Extras34.all
+    Relational.all ++ TextOps.all ++ VectorOps.all ++ Extended.all ++ PipelineOps.all ++ Sketches.all ++ Extras.all ++ Extras2.all ++ Extras3.all ++ Extras4.all ++ Extras5.all ++ Extras6.all ++ Extras7.all ++ Extras8.all ++ Extras9.all ++ Extras10.all ++ Extras11.all ++ Extras12.all ++ Extras13.all ++ Extras14.all ++ Extras15.all ++ Extras16.all ++ Extras17.all ++ Extras18.all ++ Extras19.all ++ Extras20.all ++ Extras21.all ++ Extras22.all ++ Extras23.all ++ Extras24.all ++ Extras25.all ++ Extras26.all ++ Extras27.all ++ Extras28.all ++ Extras29.all ++ Extras30.all ++ Extras31.all ++ Extras32.all ++ Extras33.all ++ Extras34.all ++ Extras35.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
