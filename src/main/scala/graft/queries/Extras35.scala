@@ -33,12 +33,15 @@ object Extras35 {
     // deterministic exact twins (the q318 seeding pattern, NEGATIVE
     // ids — never colliding with corpus ids at any SF): wave 1 adds
     // copies of the 4 smallest wave-0 docs (cross-batch pairs:
-    // arrival drops against the stored canonical whatever its id);
-    // wave 2 adds TWO copies each of the 2 smallest wave-1 docs
-    // (in-batch co-arrival: the smaller twin id survives the batch,
-    // drops against the wave-1 original — one inner + one cross pair
-    // per seeded text). Natural cross/inner dups at larger SFs flow
-    // through the same generic semantics on both sides.
+    // arrival drops against the stored canonical whatever its id)
+    // plus TWO extra copies each of the next 2 wave-0 docs
+    // (three-way in-batch co-arrival: the smallest twin id survives
+    // the batch, the other twins collapse to it in-batch, and it
+    // drops cross-batch against the wave-0 original). Two waves keep
+    // the query's fixed stream cost at half the 3-wave form while
+    // still exercising snapshot delivery, an incremental commit-log
+    // batch, in-batch collapse, and cross-batch canonical chasing;
+    // natural dups at sf0.1 flow through the same generic semantics.
     QueryDef("q320_stream_exact_dedup_ingest",
       (s, d) => {
         import graft.sink.TxLogTable
@@ -46,11 +49,27 @@ object Extras35 {
         val hashT = QueryDef.scratch("graft_sed_hash").toString
         val outT = QueryDef.scratch("graft_sed_out").toString
         val ckpt = QueryDef.scratch("graft_sed_ck").toString
-        val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
-        def natural(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
-        val tA = natural(0).orderBy("doc_id").limit(4)
+        // stream a deterministic 1/3 slice PLUS every doc whose text
+        // is a natural exact duplicate (so the natural-dup coverage
+        // at sf0.1 survives the slim-down): the gate checks stream
+        // SEMANTICS, and the fixed commit/batch machinery dominates
+        // its cost — streaming the whole corpus bought nothing
+        val allDocs = table(s, d, "documents").select(col("doc_id"), col("text"))
+        val dupTexts = allDocs.groupBy("text")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+          .select("text").withColumn("__d", lit(1))
+        // pinned: three consumers (two wave appends + the twin base)
+        // would each re-run the dup-text groupBy and the slice join
+        val docs = allDocs.join(broadcast(dupTexts), Seq("text"), "left")
+          .filter(pmod(col("doc_id"), lit(3)) === 0 || col("__d") === 1)
+          .select(col("doc_id"), col("text"))
+          .coalesce(2).transform(graft.ops.Pinned.pin)
+        def natural(i: Int) = docs.filter(pmod(col("doc_id"), lit(2)) === i)
+        val w0small = natural(0).orderBy("doc_id").limit(6)
+          .transform(graft.ops.Pinned.pin)
+        val tA = w0small.orderBy("doc_id").limit(4)
           .select((-col("doc_id") - 1).as("doc_id"), col("text"))
-        val tb = natural(1).orderBy("doc_id").limit(2)
+        val tb = w0small.orderBy(col("doc_id").desc).limit(2)
         val tB = tb.select((-col("doc_id") - 1000).as("doc_id"), col("text"))
           .unionAll(tb.select((-col("doc_id") - 2000).as("doc_id"), col("text")))
         TxLogTable.create(s, hashT, new StructType()
@@ -60,39 +79,49 @@ object Extras35 {
         TxLogTable.append(natural(0), src)
         // node-sized state frames — same shuffle-partition pin +
         // restore discipline as q299 (streams capture the conf at
-        // start; bench runs queries sequentially)
+        // start; bench runs queries sequentially). AQE off for the
+        // stream too: every foreachBatch plan is node-sized, and each
+        // AQE query stage would be its own job (the q150 barrier
+        // lesson applied to the stream's fixed cost).
         val spKey = "spark.sql.shuffle.partitions"
+        val aqeKey = "spark.sql.adaptive.enabled"
         val spSaved = s.conf.get(spKey)
+        val aqeSaved = s.conf.get(aqeKey)
         var q: org.apache.spark.sql.streaming.StreamingQuery = null
         try {
           s.conf.set(spKey, "4")
+          s.conf.set(aqeKey, "false")
           q = graft.streaming.StreamingOps.exactDedupIngest(
             s.readStream.format("graft-txlog").load(src),
             hashT, outT, "q320", ckpt)
           q.processAllAvailable() // initial batch = wave-0 snapshot
-          TxLogTable.append(natural(1).unionAll(tA), src)
+          TxLogTable.append(natural(1).unionAll(tA).unionAll(tB), src)
           q.processAllAvailable() // wave 1 = one commit-log batch
-          TxLogTable.append(natural(2).unionAll(tB), src)
-          q.processAllAvailable() // wave 2
         } finally {
           if (q != null) q.stop()
           s.conf.set(spKey, spSaved)
+          s.conf.set(aqeKey, aqeSaved)
         }
+        graft.ops.Pinned.release(w0small)
+        graft.ops.Pinned.release(docs)
         TxLogTable.read(s, outT).orderBy("new_id", "seen_id")
       },
-      Some("""WITH w0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+      Some("""WITH sel AS (SELECT doc_id, text FROM documents
+                     WHERE doc_id % 3 = 0 OR text IN (
+                       SELECT text FROM documents
+                       GROUP BY text HAVING COUNT(*) > 1)),
+              w0 AS (SELECT doc_id, text FROM sel WHERE doc_id % 2 = 0),
+              w0small AS (SELECT doc_id, text FROM w0 ORDER BY doc_id LIMIT 6),
               twina AS (SELECT -doc_id - 1 AS doc_id, text
-                     FROM (SELECT doc_id, text FROM w0 ORDER BY doc_id LIMIT 4)),
-              w1n AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
-              tbase AS (SELECT doc_id, text FROM w1n ORDER BY doc_id LIMIT 2),
+                     FROM (SELECT doc_id, text FROM w0small ORDER BY doc_id LIMIT 4)),
+              w1n AS (SELECT doc_id, text FROM sel WHERE doc_id % 2 = 1),
+              tbase AS (SELECT doc_id, text FROM w0small ORDER BY doc_id DESC LIMIT 2),
               twinb AS (SELECT -doc_id - 1000 AS doc_id, text FROM tbase
                      UNION ALL SELECT -doc_id - 2000, text FROM tbase),
               aw AS (SELECT 0 AS wave, doc_id, text FROM w0
                      UNION ALL SELECT 1, doc_id, text FROM w1n
                      UNION ALL SELECT 1, doc_id, text FROM twina
-                     UNION ALL SELECT 2, doc_id, text
-                       FROM documents WHERE doc_id % 3 = 2
-                     UNION ALL SELECT 2, doc_id, text FROM twinb),
+                     UNION ALL SELECT 1, doc_id, text FROM twinb),
               -- per-(content, wave) batch canonical: min id co-arrival collapse
               cw AS (SELECT text, wave, MIN(doc_id) AS mw
                      FROM aw GROUP BY text, wave),
