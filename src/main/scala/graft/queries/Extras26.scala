@@ -299,38 +299,57 @@ object Extras26 {
           .filter(col("rn") <= 10)
           .select(col("qid").as("xqid"), col("vec_id").as("xid"))
           .transform(graft.ops.Pinned.pin)
-        // the learned codebook is one corpus pass — pin its 64 rows so
-        // the encode and LUT consumers don't re-run the training plan
-        val cbLearned = Pq.learnedCodebook(emb, m, ds, k).transform(graft.ops.Pinned.pin)
-        // per-query ADC LUT: (qid, j, c) -> qq - 2qc + cc
-        def lutAll(cb: org.apache.spark.sql.DataFrame) = {
-          val qsub = Pq.subvectors(emb.filter(col("vec_id") <= 3), m, ds)
-            .select(col("vec_id").as("qid"), col("j").as("qj"), col("sv").as("qv"))
-          cb.join(qsub, col("cj") === col("qj"))
-            .withColumn("d2", expr(Pq.ip("qv", "qv")) -
-              lit(2.0) * expr(Pq.ip("qv", "cv")) + expr(Pq.ip("cv", "cv")))
-            .select(col("qid"), col("cj").as("j"), col("c"), col("d2"))
-        }
-        def recallOf(label: String, cb: org.apache.spark.sql.DataFrame) =
-          Pq.encodeWith(emb, m, ds, cb)
-            .filter(col("vec_id") >= k)
-            .join(broadcast(lutAll(cb)), Seq("j"))
-            .filter(col("code") === col("c") && col("vec_id") =!= col("qid"))
-            .groupBy("qid", "vec_id").agg(sum(col("d2")).as("adc_d2"))
-            .withColumn("rn", row_number().over(
-              Window.partitionBy("qid").orderBy(col("adc_d2"), col("vec_id"))))
-            .filter(col("rn") <= 10)
-            .join(exact,
-              col("qid") === col("xqid") && col("vec_id") === col("xid"), "left")
-            .agg(count(lit(1)).as("n_ann"), count(col("xid")).as("n_hit"))
-            .select(lit(label).as("codebook"), col("n_ann"), col("n_hit"),
-              // 0-candidate guard: 0/0 would be NaN, the oracle's
-              // pinned-domain row says 0.0
-              when(col("n_ann") === 0L, lit(0.0))
-                .otherwise(col("n_hit").cast("double") / col("n_ann").cast("double"))
-                .as("recall_at_10"))
-        recallOf("learned", cbLearned)
-          .unionAll(recallOf("seeded", Pq.codebook(emb, m, ds, k)))
+        // BOTH codebooks in one labeled frame (round 17): the old
+        // per-codebook recallOf ran TWO full corpus encode passes and
+        // two window ranks — 34 scheduler barriers and 2x the corpus
+        // scans a 100 TB run would pay. The label rides the codebook
+        // rows, so one encode argmin / one LUT / one rank / one
+        // aggregate serve both, grouped by (codebook, ...) — same
+        // values, half the passes.
+        val cbBoth = Pq.learnedCodebook(emb, m, ds, k)
+          .withColumn("codebook", lit("learned"))
+          .unionAll(Pq.codebook(emb, m, ds, k)
+            .withColumn("codebook", lit("seeded")))
+          .transform(graft.ops.Pinned.pin)
+        val qsub = Pq.subvectors(emb.filter(col("vec_id") <= 3), m, ds)
+          .select(col("vec_id").as("qid"), col("j").as("qj"), col("sv").as("qv"))
+        // per-query ADC LUT: (codebook, qid, j, c) -> qq - 2qc + cc
+        val lutBoth = cbBoth.join(qsub, col("cj") === col("qj"))
+          .withColumn("d2", expr(Pq.ip("qv", "qv")) -
+            lit(2.0) * expr(Pq.ip("qv", "cv")) + expr(Pq.ip("cv", "cv")))
+          .select(col("codebook"), col("qid"), col("cj").as("j"),
+            col("c"), col("d2"))
+        // ONE corpus encode pass: argmin per (codebook, vec_id, j)
+        val encBoth = Pq.subvectors(emb, m, ds)
+          .join(broadcast(cbBoth), col("j") === col("cj"))
+          .withColumn("ed2",
+            expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
+          .groupBy("codebook", "vec_id", "j")
+          .agg(min(struct(col("ed2"), col("c"))).as("best"))
+          .select(col("codebook"), col("vec_id"), col("j"),
+            col("best.c").as("code"))
+        val perCbk = encBoth.filter(col("vec_id") >= k)
+          .join(broadcast(lutBoth), Seq("codebook", "j"))
+          .filter(col("code") === col("c") && col("vec_id") =!= col("qid"))
+          .groupBy("codebook", "qid", "vec_id").agg(sum(col("d2")).as("adc_d2"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("codebook", "qid")
+              .orderBy(col("adc_d2"), col("vec_id"))))
+          .filter(col("rn") <= 10)
+          .join(exact,
+            col("qid") === col("xqid") && col("vec_id") === col("xid"), "left")
+          .groupBy("codebook")
+          .agg(count(lit(1)).as("n_ann"), count(col("xid")).as("n_hit"))
+        // pinned domain: a zero-candidate codebook must still emit its
+        // (0, 0, 0.0) row, the oracle's VALUES-domain semantic
+        val domain = s.createDataFrame(
+          Seq(Tuple1("learned"), Tuple1("seeded"))).toDF("codebook")
+        broadcast(domain).join(perCbk, Seq("codebook"), "left")
+          .na.fill(0L, Seq("n_ann", "n_hit"))
+          .select(col("codebook"), col("n_ann"), col("n_hit"),
+            when(col("n_ann") === 0L, lit(0.0))
+              .otherwise(col("n_hit").cast("double") / col("n_ann").cast("double"))
+              .as("recall_at_10"))
           .orderBy("codebook")
       },
       Some("""WITH emb AS (SELECT vec_id,
