@@ -720,7 +720,14 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val bh = batch.select(col(idCol), col(hashCol)).transform(Pinned.pin)
+        // collapse a duplicated id within the batch (at-least-once
+        // sources can deliver one row twice in one micro-batch) to a
+        // single row, order-free — each copy would otherwise keep the
+        // other alive through the self-probe's new_id > seen_id
+        // filter and the left_anti, duplicating state and index rows
+        val bh = batch.select(col(idCol), col(hashCol))
+          .groupBy(idCol).agg(min(col(hashCol)).as(hashCol))
+          .transform(Pinned.pin)
         val newBands = Dedup.hammingBands(bh, idCol, hashCol, bits, bands)
           .transform(Pinned.pin)
         // co-arrival pass: the batch probes ITSELF, uncapped. Both
@@ -946,7 +953,14 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val b = batch.select(col(idCol), col(vecCol)).transform(Pinned.pin)
+        // one row per id, order-free (min over the orderable array
+        // column): assignCellsWithDist already groups by id, but the
+        // raw frame feeds the drop verdicts and the rep_vec join —
+        // a duplicated id would duplicate verdict and REPRESENTATIVE
+        // state rows
+        val b = batch.select(col(idCol), col(vecCol))
+          .groupBy(idCol).agg(min(col(vecCol)).as(vecCol))
+          .transform(Pinned.pin)
         // one |batch| x k assignment, with distances (the election key)
         val asg = Dedup.assignCellsWithDist(b, centroids, idCol, vecCol)
           .transform(Pinned.pin)

@@ -134,4 +134,30 @@ class StreamingPhashIngestSpec extends SparkSpec {
       .select(explode(col("ids")).as("id")).as[Long].collect().toSet
     assert(idxIds === Set(50L))
   }
+
+  // ADVICE r16 follow-through: a duplicated id within one micro-batch
+  // (at-least-once delivery) must collapse to one state and one index
+  // row — each copy would otherwise keep the other alive through the
+  // new_id > seen_id self-probe filter and the left_anti.
+  test("a duplicated id within one batch leaves one state row and one index membership") {
+    val (sHash, sIdx, sOut) = freshTables()
+    val ckpt = java.nio.file.Files.createTempDirectory("spi_ck3").toString
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)]
+    val q = StreamingOps.phashDedupIngest(
+      ms.toDF.toDF("doc_id", "ah"), sHash, sIdx, sOut, "spi3", ckpt)
+    try {
+      ms.addData(Seq((5L, base), (5L, base), (6L, far)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = TxLogTable.read(spark, sHash)
+      .select("doc_id").as[Long].collect().toList.sorted
+    assert(state === List(5L, 6L))
+    assert(TxLogTable.read(spark, sOut).isEmpty) // no self-pair
+    // the index shard holds each id at most once per bucket
+    val perBucket = TxLogTable.read(spark, sIdx)
+      .select(size(col("ids")).as("n"), size(array_distinct(col("ids"))).as("d"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(perBucket.forall { case (n, dct) => n == dct })
+  }
 }

@@ -134,4 +134,26 @@ class StreamingSemanticIngestSpec extends SparkSpec {
       .filter(col("cell") === 1L).select("rep").as[Long].collect().toList
     assert(repOf(aReps) === List(3L) && repOf(bReps) === List(3L))
   }
+
+  // ADVICE r16 follow-through: a duplicated id within one micro-batch
+  // (at-least-once delivery) must elect ONE representative row — the
+  // raw frame feeds the rep_vec join, so each copy would otherwise
+  // duplicate the (cell, rep, rep_vec) state row.
+  test("a duplicated id within one batch leaves one representative row") {
+    val (sReps, sOut) = freshTables()
+    val ckpt = java.nio.file.Files.createTempDirectory("ssi_ck3").toString
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingOps.semanticDedupIngest(
+      ms.toDF.toDF("vec_id", "embedding"), centroids, sReps, sOut,
+      "ssi3", ckpt, tau = TAU)
+    try {
+      ms.addData(Seq((1L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val reps = TxLogTable.read(spark, sReps).select("cell", "rep")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(reps === List((0L, 1L))) // exactly one row, not two
+    assert(TxLogTable.read(spark, sOut).isEmpty) // no self-drop
+  }
 }
