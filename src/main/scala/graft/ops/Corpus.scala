@@ -168,10 +168,16 @@ object Corpus {
     * and each barrier is a serial sample of any host stall window.
     * Above the threshold — the 100 TB regime — AQE stays ON for the
     * loop: per-round skew handling and runtime join re-planning are
-    * worth the barriers when a round shuffles real data.
+    * worth the barriers when a round shuffles real data. The
+    * threshold is set where classic execution's worst case stays
+    * trivial: without AQE the static planner cannot see that the
+    * label frame is node-sized (checkpoint stats are opaque), so the
+    * per-round join may SMJ and re-shuffle the edge list each round —
+    * at 4M edges that is ~64 MB/round, noise; at 50M+ it would not
+    * be, so those graphs keep AQE's runtime broadcast of the labels.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
-      smallGraphMaxEdges: Long = 50L * 1000 * 1000): DataFrame = {
+      smallGraphMaxEdges: Long = 4L * 1000 * 1000): DataFrame = {
     val fwd = pairs.select(col("id1").as("src"), col("id2").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .transform(graft.ops.Pinned.pin)
