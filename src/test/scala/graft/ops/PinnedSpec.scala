@@ -49,6 +49,20 @@ class PinnedSpec extends SparkSpec {
     Pinned.release(p2)
   }
 
+  test("duplicateClusters routes are result-identical (AQE-off small loop vs AQE-on large loop)") {
+    // chain + pair: needs multiple rounds; smallGraphMaxEdges = 0
+    // forces the scale route (AQE on, no conf scoping)
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
+    val small = Corpus.duplicateClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val large = Corpus.duplicateClusters(pairs, smallGraphMaxEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(small === large)
+    assert(small === Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)))
+    dropAll()
+  }
+
   test("duplicateClusters restores AQE and shuffle-partition confs after the small-graph loop") {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     val shuf = spark.conf.get("spark.sql.shuffle.partitions")
