@@ -79,6 +79,32 @@ object Profile {
       spark.stop()
       return
     }
+    // `jobsv:<prefix,...>` mode: like `jobs:` but prints each job's
+    // call site — which code line fired each scheduler barrier
+    if (args.length > 2 && args(2).startsWith("jobsv:")) {
+      val prefixes = args(2).stripPrefix("jobsv:").split(',').toSeq
+      val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val cs = j.stageInfos.map(_.name).distinct.mkString(" | ")
+          lines.add(f"    job ${j.jobId}%3d stages=${j.stageInfos.size} " +
+            f"tasks=${j.stageInfos.map(_.numTasks).sum}%5d  $cs")
+        }
+      })
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => prefixes.exists(n.startsWith) }
+        .foreach { case (name, fn) =>
+          noop(fn(spark, sfDir)) // warm-up / JIT
+          org.apache.spark.sql.graftshim.ColumnShim.drainListenerBus(spark)
+          lines.clear()
+          noop(fn(spark, sfDir))
+          org.apache.spark.sql.graftshim.ColumnShim.drainListenerBus(spark)
+          println(s"[profile] $name: ${lines.size} jobs")
+          lines.forEach(l => println(l))
+        }
+      spark.stop()
+      return
+    }
     // `only:<prefix,...>` mode: cold+warm for a targeted subset
     if (args.length > 2 && args(2).startsWith("only:")) {
       val prefixes = args(2).stripPrefix("only:").split(',').toSeq

@@ -175,6 +175,15 @@ object Corpus {
     * per-round join may SMJ and re-shuffle the edge list each round —
     * at 4M edges that is ~64 MB/round, noise; at 50M+ it would not
     * be, so those graphs keep AQE's runtime broadcast of the labels.
+    *
+    * CONCURRENCY CONTRACT: the small-graph route toggles SESSION
+    * confs (adaptive, shuffle partitions) for the loop's duration and
+    * restores them in a finally — any OTHER query planned on the same
+    * SparkSession while the loop runs would be planned under the
+    * altered confs. Callers are single-query-at-a-time (Verify/Bench
+    * run sequentially; the streaming ingests never call this); a
+    * caller that needs concurrent planning must hand this operator a
+    * frame from `spark.newSession()` so the conf scope is private.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
       smallGraphMaxEdges: Long = 4L * 1000 * 1000): DataFrame = {

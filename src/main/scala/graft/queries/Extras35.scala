@@ -9,9 +9,9 @@ import QueryDef.table
   * the hash oracle (the r16 verdict's task 5 — the matrix's streaming
   * cells were spec-gated only). The REAL `StreamingOps.
   * exactDedupIngest` runs inside the query: documents land in a
-  * TxLog source table in three waves, the stream's first batch is
-  * the wave-0 snapshot, waves 1-2 arrive as incremental commit-log
-  * batches (`processAllAvailable` between appends pins wave ==
+  * TxLog source table in two waves, the stream's first batch is
+  * the wave-0 snapshot, wave 1 arrives as one incremental commit-log
+  * batch (`processAllAvailable` between appends pins wave ==
   * micro-batch, so the verdict set is deterministic), and the
   * ACID-appended verdict pairs are compared row-for-row against a
   * DuckDB reconstruction of the stream semantics: per-wave min-id
@@ -70,8 +70,13 @@ object Extras35 {
         val tA = w0small.orderBy("doc_id").limit(4)
           .select((-col("doc_id") - 1).as("doc_id"), col("text"))
         val tb = w0small.orderBy(col("doc_id").desc).limit(2)
-        val tB = tb.select((-col("doc_id") - 1000).as("doc_id"), col("text"))
-          .unionAll(tb.select((-col("doc_id") - 2000).as("doc_id"), col("text")))
+        // offsets far beyond any doc_id spread: -d-1000 twins could
+        // collide across the two tb docs when their ids differ by
+        // exactly 1000 (the per-id groupBy would silently collapse
+        // two different-text rows); 1e6/2e6 make that impossible for
+        // any non-negative doc_id below a million
+        val tB = tb.select((-col("doc_id") - 1000000).as("doc_id"), col("text"))
+          .unionAll(tb.select((-col("doc_id") - 2000000).as("doc_id"), col("text")))
         TxLogTable.create(s, hashT, new StructType()
           .add("doc_id", LongType).add("__h", StringType))
         TxLogTable.create(s, outT, new StructType()
@@ -85,8 +90,8 @@ object Extras35 {
         // lesson applied to the stream's fixed cost).
         val spKey = "spark.sql.shuffle.partitions"
         val aqeKey = "spark.sql.adaptive.enabled"
-        val spSaved = s.conf.get(spKey)
-        val aqeSaved = s.conf.get(aqeKey)
+        val spSaved = s.conf.getOption(spKey)
+        val aqeSaved = s.conf.getOption(aqeKey)
         var q: org.apache.spark.sql.streaming.StreamingQuery = null
         try {
           s.conf.set(spKey, "4")
@@ -99,8 +104,10 @@ object Extras35 {
           q.processAllAvailable() // wave 1 = one commit-log batch
         } finally {
           if (q != null) q.stop()
-          s.conf.set(spKey, spSaved)
-          s.conf.set(aqeKey, aqeSaved)
+          // getOption/unset: never convert a previously-unset key
+          // into an explicitly-set default (the Corpus discipline)
+          spSaved.fold(s.conf.unset(spKey))(s.conf.set(spKey, _))
+          aqeSaved.fold(s.conf.unset(aqeKey))(s.conf.set(aqeKey, _))
         }
         graft.ops.Pinned.release(w0small)
         graft.ops.Pinned.release(docs)
@@ -116,8 +123,8 @@ object Extras35 {
                      FROM (SELECT doc_id, text FROM w0small ORDER BY doc_id LIMIT 4)),
               w1n AS (SELECT doc_id, text FROM sel WHERE doc_id % 2 = 1),
               tbase AS (SELECT doc_id, text FROM w0small ORDER BY doc_id DESC LIMIT 2),
-              twinb AS (SELECT -doc_id - 1000 AS doc_id, text FROM tbase
-                     UNION ALL SELECT -doc_id - 2000, text FROM tbase),
+              twinb AS (SELECT -doc_id - 1000000 AS doc_id, text FROM tbase
+                     UNION ALL SELECT -doc_id - 2000000, text FROM tbase),
               aw AS (SELECT 0 AS wave, doc_id, text FROM w0
                      UNION ALL SELECT 1, doc_id, text FROM w1n
                      UNION ALL SELECT 1, doc_id, text FROM twina

@@ -85,8 +85,26 @@ object QueryDef {
     * division (`div 1000` — a double-precision divide would lose
     * microseconds at ~1.7e18 ns epoch values).
     */
+  /** Inferred-schema cache for [[table]]. Every `spark.read.parquet`
+    * without an explicit schema fires a one-task footer-read JOB —
+    * a scheduler barrier — before the query proper starts; a query
+    * touching six tables pays six. The testdata star schema is
+    * immutable for the life of the JVM, so the first inference per
+    * path is authoritative and every later load passes it explicitly
+    * (zero jobs). Keyed by path PLUS the nanos-as-long conf: `events`
+    * infers `ts` as LONG only under that flag, and a session reading
+    * without it must not inherit the flagged session's schema.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val key = path + "|" + spark.conf
+      .getOption("spark.sql.legacy.parquet.nanosAsLong").getOrElse("false")
+    val schema = schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     val converted =
       if (name == "events")
         // normalize ts to TIMESTAMP_NTZ whatever the writer encoded:

@@ -13,7 +13,7 @@ import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Minimal version-log ACID table on plain parquet.
   *
@@ -1212,8 +1212,14 @@ object TxLogTable {
       else if ((c.action == "rewrite" || c.action == "dv") &&
           cdfCached(spark, tablePath, v)) {
         // DML versions carry their exact diff as a write-time cache —
-        // serve the feed in O(diff) instead of a two-snapshot compare
-        Some(spark.read.parquet(s"$tablePath/$CdfDir/$v")
+        // serve the feed in O(diff) instead of a two-snapshot compare.
+        // The cache layout is the commit's physical schema plus the
+        // `_change_type` tag (every writeCdfCache writer emits exactly
+        // that), so the schema is passed explicitly: no per-version
+        // footer-inference job while assembling the feed.
+        Some(spark.read
+          .schema(StructType.fromDDL(c.schemaDdl).add("_change_type", StringType))
+          .parquet(s"$tablePath/$CdfDir/$v")
           .withColumn("_commit_version", lit(v)))
       } else if (c.action == "append") {
         val snapSchema = StructType.fromDDL(c.schemaDdl)
@@ -1917,7 +1923,8 @@ object TxLogTable {
     if (relevant.isEmpty) buildFrame(spark, tablePath, files, snap.schema)
     else {
       val dirs = relevant.values.flatten.toSeq.distinct.sorted
-      val dv = spark.read.parquet(dirs.map(dvDirPath(tablePath, _)): _*)
+      val dv = spark.read.schema(DvSchema)
+        .parquet(dirs.map(dvDirPath(tablePath, _)): _*)
         .select(col("file").as("__dv_file"), col("row_index").as("__dv_idx"))
       metaFrame(spark, tablePath, files, snap.schema)
         .join(dv, col("__file") === col("__dv_file") &&
@@ -1927,6 +1934,15 @@ object TxLogTable {
   }
 
   private val DvDir = "_dv"
+
+  /** Vector files are written by this module with exactly this layout
+    * (`_metadata.file_name` STRING, `_metadata.row_index` LONG);
+    * passing it explicitly on every mask read skips the per-read
+    * one-task footer-inference job — a scheduler barrier per DV'd
+    * snapshot read that carries no information we don't already have.
+    */
+  private val DvSchema = StructType(Seq(
+    StructField("file", StringType), StructField("row_index", LongType)))
 
   /** The snapshot's LIVE rows with the `__file`/`__idx` row-identity
     * columns — the masked [[metaFrame]], shared by the deletion-vector
@@ -1939,7 +1955,8 @@ object TxLogTable {
     if (snap.dvs.isEmpty) all
     else {
       val dirs = snap.dvs.values.flatten.toSeq.distinct.sorted
-      val dv = spark.read.parquet(dirs.map(dvDirPath(tablePath, _)): _*)
+      val dv = spark.read.schema(DvSchema)
+        .parquet(dirs.map(dvDirPath(tablePath, _)): _*)
         .select(col("file").as("__dv_file"), col("row_index").as("__dv_idx"))
       all.join(dv, col("__file") === col("__dv_file") &&
         col("__idx") === col("__dv_idx"), "left_anti")
@@ -1984,11 +2001,18 @@ object TxLogTable {
     val matched = liveMeta.filter(expr(predicate))
     val dvName = java.util.UUID.randomUUID().toString
     val dvPath = new Path(tablePath, s"$DvDir/$dvName")
+    // the touched-file set rides the vector write as an observed
+    // collect_set — the re-read + distinct + collect job pair this
+    // used to pay per DV commit was pure barrier overhead (the
+    // pinWithChangedCount discipline). Set semantics make the metric
+    // retry-safe; size is bounded by file count, like the old collect.
+    val obs = new org.apache.spark.sql.Observation(s"dv_$dvName")
     matched.select(col("__file").as("file"), col("__idx").as("row_index"))
+      .observe(obs, org.apache.spark.sql.functions.collect_set(col("file"))
+        .as("files"))
       .write.parquet(dvPath.toString)
-    val written = spark.read.parquet(dvPath.toString)
-    val touchedNames = written.select("file").distinct()
-      .collect().map(_.getString(0)).toSet // bounded by file count
+    val touchedNames = obs.get("files")
+      .asInstanceOf[scala.collection.Seq[Any]].map(_.toString).toSet
     if (touchedNames.isEmpty) { fs.delete(dvPath, true); return base }
     val byName = snap.files.map(e =>
       new Path(dataFilePath(tablePath, e)).getName -> e).toMap
@@ -2078,11 +2102,14 @@ object TxLogTable {
       snap.renames).filter(expr(where))
     val dvName = java.util.UUID.randomUUID().toString
     val dvPath = new Path(tablePath, s"$DvDir/$dvName")
+    // observed collect_set rides the write job — see [[deleteVectors]]
+    val obs = new org.apache.spark.sql.Observation(s"dv_$dvName")
     matched.select(col("__file").as("file"), col("__idx").as("row_index"))
+      .observe(obs, org.apache.spark.sql.functions.collect_set(col("file"))
+        .as("files"))
       .write.parquet(dvPath.toString)
-    val touchedNames = spark.read.parquet(dvPath.toString)
-      .select("file").distinct()
-      .collect().map(_.getString(0)).toSet // bounded by file count
+    val touchedNames = obs.get("files")
+      .asInstanceOf[scala.collection.Seq[Any]].map(_.toString).toSet
     if (touchedNames.isEmpty) { fs.delete(dvPath, true); return base }
     val byName = snap.files.map(e =>
       new Path(dataFilePath(tablePath, e)).getName -> e).toMap
