@@ -188,14 +188,15 @@ object Corpus {
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
       smallGraphMaxEdges: Long = 4L * 1000 * 1000): DataFrame = {
     val fwd = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .transform(graft.ops.Pinned.pin)
+    // the routing count rides the pin's own materializing job
+    // ([[Pinned.pinWithCount]]) — one barrier, not two
+    val (edges, nEdges) = Pinned.pinWithCount(
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))))
     val spark = pairs.sparkSession
     val aqeKey = "spark.sql.adaptive.enabled"
     val shufKey = "spark.sql.shuffle.partitions"
     val aqePrev = spark.conf.getOption(aqeKey)
     val shufPrev = spark.conf.getOption(shufKey)
-    val nEdges = Pinned.count(edges)
     val small = nEdges <= smallGraphMaxEdges
     if (small) {
       spark.conf.set(aqeKey, "false")

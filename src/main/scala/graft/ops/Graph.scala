@@ -132,8 +132,7 @@ object Graph {
     // upstream build (a groupBy + pair expansion) re-executes per
     // consumer. Pin plain first: the route is count-derived, and the
     // count needs the pin.
-    val e0 = Pinned.pin(edges.select(col("u"), col("v")))
-    val nEdges = Pinned.count(e0)
+    val (e0, nEdges) = Pinned.pinWithCount(edges.select(col("u"), col("v")))
     val forcedLarge = vertexCount.exists(largeVertexState(edges.sparkSession, _))
     val bcast = !forcedLarge && nEdges * 56L <= broadcastBudgetBytes
     // on the scale route, re-pin co-partitioned on u (one exchange
@@ -334,16 +333,15 @@ object Graph {
     // this is the cached, pre-partitioned edge RDD every Pregel
     // system keeps.
     val e = pinEdges(edges.select(col("src"), col("dst")), pinKey, route)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .select(col("src").as("node"), col("deg"))
-      .transform(Pinned.pin)
     // the vertex count is an iteration CONSTANT — folded into the
     // round expressions as a literal (the bounded-scalar pattern
     // `Ranks` uses for offsets; the old crossJoin(n) carried it as a
-    // column through every round). Round 16: counted on the pin's
-    // BACKING RDD ([[Pinned.count]]) — the blocks the checkpoint just
-    // materialized — instead of a second SQL aggregate job.
-    val n = Pinned.count(deg)
+    // column through every round). Round 18: the count rides the
+    // pin's own materializing job ([[Pinned.pinWithCount]]) — one
+    // barrier where round 16's backing-RDD count was a second.
+    val (deg, n) = Pinned.pinWithCount(
+      e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg")))
     if (n == 0) {
       // empty edge list: no vertices, no ranks — return an empty
       // (node, pr) frame instead of dividing by zero below (the old

@@ -92,6 +92,34 @@ object Pinned {
     (out, acc.value)
   }
 
+  /** [[pin]] + row count in ONE Spark job.
+    *
+    * `Dataset.localCheckpoint()` (eager) already drives an internal
+    * `count()` to materialize the blocks — and discards the value; an
+    * operator that needs the row count as a routing/literal constant
+    * (triangleStats' edge count, pagerank's vertex count) then pays a
+    * SECOND job over the cached blocks via [[count]]. This keeps the
+    * materializing count's value, so pin + count is one scheduler
+    * barrier instead of two. Mechanics identical to
+    * [[pinWithChangedCount]] minus the accumulator: toRdd + per-row
+    * copy + MEMORY_AND_DISK blocks, returned frame a direct
+    * LogicalRDD ([[count]]/[[release]] apply). The count is exact —
+    * `RDD.count` sums committed task results (one per partition),
+    * never double-counts retries.
+    */
+  def pinWithCount(df: DataFrame): (DataFrame, Long) = {
+    val tap = auditTap
+    if (tap != null && (Thread.currentThread() eq auditThread))
+      tap(df.queryExecution.executedPlan.toString)
+    val spark = df.sparkSession
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val n = rdd.count() // materialize blocks AND keep the count
+    val out = org.apache.spark.sql.graftshim.ColumnShim
+      .internalCreateDataFrame(spark, rdd, df.schema)
+    (out, n)
+  }
+
   /** Row count of a pinned frame, taken on the BACKING RDD: the
     * blocks are already materialized (MEMORY_AND_DISK), so this is a
     * single-stage per-partition count with no SQL planning, no

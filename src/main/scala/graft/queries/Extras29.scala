@@ -312,12 +312,25 @@ object Extras29 {
             col("p.w1").as("w1"), col("p.w2").as("w2"))
           .transform(graft.ops.Pinned.pin) // LM counts + scoring share one pass
         val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-        val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-        val scored = bg
-          .join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
-          .select(col("doc_id"), col("lang"),
+        // c(w1) = Σ_w2 c(w1,w2): a window over the BIGRAM TABLE
+        // (vocab² rows), never a second pass over the token stream —
+        // the q104 trick. Round 18 (opt): the old form ran a second
+        // full-corpus aggregate for c1 AND a second big-side join to
+        // attach it (a derived `c12.groupBy(w1)` frame was tried
+        // first, but Catalyst plans the shared c12 subtree twice —
+        // the window keeps it single); each DISTINCT bigram is
+        // pre-scored so the corpus frame is joined ONCE against a
+        // vocab-sized broadcast (guide §2.3: aggregate before you
+        // shuffle; §2.4: one exchange where two were). Identical
+        // counts, identical integer surprisal, identical sums.
+        val sq = c12
+          .withColumn("c1", sum(col("c12")).over(Window.partitionBy("w1")))
+          .select(col("w1"), col("w2"),
             (length(bin(col("c1"))) - length(bin(col("c12"))))
               .cast(LongType).as("sq"))
+        val scored = bg
+          .join(sq, Seq("w1", "w2"))
+          .select(col("doc_id"), col("lang"), col("sq"))
           .groupBy("doc_id", "lang")
           .agg(sum("sq").as("sq"), count(lit(1)).as("nb"))
           .withColumn("bits", expr("CAST(sq AS DOUBLE) / CAST(nb AS DOUBLE)"))
