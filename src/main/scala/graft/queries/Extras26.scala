@@ -298,7 +298,11 @@ object Extras26 {
             Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))))
           .filter(col("rn") <= 10)
           .select(col("qid").as("xqid"), col("vec_id").as("xid"))
-          .transform(graft.ops.Pinned.pin)
+        // NOT pinned (round 18): `exact` has exactly ONE consumer —
+        // the perCbk left join below — so a checkpoint bought no
+        // reuse and cost ~5 scheduler barriers per run (the q271/q286
+        // exact pins stay: theirs feed 3 consumers each). The subtree
+        // rides the main job; AQE broadcasts the 40-row result.
         // BOTH codebooks in one labeled frame (round 17): the old
         // per-codebook recallOf ran TWO full corpus encode passes and
         // two window ranks — 34 scheduler barriers and 2x the corpus
