@@ -57,8 +57,21 @@ object Extras28 {
     * pairs (frequency-weighted), pick the max (ties to the
     * lexicographically first pair), rewrite every word's
     * segmentation with a boundary-guarded literal replace. Returns
-    * (merged frame, 1-row best-pair frame). */
-  private[queries] def bpeRound(w: DataFrame): (DataFrame, DataFrame) = {
+    * (merged frame, 1-row best-pair frame).
+    *
+    * Pin discipline (round 18): a checkpoint only pays when its
+    * frame is re-read. `pinBest` — q281 reads each round's best pair
+    * twice (the merge rewrite AND the output row); q55 discards the
+    * pair frames, so its single consumer (the rewrite) inlines the
+    * pairs aggregate instead of paying a barrier. `pinMerged` — the
+    * NEXT round re-reads the merged frame twice (pairs + rewrite),
+    * but the LAST round's frame has one consumer in both callers
+    * (q281's token sum, q55's vocab projection) and rides the main
+    * job unpinned. Both choices are pure barrier-count folds: the
+    * selection is deterministic (total tie-break on (cnt, pair)), so
+    * pinning never affected values. */
+  private[queries] def bpeRound(w: DataFrame, pinBest: Boolean = true,
+      pinMerged: Boolean = true): (DataFrame, DataFrame) = {
     val pairs = w
       .select(col("freq"), expr("split(seq, ' ')").as("sy"))
       .select(col("freq"), explode(expr(
@@ -66,14 +79,15 @@ object Extras28 {
           "ELSE transform(sequence(0, size(sy) - 2), " +
           "i -> concat(sy[i], ' ', sy[i + 1])) END")).as("pair"))
       .groupBy("pair").agg(sum("freq").as("cnt"))
-    val best = pairs.orderBy(col("cnt").desc, col("pair")).limit(1)
-      .transform(graft.ops.Pinned.pin) // 1 row — pin so every consumer sees one choice
-    val merged = w.crossJoin(broadcast(best))
+    val best0 = pairs.orderBy(col("cnt").desc, col("pair")).limit(1)
+    val best = if (pinBest) best0.transform(graft.ops.Pinned.pin) else best0
+    val merged0 = w.crossJoin(broadcast(best))
       .withColumn("seq", expr(
         "trim(replace(concat(' ', seq, ' '), concat(' ', pair, ' '), " +
           "concat(' ', replace(pair, ' ', ''), ' ')))"))
       .select("word", "freq", "seq")
-      .transform(graft.ops.Pinned.pin) // next round re-reads it twice (pairs + rewrite)
+    val merged =
+      if (pinMerged) merged0.transform(graft.ops.Pinned.pin) else merged0
     (merged, best)
   }
 
@@ -127,7 +141,7 @@ object Extras28 {
         val words = bpeWordFrame(s, d)
         val (w1, b1) = bpeRound(words)
         val (w2, b2) = bpeRound(w1)
-        val (w3, b3) = bpeRound(w2)
+        val (w3, b3) = bpeRound(w2, pinMerged = false) // w3: statRow only
         def statRow(r: Int, b: DataFrame, w: DataFrame) =
           b.crossJoin(w.agg(
             sum(col("freq") * size(split(col("seq"), " ")).cast(LongType))
@@ -480,18 +494,49 @@ object Extras28 {
         // replica) — and the ORACLE models the same cap with a
         // HAVING-filtered bucket CTE, so the sweep measures exactly
         // the candidate set a production dedup run would generate.
+        //
+        // Round 18 fold: the three configs used to run THREE parallel
+        // candidate pipelines (each its own bucket groupBy, pair
+        // expansion, distinct and truth join — 3x the exchanges, 14
+        // tiny AQE-stage scheduler barriers). All 14 band structs
+        // (8+4+2) now ride ONE explode over ONE sig scan; a single
+        // bucket aggregate keyed by (bands, rows_per_band, band, sig)
+        // applies the same per-config cap; one pair expansion, one
+        // distinct, one truth join and one groupBy(config) aggregate
+        // serve all three configs — identical per-config candidate
+        // sets, a third of the exchanges. The sig pin is gone with
+        // the fan-out that justified it (single consumer now).
         val sig = Dedup.minhashSignatures(sample, "doc_id",
           array_distinct(split(col("text"), " ")), 16)
-          .transform(graft.ops.Pinned.pin)
-        val perConfig = configs.map { case (b, r) =>
-          val cand = Dedup.lshCandidatePairsFromBands(
-            Dedup.lshBandsFromSignatures(sig, "doc_id", 16, r),
-            "doc_id", maxBucketSize = 10000)
-          cand.join(truth.withColumn("hit", lit(1L)), Seq("id1", "id2"), "left")
-            .agg(lit(b).as("bands"), lit(r).as("rows_per_band"),
-              count(lit(1)).as("n_candidates"),
-              sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        }.reduce(_ unionAll _)
+        val allBandStructs = configs.flatMap { case (b, r) =>
+          (0 until b).map { j =>
+            val parts = (j * r until (j + 1) * r).map(i => col(s"mh$i"))
+            struct(lit(b).as("nb"), lit(r).as("rpb"), lit(j).as("band"),
+              md5(concat(parts: _*)).as("sig"))
+          }
+        }
+        val bandsAll = sig
+          .select(col("doc_id"), explode(array(allBandStructs: _*)).as("bs"))
+          .select(col("doc_id"), col("bs.nb").as("bands"),
+            col("bs.rpb").as("rows_per_band"),
+            col("bs.band").as("band"), col("bs.sig").as("sig"))
+        val buckets = bandsAll
+          .groupBy("bands", "rows_per_band", "band", "sig")
+          .agg(sort_array(collect_list(col("doc_id"))).as("__ids"))
+          .filter(size(col("__ids")) >= 2 && size(col("__ids")) <= 10000)
+        val cand = buckets
+          .select(col("bands"), col("rows_per_band"),
+            posexplode(col("__ids")).as(Seq("__i", "id1")), col("__ids"))
+          .select(col("bands"), col("rows_per_band"), col("id1"),
+            explode(slice(col("__ids"), col("__i") + 2, size(col("__ids"))))
+              .as("id2"))
+          .filter(col("id1") =!= col("id2"))
+          .distinct()
+        val perConfig = cand
+          .join(truth.withColumn("hit", lit(1L)), Seq("id1", "id2"), "left")
+          .groupBy("bands", "rows_per_band")
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
         val domain = s.createDataFrame(
           s.sparkContext.parallelize(configs.map(c => org.apache.spark.sql.Row(c._1, c._2))),
           StructType(Seq(StructField("bands", IntegerType, nullable = false),

@@ -43,9 +43,12 @@ object Extras29 {
     QueryDef("q55_bpe_encode",
       (s, d) => {
         val words = Extras28.bpeWordFrame(s, d)
-        val (w1, _) = Extras28.bpeRound(words)
-        val (w2, _) = Extras28.bpeRound(w1)
-        val (w3, _) = Extras28.bpeRound(w2)
+        // q55 discards the best-pair frames (single consumer each —
+        // the rewrite), and w3 feeds only the vocab projection: no
+        // reuse, so no pins (4 scheduler barriers folded, round 18)
+        val (w1, _) = Extras28.bpeRound(words, pinBest = false)
+        val (w2, _) = Extras28.bpeRound(w1, pinBest = false)
+        val (w3, _) = Extras28.bpeRound(w2, pinBest = false, pinMerged = false)
         val vocab = w3.select(col("word"),
           size(split(col("seq"), " ")).cast(LongType).as("n_subwords_w"))
         val docWords = table(s, d, "documents")

@@ -507,11 +507,27 @@ object Extras30 {
         val fp = graft.ops.Dedup
           .winnowSelect(grams, "doc_id", w = 4, rightmostTies = false)
           .select(col("doc_id"), col("source"), col("h")).distinct()
-        val rare = fp.groupBy("h").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 64).select("h") // q129 hot-key cap
-        val fpc = fp.join(rare, "h")
-        val pairs = fpc.as("a").join(fpc.as("b"),
-            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        // Round 18 (guide §2.3/§2.4): the old (df-count + join + fpc
+        // self-join) form planned the corpus-sized gram-md5 + winnow
+        // lineage TWICE (two parquet scans in the static plan — the
+        // rare path and the fpc sides; only the a/b sides shared a
+        // ReusedExchange). One bucket aggregate on h now applies the
+        // q129 hot-key cap (size(m) <= 64 == df <= 64, fp is distinct
+        // so each doc appears once per h) and expands pairs in-bucket
+        // — the lshCandidatePairsFromBands shape: fp has a single
+        // consumer, ONE corpus pass, no self-join; posting lists are
+        // sorted by doc_id so d1 < d2 by construction, and each
+        // shared h contributes exactly one (d1, d2) row, as the join
+        // did. Pair counts are bit-identical.
+        val buckets = fp
+          .groupBy("h")
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("source"))))
+            .as("m"))
+          .filter(size(col("m")) >= 2 && size(col("m")) <= 64)
+        val pairs = buckets
+          .select(posexplode(col("m")).as(Seq("__i", "a")), col("m"))
+          .select(col("a"),
+            explode(slice(col("m"), col("__i") + 2, size(col("m")))).as("b"))
           .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
             col("a.source").as("sa"), col("b.source").as("sb"))
           .agg(count(lit(1)).as("n_shared"))
