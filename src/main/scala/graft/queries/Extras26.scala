@@ -170,7 +170,6 @@ object Extras26 {
           .withColumn("d2", expr(sq.format("v", "qv")))
           .orderBy(col("d2"), col("vec_id")).limit(10)
           .select(col("vec_id").as("xid"))
-          .transform(graft.ops.Pinned.pin)
         val cc = fv.filter(col("vec_id") >= coarseBase &&
             col("vec_id") < coarseBase + nlist)
           .select((col("vec_id") - coarseBase).as("cell"), col("v").as("cv"))
@@ -187,17 +186,46 @@ object Extras26 {
           .join(Pq.coarseAssign(emb, nlist, coarseBase), Seq("vec_id"))
           .join(broadcast(probed), Seq("cell"))
           .select("vec_id", "adc_d2")
-          .transform(graft.ops.Pinned.pin)
-        def at(c: Int) = cand
-          .orderBy(col("adc_d2"), col("vec_id")).limit(c)
+        // ONE ranked pass serves all three rerank depths (the q286
+        // fold): depth c's candidate set `orderBy(adc_d2, vec_id)
+        // .limit(c)` is exactly `rn <= c` over the same total order,
+        // so the three r17 pipelines — each re-joining fv (a fresh
+        // embeddings scan), re-ranking and re-counting — collapse to
+        // one join, one exact-distance pass over the rn<=200 rows,
+        // one per-depth window rank and one aggregate. The exact and
+        // cand pins went with their extra consumers (3 → 1 each): a
+        // single-consumer checkpoint is a pure scheduler barrier.
+        // Empty-depth semantics (global agg emitted a 0-row) are
+        // preserved by the VALUES-domain left join, q286's pattern.
+        val ranked = cand
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("adc_d2"), col("vec_id"))))
+          .filter(col("rn") <= 200)
+        val perDepth = ranked
           .join(fv, Seq("vec_id")).crossJoin(broadcast(qv))
           .withColumn("d2x", expr(sq.format("v", "qv")))
-          .orderBy(col("d2x"), col("vec_id")).limit(10)
+          .withColumn("rerank_depth",
+            explode(expr("filter(array(10, 50, 200), c -> rn <= c)")))
+          .withColumn("rn2", row_number().over(
+            Window.partitionBy("rerank_depth")
+              .orderBy(col("d2x"), col("vec_id"))))
+          .filter(col("rn2") <= 10)
           .join(exact, col("vec_id") === col("xid"), "left")
+          .groupBy("rerank_depth")
           .agg(count(lit(1)).as("n_ann"), count(col("xid")).as("n_hit"))
-          .select(lit(c).as("rerank_depth"), col("n_ann"), col("n_hit"),
-            (col("n_hit").cast("double") / 10.0).as("recall_at_10"))
-        at(10).unionAll(at(50)).unionAll(at(200)).orderBy("rerank_depth")
+        val domain = s.createDataFrame(
+          s.sparkContext.parallelize(Seq(10, 50, 200).map(c =>
+            org.apache.spark.sql.Row(c))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("rerank_depth",
+              org.apache.spark.sql.types.IntegerType, nullable = false))))
+        domain.join(perDepth, Seq("rerank_depth"), "left")
+          .select(col("rerank_depth"),
+            coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / 10.0)
+              .as("recall_at_10"))
+          .orderBy("rerank_depth")
       },
       Some("""WITH emb AS (SELECT vec_id,
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

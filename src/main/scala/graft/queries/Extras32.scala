@@ -64,18 +64,23 @@ object Extras32 {
           .cellRepresentatives(b1, cc, "vec_id", "v")
           .transform(graft.ops.Pinned.pin)
         val b2 = fv.filter(col("vec_id") >= split)
-        // ONE |batch|×k assignment pass, pinned — the arrival census
-        // and the drop stage both read it (q273's pattern)
+        // ONE |batch|×k assignment pass feeding ONE census aggregate:
+        // the arrival count and the drop count are conditional sums
+        // over the same (assignment ⋈ batch ⋈ broadcast state) rows,
+        // so the r17 two-consumer shape (pinned assignment read by a
+        // count groupBy AND by the drop stage, then re-joined) folds
+        // to a single pass — the drop predicate is exactly
+        // Dedup.semanticDupIncrementalFromAssignment's filter chain,
+        // evaluated per row as a flag instead of as a filter. The
+        // assignment pin went with its second consumer.
         val asg2 = graft.ops.Dedup.assignCells(b2, cc, "vec_id", "v")
-          .transform(graft.ops.Pinned.pin)
-        val drops = graft.ops.Dedup
-          .semanticDupIncrementalFromAssignment(b2, asg2, reps,
-            "vec_id", "v", tau = 0.35)
-          .groupBy("cell").agg(count(lit(1)).as("n_dropped"))
-        asg2.groupBy("cell").agg(count(lit(1)).as("n_new"))
-          .join(reps.select("cell", "rep"), Seq("cell"))
-          .join(drops, Seq("cell"), "left")
-          .na.fill(0L, Seq("n_dropped"))
+        val dropFlag = col("vec_id") =!= col("rep") &&
+          graft.functions.VectorExprs.cosineSim(col("v"), col("rep_vec")) >= 0.35
+        asg2.join(b2, "vec_id")
+          .join(broadcast(reps), Seq("cell"))
+          .groupBy("cell", "rep")
+          .agg(count(lit(1)).as("n_new"),
+            sum(when(dropFlag, 1L).otherwise(0L)).as("n_dropped"))
           .select(col("cell"), col("rep"), col("n_new"), col("n_dropped"),
             (col("n_new") - col("n_dropped")).as("n_kept"))
           .orderBy("cell")
@@ -154,10 +159,15 @@ object Extras32 {
         val sigs1 = graft.ops.Dedup
           .minhashSignatures(docs.filter(col("doc_id") < split), "doc_id", sh, 8)
           .transform(graft.ops.Pinned.pin)
+        // the index derives deterministically from the PINNED sigs1
+        // (one banding explode + one groupBy) and has exactly one
+        // consumer — the probe join. A single-consumer checkpoint
+        // buys zero reuse and costs a scheduler barrier (the q272
+        // precedent); the state boundary that guarantees the seen
+        // text is never re-read is sigs1's pin, which stays.
         val index = graft.ops.Dedup.lshIndex(
             graft.ops.Dedup.lshBandsFromSignatures(sigs1, "doc_id", 8, 2),
             "doc_id", maxIdsPerSig = 64)
-          .transform(graft.ops.Pinned.pin)
         // arriving batch: one signature pass, read by band + verify
         val sigs2 = graft.ops.Dedup
           .minhashSignatures(docs.filter(col("doc_id") >= split), "doc_id", sh, 8)

@@ -47,11 +47,15 @@ object Extras33 {
         // stored state: per-media hashes + write-time-capped index
         val seenHashes = Extras31.aHash60(seenSrc)
           .transform(graft.ops.Pinned.pin)
+        // single-consumer index: derives from the PINNED seenHashes
+        // (band explode + groupBy) and is read once by the probe
+        // join — the checkpoint bought no reuse, only a barrier
+        // (q272 precedent). seenHashes' pin stays the state boundary:
+        // seen text is still hashed exactly once.
         val index = graft.ops.Dedup.lshIndex(
             graft.ops.Dedup.hammingBands(seenHashes, "doc_id", "ah",
               bits = 15, bands = 4),
             "doc_id", maxIdsPerSig = 64)
-          .transform(graft.ops.Pinned.pin)
         // arriving batch: natural 1/4 + 16 seeded twins of seen docs
         val twins = seenSrc
           .withColumn("n", length(col("text")).cast(LongType))
