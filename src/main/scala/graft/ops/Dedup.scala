@@ -532,6 +532,35 @@ object Dedup {
       .select(col("cell"), col("rep"), col(idCol).as("drop_id"), col("cos"))
   }
 
+  /** Per-cell census of the PRUNED regime in ONE pass over the
+    * assignment: `n_docs` (cell membership) and `n_dropped` (members
+    * whose cosine to the cell representative clears `tau`) are both
+    * conditional aggregates over the same
+    * (assignment ⋈ vecs ⋈ broadcast reps) rows
+    * [[semanticDupPairsPrunedFromAssignment]] filters — the drop
+    * predicate is evaluated as a per-row flag instead of a filter,
+    * so the census never re-reads the assignment separately (the
+    * two-groupBy + left-join shape paid an extra assignment scan,
+    * an exchange and a join for values computable in one aggregate).
+    * Each member is compared against exactly ONE representative, so
+    * the flagged count equals the pruned form's drop-row count.
+    * Returns (cell, n_docs, n_dropped). */
+  def semanticDupPrunedCensusFromAssignment(vecs: DataFrame,
+      asg: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame = {
+    val reps = asg
+      .groupBy("cell").agg(min(struct(col("d2"), col(idCol))).as("__r"))
+      .select(col("cell"), col(s"__r.$idCol").as("rep"))
+    val repVecs = broadcast(reps
+      .join(vecs.select(col(idCol).as("rep"), col(vecCol).as("__rv")), "rep"))
+    val dropped = col(idCol) =!= col("rep") &&
+      graft.functions.VectorExprs.cosineSim(col(vecCol), col("__rv")) >= tau
+    asg.join(vecs, idCol).join(repVecs, "cell")
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(dropped, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   /** Total-cosine budget for the EXACT SemDeDup regime: the number
     * of pairwise comparisons the router may spend on the all-pairs
     * audit before it must flip to the linear pruned form. 2^31

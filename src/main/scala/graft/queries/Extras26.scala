@@ -40,14 +40,13 @@ object Extras26 {
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         val qv = fv.filter(col("vec_id") === qid).select(col("v").as("qv"))
         val sq = "aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
-        // exact top-10 by full-vector L2 — the ground truth (10 rows,
-        // pinned: it joins against every nprobe's list)
+        // exact top-10 by full-vector L2 — the ground truth (10 rows;
+        // single consumer since the nprobe fold below, so no pin)
         val exact = fv.filter(col("vec_id") >= coarseBase + nlist)
           .crossJoin(broadcast(qv))
           .withColumn("d2", expr(sq.format("v", "qv")))
           .orderBy(col("d2"), col("vec_id")).limit(10)
           .select(col("vec_id").as("xid"))
-          .transform(graft.ops.Pinned.pin)
         // the 8 cells ranked by distance to the query (8 rows; the
         // no-partition window is over the broadcast centroid set only)
         val cc = fv.filter(col("vec_id") >= coarseBase &&
@@ -72,14 +71,38 @@ object Extras26 {
           .join(broadcast(cellRank), Seq("cell"))
           .filter(col("cr") <= 4)
           .select("vec_id", "adc_d2", "cr")
-          .transform(graft.ops.Pinned.pin)
-        def at(p: Int) = cand.filter(col("cr") <= p)
-          .orderBy(col("adc_d2"), col("vec_id")).limit(10)
+        // ONE per-nprobe ranked pass serves all three lists (the q271
+        // fold): nprobe p's list `filter(cr <= p).orderBy(adc_d2,
+        // vec_id).limit(10)` is exactly `rn2 <= 10` over the same
+        // total order within the exploded (cr <= p) membership, so
+        // the three r17 pipelines collapse to one explode + one
+        // window rank + one aggregate. The exact and cand pins went
+        // with their extra consumers (single-consumer checkpoint =
+        // pure barrier); empty-nprobe semantics (global agg emitted a
+        // 0-row) are preserved by the VALUES-domain left join.
+        val perProbe = cand
+          .withColumn("nprobe",
+            explode(expr("filter(array(1, 2, 4), p -> cr <= p)")))
+          .withColumn("rn2", row_number().over(
+            Window.partitionBy("nprobe")
+              .orderBy(col("adc_d2"), col("vec_id"))))
+          .filter(col("rn2") <= 10)
           .join(exact, col("vec_id") === col("xid"), "left")
+          .groupBy("nprobe")
           .agg(count(lit(1)).as("n_ann"), count(col("xid")).as("n_hit"))
-          .select(lit(p).as("nprobe"), col("n_ann"), col("n_hit"),
-            (col("n_hit").cast("double") / 10.0).as("recall_at_10"))
-        at(1).unionAll(at(2)).unionAll(at(4)).orderBy("nprobe")
+        val domain = s.createDataFrame(
+          s.sparkContext.parallelize(Seq(1, 2, 4).map(p =>
+            org.apache.spark.sql.Row(p))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("nprobe",
+              org.apache.spark.sql.types.IntegerType, nullable = false))))
+        domain.join(perProbe, Seq("nprobe"), "left")
+          .select(col("nprobe"),
+            coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / 10.0)
+              .as("recall_at_10"))
+          .orderBy("nprobe")
       },
       Some("""WITH emb AS (SELECT vec_id,
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

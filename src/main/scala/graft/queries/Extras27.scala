@@ -55,13 +55,18 @@ object Extras27 {
         // cost: at k ~ sqrt(n) assignment is half the operator)
         val asg = graft.ops.Dedup.assignCells(fv, cc, "vec_id", "v")
           .transform(graft.ops.Pinned.pin)
+        // NO pin on the pair frame: since the per-cell stats folded
+        // into ONE aggregate (count + distinct drop in a single
+        // groupBy), the pair lineage has exactly one consumer — a
+        // single-consumer checkpoint is a pure scheduler barrier
+        // (q272 precedent). The expensive assignment stays pinned
+        // above (two consumers: pair stage + cell census).
         val pairs = graft.ops.Dedup
           .semanticDupPairsFromAssignment(fv, asg, "vec_id", "v", tau = 0.35)
-          .transform(graft.ops.Pinned.pin) // feeds both the pair count and the drop set
         // ONE aggregate carries both per-cell stats (count + distinct
         // drop count) — the old two-groupBy + two-join shape paid an
         // extra exchange and an extra join's job boundaries for
-        // values computable in a single pass over the pinned pairs
+        // values computable in a single pass over the pairs
         val stats = pairs.groupBy("cell").agg(
           count(lit(1)).as("n_pairs"),
           countDistinct(col("j2")).as("n_dropped"))

@@ -509,18 +509,27 @@ object Extras29 {
           .withColumnRenamed("id", "doc_id")
         val base = table(s, d, "documents").select(col("doc_id"),
           size(split(col("text"), " ")).cast(LongType).as("n_toks"))
-        val sized = base.join(cl, Seq("doc_id"), "left")
+        // aggregate per CLUSTER first (guide §2.3): the r17 shape paid
+        // a corpus-sized window SORT by cluster (csize) plus a
+        // countDistinct expand in the split aggregate; every output
+        // column is a per-cluster aggregate rolled up by split (split
+        // is a function of cluster), so one hash aggregate per level
+        // replaces both — n_docs = Σ csize, n_clusters = row count,
+        // n_dup_docs = Σ csize over csize>1 clusters.
+        val perCluster = base.join(cl, Seq("doc_id"), "left")
           .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
-          .withColumn("csize", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("cluster")))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("csize"), sum("n_toks").as("c_toks"))
+        perCluster
           .withColumn("split", when(
             substring(expr("md5(concat('split:', CAST(cluster AS STRING)))"),
               1, 1).isin("0", "1"), "test").otherwise("train"))
-        sized.groupBy("split")
-          .agg(count(lit(1)).as("n_docs"),
-            countDistinct(col("cluster")).as("n_clusters"),
-            sum("n_toks").as("n_tokens"),
-            sum(when(col("csize") > 1L, 1L).otherwise(0L)).as("n_dup_docs"))
+          .groupBy("split")
+          .agg(sum("csize").as("n_docs"),
+            count(lit(1)).as("n_clusters"),
+            sum("c_toks").as("n_tokens"),
+            sum(when(col("csize") > 1L, col("csize")).otherwise(0L))
+              .as("n_dup_docs"))
           .orderBy("split")
       },
       Some(s"""WITH RECURSIVE ${PipelineOps.dupClusterCtes},

@@ -51,12 +51,15 @@ object Extras30 {
         // both read it
         val asg = graft.ops.Dedup.assignCellsWithDist(fv, cc, "vec_id", "v")
           .transform(graft.ops.Pinned.pin)
-        val drops = graft.ops.Dedup
-          .semanticDupPairsPrunedFromAssignment(fv, asg, "vec_id", "v", tau = 0.35)
-          .groupBy("cell").agg(count(lit(1)).as("n_dropped"))
-        asg.groupBy("cell").agg(count(lit(1)).as("n_docs"))
-          .join(drops, Seq("cell"), "left")
-          .na.fill(0L, Seq("n_dropped"))
+        // ONE census aggregate (Dedup.semanticDupPrunedCensusFrom-
+        // Assignment): the r17 shape read the pinned assignment twice
+        // (drop-count groupBy + doc census) and stitched them with a
+        // left join; both counts fold into one conditional aggregate
+        // over the same pruned-compare rows. The asg pin stays — the
+        // rep election and the census pass are two consumers.
+        graft.ops.Dedup
+          .semanticDupPrunedCensusFromAssignment(fv, asg, "vec_id", "v",
+            tau = 0.35)
           .select(col("cell"), col("n_docs"), col("n_dropped"),
             (col("n_docs") - col("n_dropped")).as("n_kept"))
           .orderBy("cell")

@@ -121,6 +121,34 @@ class DedupSpec extends SparkSpec {
       s"expected (cell,rep,drop) = planted near-dups, got $rows")
   }
 
+  test("semanticDupPrunedCensusFromAssignment equals the composed two-pass census") {
+    def v(x: Double, y: Double, eps: Double) = Array(x, y, eps, 0.0)
+    val vecs = Seq(
+      (10L, v(1.0, 0.0, 0.00)), (11L, v(1.0, 0.0, 0.01)),
+      (12L, v(0.3, 0.0, 0.95)),
+      (20L, v(0.0, 1.0, 0.00)), (21L, v(0.0, 1.0, 0.01)),
+      (22L, v(0.0, 0.9, 0.30))).toDF("id", "v")
+    val cents = Seq((0L, v(1.0, 0.0, 0.0)), (1L, v(0.0, 1.0, 0.0)))
+      .toDF("cell", "cv")
+    val asg = Dedup.assignCellsWithDist(vecs, cents, "id", "v")
+    val census = Dedup
+      .semanticDupPrunedCensusFromAssignment(vecs, asg, "id", "v", tau = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // composed reference: drop-row count per cell + member census,
+    // the two-pass shape the one-pass census replaced
+    val drops = Dedup
+      .semanticDupPairsPrunedFromAssignment(vecs, asg, "id", "v", tau = 0.999)
+      .groupBy("cell").agg(count(lit(1)).as("n_dropped"))
+    val expected = asg.groupBy("cell").agg(count(lit(1)).as("n_docs"))
+      .join(drops, Seq("cell"), "left").na.fill(0L, Seq("n_dropped"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(census === expected, s"census $census != composed $expected")
+    // sanity on the planted geometry: each cell holds three members
+    // (rep + planted near-dup + far member), drops exactly the
+    // near-dup, never the representative or the far member
+    assert(census === Set((0L, 3L, 1L), (1L, 3L, 1L)))
+  }
+
   test("pruned recall tradeoff: a dup pair both-far-from-rep is missed, exact finds it") {
     def v(x: Double, y: Double, eps: Double) = Array(x, y, eps, 0.0)
     // id 1 is nearest the centroid -> representative; 2 and 3 are a
