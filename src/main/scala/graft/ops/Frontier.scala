@@ -35,7 +35,16 @@ object Frontier {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
-    val stair = df.groupBy(maxCol).agg(min(minCol).as("__mn"))
+    // the input feeds TWO consumers — the staircase aggregate and the
+    // final dominance join back onto every row — so an unpinned input
+    // lineage executes twice (for q144 that was the full
+    // lineitem ⋈ orders aggregate, the only data-sized work in the
+    // query, paid twice at any scale). Checkpoint it once; like
+    // `pref` below the backing blocks are caller-owned (the returned
+    // frame reads them).
+    val in = graft.ops.Pinned.pin(df)
+
+    val stair = in.groupBy(maxCol).agg(min(minCol).as("__mn"))
 
     val ranged = stair
       .repartitionByRange(parts, col(maxCol).desc)
@@ -63,7 +72,7 @@ object Frontier {
       .transform(graft.ops.Pinned.pin)
     Pinned.release(ranged)
 
-    df.join(pref, Seq(maxCol))
+    in.join(pref, Seq(maxCol))
       .filter(
         !(col("__pref").isNotNull && col("__pref") <= col(minCol)) &&
           !(col("__mn") < col(minCol)))

@@ -101,7 +101,7 @@ class PinnedSpec extends SparkSpec {
     dropAll()
   }
 
-  test("skyline releases the staircase pin, keeps only the pref checkpoint") {
+  test("skyline releases the staircase pin, keeps input + pref checkpoints") {
     dropAll()
     val base = pinnedCount
     val df = Seq((1L, 10L, 5L), (2L, 20L, 3L), (3L, 15L, 9L), (4L, 20L, 7L))
@@ -110,7 +110,11 @@ class PinnedSpec extends SparkSpec {
     val ids = Frontier.skyline(df, "mx", "mn").select("id")
       .collect().map(_.getLong(0)).toSet
     assert(ids === Set(2L))
-    assert(pinnedCount === base + 1, "ranged must be released; pref stays (caller-owned)")
+    // ranged must be released; the input pin (read by the staircase
+    // AND the dominance join — without it the input lineage executes
+    // twice) and pref stay, both caller-owned
+    assert(pinnedCount === base + 2,
+      "ranged must be released; input + pref stay (caller-owned)")
     dropAll()
   }
 }
